@@ -1,0 +1,206 @@
+package graft.ner
+
+/** Plain-Scala BERT token-classification forward pass over float arrays,
+  * computing the same network as the reference's ggml graph
+  * (reference: `src/ner_model.cpp:315-425`):
+  *
+  * embeddings (word + token_type[0] + position) -> LayerNorm -> N x
+  * { self-attention (Q,K,V; scores / sqrt(d_head); softmax; out-proj) +
+  *   residual + LayerNorm; FFN (GELU intermediate, output) + residual +
+  *   LayerNorm } -> linear classifier -> logits [nTokens x nLabels].
+  *
+  * Bitwise equality with ggml's F16 kernels is explicitly out of scope
+  * (SURVEY.md §7 risk 5); the computation graph, constants (LayerNorm eps
+  * 1e-5, tanh-approximated GELU as in `ggml_gelu`) and weight orientation
+  * (HF `[out,in]` row-major linears: y = Wx + b) match.
+  *
+  * Weights are pre-extracted into flat arrays at construction; one encoder
+  * instance is built per loaded model per executor and reused across rows
+  * (mirrors the reference's per-chunk buffer reuse, `ner_extension.cpp:92-95`).
+  */
+final class BertEncoder(model: NerModel) {
+  import model.{hparams => hp}
+
+  private def req(name: String, expected: Int): Array[Float] = {
+    val t = model.tensors.get(name).map(_.data).getOrElse(Array.emptyFloatArray)
+    if (t.length == expected) t else new Array[Float](expected) // missing/mismatched stays zero, like ggml's zero-init arena
+  }
+
+  private val nEmbd = hp.nEmbd
+  private val nHead = hp.nHead
+  private val dHead = nEmbd / nHead
+  private val nInter = hp.nIntermediate
+  private val nLabels = hp.nLabels
+
+  private val wordEmb = req("embeddings.word_embeddings.weight", hp.nVocab * nEmbd)
+  private val typeEmb = req("embeddings.token_type_embeddings.weight", 2 * nEmbd)
+  private val posEmb = req("embeddings.position_embeddings.weight", hp.nMaxTokens * nEmbd)
+  private val lnEw = req("embeddings.LayerNorm.weight", nEmbd)
+  private val lnEb = req("embeddings.LayerNorm.bias", nEmbd)
+  private val clsW = req("classifier.weight", nLabels * nEmbd)
+  private val clsB = req("classifier.bias", nLabels)
+
+  private final case class Layer(
+      qw: Array[Float], qb: Array[Float], kw: Array[Float], kb: Array[Float],
+      vw: Array[Float], vb: Array[Float], ow: Array[Float], ob: Array[Float],
+      lnAw: Array[Float], lnAb: Array[Float],
+      fiW: Array[Float], fiB: Array[Float], foW: Array[Float], foB: Array[Float],
+      lnOw: Array[Float], lnOb: Array[Float]
+  )
+
+  private val layers: Array[Layer] = Array.tabulate(hp.nLayer) { i =>
+    val b = s"encoder.layer.$i."
+    Layer(
+      qw = req(b + "attention.self.query.weight", nEmbd * nEmbd),
+      qb = req(b + "attention.self.query.bias", nEmbd),
+      kw = req(b + "attention.self.key.weight", nEmbd * nEmbd),
+      kb = req(b + "attention.self.key.bias", nEmbd),
+      vw = req(b + "attention.self.value.weight", nEmbd * nEmbd),
+      vb = req(b + "attention.self.value.bias", nEmbd),
+      ow = req(b + "attention.output.dense.weight", nEmbd * nEmbd),
+      ob = req(b + "attention.output.dense.bias", nEmbd),
+      lnAw = req(b + "attention.output.LayerNorm.weight", nEmbd),
+      lnAb = req(b + "attention.output.LayerNorm.bias", nEmbd),
+      fiW = req(b + "intermediate.dense.weight", nInter * nEmbd),
+      fiB = req(b + "intermediate.dense.bias", nInter),
+      foW = req(b + "output.dense.weight", nEmbd * nInter),
+      foB = req(b + "output.dense.bias", nEmbd),
+      lnOw = req(b + "output.LayerNorm.weight", nEmbd),
+      lnOb = req(b + "output.LayerNorm.bias", nEmbd)
+    )
+  }
+
+  /** y[n x out] = x[n x in] * W^T[out x in] + b */
+  private def linear(x: Array[Float], n: Int, in: Int, out: Int,
+      w: Array[Float], b: Array[Float]): Array[Float] = {
+    val y = new Array[Float](n * out)
+    var r = 0
+    while (r < n) {
+      val xo = r * in
+      var o = 0
+      while (o < out) {
+        val wo = o * in
+        var acc = 0.0
+        var i = 0
+        while (i < in) { acc += x(xo + i) * w(wo + i); i += 1 }
+        y(r * out + o) = (acc + b(o)).toFloat
+        o += 1
+      }
+      r += 1
+    }
+    y
+  }
+
+  /** In-place LayerNorm per row, ggml_norm semantics (eps 1e-5) then scale+shift. */
+  private def layerNorm(x: Array[Float], n: Int, d: Int,
+      w: Array[Float], b: Array[Float]): Unit = {
+    val eps = 1e-5
+    var r = 0
+    while (r < n) {
+      val off = r * d
+      var mean = 0.0
+      var i = 0
+      while (i < d) { mean += x(off + i); i += 1 }
+      mean /= d
+      var variance = 0.0
+      i = 0
+      while (i < d) { val v = x(off + i) - mean; variance += v * v; i += 1 }
+      variance /= d
+      val inv = 1.0 / math.sqrt(variance + eps)
+      i = 0
+      while (i < d) {
+        x(off + i) = (((x(off + i) - mean) * inv) * w(i) + b(i)).toFloat
+        i += 1
+      }
+      r += 1
+    }
+  }
+
+  /** ggml_gelu: tanh approximation. */
+  @inline private def gelu(x: Float): Float =
+    (0.5 * x * (1.0 + math.tanh(0.7978845608028654 * (x + 0.044715 * x * x * x)))).toFloat
+
+  /** Run the encoder; returns logits flattened token-major: logit(t, l) =
+    * result(t * nLabels + l), same layout the reference memcpy's out
+    * (`src/ner_model.cpp:423`).
+    */
+  def eval(tokens: Array[Int]): Array[Float] = {
+    val n = tokens.length
+    var h = new Array[Float](n * nEmbd)
+    var t = 0
+    while (t < n) {
+      val tok = if (tokens(t) >= 0 && tokens(t) < hp.nVocab) tokens(t) else 0
+      val wOff = tok * nEmbd
+      val pOff = math.min(t, hp.nMaxTokens - 1) * nEmbd
+      val hOff = t * nEmbd
+      var i = 0
+      while (i < nEmbd) {
+        h(hOff + i) = wordEmb(wOff + i) + typeEmb(i) + posEmb(pOff + i)
+        i += 1
+      }
+      t += 1
+    }
+    layerNorm(h, n, nEmbd, lnEw, lnEb)
+
+    val scale = 1.0 / math.sqrt(dHead.toDouble)
+    var li = 0
+    while (li < layers.length) {
+      val L = layers(li)
+      val q = linear(h, n, nEmbd, nEmbd, L.qw, L.qb)
+      val k = linear(h, n, nEmbd, nEmbd, L.kw, L.kb)
+      val v = linear(h, n, nEmbd, nEmbd, L.vw, L.vb)
+
+      val att = new Array[Float](n * nEmbd)
+      val scores = new Array[Double](n)
+      var head = 0
+      while (head < nHead) {
+        val hOff = head * dHead
+        var qi = 0
+        while (qi < n) {
+          var kj = 0
+          var maxS = Double.NegativeInfinity
+          while (kj < n) {
+            var s = 0.0
+            var d = 0
+            while (d < dHead) { s += q(qi * nEmbd + hOff + d) * k(kj * nEmbd + hOff + d); d += 1 }
+            s *= scale
+            scores(kj) = s
+            if (s > maxS) maxS = s
+            kj += 1
+          }
+          var sum = 0.0
+          kj = 0
+          while (kj < n) { val e = math.exp(scores(kj) - maxS); scores(kj) = e; sum += e; kj += 1 }
+          var d = 0
+          while (d < dHead) {
+            var acc = 0.0
+            kj = 0
+            while (kj < n) { acc += scores(kj) * v(kj * nEmbd + hOff + d); kj += 1 }
+            att(qi * nEmbd + hOff + d) = (acc / sum).toFloat
+            d += 1
+          }
+          qi += 1
+        }
+        head += 1
+      }
+
+      val attOut = linear(att, n, nEmbd, nEmbd, L.ow, L.ob)
+      var i = 0
+      while (i < attOut.length) { attOut(i) += h(i); i += 1 }
+      layerNorm(attOut, n, nEmbd, L.lnAw, L.lnAb)
+
+      val inter = linear(attOut, n, nEmbd, nInter, L.fiW, L.fiB)
+      i = 0
+      while (i < inter.length) { inter(i) = gelu(inter(i)); i += 1 }
+      val ffOut = linear(inter, n, nInter, nEmbd, L.foW, L.foB)
+      i = 0
+      while (i < ffOut.length) { ffOut(i) += attOut(i); i += 1 }
+      layerNorm(ffOut, n, nEmbd, L.lnOw, L.lnOb)
+
+      h = ffOut
+      li += 1
+    }
+
+    linear(h, n, nEmbd, nLabels, clsW, clsB)
+  }
+}

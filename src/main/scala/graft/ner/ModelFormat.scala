@@ -1,0 +1,224 @@
+package graft.ner
+
+import java.io.{BufferedInputStream, DataInputStream, EOFException, FileInputStream, InputStream}
+import java.nio.charset.StandardCharsets
+
+/** Hyperparameters of the NER BERT model, in on-disk order.
+  *
+  * Mirrors the reference header layout (reference: `src/ner_model.cpp:18-27`
+  * for defaults, `:170-178` for read order — note `f16` is stored *before*
+  * `n_labels`, matching the writer `scripts/convert_ner_to_ggml.py:38-46`).
+  */
+final case class NerHparams(
+    nVocab: Int,
+    nMaxTokens: Int,
+    nEmbd: Int,
+    nIntermediate: Int,
+    nHead: Int,
+    nLayer: Int,
+    f16: Int,
+    nLabels: Int
+)
+
+/** A dense tensor as read from the model file. `dims` are as written
+  * (innermost-first, i.e. `dims(0)` is the row length for 2-D weights);
+  * data is row-major F32 (F16 is widened on load).
+  */
+final case class NerTensor(dims: Array[Int], data: Array[Float]) {
+  def numel: Long = dims.foldLeft(1L)(_ * _.toLong)
+}
+
+/** WordPiece vocabulary split exactly as the reference loader splits it
+  * (reference: `src/ner_model.cpp:180-192`): tokens starting with `##` and
+  * longer than 2 chars go into the subword map *keyed without the prefix*;
+  * everything else goes into the main map. `idToToken` returns the original
+  * spelling (subwords keep their `##`), used for entity assembly
+  * (reference: `src/ner_model.cpp:443-453`).
+  *
+  * Map keys are ISO-8859-1 decodings of the raw vocab bytes so that matching
+  * is byte-wise, exactly like the C++ `std::string` comparison; `idToToken`
+  * values are UTF-8 decodings for display/output.
+  */
+final case class NerVocab(
+    main: Map[String, Int],
+    sub: Map[String, Int],
+    idToToken: Map[Int, String]
+) {
+  def tokenOf(id: Int): String = idToToken.getOrElse(id, "[UNK]")
+}
+
+/** A fully loaded model: hparams + vocab + named weight tensors. */
+final case class NerModel(
+    hparams: NerHparams,
+    vocab: NerVocab,
+    tensors: Map[String, NerTensor]
+)
+
+/** Reader for the reference's little-endian GGML-style model file
+  * (format defined by writer `scripts/convert_ner_to_ggml.py:37-89` and
+  * reader `src/ner_model.cpp:162-290` in the reference):
+  *
+  * {{{
+  * int32 magic = 0x67676d6c
+  * int32 n_vocab n_max_tokens n_embd n_intermediate n_head n_layer f16 n_labels
+  * n_vocab * { int32 len; byte[len] token }          // id = position
+  * until EOF  { int32 n_dims, name_len, ftype;
+  *              int32 dims[n_dims];                  // innermost first
+  *              byte[name_len] name; raw data }
+  * }}}
+  *
+  * Any malformed input (bad magic — including the reference's own bundled
+  * placeholder whose magic bytes are byte-swapped, `default_model.hpp:7-16` —
+  * truncation, absurd sizes) yields `None`: the "no model" state, in which the
+  * engine silently returns empty entity lists.
+  */
+object ModelFormat {
+  val Magic = 0x67676d6c
+
+  /** Little-endian wrapper over DataInputStream. */
+  private final class LeReader(in: DataInputStream) {
+    def readIntLE(): Int = Integer.reverseBytes(in.readInt())
+    def readBytes(n: Int): Array[Byte] = {
+      val buf = new Array[Byte](n)
+      in.readFully(buf)
+      buf
+    }
+    def skip(n: Long): Unit = {
+      var left = n
+      while (left > 0) {
+        val s = in.skip(left)
+        if (s <= 0) { in.readByte(); left -= 1 } // readByte throws EOF at end
+        else left -= s
+      }
+    }
+    /** Peek-free EOF probe used for the tensor loop: returns None at clean EOF. */
+    def tryReadIntLE(): Option[Int] = {
+      val b0 = in.read()
+      if (b0 < 0) None
+      else {
+        val b1 = in.read(); val b2 = in.read(); val b3 = in.read()
+        if (b3 < 0) throw new EOFException()
+        Some((b3 << 24) | (b2 << 16) | (b1 << 8) | b0)
+      }
+    }
+  }
+
+  def loadFile(path: String): Option[NerModel] = {
+    val f = new java.io.File(path)
+    if (!f.isFile) return None
+    val in = new BufferedInputStream(new FileInputStream(f))
+    try load(in)
+    finally in.close()
+  }
+
+  def loadBytes(bytes: Array[Byte]): Option[NerModel] =
+    load(new java.io.ByteArrayInputStream(bytes))
+
+  def load(stream: InputStream): Option[NerModel] = {
+    val r = new LeReader(new DataInputStream(stream))
+    try {
+      if (r.readIntLE() != Magic) return None
+      val hp = NerHparams(
+        nVocab = r.readIntLE(),
+        nMaxTokens = r.readIntLE(),
+        nEmbd = r.readIntLE(),
+        nIntermediate = r.readIntLE(),
+        nHead = r.readIntLE(),
+        nLayer = r.readIntLE(),
+        f16 = r.readIntLE(),
+        nLabels = r.readIntLE()
+      )
+      // Defensive bounds absent from the reference: a corrupt header would
+      // otherwise drive huge allocations.
+      if (hp.nVocab <= 0 || hp.nVocab > (1 << 22) || hp.nEmbd <= 0 ||
+        hp.nEmbd > (1 << 16) || hp.nMaxTokens <= 0 || hp.nLayer < 0 ||
+        hp.nLayer > 1024 || hp.nLabels <= 0 || hp.nLabels > (1 << 16) ||
+        hp.nHead <= 0 || hp.nIntermediate <= 0) return None
+
+      val main = Map.newBuilder[String, Int]
+      val sub = Map.newBuilder[String, Int]
+      val id2tok = Map.newBuilder[Int, String]
+      var i = 0
+      while (i < hp.nVocab) {
+        val len = r.readIntLE()
+        if (len < 0 || len > (1 << 20)) return None
+        val bytes = r.readBytes(len)
+        val raw = new String(bytes, StandardCharsets.ISO_8859_1)
+        id2tok += i -> new String(bytes, StandardCharsets.UTF_8)
+        if (raw.length > 2 && raw.charAt(0) == '#' && raw.charAt(1) == '#')
+          sub += raw.substring(2) -> i
+        else main += raw -> i
+        i += 1
+      }
+
+      val tensors = Map.newBuilder[String, NerTensor]
+      var done = false
+      while (!done) {
+        r.tryReadIntLE() match {
+          case None => done = true
+          case Some(nDims) =>
+            if (nDims < 0 || nDims > 4) return None
+            val nameLen = r.readIntLE()
+            val ftype = r.readIntLE()
+            val dims = Array.fill(nDims)(r.readIntLE())
+            if (nameLen < 0 || nameLen > (1 << 16) || dims.exists(d => d < 0 || d > (1 << 26)))
+              return None
+            val name = new String(r.readBytes(nameLen), StandardCharsets.UTF_8)
+            val numel = dims.foldLeft(1L)(_ * _.toLong)
+            if (numel > Int.MaxValue / 4) return None
+            ftype match {
+              case 0 =>
+                val data = new Array[Float](numel.toInt)
+                val raw = r.readBytes(numel.toInt * 4)
+                var k = 0
+                while (k < data.length) {
+                  data(k) = java.lang.Float.intBitsToFloat(
+                    ((raw(4 * k + 3) & 0xff) << 24) | ((raw(4 * k + 2) & 0xff) << 16) |
+                      ((raw(4 * k + 1) & 0xff) << 8) | (raw(4 * k) & 0xff))
+                  k += 1
+                }
+                tensors += name -> NerTensor(dims, data)
+              case 1 =>
+                val data = new Array[Float](numel.toInt)
+                val raw = r.readBytes(numel.toInt * 2)
+                var k = 0
+                while (k < data.length) {
+                  data(k) = f16ToFloat(((raw(2 * k + 1) & 0xff) << 8) | (raw(2 * k) & 0xff))
+                  k += 1
+                }
+                tensors += name -> NerTensor(dims, data)
+              case _ =>
+                // Q4_0 etc: the reference can mmap these through ggml; we only
+                // target the converter's F32/F16 output — treat as unreadable.
+                return None
+            }
+        }
+      }
+      Some(NerModel(hp, NerVocab(main.result(), sub.result(), id2tok.result()), tensors.result()))
+    } catch {
+      case _: EOFException => None // truncated file => silent "no model"
+      case _: java.io.IOException => None
+    }
+  }
+
+  /** IEEE 754 half → float (JDK 17 lacks Float.float16ToFloat). */
+  def f16ToFloat(bits: Int): Float = {
+    val sign = (bits & 0x8000) << 16
+    val exp = (bits >>> 10) & 0x1f
+    val mant = bits & 0x3ff
+    if (exp == 0) {
+      if (mant == 0) java.lang.Float.intBitsToFloat(sign)
+      else { // subnormal half: value = mant * 2^-24
+        var m = mant
+        var shifts = 0
+        while ((m & 0x400) == 0) { m <<= 1; shifts += 1 }
+        m &= 0x3ff
+        java.lang.Float.intBitsToFloat(sign | ((113 - shifts) << 23) | (m << 13))
+      }
+    } else if (exp == 0x1f) {
+      java.lang.Float.intBitsToFloat(sign | 0x7f800000 | (mant << 13))
+    } else {
+      java.lang.Float.intBitsToFloat(sign | ((exp + 112) << 23) | (mant << 13))
+    }
+  }
+}

@@ -1,0 +1,139 @@
+package graft.ner
+
+import org.apache.spark.sql.{Column, SparkSession}
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.expressions.UserDefinedFunction
+import org.apache.spark.sql.functions.udf
+import org.apache.spark.sql.graft.GraftSqlShim
+
+/** One row of the `ner()` result list:
+  * `ARRAY<STRUCT<entity: STRING, label: STRING>>`
+  * (reference type construction: `src/ner_extension.cpp:191-195`).
+  */
+final case class NerEntity(entity: String, label: String)
+
+/** The `ner` / `ner_extract` scalar function family on Spark.
+  *
+  * Observable semantics replicated from the reference extension:
+  *
+  *   - both names, both arities (`ner(text)`, `ner(text, truncate)`)
+  *     registered under one function name (`src/ner_extension.cpp:197-213`);
+  *   - model configured via session conf `spark.ner.model_path`
+  *     (`SET spark.ner.model_path = '...'`), default unset — the analogue of
+  *     the `ner_model_path` extension option (`src/ner_extension.cpp:215-217`).
+  *     The reference loads eagerly in the SET callback; Spark confs have no
+  *     callbacks, so we check-and-load lazily at first evaluation per
+  *     executor. Observable behavior is identical: a bad / unset path silently
+  *     yields `[]` for every row (`test/sql/ner.test:38-51`);
+  *   - with no model, even NULL input maps to `[]`
+  *     (`src/ner_extension.cpp:68-76`); with a model, NULL maps to NULL
+  *     (`:100-103`);
+  *   - `truncate = false` with an input that fills the token budget throws
+  *     with the reference's exact message (`src/ner_extension.cpp:112-115`);
+  *   - functions are non-deterministic-marked so Catalyst never constant-folds
+  *     a call on a literal — the analogue of `FunctionStability::VOLATILE`
+  *     (`src/ner_extension.cpp:201-203`).
+  *
+  * Scale notes: the model is loaded once per executor JVM and cached keyed by
+  * the configured path (the reference equivalently holds one process-global
+  * model, `src/ner_extension.cpp:16-22`, but without a lock; ours
+  * synchronizes). Inference is row-parallel across Spark tasks — each task
+  * runs the single-threaded encoder, replacing the reference's 4 ggml threads
+  * per call with inter-row parallelism, which is the right trade at cluster
+  * scale (no oversubscription, linear scaling with cores).
+  */
+object Ner {
+  val ConfKey = "spark.ner.model_path"
+
+  final case class Loaded(model: NerModel, encoder: BertEncoder)
+
+  /** Per-JVM model cache keyed by the conf path currently in effect. */
+  private object Cache {
+    var initialized = false
+    var key: Option[String] = None
+    var value: Option[Loaded] = None
+  }
+
+  private[graft] def currentModel(): Option[Loaded] = {
+    val path = GraftSqlShim.confString(ConfKey)
+    Cache.synchronized {
+      if (!Cache.initialized || Cache.key != path) {
+        Cache.value = path.flatMap { p =>
+          ModelFormat.loadFile(p).map(m => Loaded(m, new BertEncoder(m)))
+        }
+        Cache.key = path
+        Cache.initialized = true
+      }
+      Cache.value
+    }
+  }
+
+  /** Test hook: drop the cached model so a changed conf value re-loads. */
+  private[graft] def resetCache(): Unit = Cache.synchronized {
+    Cache.initialized = false
+    Cache.key = None
+    Cache.value = None
+  }
+
+  /** Full per-row evaluation: tokenize -> truncate guard -> encoder ->
+    * argmax -> BIO merge. Mirrors the reference row loop
+    * (`src/ner_extension.cpp:99-167`).
+    */
+  private[graft] def evalRow(text: String, truncate: Boolean): Array[NerEntity] =
+    currentModel() match {
+      case None =>
+        // no-model branch: every row, including NULL, gets an empty list
+        Array.empty[NerEntity]
+      case Some(Loaded(model, encoder)) =>
+        if (text == null) null
+        else {
+          val hp = model.hparams
+          val tokens = WordPiece.tokenize(model.vocab, text, hp.nMaxTokens)
+          if (!truncate && tokens.length >= hp.nMaxTokens)
+            throw new IllegalArgumentException(
+              "Input string exceeds model token limit and truncate=false")
+          val logits = encoder.eval(tokens)
+          val labels = new Array[Int](tokens.length)
+          var t = 0
+          while (t < tokens.length) {
+            labels(t) = BioMerge.argmax(logits, t * hp.nLabels, hp.nLabels)
+            t += 1
+          }
+          val tokenStrs = tokens.map(model.vocab.tokenOf)
+          BioMerge.merge(tokenStrs, labels)
+            .map(e => NerEntity(e.entity, e.label)).toArray
+        }
+    }
+
+  /** 1-arg form: truncate defaults to true (`src/ner_extension.cpp:53`). */
+  lazy val nerUdf1: UserDefinedFunction =
+    udf((text: String) => evalRow(text, truncate = true)).asNondeterministic()
+
+  /** 2-arg form; a NULL truncate argument keeps the default, as the
+    * reference's row-0 validity check does (`src/ner_extension.cpp:58-60`).
+    */
+  lazy val nerUdf2: UserDefinedFunction =
+    udf((text: String, tr: java.lang.Boolean) =>
+      evalRow(text, tr == null || tr.booleanValue())).asNondeterministic()
+
+  /** DataFrame-API entry points. */
+  def ner(text: Column): Column = nerUdf1(text)
+  def ner(text: Column, truncate: Column): Column = nerUdf2(text, truncate)
+
+  /** Register `ner` and `ner_extract` (exact alias, both arities) on the
+    * session — the analogue of the extension's `LoadInternal`
+    * (`src/ner_extension.cpp:188-218`).
+    */
+  def register(spark: SparkSession): Unit = {
+    def builder(name: String)(children: Seq[Expression]): Expression =
+      children match {
+        case Seq(a) => GraftSqlShim.udfExpression(nerUdf1, Seq(a))
+        case Seq(a, b) => GraftSqlShim.udfExpression(nerUdf2, Seq(a, b))
+        case other =>
+          throw new IllegalArgumentException(
+            s"$name expects 1 or 2 arguments, got ${other.size}")
+      }
+    GraftSqlShim.registerBuilder(spark, "ner", builder("ner"))
+    GraftSqlShim.registerBuilder(spark, "ner_extract", builder("ner_extract"))
+  }
+}
