@@ -1,0 +1,484 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** The relational query catalog (SURVEY.md §2.C): the surface the reference
+  * delegates wholesale to its host engine, re-expressed as idiomatic Spark
+  * DataFrame plans. Each entry pairs the Spark plan with DuckDB oracle SQL the
+  * driver hash-compares at sf0.01.
+  *
+  * Determinism conventions (both sides):
+  *   - every query ends in a total ORDER BY (unique tie-break columns);
+  *   - every floating aggregate is `round(...)`-ed wide enough that the two
+  *     engines' summation orders cannot flip a digit (IEEE doubles, relative
+  *     error ~1e-13 between orderings, rounding margin >= 1e-6);
+  *   - oracle SQL casts DuckDB's wider result types (HUGEINT sums, BIGINT
+  *     `year`/`length`, DOUBLE `ceil`) down to Spark's.
+  *
+  * Scale notes (100 TB stance): dimension joins (`nation`, `region`,
+  * single-row query vectors) are explicit `broadcast()`s; the events
+  * self-range-join is bucketed (equi-join on a time bucket, never a cartesian
+  * or nested-loop range probe); aggregations are plain partial+final hash
+  * aggs; top-k is `orderBy().limit()` which Spark executes as per-partition
+  * TakeOrdered + merge, no global sort.
+  */
+object Rel {
+  import Tables._
+
+  /** TPC-H Q1-shaped pricing summary: filter -> hash agg -> sort. */
+  private def q01(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_shipdate") < lit("2000-01-01").cast("timestamp_ntz"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("sum_disc_price"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  private val o01 = """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 6) AS avg_disc,
+           count(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate < TIMESTAMP '2000-01-01'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus"""
+
+  /** Projection + filter that must reach the parquet scan as pushed filters. */
+  private def q02(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(
+        col("l_shipdate") >= lit("1996-01-01").cast("timestamp_ntz") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp_ntz") &&
+        col("l_quantity") < 10)
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
+          .as("revenue"),
+        col("l_returnflag"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  private val o02 = """
+    SELECT l_orderkey, l_linenumber,
+           round(l_extendedprice * (1.0 - l_discount), 4) AS revenue,
+           l_returnflag
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate < TIMESTAMP '1997-01-01' AND l_quantity < 10
+    ORDER BY l_orderkey, l_linenumber"""
+
+  /** Fact-to-dimension equi inner join (shuffled hash/SMJ at scale). */
+  private def q03(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"),
+        round(avg(col("o_totalprice")), 4).as("avg_price"))
+      .orderBy(col("c_mktsegment"))
+
+  private val o03 = """
+    SELECT c_mktsegment, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS sum_price,
+           round(avg(o_totalprice), 4) AS avg_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  /** Two explicit broadcast joins against the tiny dimensions. */
+  private def q04(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        count(lit(1)).as("n_cust"),
+        round(avg(col("c_acctbal")), 4).as("avg_bal"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  private val o04 = """
+    SELECT r_name, n_name, count(*) AS n_cust,
+           round(avg(c_acctbal), 4) AS avg_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name ORDER BY r_name, n_name"""
+
+  /** Left-semi join: customers that have at least one order. */
+  private def q05(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"), col("c_mktsegment"))
+      .orderBy(col("c_custkey"))
+
+  private val o05 = """
+    SELECT c_custkey, c_name, c_mktsegment
+    FROM customer
+    WHERE c_custkey IN (SELECT o_custkey FROM orders)
+    ORDER BY c_custkey"""
+
+  /** Left-anti join: customers with no orders. */
+  private def q06(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(orders(s, d), col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+      .orderBy(col("c_custkey"))
+
+  private val o06 = """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    ORDER BY c_custkey"""
+
+  /** Events self range-join: pairs of events by the same user within 5
+    * minutes. Scale-safe shape: instead of an equi-join on user_id followed by
+    * a full per-user cross product (or worse, a nested-loop theta join), the
+    * left side explodes each event into its own 5-minute bucket and the next,
+    * and the join is EQUI on (user_id, bucket) — each qualifying pair is
+    * produced exactly once, work is proportional to matches per bucket.
+    * `ts` is raw nanoseconds (see Tables doc); 300e9 ns = 5 min.
+    */
+  private def q07(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d).select(col("event_id"), col("ts"), col("user_id"))
+    val bucketNs = 300000000000L // 5 minutes in ns
+    // integer DIV: the raw longs exceed 2^53, fp division would misbucket
+    val left = e
+      .withColumn("b0", expr(s"ts DIV ${bucketNs}L"))
+      .withColumn("bkt", explode(array(col("b0"), col("b0") + 1)))
+      .select(col("user_id").as("u"), col("ts").as("ts_a"), col("bkt"))
+    val right = e.select(col("user_id").as("u2"), col("ts").as("ts_b"),
+      expr(s"ts DIV ${bucketNs}L").as("bkt2"))
+    left
+      .join(right,
+        col("u") === col("u2") && col("bkt") === col("bkt2") &&
+        col("ts_b") > col("ts_a") && col("ts_b") <= col("ts_a") + lit(bucketNs))
+      .groupBy(col("u"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("u").as("user_id"), col("n_pairs"))
+      .orderBy(col("user_id"))
+  }
+
+  private val o07 = """
+    SELECT a.user_id AS user_id, count(*) AS n_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    GROUP BY a.user_id ORDER BY user_id"""
+
+  /** Window rank: top-3 orders per customer by totalprice. */
+  private def q08(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    orders(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        col("rn"))
+      .orderBy(col("o_custkey"), col("rn"))
+  }
+
+  private val o08 = """
+    SELECT o_custkey, o_orderkey, o_totalprice, rn FROM (
+      SELECT o_custkey, o_orderkey, o_totalprice,
+             CAST(row_number() OVER (PARTITION BY o_custkey
+               ORDER BY o_totalprice DESC, o_orderkey) AS INT) AS rn
+      FROM orders)
+    WHERE rn <= 3 ORDER BY o_custkey, rn"""
+
+  /** Sliding-window moving average over the event stream (per user, ordered
+    * by microsecond time to match DuckDB's nanosecond truncation).
+    */
+  private def q09(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(expr("ts DIV 1000"), col("event_id"))
+      .rowsBetween(-3, 0)
+    events(s, d)
+      .select(col("event_id"), col("user_id"),
+        round(avg(col("value")).over(w), 4).as("mov_avg"))
+      .orderBy(col("event_id"))
+  }
+
+  private val o09 = """
+    SELECT event_id, user_id,
+           round(avg(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND CURRENT ROW), 4) AS mov_avg
+    FROM events ORDER BY event_id"""
+
+  /** Top-k: 10 highest-revenue parts (TakeOrdered, not a global sort). */
+  private def q10(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .join(part(s, d), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"), col("p_name"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+        .as("revenue"))
+      .orderBy(col("revenue").desc, col("p_partkey"))
+      .limit(10)
+
+  private val o10 = """
+    SELECT p_partkey, p_name,
+           round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+    FROM lineitem JOIN part ON l_partkey = p_partkey
+    GROUP BY p_partkey, p_name
+    ORDER BY revenue DESC, p_partkey LIMIT 10"""
+
+  private def building(s: SparkSession, d: String): DataFrame =
+    customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+  private def richCust(s: SparkSession, d: String): DataFrame =
+    customer(s, d).filter(col("c_acctbal") > 7000).select(col("c_custkey"))
+
+  /** UNION (distinct) of two customer segments. */
+  private def q11(s: SparkSession, d: String): DataFrame =
+    building(s, d).union(richCust(s, d)).distinct().orderBy(col("c_custkey"))
+
+  private val o11 = """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    UNION
+    SELECT c_custkey FROM customer WHERE c_acctbal > 7000
+    ORDER BY c_custkey"""
+
+  /** INTERSECT of the same two segments. */
+  private def q12(s: SparkSession, d: String): DataFrame =
+    building(s, d).intersect(richCust(s, d)).orderBy(col("c_custkey"))
+
+  private val o12 = """
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    INTERSECT
+    SELECT c_custkey FROM customer WHERE c_acctbal > 7000
+    ORDER BY c_custkey"""
+
+  /** EXCEPT: wealthy customers not in the BUILDING segment. */
+  private def q13(s: SparkSession, d: String): DataFrame =
+    richCust(s, d).except(building(s, d)).orderBy(col("c_custkey"))
+
+  private val o13 = """
+    SELECT c_custkey FROM customer WHERE c_acctbal > 7000
+    EXCEPT
+    SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'
+    ORDER BY c_custkey"""
+
+  /** Exact distinct aggregation (expand + two-phase agg under the hood). */
+  private def q14(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_suppkey")).as("n_supps"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+      .orderBy(col("l_returnflag"))
+
+  private val o14 = """
+    SELECT l_returnflag, count(*) AS n_rows,
+           count(DISTINCT l_partkey) AS n_parts,
+           count(DISTINCT l_suppkey) AS n_supps,
+           count(DISTINCT l_orderkey) AS n_orders
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** HyperLogLog++ approximate distinct — algorithms differ across engines,
+    * so there is deliberately no oracle (driver rows-only check). The exact
+    * counterpart is q14.
+    */
+  private def q15(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+        approx_count_distinct(col("l_orderkey"), 0.02).as("approx_orders"))
+      .orderBy(col("l_returnflag"))
+
+  /** ROLLUP over (nation, mktsegment) with a broadcast dimension join. */
+  private def q16(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .rollup(col("n_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"), round(sum(col("c_acctbal")), 2).as("sum_bal"))
+      .orderBy(asc_nulls_first("n_name"), asc_nulls_first("c_mktsegment"))
+
+  private val o16 = """
+    SELECT n_name, c_mktsegment, count(*) AS n_cust,
+           round(sum(c_acctbal), 2) AS sum_bal
+    FROM customer JOIN nation ON c_nationkey = n_nationkey
+    GROUP BY ROLLUP (n_name, c_mktsegment)
+    ORDER BY n_name NULLS FIRST, c_mktsegment NULLS FIRST"""
+
+  /** CUBE over (region, mktsegment). */
+  private def q17(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .join(broadcast(nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(region(s, d)), col("n_regionkey") === col("r_regionkey"))
+      .cube(col("r_name"), col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_cust"), round(avg(col("c_acctbal")), 4).as("avg_bal"))
+      .orderBy(asc_nulls_first("r_name"), asc_nulls_first("c_mktsegment"))
+
+  private val o17 = """
+    SELECT r_name, c_mktsegment, count(*) AS n_cust,
+           round(avg(c_acctbal), 4) AS avg_bal
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    GROUP BY CUBE (r_name, c_mktsegment)
+    ORDER BY r_name NULLS FIRST, c_mktsegment NULLS FIRST"""
+
+  /** String scalar built-ins. DuckDB `length` is BIGINT, hence the cast. */
+  private def q18(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .select(
+        col("p_partkey"),
+        upper(col("p_brand")).as("brand_u"),
+        lower(col("p_type")).as("type_l"),
+        substring(col("p_name"), 1, 12).as("name_pfx"),
+        length(col("p_name")).as("name_len"),
+        concat_ws("#", col("p_brand"), col("p_type")).as("tag"),
+        regexp_replace(col("p_name"), " ", "_").as("name_u"))
+      .orderBy(col("p_partkey"))
+
+  private val o18 = """
+    SELECT p_partkey, upper(p_brand) AS brand_u, lower(p_type) AS type_l,
+           substr(p_name, 1, 12) AS name_pfx,
+           CAST(length(p_name) AS INT) AS name_len,
+           concat_ws('#', p_brand, p_type) AS tag,
+           replace(p_name, ' ', '_') AS name_u
+    FROM part ORDER BY p_partkey"""
+
+  /** Date scalar built-ins + month-grain aggregation. */
+  private def q19(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .groupBy(date_trunc("month", col("o_orderdate")).as("month_start"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .select(
+        year(col("month_start")).as("y"),
+        month(col("month_start")).as("m"),
+        quarter(col("month_start")).as("q"),
+        col("month_start"), col("n_orders"), col("sum_price"))
+      .orderBy(col("y"), col("m"))
+
+  private val o19 = """
+    SELECT CAST(year(month_start) AS INT) AS y,
+           CAST(month(month_start) AS INT) AS m,
+           CAST(quarter(month_start) AS INT) AS q,
+           month_start, n_orders, sum_price
+    FROM (
+      SELECT date_trunc('month', o_orderdate) AS month_start,
+             count(*) AS n_orders, round(sum(o_totalprice), 2) AS sum_price
+      FROM orders GROUP BY 1)
+    ORDER BY y, m"""
+
+  /** Math scalar built-ins (IEEE-exact ops only: sqrt, abs, floor/ceil). */
+  private def q20(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .filter(col("l_linenumber") === 1)
+      .select(
+        col("l_orderkey"),
+        round(sqrt(col("l_extendedprice")), 6).as("sqrt_price"),
+        ceil(col("l_discount") * 100).as("disc_pct_ceil"),
+        floor(col("l_quantity")).as("qty_floor"),
+        round(abs(col("l_tax") - 0.04), 6).as("tax_dev"),
+        (col("l_partkey") % 7).as("pk_mod"),
+        round(col("l_extendedprice") * col("l_extendedprice"), 4).as("price_sq"))
+      .orderBy(col("l_orderkey"))
+
+  private val o20 = """
+    SELECT l_orderkey, round(sqrt(l_extendedprice), 6) AS sqrt_price,
+           CAST(ceil(l_discount * 100) AS BIGINT) AS disc_pct_ceil,
+           CAST(floor(l_quantity) AS BIGINT) AS qty_floor,
+           round(abs(l_tax - 0.04), 6) AS tax_dev,
+           l_partkey % 7 AS pk_mod,
+           round(l_extendedprice * l_extendedprice, 4) AS price_sq
+    FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey"""
+
+  /** Array scalar built-ins over the embedding column. */
+  private def q21(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(
+        col("vec_id"), col("label"),
+        size(col("embedding")).as("dim"),
+        round(element_at(col("embedding"), 1).cast("double"), 6).as("first_val"),
+        round(element_at(col("embedding"), size(col("embedding")))
+          .cast("double"), 6).as("last_val"),
+        round(sqrt(aggregate(col("embedding"), lit(0.0),
+          (acc, x) => acc + x.cast("double") * x.cast("double"))), 6).as("norm"))
+      .orderBy(col("vec_id"))
+
+  private val o21 = """
+    SELECT vec_id, label, CAST(len(embedding) AS INT) AS dim,
+           round(CAST(embedding[1] AS DOUBLE), 6) AS first_val,
+           round(CAST(embedding[len(embedding)] AS DOUBLE), 6) AS last_val,
+           round(sqrt(list_sum(list_transform(CAST(embedding AS DOUBLE[]),
+             x -> x * x))), 6) AS norm
+    FROM embeddings ORDER BY vec_id"""
+
+  /** Lateral explode with position (generator / UNNEST). */
+  private def q22(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .filter(col("vec_id") < 10)
+      .select(col("vec_id"), posexplode(col("embedding")).as(Seq("pos", "val")))
+      .orderBy(col("vec_id"), col("pos"))
+
+  private val o22 = """
+    SELECT vec_id, CAST(generate_subscripts(embedding, 1) - 1 AS INT) AS pos,
+           unnest(embedding) AS val
+    FROM embeddings WHERE vec_id < 10 ORDER BY vec_id, pos"""
+
+  /** Tumbling 1-hour window over the event stream (batch form; the streaming
+    * twin lives in `graft.streaming`). Bucketing is integer arithmetic on the
+    * raw nanosecond longs; presented as a TIMESTAMP_NTZ to match DuckDB's
+    * naive `date_trunc`.
+    */
+  private def q23(s: SparkSession, d: String): DataFrame = {
+    val hourNs = 3600000000000L
+    events(s, d)
+      .groupBy(timestamp_micros(expr(s"ts DIV ${hourNs}L") *
+        lit(3600000000L)).cast("timestamp_ntz").as("window_start"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"),
+        countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("window_start"))
+  }
+
+  private val o23 = """
+    SELECT date_trunc('hour', ts) AS window_start, count(*) AS n_events,
+           round(sum(value), 4) AS sum_value,
+           count(DISTINCT user_id) AS n_users
+    FROM events GROUP BY 1 ORDER BY window_start"""
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q01_pricing_summary", q01, Some(o01)),
+    QueryDef("q02_filter_project", q02, Some(o02)),
+    QueryDef("q03_join_orders_customer", q03, Some(o03)),
+    QueryDef("q04_join_broadcast_dims", q04, Some(o04)),
+    QueryDef("q05_semi_join", q05, Some(o05)),
+    QueryDef("q06_anti_join", q06, Some(o06)),
+    QueryDef("q07_range_join_events", q07, Some(o07)),
+    QueryDef("q08_window_rank", q08, Some(o08)),
+    QueryDef("q09_window_moving_avg", q09, Some(o09)),
+    QueryDef("q10_topk_parts", q10, Some(o10)),
+    QueryDef("q11_union_segments", q11, Some(o11)),
+    QueryDef("q12_intersect_segments", q12, Some(o12)),
+    QueryDef("q13_except_segments", q13, Some(o13)),
+    QueryDef("q14_distinct_agg", q14, Some(o14)),
+    QueryDef("q15_approx_distinct", q15, None),
+    QueryDef("q16_rollup", q16, Some(o16)),
+    QueryDef("q17_cube", q17, Some(o17)),
+    QueryDef("q18_scalar_string", q18, Some(o18)),
+    QueryDef("q19_scalar_date", q19, Some(o19)),
+    QueryDef("q20_scalar_math", q20, Some(o20)),
+    QueryDef("q21_array_basic", q21, Some(o21)),
+    QueryDef("q22_explode_embeddings", q22, Some(o22)),
+    QueryDef("q23_tumbling_window", q23, Some(o23)))
+}

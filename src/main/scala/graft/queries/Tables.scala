@@ -1,0 +1,46 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** A named driver-checkable query: the Spark implementation plus (optionally)
+  * an equivalent ANSI/DuckDB SQL text the driver runs as the oracle. Queries
+  * without an oracle get the driver's weaker rows-only check.
+  */
+final case class QueryDef(
+    name: String,
+    spark: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** Readers for the shared testdata tables (`TESTDATA.md`).
+  *
+  * `events.parquet` stores its `ts` column as parquet TIMESTAMP(NANOS), which
+  * Spark's vectorized reader rejects unless
+  * `spark.sql.legacy.parquet.nanosAsLong=true`; with the flag the column reads
+  * as BIGINT nanoseconds-since-epoch. All event queries therefore do time
+  * arithmetic on the raw long (exact, and cheaper than timestamps anyway) and
+  * only convert to a timestamp for presentation. DuckDB reads the same column
+  * as microsecond TIMESTAMP (truncating), so oracle comparisons convert via
+  * `ts div 1000` microseconds, which matches DuckDB's truncation.
+  */
+object Tables {
+  /** Nanoseconds semantics knob — see class doc. Safe to set repeatedly. */
+  def configure(spark: SparkSession): Unit =
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+
+  def table(spark: SparkSession, dir: String, name: String): DataFrame = {
+    configure(spark)
+    spark.read.parquet(s"$dir/$name.parquet")
+  }
+
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame =
+    table(s, d, "embeddings")
+}
