@@ -1,0 +1,253 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Near-duplicate detection over `documents`: MinHash signatures, banded LSH
+  * bucketing, LSH-candidate Jaccard verification, SimHash grouping and
+  * bounded n-gram Jaccard — the standard large-corpus dedup toolkit.
+  *
+  * Scale design (the part that must survive 100 TB):
+  *   - signatures/bands are per-row maps (shuffle-free);
+  *   - candidate generation groups by (band, bucket-key) — pairs are only
+  *     formed WITHIN a bucket, never all-pairs across the corpus;
+  *   - Jaccard verification joins exploded shingle sets only for candidate
+  *     pairs (a semi-join-shaped restriction), so verification work is
+  *     proportional to candidates, not corpus²;
+  *   - SimHash near-dup grouping is an exact groupBy on the 16-bit
+  *     fingerprint (hamming-0 buckets) — no pairwise scan.
+  *
+  * Hashing is md5-based so the DuckDB oracle reproduces every signature
+  * bit-for-bit (both engines hash identical UTF-8 bytes; MinHash "permutation"
+  * j = lexicographic min of md5("j:" ++ shingle), a standard
+  * hash-as-permutation construction).
+  */
+object Dedup {
+  import Tables._
+
+  private val ShingleLen = 5
+  private val NumHashes = 8
+
+  /** char-5-gram shingles of the raw text, as a Column over `text`. */
+  private def shingleArr(t: Column): Column =
+    transform(sequence(lit(1), length(t) - lit(ShingleLen - 1)),
+      i => t.substr(i, lit(ShingleLen)))
+
+  /** MinHash value for "permutation" j. */
+  private def mh(t: Column, j: Int): Column =
+    array_min(transform(sequence(lit(1), length(t) - lit(ShingleLen - 1)),
+      i => md5(concat(lit(s"$j:"), t.substr(i, lit(ShingleLen))))))
+
+  /** doc_id + mh0..mh7 signature frame. */
+  private def signatures(s: SparkSession, d: String): DataFrame =
+    documents(s, d).select(
+      col("doc_id") +: (0 until NumHashes)
+        .map(j => mh(col("text"), j).as(s"mh$j")): _*)
+
+  /** Oracle fragment: the same signature columns in DuckDB dialect. */
+  private def oMh(j: Int): String =
+    s"""list_min(list_transform(range(1, length(text) - ${ShingleLen - 2}),
+       i -> md5('$j:' || substr(text, i, $ShingleLen)))) AS mh$j"""
+
+  private def oSig: String =
+    s"SELECT doc_id, ${(0 until NumHashes).map(oMh).mkString(",\n ")} FROM documents"
+
+  /** band key columns: md5 over 4 concatenated signature rows per band. */
+  private def bandArr: Column = array(
+    md5(concat_ws("|", col("mh0"), col("mh1"), col("mh2"), col("mh3"))),
+    md5(concat_ws("|", col("mh4"), col("mh5"), col("mh6"), col("mh7"))))
+
+  private val oBandList =
+    """[md5(mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3),
+        md5(mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7)]"""
+
+  /** exploded (doc_id, band_pos, bkey) frame. */
+  private def bands(s: SparkSession, d: String): DataFrame =
+    signatures(s, d).select(col("doc_id"),
+      posexplode(bandArr).as(Seq("band_pos", "bkey")))
+
+  private def oBands: String =
+    s"""SELECT doc_id, CAST(generate_subscripts(bl, 1) - 1 AS INT) AS band_pos,
+              unnest(bl) AS bkey
+       FROM (SELECT doc_id, $oBandList AS bl FROM ($oSig))"""
+
+  /** q36: the MinHash signature matrix itself. */
+  private def q36(s: SparkSession, d: String): DataFrame =
+    signatures(s, d).orderBy(col("doc_id"))
+
+  private val o36 = s"$oSig ORDER BY doc_id"
+
+  /** q37: LSH bucket statistics per band — bucket count, multi-doc buckets,
+    * candidate pair count (sum of C(n,2) per bucket).
+    */
+  private def q37(s: SparkSession, d: String): DataFrame =
+    bands(s, d)
+      .groupBy(col("band_pos"), col("bkey"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("band_pos"))
+      .agg(
+        count(lit(1)).as("n_buckets"),
+        sum(when(col("cnt") > 1, 1L).otherwise(0L)).cast("long")
+          .as("n_multi_buckets"),
+        sum(expr("cnt * (cnt - 1) DIV 2")).cast("long")
+          .as("n_candidate_pairs"))
+      .orderBy(col("band_pos"))
+
+  private def o37: String =
+    s"""WITH b AS (SELECT band_pos, bkey, count(*) AS cnt FROM ($oBands)
+                   GROUP BY 1, 2)
+       SELECT band_pos, count(*) AS n_buckets,
+              CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_multi_buckets,
+              CAST(sum(cnt * (cnt - 1) // 2) AS BIGINT) AS n_candidate_pairs
+       FROM b GROUP BY band_pos ORDER BY band_pos"""
+
+  /** q38: LSH candidate pairs verified by exact shingle Jaccard >= 0.25.
+    * Candidates come only from shared band buckets; verification explodes
+    * distinct shingles for candidate docs only.
+    */
+  private def q38(s: SparkSession, d: String): DataFrame = {
+    val b = bands(s, d)
+    val cands = b.as("x")
+      .join(b.as("y"),
+        col("x.band_pos") === col("y.band_pos") &&
+        col("x.bkey") === col("y.bkey") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sh = documents(s, d).select(col("doc_id"),
+      explode(array_distinct(shingleArr(col("text")))).as("sh"))
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = cands
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("ni"))
+    inter
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("ni") / (col("za.sz") + col("zb.sz") - col("ni")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= 0.25)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private def o38: String =
+    s"""WITH cand AS (
+         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM ($oBands) x JOIN ($oBands) y
+           ON x.band_pos = y.band_pos AND x.bkey = y.bkey
+          AND x.doc_id < y.doc_id),
+       sh AS (
+         SELECT DISTINCT doc_id,
+                unnest(list_transform(range(1, length(text) - ${ShingleLen - 2}),
+                  i -> substr(text, i, $ShingleLen))) AS sh
+         FROM documents),
+       sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       inter AS (
+         SELECT doc_a, doc_b, count(*) AS ni
+         FROM cand
+         JOIN sh sa ON sa.doc_id = doc_a
+         JOIN sh sb ON sb.doc_id = doc_b AND sb.sh = sa.sh
+         GROUP BY 1, 2)
+       SELECT doc_a, doc_b,
+              round(ni / (za.sz + zb.sz - ni), 6) AS jaccard
+       FROM inter
+       JOIN sz za ON za.doc_id = doc_a
+       JOIN sz zb ON zb.doc_id = doc_b
+       WHERE round(ni / (za.sz + zb.sz - ni), 6) >= 0.25
+       ORDER BY doc_a, doc_b"""
+
+  /** 16-bit SimHash over word tokens (md5 bit votes), as a Spark SQL
+    * higher-order-function expression (codegen'd, shuffle-free).
+    */
+  private val simhashExpr = """
+    CAST(aggregate(sequence(0, 15), 0, (acc, k) -> acc + IF(
+      2 * size(filter(transform(split(trim(text), '\\s+'), w -> md5(w)),
+        h -> ((shiftright(instr('0123456789abcdef',
+                 substring(h, CAST(k DIV 4 AS INT) + 1, 1)) - 1,
+               3 - (k % 4))) & 1) = 1))
+      > size(split(trim(text), '\\s+')),
+      shiftleft(1, k), 0)) AS INT)"""
+
+  private val oSimhashExpr = """
+    CAST(list_sum(list_transform(range(0, 16), k ->
+      CASE WHEN 2 * len(list_filter(list_transform(
+                 string_split_regex(trim(text), '\s+'), w -> md5(w)),
+             h -> (((strpos('0123456789abcdef',
+                      substr(h, (k // 4) + 1, 1)) - 1) >> (3 - (k % 4))) & 1)
+                  = 1))
+             > len(string_split_regex(trim(text), '\s+'))
+      THEN (1 << k) ELSE 0 END)) AS INT)"""
+
+  /** q39: SimHash near-dup groups — fingerprints shared by >1 document. */
+  private def q39(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), expr(simhashExpr).as("simhash"))
+      .groupBy(col("simhash"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .filter(col("n_docs") > 1)
+      .orderBy(col("simhash"))
+
+  private def o39: String =
+    s"""SELECT simhash, count(*) AS n_docs, min(doc_id) AS min_doc,
+              max(doc_id) AS max_doc
+       FROM (SELECT doc_id, $oSimhashExpr AS simhash FROM documents)
+       GROUP BY simhash HAVING count(*) > 1 ORDER BY simhash"""
+
+  /** q40: bounded word-3-gram Jaccard (all pairs over doc_id < 40 — the
+    * exact-verification kernel that LSH candidates feed at scale).
+    */
+  private def q40(s: SparkSession, d: String): DataFrame = {
+    val g = documents(s, d)
+      .filter(col("doc_id") < 40)
+      .withColumn("ws", split(trim(col("text")), "\\s+"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """transform(sequence(0, size(ws) - 3), i -> concat_ws(' ',
+           element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3)))""")))
+        .as("gram"))
+    val sz = g.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
+    g.as("a")
+      .join(g.as("b"),
+        col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("ni"))
+      .join(sz.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sz.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        round(col("ni") / (col("za.c") + col("zb.c") - col("ni")), 6)
+          .as("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val o40 = """
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      FROM documents WHERE doc_id < 40),
+    g AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(0, len(w) - 2),
+               i -> w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3])) AS gram
+      FROM d WHERE len(w) >= 3),
+    sz AS (SELECT doc_id, count(*) AS c FROM g GROUP BY 1),
+    inter AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS ni
+      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+      GROUP BY 1, 2)
+    SELECT doc_a, doc_b, round(ni / (za.c + zb.c - ni), 6) AS jaccard
+    FROM inter
+    JOIN sz za ON za.doc_id = doc_a
+    JOIN sz zb ON zb.doc_id = doc_b
+    ORDER BY doc_a, doc_b"""
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q36_minhash_signatures", q36, Some(o36)),
+    QueryDef("q37_lsh_band_stats", q37, Some(o37)),
+    QueryDef("q38_minhash_near_dup", q38, Some(o38)),
+    QueryDef("q39_simhash_groups", q39, Some(o39)),
+    QueryDef("q40_ngram_jaccard", q40, Some(o40)))
+}

@@ -1,0 +1,206 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over `documents` — the corpus-statistics /
+  * quality-scoring / language-ID layer a training-data pipeline runs before
+  * dedup (north-star extras; no reference counterpart, SURVEY §2.C last rows).
+  *
+  * Everything here is exact integer/string work (occurrence counting via the
+  * length-of-replace trick, token counts on `\s+` splits) so the DuckDB
+  * oracle can reproduce results bit-for-bit; ratios divide the same exact
+  * integers in both engines. All operators are per-row maps or single hash
+  * aggregations — shuffle-free or one-shuffle at any scale.
+  */
+object TextOps {
+  import Tables._
+
+  /** `' ' || text || ' '` so word-boundary markers match at both ends. */
+  private def withT2(df: DataFrame): DataFrame =
+    df.withColumn("t2", concat(lit(" "), col("text"), lit(" ")))
+
+  /** Occurrence count of literal `m` via length-difference (exact, portable,
+    * and cheaper than regex at scale).
+    */
+  private def occ(m: String): Column =
+    expr(s"CAST((length(t2) - length(replace(t2, '$m', ''))) / ${m.length} AS INT)")
+
+  private def wsTokens: Column = split(trim(col("text")), "\\s+")
+
+  /** Corpus statistics per language bucket. */
+  private def q30(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        min(col("n_chars")).as("min_chars"),
+        max(col("n_chars")).as("max_chars"),
+        sum(size(wsTokens)).cast("long").as("total_tokens"),
+        countDistinct(col("source")).as("n_sources"))
+      .orderBy(col("lang"))
+
+  private val o30 = """
+    SELECT lang, count(*) AS n_docs, round(avg(n_chars), 4) AS avg_chars,
+           min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+           CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+             AS total_tokens,
+           count(DISTINCT source) AS n_sources
+    FROM documents GROUP BY lang ORDER BY lang"""
+
+  /** Token counting: whitespace tokens plus a BPE-ish subword estimate
+    * (ceil(len/4) pieces per word — the standard ~4-chars-per-token rule).
+    */
+  private def q31(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        size(wsTokens).as("n_ws_tokens"),
+        aggregate(wsTokens, lit(0),
+          (acc, w) => acc + ceil(length(w) / lit(4.0)).cast("int"))
+          .as("n_bpeish_tokens"),
+        expr("CAST(length(replace(text, ' ', '')) AS INT)")
+          .as("n_chars_nospace"))
+      .orderBy(col("doc_id"))
+
+  private val o31 = """
+    SELECT doc_id,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS INT)
+             AS n_ws_tokens,
+           CAST(list_sum(list_transform(string_split_regex(trim(text), '\s+'),
+             w -> CAST(ceil(length(w) / 4.0) AS INT))) AS INT)
+             AS n_bpeish_tokens,
+           CAST(length(replace(text, ' ', '')) AS INT) AS n_chars_nospace
+    FROM documents ORDER BY doc_id"""
+
+  /** Marker-frequency language/domain ID: score word-marker occurrences per
+    * class, argmax with a fixed priority tie-break. (The corpus is synthetic
+    * word soup, so classes are domain-flavored rather than natural-language —
+    * the operator shape is the point.)
+    */
+  private def q32(s: SparkSession, d: String): DataFrame =
+    withT2(documents(s, d))
+      .select(
+        col("doc_id"), col("lang"),
+        (occ(" the ") + occ(" a ") + occ(" is ")).as("s_en"),
+        (occ(" table ") + occ(" query ") + occ(" join ")).as("s_db"),
+        (occ(" batch ") + occ(" stream ") + occ(" window ")).as("s_etl"))
+      .withColumn("lang_pred",
+        when(col("s_en") >= col("s_db") && col("s_en") >= col("s_etl"), "en")
+          .when(col("s_db") >= col("s_etl"), "db")
+          .otherwise("etl"))
+      .orderBy(col("doc_id"))
+
+  private val o32 = """
+    SELECT doc_id, lang, s_en, s_db, s_etl,
+           CASE WHEN s_en >= s_db AND s_en >= s_etl THEN 'en'
+                WHEN s_db >= s_etl THEN 'db' ELSE 'etl' END AS lang_pred
+    FROM (
+      SELECT doc_id, lang,
+        CAST((length(t2) - length(replace(t2, ' the ', ''))) / 5 AS INT)
+          + CAST((length(t2) - length(replace(t2, ' a ', ''))) / 3 AS INT)
+          + CAST((length(t2) - length(replace(t2, ' is ', ''))) / 4 AS INT)
+          AS s_en,
+        CAST((length(t2) - length(replace(t2, ' table ', ''))) / 7 AS INT)
+          + CAST((length(t2) - length(replace(t2, ' query ', ''))) / 7 AS INT)
+          + CAST((length(t2) - length(replace(t2, ' join ', ''))) / 6 AS INT)
+          AS s_db,
+        CAST((length(t2) - length(replace(t2, ' batch ', ''))) / 7 AS INT)
+          + CAST((length(t2) - length(replace(t2, ' stream ', ''))) / 8 AS INT)
+          + CAST((length(t2) - length(replace(t2, ' window ', ''))) / 8 AS INT)
+          AS s_etl
+      FROM (SELECT doc_id, lang, ' ' || text || ' ' AS t2 FROM documents))
+    ORDER BY doc_id"""
+
+  /** Quality scoring: length/punctuation/stopword signals combined into one
+    * deterministic score (exact integer inputs -> identical doubles).
+    */
+  private def q33(s: SparkSession, d: String): DataFrame =
+    withT2(documents(s, d))
+      .withColumn("n_tok", size(wsTokens))
+      .withColumn("n_ch", length(col("text")).cast("int"))
+      .withColumn("punct_cnt",
+        expr("CAST(length(t2) - length(replace(t2, '.', '')) AS INT)") +
+        expr("CAST(length(t2) - length(replace(t2, ',', '')) AS INT)") +
+        expr("CAST(length(t2) - length(replace(t2, '!', '')) AS INT)") +
+        expr("CAST(length(t2) - length(replace(t2, '?', '')) AS INT)"))
+      .withColumn("stop_cnt", occ(" the ") + occ(" a ") + occ(" is "))
+      .select(
+        col("doc_id"), col("n_tok"), col("n_ch"), col("punct_cnt"),
+        col("stop_cnt"),
+        round(expr("length(replace(text, ' ', '')) / CAST(n_tok AS DOUBLE)"), 4)
+          .as("avg_word_len"),
+        round(expr("stop_cnt / CAST(n_tok AS DOUBLE)"), 6).as("stop_ratio"),
+        round(expr("punct_cnt / CAST(n_ch AS DOUBLE)"), 6).as("punct_ratio"),
+        round(
+          expr("least(1.0, n_tok / 100.0) * 0.4") +
+          expr("(stop_cnt / CAST(n_tok AS DOUBLE)) * 0.3") +
+          expr("(1.0 - punct_cnt / CAST(n_ch AS DOUBLE)) * 0.3"), 6)
+          .as("quality"))
+      .orderBy(col("doc_id"))
+
+  private val o33 = """
+    SELECT doc_id, n_tok, n_ch, punct_cnt, stop_cnt,
+           round(n_nospace / CAST(n_tok AS DOUBLE), 4) AS avg_word_len,
+           round(stop_cnt / CAST(n_tok AS DOUBLE), 6) AS stop_ratio,
+           round(punct_cnt / CAST(n_ch AS DOUBLE), 6) AS punct_ratio,
+           round(least(1.0, n_tok / 100.0) * 0.4
+                 + (stop_cnt / CAST(n_tok AS DOUBLE)) * 0.3
+                 + (1.0 - punct_cnt / CAST(n_ch AS DOUBLE)) * 0.3, 6)
+             AS quality
+    FROM (
+      SELECT doc_id,
+        CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tok,
+        CAST(length(text) AS INT) AS n_ch,
+        CAST(length(replace(text, ' ', '')) AS INT) AS n_nospace,
+        CAST(length(t2) - length(replace(t2, '.', '')) AS INT)
+          + CAST(length(t2) - length(replace(t2, ',', '')) AS INT)
+          + CAST(length(t2) - length(replace(t2, '!', '')) AS INT)
+          + CAST(length(t2) - length(replace(t2, '?', '')) AS INT) AS punct_cnt,
+        CAST((length(t2) - length(replace(t2, ' the ', ''))) / 5 AS INT)
+          + CAST((length(t2) - length(replace(t2, ' a ', ''))) / 3 AS INT)
+          + CAST((length(t2) - length(replace(t2, ' is ', ''))) / 4 AS INT)
+          AS stop_cnt
+      FROM (SELECT doc_id, text, ' ' || text || ' ' AS t2 FROM documents))
+    ORDER BY doc_id"""
+
+  /** Normalized-text rolling fingerprint (lower + whitespace-collapse + md5)
+    * and dedup groups keyed on it.
+    */
+  private def q34(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("fp", md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .groupBy(col("fp"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_docs"))
+      .orderBy(col("keep_id"))
+
+  private val o34 = """
+    SELECT md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp,
+           min(doc_id) AS keep_id, count(*) AS n_docs
+    FROM documents
+    GROUP BY 1 ORDER BY keep_id"""
+
+  /** Exact dedup on content hash: one group per distinct text, keeping the
+    * smallest doc_id (at 100 TB this is the standard hash-groupBy dedup — the
+    * md5 group key keeps shuffle rows narrow).
+    */
+  private def q35(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .orderBy(col("keep_id"))
+
+  private val o35 = """
+    SELECT md5(text) AS text_md5, min(doc_id) AS keep_id,
+           count(*) AS n_copies
+    FROM documents GROUP BY 1 ORDER BY keep_id"""
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q30_text_stats", q30, Some(o30)),
+    QueryDef("q31_token_count", q31, Some(o31)),
+    QueryDef("q32_language_id", q32, Some(o32)),
+    QueryDef("q33_quality_score", q33, Some(o33)),
+    QueryDef("q34_fingerprint_dedup", q34, Some(o34)),
+    QueryDef("q35_exact_dedup", q35, Some(o35)))
+}
