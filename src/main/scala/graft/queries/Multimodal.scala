@@ -1,0 +1,95 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column handling: media as opaque `binary` columns + typed
+  * metadata, with the decode step stubbed (no image/audio codecs in this
+  * environment — see the builder prompt) behind a deterministic fake.
+  *
+  * What is REAL and tested here is the Spark-side plumbing a multimodal
+  * pipeline needs at 100 TB: binary columns flowing through parquet-friendly
+  * schemas, per-partition batched "decode" (one codec context per partition,
+  * not per row — the same shape a JNI/FFmpeg binding would need), and typed
+  * metadata extraction that stays in codegen.
+  */
+object Multimodal {
+  import Tables._
+
+  /** A fake "stored media object": the document text's UTF-8 bytes standing
+    * in for an encoded image payload.
+    */
+  final case class MediaRow(doc_id: Long, payload: Array[Byte])
+
+  /** Typed decode output — what a real `decode_image` would emit. */
+  final case class MediaMeta(
+      doc_id: Long, n_bytes: Int, fake_width: Int, fake_height: Int,
+      fake_format: String)
+
+  /** STUB decode: a real implementation would hand `payload` to an image
+    * codec here. The deterministic fake derives metadata purely from the
+    * byte length so tests (and the oracle) can pin the plumbing. Runs per
+    * PARTITION so a real codec would amortize its init cost.
+    */
+  def decodeStub(rows: Iterator[MediaRow]): Iterator[MediaMeta] = {
+    // real codec init would happen once here, per partition
+    rows.map { r =>
+      val n = r.payload.length
+      MediaMeta(r.doc_id, n, n % 640, (n * 7) % 480,
+        (n % 3) match { case 0 => "jpg"; case 1 => "png"; case _ => "webp" })
+    }
+  }
+
+  /** The typed Dataset pipeline: text -> binary payload -> partition-batched
+    * decode -> typed metadata.
+    */
+  def decodePipeline(s: SparkSession, d: String): Dataset[MediaMeta] = {
+    import s.implicits._
+    documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRow]
+      .mapPartitions(decodeStub _)
+  }
+
+  /** q45: metadata extraction expressed in pure (codegen'd) expressions —
+    * byte length and derived fake dimensions, oracle-checkable since the
+    * stub is deterministic arithmetic on octet_length.
+    */
+  private def q45(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        octet_length(col("text")).as("n_bytes"),
+        (octet_length(col("text")) % 640).as("fake_width"),
+        (octet_length(col("text")) * 7 % 480).as("fake_height"),
+        when(octet_length(col("text")) % 3 === 0, "jpg")
+          .when(octet_length(col("text")) % 3 === 1, "png")
+          .otherwise("webp").as("fake_format"))
+      .orderBy(col("doc_id"))
+
+  private val o45 = """
+    SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 AS INT) AS fake_width,
+           CAST(octet_length(encode(text)) * 7 % 480 AS INT) AS fake_height,
+           CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'jpg'
+                WHEN 1 THEN 'png' ELSE 'webp' END AS fake_format
+    FROM documents ORDER BY doc_id"""
+
+  /** q46: the mapPartitions decode path itself (same values as q45, produced
+    * through the typed Dataset pipeline instead of expressions).
+    */
+  private def q46(s: SparkSession, d: String): DataFrame =
+    decodePipeline(s, d).toDF().orderBy(col("doc_id"))
+
+  private val o46 = """
+    SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           CAST(octet_length(encode(text)) % 640 AS INT) AS fake_width,
+           CAST(octet_length(encode(text)) * 7 % 480 AS INT) AS fake_height,
+           CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'jpg'
+                WHEN 1 THEN 'png' ELSE 'webp' END AS fake_format
+    FROM documents ORDER BY doc_id"""
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q45_multimodal_meta", q45, Some(o45)),
+    QueryDef("q46_multimodal_decode", q46, Some(o46)))
+}

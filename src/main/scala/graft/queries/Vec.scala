@@ -1,0 +1,189 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Similarity search over the `embeddings` table (`Array[Float]`, dim 64).
+  *
+  * Three tiers, mirroring how ANN is actually deployed on a big corpus:
+  *   - q41: brute-force cosine top-k against one query vector — the exactness
+  *     baseline. The query vector is a 1-row broadcast; the scan is a single
+  *     shuffle-free map + TakeOrdered(k), which scales linearly and never
+  *     materializes a global sort. Broadcast sides join on a literal key so
+  *     the plan is a BroadcastHashJoin, not a nested-loop cartesian.
+  *   - q42: random-hyperplane LSH — every vector gets a 4-bit signature from
+  *     deterministic md5-derived hyperplanes; search only touches the query's
+  *     bucket (~1/16 of the corpus at uniform spread). The scale path when
+  *     one query must not scan everything.
+  *   - q43: IVF cell assignment — vectors partitioned by nearest of 16
+  *     deterministic centroids (the first 16 vectors as a stand-in codebook;
+  *     a real pipeline would k-means them). This is the partition layout an
+  *     IVF index would persist; queries then probe 1-2 cells.
+  *
+  * All float math is widened to double before any reduction, so engine
+  * summation-order differences stay ~1e-13 relative and `round(6)` yields
+  * identical digits in Spark and DuckDB.
+  */
+object Vec {
+  import Tables._
+
+  private val Dim = 64
+  private val NBits = 4 // LSH signature bits
+  private val NCells = 16 // IVF codebook size
+
+  private def toD(a: Column): Column = transform(a, x => x.cast("double"))
+
+  private def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  private def norm(a: Column): Column = sqrt(dot(a, a))
+
+  private def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (norm(a) * norm(b))
+
+  /** q41: top-10 nearest by cosine to the vec_id=0 embedding. */
+  private def q41(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    // join key derived from a column (pmod == 0 always) so Catalyst keeps a
+    // hash-join key instead of folding a literal condition into a nested loop
+    val q = e.filter(col("vec_id") === 0)
+      .select(toD(col("embedding")).as("qv"), pmod(col("vec_id"), lit(1)).as("jk"))
+    e.filter(col("vec_id") =!= 0)
+      .withColumn("jk", pmod(col("vec_id"), lit(1)))
+      .join(broadcast(q), Seq("jk"))
+      .select(col("vec_id"), col("label"),
+        round(cosine(toD(col("embedding")), col("qv")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  private val o41 = """
+    SELECT vec_id, label,
+           round(list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+             (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+              WHERE vec_id = 0)), 6) AS cos_sim
+    FROM embeddings WHERE vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id LIMIT 10"""
+
+  /** Deterministic md5-derived hyperplane component i of plane j, as a SQL
+    * fragment both engines evaluate identically: first hex digit of
+    * md5("j:i") mapped to [-8.5, 6.5].
+    */
+  private def hyperplane(j: Int): String =
+    s"""transform(sequence(0, ${Dim - 1}), i ->
+        instr('0123456789abcdef',
+          substring(md5(concat('$j:', CAST(i AS STRING))), 1, 1)) - 8.5)"""
+
+  private def oHyperplane(j: Int): String =
+    s"""list_transform(range(0, $Dim), i ->
+        strpos('0123456789abcdef',
+          substr(md5('$j:' || CAST(i AS VARCHAR)), 1, 1)) - 8.5)"""
+
+  /** LSH signature: one char per hyperplane, '1' iff dot(v, h_j) > 0. */
+  private def sigExpr: Column = concat(
+    (0 until NBits).map(j => when(
+      aggregate(
+        zip_with(toD(col("embedding")), expr(hyperplane(j)), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x) > 0, lit("1")).otherwise(lit("0"))): _*)
+
+  private def oSigExpr: String = (0 until NBits).map(j =>
+    s"""(CASE WHEN list_sum(list_transform(range(1, ${Dim + 1}),
+        i -> CAST(embedding[i] AS DOUBLE) * hp$j[i])) > 0
+        THEN '1' ELSE '0' END)""").mkString(" || ")
+
+  /** q42: all vectors in the query vector's LSH bucket, ranked by cosine. */
+  private def q42(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d).withColumn("sig", sigExpr)
+    val q = e.filter(col("vec_id") === 0)
+      .select(toD(col("embedding")).as("qv"), col("sig").as("qsig"))
+    e.filter(col("vec_id") =!= 0)
+      .join(broadcast(q), col("sig") === col("qsig"))
+      .select(col("vec_id"), col("sig"),
+        round(cosine(toD(col("embedding")), col("qv")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+  }
+
+  private def o42: String = {
+    val hps = (0 until NBits).map(j => s"${oHyperplane(j)} AS hp$j").mkString(", ")
+    s"""WITH hp AS (SELECT $hps),
+       sigs AS (
+         SELECT vec_id, embedding, ($oSigExpr) AS sig
+         FROM embeddings, hp)
+       SELECT s.vec_id, s.sig,
+              round(list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
+                CAST(q.embedding AS DOUBLE[])), 6) AS cos_sim
+       FROM sigs s
+       JOIN (SELECT sig, embedding FROM sigs WHERE vec_id = 0) q
+         ON s.sig = q.sig
+       WHERE s.vec_id <> 0
+       ORDER BY cos_sim DESC, s.vec_id"""
+  }
+
+  /** q43: IVF cell assignment — nearest of the 16 codebook centroids per
+    * vector (L2), with per-cell population and mean distance.
+    */
+  private def q43(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val cents = e.filter(col("vec_id") < NCells)
+      .select(col("vec_id").as("cid"), toD(col("embedding")).as("cv"),
+        pmod(col("vec_id"), lit(1)).as("jk"))
+    val dist2 = aggregate(
+      zip_with(toD(col("embedding")), col("cv"),
+        (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist").asc, col("cid").asc)
+    e.withColumn("jk", pmod(col("vec_id"), lit(1)))
+      .join(broadcast(cents), Seq("jk"))
+      .select(col("vec_id"), col("cid"), sqrt(dist2).as("dist"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(avg(col("dist")), 6).as("avg_dist"))
+      .orderBy(col("cid"))
+  }
+
+  private val o43 = s"""
+    WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id < $NCells),
+    dists AS (
+      SELECT e.vec_id, c.cid,
+             list_distance(CAST(e.embedding AS DOUBLE[]), c.cv) AS dist
+      FROM embeddings e CROSS JOIN c),
+    best AS (
+      SELECT vec_id, cid, dist,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      FROM dists)
+    SELECT cid, count(*) AS n_vectors, round(avg(dist), 6) AS avg_dist
+    FROM best WHERE rn = 1
+    GROUP BY cid ORDER BY cid"""
+
+  /** q44: per-label embedding statistics (norm moments) — the sanity sweep a
+    * pipeline runs before indexing a new embedding batch.
+    */
+  private def q44(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("label"), norm(toD(col("embedding"))).as("nrm"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("nrm")), 6).as("avg_norm"),
+        round(min(col("nrm")), 6).as("min_norm"),
+        round(max(col("nrm")), 6).as("max_norm"))
+      .orderBy(col("label"))
+
+  private val o44 = """
+    SELECT label, count(*) AS n, round(avg(nrm), 6) AS avg_norm,
+           round(min(nrm), 6) AS min_norm, round(max(nrm), 6) AS max_norm
+    FROM (SELECT label, sqrt(list_sum(list_transform(
+            CAST(embedding AS DOUBLE[]), x -> x * x))) AS nrm
+          FROM embeddings)
+    GROUP BY label ORDER BY label"""
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q41_cosine_topk", q41, Some(o41)),
+    QueryDef("q42_ann_lsh_bucket", q42, Some(o42)),
+    QueryDef("q43_ivf_assign", q43, Some(o43)),
+    QueryDef("q44_embedding_stats", q44, Some(o44)))
+}
