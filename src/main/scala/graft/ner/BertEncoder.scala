@@ -21,9 +21,16 @@ package graft.ner
 final class BertEncoder(model: NerModel) {
   import model.{hparams => hp}
 
-  private def req(name: String, expected: Int): Array[Float] = {
+  /** `expected` is Long so adversarial-but-accepted headers can't overflow
+    * Int multiplication at the call sites (the loader's product guards keep
+    * legal sizes within Int range; anything outside falls back to empty).
+    */
+  private def req(name: String, expected: Long): Array[Float] = {
     val t = model.tensors.get(name).map(_.data).getOrElse(Array.emptyFloatArray)
-    if (t.length == expected) t else new Array[Float](expected) // missing/mismatched stays zero, like ggml's zero-init arena
+    if (t.length.toLong == expected) t
+    else if (expected >= 0 && expected <= Int.MaxValue)
+      new Array[Float](expected.toInt) // missing/mismatched stays zero, like ggml's zero-init arena
+    else Array.emptyFloatArray
   }
 
   private val nEmbd = hp.nEmbd
@@ -32,12 +39,12 @@ final class BertEncoder(model: NerModel) {
   private val nInter = hp.nIntermediate
   private val nLabels = hp.nLabels
 
-  private val wordEmb = req("embeddings.word_embeddings.weight", hp.nVocab * nEmbd)
-  private val typeEmb = req("embeddings.token_type_embeddings.weight", 2 * nEmbd)
-  private val posEmb = req("embeddings.position_embeddings.weight", hp.nMaxTokens * nEmbd)
+  private val wordEmb = req("embeddings.word_embeddings.weight", hp.nVocab.toLong * nEmbd)
+  private val typeEmb = req("embeddings.token_type_embeddings.weight", 2L * nEmbd)
+  private val posEmb = req("embeddings.position_embeddings.weight", hp.nMaxTokens.toLong * nEmbd)
   private val lnEw = req("embeddings.LayerNorm.weight", nEmbd)
   private val lnEb = req("embeddings.LayerNorm.bias", nEmbd)
-  private val clsW = req("classifier.weight", nLabels * nEmbd)
+  private val clsW = req("classifier.weight", nLabels.toLong * nEmbd)
   private val clsB = req("classifier.bias", nLabels)
 
   private final case class Layer(
@@ -51,19 +58,19 @@ final class BertEncoder(model: NerModel) {
   private val layers: Array[Layer] = Array.tabulate(hp.nLayer) { i =>
     val b = s"encoder.layer.$i."
     Layer(
-      qw = req(b + "attention.self.query.weight", nEmbd * nEmbd),
+      qw = req(b + "attention.self.query.weight", nEmbd.toLong * nEmbd),
       qb = req(b + "attention.self.query.bias", nEmbd),
-      kw = req(b + "attention.self.key.weight", nEmbd * nEmbd),
+      kw = req(b + "attention.self.key.weight", nEmbd.toLong * nEmbd),
       kb = req(b + "attention.self.key.bias", nEmbd),
-      vw = req(b + "attention.self.value.weight", nEmbd * nEmbd),
+      vw = req(b + "attention.self.value.weight", nEmbd.toLong * nEmbd),
       vb = req(b + "attention.self.value.bias", nEmbd),
-      ow = req(b + "attention.output.dense.weight", nEmbd * nEmbd),
+      ow = req(b + "attention.output.dense.weight", nEmbd.toLong * nEmbd),
       ob = req(b + "attention.output.dense.bias", nEmbd),
       lnAw = req(b + "attention.output.LayerNorm.weight", nEmbd),
       lnAb = req(b + "attention.output.LayerNorm.bias", nEmbd),
-      fiW = req(b + "intermediate.dense.weight", nInter * nEmbd),
+      fiW = req(b + "intermediate.dense.weight", nInter.toLong * nEmbd),
       fiB = req(b + "intermediate.dense.bias", nInter),
-      foW = req(b + "output.dense.weight", nEmbd * nInter),
+      foW = req(b + "output.dense.weight", nEmbd.toLong * nInter),
       foB = req(b + "output.dense.bias", nEmbd),
       lnOw = req(b + "output.LayerNorm.weight", nEmbd),
       lnOb = req(b + "output.LayerNorm.bias", nEmbd)

@@ -75,6 +75,36 @@ final case class NerModel(
 object ModelFormat {
   val Magic = 0x67676d6c
 
+  /** The tensor names the encoder consumes — the analogue of the name map the
+    * reference pre-builds and checks before reading each tensor
+    * (`src/ner_model.cpp:200-273`). Anything else is skipped, not stored.
+    */
+  private def isKnownTensor(name: String, hp: NerHparams): Boolean =
+    name match {
+      case "embeddings.word_embeddings.weight" |
+          "embeddings.token_type_embeddings.weight" |
+          "embeddings.position_embeddings.weight" |
+          "embeddings.LayerNorm.weight" | "embeddings.LayerNorm.bias" |
+          "classifier.weight" | "classifier.bias" => true
+      case n if n.startsWith("encoder.layer.") =>
+        val rest = n.substring("encoder.layer.".length)
+        val dot = rest.indexOf('.')
+        dot > 0 && rest.take(dot).forall(_.isDigit) &&
+          rest.take(dot).toIntOption.exists(i => i >= 0 && i < hp.nLayer) &&
+          LayerSuffixes.contains(rest.substring(dot + 1))
+      case _ => false
+    }
+
+  private val LayerSuffixes: Set[String] = Set(
+    "attention.self.query.weight", "attention.self.query.bias",
+    "attention.self.key.weight", "attention.self.key.bias",
+    "attention.self.value.weight", "attention.self.value.bias",
+    "attention.output.dense.weight", "attention.output.dense.bias",
+    "attention.output.LayerNorm.weight", "attention.output.LayerNorm.bias",
+    "intermediate.dense.weight", "intermediate.dense.bias",
+    "output.dense.weight", "output.dense.bias",
+    "output.LayerNorm.weight", "output.LayerNorm.bias")
+
   /** Little-endian wrapper over DataInputStream. */
   private final class LeReader(in: DataInputStream) {
     def readIntLE(): Int = Integer.reverseBytes(in.readInt())
@@ -129,11 +159,21 @@ object ModelFormat {
         nLabels = r.readIntLE()
       )
       // Defensive bounds absent from the reference: a corrupt header would
-      // otherwise drive huge allocations.
+      // otherwise drive huge allocations. The product guards also keep every
+      // weight-matrix element count within Int range, so downstream Int size
+      // arithmetic (BertEncoder) cannot overflow.
+      def fits(n: Long): Boolean = n > 0 && n <= Int.MaxValue / 4
       if (hp.nVocab <= 0 || hp.nVocab > (1 << 22) || hp.nEmbd <= 0 ||
-        hp.nEmbd > (1 << 16) || hp.nMaxTokens <= 0 || hp.nLayer < 0 ||
+        hp.nEmbd > (1 << 16) || hp.nMaxTokens <= 0 ||
+        hp.nMaxTokens > (1 << 16) || hp.nLayer < 0 ||
         hp.nLayer > 1024 || hp.nLabels <= 0 || hp.nLabels > (1 << 16) ||
-        hp.nHead <= 0 || hp.nIntermediate <= 0) return None
+        hp.nHead <= 0 || hp.nIntermediate <= 0 ||
+        hp.nIntermediate > (1 << 20) ||
+        !fits(hp.nVocab.toLong * hp.nEmbd) ||
+        !fits(hp.nMaxTokens.toLong * hp.nEmbd) ||
+        !fits(hp.nEmbd.toLong * hp.nEmbd) ||
+        !fits(hp.nEmbd.toLong * hp.nIntermediate) ||
+        !fits(hp.nLabels.toLong * hp.nEmbd)) return None
 
       val main = Map.newBuilder[String, Int]
       val sub = Map.newBuilder[String, Int]
@@ -166,7 +206,17 @@ object ModelFormat {
             val name = new String(r.readBytes(nameLen), StandardCharsets.UTF_8)
             val numel = dims.foldLeft(1L)(_ * _.toLong)
             if (numel > Int.MaxValue / 4) return None
-            ftype match {
+            if (!isKnownTensor(name, hp)) {
+              // the reference seeks past tensors its model map doesn't name
+              // (`src/ner_model.cpp:275-282`); storing them would waste heap
+              val payload = ftype match {
+                case 0 => numel * 4
+                case 1 => numel * 2
+                case 2 => if (numel % 32 == 0) numel / 32 * 18 else return None
+                case _ => return None
+              }
+              r.skip(payload)
+            } else ftype match {
               case 0 =>
                 val data = new Array[Float](numel.toInt)
                 val raw = r.readBytes(numel.toInt * 4)
@@ -187,9 +237,34 @@ object ModelFormat {
                   k += 1
                 }
                 tensors += name -> NerTensor(dims, data)
+              case 2 =>
+                // Q4_0 (`src/ner_model.cpp:278` maps non-F32/F16 ftypes to
+                // GGML_TYPE_Q4_0). ggml block_q4_0 layout (public ggml):
+                // per 32 values, an f16 scale d then 16 bytes of nibbles —
+                // first 16 values from low nibbles, next 16 from high;
+                // value = (q - 8) * d. The reference's converter never emits
+                // Q4_0 (`scripts/convert_ner_to_ggml.py:77` writes F32/F16
+                // only), so this path only matters for hand-quantized files.
+                if (numel % 32 != 0) return None
+                val blocks = (numel / 32).toInt
+                val raw = r.readBytes(blocks * 18)
+                val data = new Array[Float](numel.toInt)
+                var bIdx = 0
+                while (bIdx < blocks) {
+                  val off = bIdx * 18
+                  val d = f16ToFloat(((raw(off + 1) & 0xff) << 8) | (raw(off) & 0xff))
+                  var j = 0
+                  while (j < 16) {
+                    val q = raw(off + 2 + j) & 0xff
+                    data(bIdx * 32 + j) = ((q & 0xf) - 8) * d
+                    data(bIdx * 32 + 16 + j) = ((q >>> 4) - 8) * d
+                    j += 1
+                  }
+                  bIdx += 1
+                }
+                tensors += name -> NerTensor(dims, data)
               case _ =>
-                // Q4_0 etc: the reference can mmap these through ggml; we only
-                // target the converter's F32/F16 output — treat as unreadable.
+                // unknown quantization id: unreadable => "no model"
                 return None
             }
         }

@@ -47,32 +47,37 @@ object Ner {
 
   final case class Loaded(model: NerModel, encoder: BertEncoder)
 
-  /** Per-JVM model cache keyed by the conf path currently in effect. */
-  private object Cache {
-    var initialized = false
-    var key: Option[String] = None
-    var value: Option[Loaded] = None
-  }
+  /** Per-JVM model cache keyed by the conf path currently in effect.
+    * Immutable snapshot behind a @volatile: the steady-state read path is a
+    * single volatile load + key compare — no monitor — so concurrent NER
+    * tasks never serialize through a lock per row (the reference holds one
+    * unlocked process-global, `src/ner_extension.cpp:16-22`; we keep its
+    * throughput without its race). The lock is only taken on key change.
+    */
+  private final case class CacheState(key: Option[String], value: Option[Loaded])
+  @volatile private var cache: CacheState = null
+  private val cacheLock = new Object
 
   private[graft] def currentModel(): Option[Loaded] = {
     val path = GraftSqlShim.confString(ConfKey)
-    Cache.synchronized {
-      if (!Cache.initialized || Cache.key != path) {
-        Cache.value = path.flatMap { p =>
+    val snap = cache
+    if (snap != null && snap.key == path) snap.value
+    else cacheLock.synchronized {
+      val again = cache
+      if (again != null && again.key == path) again.value
+      else {
+        val loaded = path.flatMap { p =>
           ModelFormat.loadFile(p).map(m => Loaded(m, new BertEncoder(m)))
         }
-        Cache.key = path
-        Cache.initialized = true
+        cache = CacheState(path, loaded)
+        loaded
       }
-      Cache.value
     }
   }
 
   /** Test hook: drop the cached model so a changed conf value re-loads. */
-  private[graft] def resetCache(): Unit = Cache.synchronized {
-    Cache.initialized = false
-    Cache.key = None
-    Cache.value = None
+  private[graft] def resetCache(): Unit = cacheLock.synchronized {
+    cache = null
   }
 
   /** Full per-row evaluation: tokenize -> truncate guard -> encoder ->
@@ -80,7 +85,11 @@ object Ner {
     * (`src/ner_extension.cpp:99-167`).
     */
   private[graft] def evalRow(text: String, truncate: Boolean): Array[NerEntity] =
-    currentModel() match {
+    evalWith(currentModel(), text, truncate)
+
+  private[graft] def evalWith(model: Option[Loaded], text: String,
+      truncate: Boolean): Array[NerEntity] =
+    model match {
       case None =>
         // no-model branch: every row, including NULL, gets an empty list
         Array.empty[NerEntity]
@@ -105,7 +114,55 @@ object Ner {
         }
     }
 
-  /** 1-arg form: truncate defaults to true (`src/ner_extension.cpp:53`). */
+  /** Executor-side holder for a broadcast model: the encoder is rebuilt at
+    * most once per executor JVM from the broadcast bytes (transient lazy),
+    * removing the path-based variant's every-node-has-the-file assumption —
+    * the cluster analogue of the reference's in-memory loader
+    * (`ner_load_from_memory`, `src/ner_model.cpp:300-304`).
+    */
+  private final class BroadcastHolder(
+      bc: org.apache.spark.broadcast.Broadcast[Array[Byte]])
+      extends Serializable {
+    @transient lazy val loaded: Option[Loaded] =
+      ModelFormat.loadBytes(bc.value).map(m => Loaded(m, new BertEncoder(m)))
+  }
+
+  /** Register `ner`/`ner_extract` bound to a model whose bytes are read once
+    * on the driver and shipped to executors via `SparkContext.broadcast` —
+    * no shared filesystem needed. An unreadable path keeps the reference's
+    * silent no-model semantics (`[]` per row).
+    */
+  def registerBroadcast(spark: SparkSession, path: String): Unit = {
+    val bytes =
+      try java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(path))
+      catch { case _: Exception => Array.emptyByteArray }
+    val holder = new BroadcastHolder(spark.sparkContext.broadcast(bytes))
+    val u1 = udf((text: String) =>
+      evalWith(holder.loaded, text, truncate = true)).asNondeterministic()
+    val u2 = udf((text: String, tr: java.lang.Boolean) =>
+      evalWith(holder.loaded, text, tr == null || tr.booleanValue()))
+      .asNondeterministic()
+    def builder(name: String)(children: Seq[Expression]): Expression =
+      children match {
+        case Seq(a) => GraftSqlShim.udfExpression(u1, Seq(a))
+        case Seq(a, b) => GraftSqlShim.udfExpression(u2, Seq(a, b))
+        case other =>
+          throw new IllegalArgumentException(
+            s"$name expects 1 or 2 arguments, got ${other.size}")
+      }
+    GraftSqlShim.registerBuilder(spark, "ner", builder("ner"))
+    GraftSqlShim.registerBuilder(spark, "ner_extract", builder("ner_extract"))
+  }
+
+  /** 1-arg form: truncate defaults to true (`src/ner_extension.cpp:53`).
+    *
+    * Fidelity note: the reference reads the 2-arg `truncate` flag once per
+    * 2048-row chunk from row 0 (`src/ner_extension.cpp:54-61`) — passing a
+    * boolean *column* there applies row 0's value to the whole chunk. Our
+    * UDF evaluates the flag per row, which is strictly more precise; with the
+    * literal/constant arguments the reference's tests and docs use, behavior
+    * is identical.
+    */
   lazy val nerUdf1: UserDefinedFunction =
     udf((text: String) => evalRow(text, truncate = true)).asNondeterministic()
 

@@ -43,16 +43,42 @@ class ModelFormatSpec extends AnyFunSuite {
     assert(ModelFormat.loadFile("/tmp/does/not/exist/model.bin").isEmpty)
   }
 
-  test("unknown extra tensors are tolerated") {
+  test("unknown extra tensors are skipped, not stored (ner_model.cpp:275-282)") {
     val p = tmp("extra.bin")
     TestModels.writeValid(p, extraTensor = true, weightGen = TestModels.seeded(1))
     val m = ModelFormat.loadFile(p).get
     assert(m.tensors.contains("classifier.bias"))
-    // encoder construction ignores the unknown tensor
+    assert(!m.tensors.contains("some.unknown.tensor"))
     val enc = new BertEncoder(m)
     val logits = enc.eval(Array(1, 3, 2))
     assert(logits.length == 3 * 9)
     assert(logits.forall(f => !f.isNaN && !f.isInfinite))
+  }
+
+  test("Q4_0 tensors decode per the ggml block layout") {
+    val p = tmp("q40.bin")
+    val w = new TestModels.Writer(p)
+    w.i32(ModelFormat.Magic)
+    // nVocab=3, nMaxTokens=4, nEmbd=32, nInter=4, nHead=2, nLayer=0, f16=2, nLabels=9
+    w.i32(3).i32(4).i32(32).i32(4).i32(2).i32(0).i32(2).i32(9)
+    Seq("[PAD]", "[CLS]", "[SEP]").foreach(w.str)
+    // one known 32-element tensor as a single Q4_0 block: d=2.0 (f16 0x4000),
+    // 16 nibble-pairs: byte j = (j | (15-j)<<4) => low nibble j, high 15-j
+    val payload = new Array[Byte](18)
+    payload(0) = 0x00; payload(1) = 0x40 // f16 little-endian 2.0
+    for (j <- 0 until 16) payload(2 + j) = ((j & 0xf) | ((15 - j) << 4)).toByte
+    w.i32(1).i32("embeddings.LayerNorm.weight".length).i32(2)
+    w.i32(32)
+    w.bytes("embeddings.LayerNorm.weight".getBytes("UTF-8"))
+    w.bytes(payload)
+    w.close()
+    val m = ModelFormat.loadFile(p).get
+    val data = m.tensors("embeddings.LayerNorm.weight").data
+    assert(data.length == 32)
+    // first 16 from low nibbles: (j - 8) * 2.0
+    for (j <- 0 until 16) assert(data(j) == (j - 8) * 2.0f)
+    // next 16 from high nibbles: ((15-j) - 8) * 2.0
+    for (j <- 0 until 16) assert(data(16 + j) == ((15 - j) - 8) * 2.0f)
   }
 
   test("f16 round-trip helper") {

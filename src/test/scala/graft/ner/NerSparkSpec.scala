@@ -103,7 +103,13 @@ class NerSparkSpec extends SparkTestBase {
     // subwords merge into the previous one
     TestModels.writeValid(p, classifierBias = TestModels.biasFor(5))
     setPath(p)
+    // literal "##" in the input: "duck##db" pre-splits as one word; greedy
+    // match takes "duck", the "##" bytes are unknown-skipped, "db" matches
+    // the subword vocab -> same tokens as plain "duckdb"
     val ents = nerRows("SELECT ner('duck##db is great') AS e")
+      .head.getSeq[Row](0)
+    assert(ents.map(x => (x.getString(0), x.getString(1))) ==
+      Seq(("duckdb", "ORG"), ("is", "ORG"), ("great", "ORG")))
     val r = nerRows("SELECT ner('duckdb is great') AS e").head.getSeq[Row](0)
     assert(r.map(x => (x.getString(0), x.getString(1))) ==
       Seq(("duckdb", "ORG"), ("is", "ORG"), ("great", "ORG")))
@@ -161,6 +167,20 @@ class NerSparkSpec extends SparkTestBase {
     setPath("/tmp/nope2.bin")
     assert(nerRows("SELECT ner('duckdb') AS e").head.getSeq[Row](0).isEmpty)
     unsetPath()
+  }
+
+  test("registerBroadcast: model ships as broadcast bytes, conf path unused") {
+    val p = tmp("bcast.bin")
+    TestModels.writeValid(p, classifierBias = TestModels.biasFor(5))
+    unsetPath()
+    Ner.registerBroadcast(spark, p)
+    val r = nerRows("SELECT ner('duckdb is great') AS e").head.getSeq[Row](0)
+    assert(r.map(x => (x.getString(0), x.getString(1))) ==
+      Seq(("duckdb", "ORG"), ("is", "ORG"), ("great", "ORG")))
+    // unreadable path keeps the silent no-model semantics
+    Ner.registerBroadcast(spark, "/tmp/no/such/model.bin")
+    assert(nerRows("SELECT ner('duckdb') AS e").head.getSeq[Row](0).isEmpty)
+    Ner.register(spark) // restore the conf-path variant for other suites
   }
 
   test("volatile marking: ner on a literal is not constant-folded") {
