@@ -38,9 +38,12 @@ object Dedup {
     array_min(transform(sequence(lit(1), length(t) - lit(ShingleLen - 1)),
       i => md5(concat(lit(s"$j:"), t.substr(i, lit(ShingleLen))))))
 
-  /** doc_id + mh0..mh7 signature frame. */
+  /** doc_id + mh0..mh7 signature frame. md5-per-shingle is CPU-bound, so
+    * the scan is re-partitioned up to core count first (see
+    * `Tables.parallelize`).
+    */
   private def signatures(s: SparkSession, d: String): DataFrame =
-    documents(s, d).select(
+    parallelize(s, documents(s, d)).select(
       col("doc_id") +: (0 until NumHashes)
         .map(j => mh(col("text"), j).as(s"mh$j")): _*)
 
@@ -115,7 +118,7 @@ object Dedup {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sh = documents(s, d).select(col("doc_id"),
+    val sh = parallelize(s, documents(s, d)).select(col("doc_id"),
       explode(array_distinct(shingleArr(col("text")))).as("sh"))
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = cands
@@ -184,7 +187,7 @@ object Dedup {
 
   /** q39: SimHash near-dup groups — fingerprints shared by >1 document. */
   private def q39(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    parallelize(s, documents(s, d))
       .select(col("doc_id"), expr(simhashExpr).as("simhash"))
       .groupBy(col("simhash"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),

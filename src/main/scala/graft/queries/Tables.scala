@@ -32,6 +32,17 @@ object Tables {
     spark.read.parquet(s"$dir/$name.parquet")
   }
 
+  /** Ensure at least `defaultParallelism` partitions before CPU-bound
+    * per-row work (hashing, inference). Parquet can't split a single row
+    * group, so a small-but-compute-heavy input otherwise runs on one core;
+    * on a cluster-scale scan the split count already exceeds the core count
+    * and this is a no-op (no shuffle inserted).
+    */
+  def parallelize(s: SparkSession, df: DataFrame): DataFrame = {
+    val want = s.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < want) df.repartition(want) else df
+  }
+
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
   def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
