@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.graft.GraftSqlShim
+
+import graft.ner.Ner
+
+/** Session-extension entry point — the Spark analogue of the reference's
+  * `LOAD ner` extension bootstrap (`src/ner_extension.cpp:238-243`):
+  *
+  * {{{
+  *   spark-submit --conf spark.sql.extensions=graft.GraftExtensions ...
+  * }}}
+  *
+  * injects `ner` / `ner_extract` (both arities) into every session built with
+  * the extension, with no explicit `Ner.register(spark)` call. The injected
+  * builder dispatches on arity, matching DuckDB's `ScalarFunctionSet`
+  * overload resolution (`src/ner_extension.cpp:197-204`).
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    Seq("ner", "ner_extract").foreach { name =>
+      ext.injectFunction((
+        new FunctionIdentifier(name),
+        new ExpressionInfo(classOf[Ner.type].getName, name),
+        (children: Seq[Expression]) =>
+          children match {
+            case Seq(a) => GraftSqlShim.udfExpression(Ner.nerUdf1, Seq(a))
+            case Seq(a, b) => GraftSqlShim.udfExpression(Ner.nerUdf2, Seq(a, b))
+            case other =>
+              throw new IllegalArgumentException(
+                s"$name expects 1 or 2 arguments, got ${other.size}")
+          }))
+    }
+}

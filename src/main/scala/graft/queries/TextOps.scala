@@ -196,11 +196,37 @@ object TextOps {
            count(*) AS n_copies
     FROM documents GROUP BY 1 ORDER BY keep_id"""
 
+  /** q48: per-document fingerprints — md5 of the normalized text plus a
+    * polynomial rolling hash (base-31 mod 1e9+7 over codepoints, the classic
+    * Rabin-Karp accumulator), both exact and engine-portable.
+    */
+  private def q48(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(
+        col("doc_id"),
+        md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp_md5"),
+        aggregate(sequence(lit(1), length(col("text"))), lit(0L),
+          (acc, i) => (acc * 31L + ascii(col("text").substr(i, lit(1)))
+            .cast("long")) % 1000000007L)
+          .as("fp_rolling"))
+      .orderBy(col("doc_id"))
+
+  private val o48 = """
+    SELECT doc_id,
+           md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp_md5,
+           list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, length(text) + 1),
+                 i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 1000000007) AS fp_rolling
+    FROM documents ORDER BY doc_id"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q30_text_stats", q30, Some(o30)),
     QueryDef("q31_token_count", q31, Some(o31)),
     QueryDef("q32_language_id", q32, Some(o32)),
     QueryDef("q33_quality_score", q33, Some(o33)),
     QueryDef("q34_fingerprint_dedup", q34, Some(o34)),
-    QueryDef("q35_exact_dedup", q35, Some(o35)))
+    QueryDef("q35_exact_dedup", q35, Some(o35)),
+    QueryDef("q48_rolling_fingerprint", q48, Some(o48)))
 }

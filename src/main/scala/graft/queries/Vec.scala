@@ -181,9 +181,44 @@ object Vec {
           FROM embeddings)
     GROUP BY label ORDER BY label"""
 
+  /** q47: embedding near-duplicate pairs — candidates limited to vectors
+    * sharing an LSH signature (hamming-0 buckets; at uniform spread each
+    * bucket holds ~1/2^bits of the corpus, so pair work is corpus²/2^bits
+    * per bucket set, never a global all-pairs), then verified by exact
+    * cosine >= 0.3.
+    */
+  private def q47(s: SparkSession, d: String): DataFrame = {
+    val sigs = embeddings(s, d).withColumn("sig", sigExpr)
+      .select(col("vec_id"), col("sig"), toD(col("embedding")).as("ed"))
+    sigs.as("a")
+      .join(sigs.as("b"),
+        col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+        round(cosine(col("a.ed"), col("b.ed")), 6).as("cos_sim"))
+      .filter(col("cos_sim") >= 0.3)
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  private def o47: String = {
+    val hps = (0 until NBits).map(j => s"${oHyperplane(j)} AS hp$j").mkString(", ")
+    s"""WITH hp AS (SELECT $hps),
+       sigs AS (
+         SELECT vec_id, embedding, ($oSigExpr) AS sig
+         FROM embeddings, hp)
+       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+              round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+                CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
+       FROM sigs a JOIN sigs b
+         ON a.sig = b.sig AND a.vec_id < b.vec_id
+       WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+               CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
+       ORDER BY vec_a, vec_b"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q41_cosine_topk", q41, Some(o41)),
     QueryDef("q42_ann_lsh_bucket", q42, Some(o42)),
     QueryDef("q43_ivf_assign", q43, Some(o43)),
-    QueryDef("q44_embedding_stats", q44, Some(o44)))
+    QueryDef("q44_embedding_stats", q44, Some(o44)),
+    QueryDef("q47_embedding_near_dup", q47, Some(o47)))
 }
