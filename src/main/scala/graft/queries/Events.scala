@@ -1,0 +1,141 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Event-stream analytics beyond the basic windows in `Rel`: semi-structured
+  * JSON extraction, gap-based sessionization, and an as-of ("latest prior
+  * event") lookup — the standard clickstream toolkit, all window-function
+  * shaped (one shuffle on user_id, no self-joins).
+  *
+  * `ts` is the raw nanosecond long (see `Tables`); ordering keys use
+  * microsecond truncation (`ts DIV 1000`) to match DuckDB's read of the same
+  * column, with event_id as the total tie-break.
+  */
+object Events {
+  import Tables._
+
+  private def tsUs = expr("ts DIV 1000")
+
+  /** q49: JSON property extraction + aggregation over the props column. */
+  private def q49(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .select(col("event_type"),
+        get_json_object(col("props"), "$.k").cast("int").as("k"))
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("k")).cast("long").as("sum_k"),
+        min(col("k")).as("min_k"),
+        max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+
+  private val o49 = """
+    SELECT event_type, count(*) AS n,
+           CAST(sum(k) AS BIGINT) AS sum_k,
+           min(k) AS min_k, max(k) AS max_k
+    FROM (SELECT event_type,
+                 CAST(json_extract_string(props, '$.k') AS INT) AS k
+          FROM events)
+    GROUP BY event_type ORDER BY event_type"""
+
+  /** q50: gap-based sessionization — a new session starts when >30 minutes
+    * pass since the user's previous event. Classic lag + running-sum shape:
+    * one shuffle, no self-join, state O(1) per row.
+    */
+  private def q50(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(tsUs, col("event_id"))
+    val gapUs = 1800000000L // 30 min in microseconds
+    events(s, d)
+      .withColumn("prev_us", lag(tsUs, 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          tsUs - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"))
+      .groupBy(col("user_id"))
+      .agg(
+        max(col("sess_id")).as("n_sessions"),
+        count(lit(1)).as("n_events"),
+        round(count(lit(1)) / max(col("sess_id")).cast("double"), 6)
+          .as("events_per_session"))
+      .orderBy(col("user_id"))
+  }
+
+  private val o50 = """
+    SELECT user_id, max(sess_id) AS n_sessions, count(*) AS n_events,
+           round(count(*) / CAST(max(sess_id) AS DOUBLE), 6)
+             AS events_per_session
+    FROM (
+      SELECT user_id,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+               AS sess_id
+      FROM (
+        SELECT user_id, ts, event_id,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                      ORDER BY ts, event_id) IS NULL
+                      OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+                        PARTITION BY user_id ORDER BY ts, event_id))
+                         > 1800000000
+                    THEN 1 ELSE 0 END AS new_sess
+        FROM events))
+    GROUP BY user_id ORDER BY user_id"""
+
+  /** q51: as-of lookup — for every purchase, the microsecond timestamp of the
+    * same user's latest strictly-earlier 'view' event (NULL if none).
+    * Expressed as a running max over the ordered partition, which at scale
+    * beats any self-join formulation outright.
+    */
+  private def q51(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(tsUs, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events(s, d)
+      .withColumn("prior_view_us",
+        max(when(col("event_type") === "view", tsUs)).over(w))
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), tsUs.as("ts_us"),
+        col("prior_view_us"))
+      .orderBy(col("event_id"))
+  }
+
+  private val o51 = """
+    SELECT event_id, user_id, epoch_us(ts) AS ts_us, prior_view_us
+    FROM (
+      SELECT event_id, user_id, ts, event_type,
+             max(CASE WHEN event_type = 'view' THEN epoch_us(ts) END)
+               OVER (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+               AS prior_view_us
+      FROM events)
+    WHERE event_type = 'purchase' ORDER BY event_id"""
+
+  /** q52: pivot — order counts per market segment x order status (the
+    * DataFrame `pivot` operator; oracle spells the same thing as conditional
+    * aggregation).
+    */
+  private def q52(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .na.fill(0L, Seq("F", "O", "P"))
+      .orderBy(col("c_mktsegment"))
+
+  private val o52 = """
+    SELECT c_mktsegment,
+           CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS F,
+           CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS O,
+           CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS P
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q49_json_extract", q49, Some(o49)),
+    QueryDef("q50_sessionize", q50, Some(o50)),
+    QueryDef("q51_asof_prior_view", q51, Some(o51)),
+    QueryDef("q52_pivot_status", q52, Some(o52)))
+}

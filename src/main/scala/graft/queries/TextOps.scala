@@ -201,7 +201,7 @@ object TextOps {
     * Rabin-Karp accumulator), both exact and engine-portable.
     */
   private def q48(s: SparkSession, d: String): DataFrame =
-    documents(s, d)
+    parallelize(s, documents(s, d))
       .select(
         col("doc_id"),
         md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp_md5"),

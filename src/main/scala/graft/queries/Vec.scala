@@ -94,7 +94,7 @@ object Vec {
 
   /** q42: all vectors in the query vector's LSH bucket, ranked by cosine. */
   private def q42(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d).withColumn("sig", sigExpr)
+    val e = parallelize(s, embeddings(s, d)).withColumn("sig", sigExpr)
     val q = e.filter(col("vec_id") === 0)
       .select(toD(col("embedding")).as("qv"), col("sig").as("qsig"))
     e.filter(col("vec_id") =!= 0)
@@ -188,7 +188,7 @@ object Vec {
     * cosine >= 0.3.
     */
   private def q47(s: SparkSession, d: String): DataFrame = {
-    val sigs = embeddings(s, d).withColumn("sig", sigExpr)
+    val sigs = parallelize(s, embeddings(s, d)).withColumn("sig", sigExpr)
       .select(col("vec_id"), col("sig"), toD(col("embedding")).as("ed"))
     sigs.as("a")
       .join(sigs.as("b"),
