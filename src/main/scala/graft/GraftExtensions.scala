@@ -3,7 +3,6 @@ package graft
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import org.apache.spark.sql.graft.GraftSqlShim
 
 import graft.ner.Ner
 
@@ -26,13 +25,6 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       ext.injectFunction((
         new FunctionIdentifier(name),
         new ExpressionInfo(classOf[Ner.type].getName, name),
-        (children: Seq[Expression]) =>
-          children match {
-            case Seq(a) => GraftSqlShim.udfExpression(Ner.nerUdf1, Seq(a))
-            case Seq(a, b) => GraftSqlShim.udfExpression(Ner.nerUdf2, Seq(a, b))
-            case other =>
-              throw new IllegalArgumentException(
-                s"$name expects 1 or 2 arguments, got ${other.size}")
-          }))
+        (children: Seq[Expression]) => Ner.expressionBuilder(name)(children)))
     }
 }

@@ -173,24 +173,38 @@ object Ner {
     udf((text: String, tr: java.lang.Boolean) =>
       evalRow(text, tr == null || tr.booleanValue())).asNondeterministic()
 
-  /** DataFrame-API entry points. */
-  def ner(text: Column): Column = nerUdf1(text)
-  def ner(text: Column, truncate: Column): Column = nerUdf2(text, truncate)
+  /** DataFrame-API entry points (native Catalyst expression — no encoder
+    * round-trip; see [[NerExtractExpression]]).
+    */
+  def ner(text: Column): Column =
+    GraftSqlShim.column(NerExtractExpression(
+      GraftSqlShim.expression(text),
+      org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral))
+  def ner(text: Column, truncate: Column): Column =
+    GraftSqlShim.column(NerExtractExpression(
+      GraftSqlShim.expression(text), GraftSqlShim.expression(truncate)))
+
+  /** Arity-dispatching builder shared by [[register]] and
+    * `graft.GraftExtensions` — DuckDB `ScalarFunctionSet` overload semantics
+    * (`src/ner_extension.cpp:197-204`) over one native expression.
+    */
+  def expressionBuilder(name: String)(children: Seq[Expression]): Expression =
+    children match {
+      case Seq(a) => NerExtractExpression(a,
+        org.apache.spark.sql.catalyst.expressions.Literal.TrueLiteral)
+      case Seq(a, b) => NerExtractExpression(a, b)
+      case other =>
+        throw new IllegalArgumentException(
+          s"$name expects 1 or 2 arguments, got ${other.size}")
+    }
 
   /** Register `ner` and `ner_extract` (exact alias, both arities) on the
     * session — the analogue of the extension's `LoadInternal`
     * (`src/ner_extension.cpp:188-218`).
     */
   def register(spark: SparkSession): Unit = {
-    def builder(name: String)(children: Seq[Expression]): Expression =
-      children match {
-        case Seq(a) => GraftSqlShim.udfExpression(nerUdf1, Seq(a))
-        case Seq(a, b) => GraftSqlShim.udfExpression(nerUdf2, Seq(a, b))
-        case other =>
-          throw new IllegalArgumentException(
-            s"$name expects 1 or 2 arguments, got ${other.size}")
-      }
-    GraftSqlShim.registerBuilder(spark, "ner", builder("ner"))
-    GraftSqlShim.registerBuilder(spark, "ner_extract", builder("ner_extract"))
+    GraftSqlShim.registerBuilder(spark, "ner", expressionBuilder("ner"))
+    GraftSqlShim.registerBuilder(spark, "ner_extract",
+      expressionBuilder("ner_extract"))
   }
 }
