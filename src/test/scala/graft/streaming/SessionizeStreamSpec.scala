@@ -1,0 +1,48 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkTestBase
+
+class SessionizeStreamSpec extends SparkTestBase {
+
+  test("stateful streaming sessionization closes sessions on gap and watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val h = 3600000000000L // 1 hour in ns
+    val b = 1704067200000000000L // 2024-01-01 in ns: epoch-0 events would
+                                 // collide with the initial watermark value
+    val input = MemoryStream[(Long, Long, Double)]
+    val sessions = SessionizeStream.attach(
+      input.toDS().toDF("ts", "user_id", "value"))
+
+    val query = sessions.writeStream
+      .format("memory")
+      .queryName("sess_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    try {
+      // user 1: two events 60s apart (one session), then one event 3h later
+      // (gap > 30min -> closes the first session inline)
+      input.addData((b, 1L, 1.0), (b + 60000000000L, 1L, 2.0),
+        (b + 3 * h, 1L, 4.0))
+      query.processAllAvailable()
+      // user 2 event at 6h pushes the watermark to 5h (1h delay), past the
+      // 3h session's 3h30m timeout -> timer closes it
+      input.addData((b + 6 * h, 2L, 8.0))
+      query.processAllAvailable()
+
+      val out = spark.table("sess_test")
+        .orderBy("user_id", "start_us")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4)))
+      val bus = b / 1000
+      assert(out.toSeq == Seq(
+        (1L, bus, bus + 60000000L, 2L, 3.0),               // gap-closed
+        (1L, bus + 3 * h / 1000, bus + 3 * h / 1000, 1L, 4.0))) // timer-closed
+    } finally query.stop()
+  }
+}
