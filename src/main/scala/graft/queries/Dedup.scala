@@ -33,19 +33,21 @@ object Dedup {
     transform(sequence(lit(1), length(t) - lit(ShingleLen - 1)),
       i => t.substr(i, lit(ShingleLen)))
 
-  /** MinHash value for "permutation" j. */
-  private def mh(t: Column, j: Int): Column =
-    array_min(transform(sequence(lit(1), length(t) - lit(ShingleLen - 1)),
-      i => md5(concat(lit(s"$j:"), t.substr(i, lit(ShingleLen))))))
+  /** MinHash value for "permutation" j over a prebuilt shingle array. */
+  private def mh(shingles: Column, j: Int): Column =
+    array_min(transform(shingles, sh => md5(concat(lit(s"$j:"), sh))))
 
   /** doc_id + mh0..mh7 signature frame. md5-per-shingle is CPU-bound, so
     * the scan is re-partitioned up to core count first (see
-    * `Tables.parallelize`).
+    * `Tables.parallelize`), and the shingle array is materialized once per
+    * row instead of once per permutation.
     */
   private def signatures(s: SparkSession, d: String): DataFrame =
-    parallelize(s, documents(s, d)).select(
-      col("doc_id") +: (0 until NumHashes)
-        .map(j => mh(col("text"), j).as(s"mh$j")): _*)
+    parallelize(s, documents(s, d))
+      .withColumn("shingles", shingleArr(col("text")))
+      .select(
+        col("doc_id") +: (0 until NumHashes)
+          .map(j => mh(col("shingles"), j).as(s"mh$j")): _*)
 
   /** Oracle fragment: the same signature columns in DuckDB dialect. */
   private def oMh(j: Int): String =
@@ -110,7 +112,10 @@ object Dedup {
     * distinct shingles for candidate docs only.
     */
   private def q38(s: SparkSession, d: String): DataFrame = {
-    val b = bands(s, d)
+    // persist: the self-join would otherwise recompute the full signature
+    // subtree on both sides (a production pipeline materializes the
+    // signature table once and reuses it across all dedup queries)
+    val b = bands(s, d).persist()
     val cands = b.as("x")
       .join(b.as("y"),
         col("x.band_pos") === col("y.band_pos") &&
@@ -119,7 +124,7 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     val sh = parallelize(s, documents(s, d)).select(col("doc_id"),
-      explode(array_distinct(shingleArr(col("text")))).as("sh"))
+      explode(array_distinct(shingleArr(col("text")))).as("sh")).persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = cands
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))

@@ -1,0 +1,90 @@
+package graft.ner
+
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+import org.scalatest.funsuite.AnyFunSuite
+
+/** ScalaCheck properties over the pure NER kernels — the invariants the
+  * reference relies on implicitly but never tests (SURVEY §5 test plan).
+  * Raw ScalaCheck runner (the scalatest-plus bridge isn't on the offline
+  * classpath).
+  */
+class KernelPropertiesSpec extends AnyFunSuite {
+
+  private def holds(name: String)(p: Prop): Unit = {
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(300), p)
+    assert(res.passed, s"$name: ${res.status}")
+  }
+
+  private val vocab: NerVocab = {
+    val tokens = TestModels.DefaultVocab
+    val main = scala.collection.mutable.Map[String, Int]()
+    val sub = scala.collection.mutable.Map[String, Int]()
+    val id2 = scala.collection.mutable.Map[Int, String]()
+    tokens.zipWithIndex.foreach { case (t, i) =>
+      id2 += i -> t
+      if (t.length > 2 && t.startsWith("##")) sub += t.substring(2) -> i
+      else main += t -> i
+    }
+    NerVocab(main.toMap, sub.toMap, id2.toMap)
+  }
+
+  private val genWord: Gen[String] = Gen.oneOf(
+    Gen.oneOf(TestModels.DefaultVocab.filterNot(_.startsWith("["))),
+    Gen.alphaNumStr.map(_.take(8)),
+    Gen.oneOf("##", "早stream", "éclair", "duck##db", ""))
+
+  private val genText: Gen[String] =
+    Gen.listOf(genWord).map(_.mkString(" "))
+
+  test("tokenizer: output fits nMaxTokens, brackets with CLS/SEP, no [UNK]") {
+    holds("tokenize") {
+      Prop.forAll(genText, Gen.choose(3, 32)) { (text, maxTok) =>
+        val ids = WordPiece.tokenize(vocab, text, maxTok)
+        ids.length <= maxTok &&
+          ids.head == vocab.main("[CLS]") &&
+          ids.last == vocab.main("[SEP]") &&
+          ids.forall(vocab.idToToken.contains)
+      }
+    }
+  }
+
+  test("tokenizer is deterministic") {
+    holds("determinism") {
+      Prop.forAll(genText) { text =>
+        WordPiece.tokenize(vocab, text, 16).toSeq ==
+          WordPiece.tokenize(vocab, text, 16).toSeq
+      }
+    }
+  }
+
+  test("merge never emits empty or O-labeled entities, bounded by non-O count") {
+    holds("merge") {
+      Prop.forAll(Gen.listOf(Gen.choose(0, 8))) { labels =>
+        val tokens = labels.indices.map(i =>
+          vocab.tokenOf(3 + (i % (TestModels.DefaultVocab.length - 3))))
+        val ents = BioMerge.merge(tokens.toIndexedSeq, labels.toIndexedSeq)
+        ents.forall(e => e.entity.nonEmpty && e.label != "O" &&
+          e.label.nonEmpty) && ents.size <= labels.count(_ != 0)
+      }
+    }
+  }
+
+  test("argmax matches the specification (ties to lowest index)") {
+    holds("argmax") {
+      Prop.forAll(Gen.nonEmptyListOf(Gen.choose(-100f, 100f))) { xs =>
+        val arr = xs.toArray
+        val got = BioMerge.argmax(arr, 0, arr.length)
+        arr(got) == arr.max && got == arr.indexOf(arr.max)
+      }
+    }
+  }
+
+  test("f16 widening is strictly monotone on finite positive halves") {
+    holds("f16") {
+      Prop.forAll(Gen.choose(0x0000, 0x7bfe)) { bits =>
+        ModelFormat.f16ToFloat(bits) < ModelFormat.f16ToFloat(bits + 1)
+      }
+    }
+  }
+}
