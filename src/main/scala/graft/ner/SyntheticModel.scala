@@ -1,0 +1,80 @@
+package graft.ner
+
+import scala.util.Random
+
+/** Deterministic in-memory demo model (no file, no download): a character-
+  * level WordPiece vocab (`a-z0-9` + `##`-subwords + specials) with seeded
+  * pseudo-random weights at bert-tiny-ish dimensions. Exists so the
+  * with-model inference path — tokenizer, transformer forward pass, BIO
+  * merge — can be exercised and benchmarked end-to-end in environments with
+  * no real model artifact (the driver's, and CI). The entities it emits are
+  * meaningless but fully deterministic.
+  */
+object SyntheticModel {
+
+  val Hparams: NerHparams = NerHparams(
+    nVocab = 0, // patched below after vocab construction
+    nMaxTokens = 128,
+    nEmbd = 64,
+    nIntermediate = 256,
+    nHead = 2,
+    nLayer = 2,
+    f16 = 0,
+    nLabels = 9)
+
+  private val chars: Seq[String] =
+    ("abcdefghijklmnopqrstuvwxyz0123456789").map(_.toString)
+
+  val VocabTokens: Seq[String] =
+    Seq("[PAD]", "[CLS]", "[SEP]") ++ chars ++ chars.map("##" + _)
+
+  private def seeded(name: String, n: Int): Array[Float] = {
+    val r = new Random(0xC0FFEE ^ name.hashCode.toLong)
+    Array.fill(n)((r.nextFloat() - 0.5f) * 0.2f)
+  }
+
+  /** Build the model once per JVM (shared across tasks like a loaded file). */
+  lazy val loaded: Ner.Loaded = {
+    val hp = Hparams.copy(nVocab = VocabTokens.length)
+    val main = Map.newBuilder[String, Int]
+    val sub = Map.newBuilder[String, Int]
+    val id2 = Map.newBuilder[Int, String]
+    VocabTokens.zipWithIndex.foreach { case (t, i) =>
+      id2 += i -> t
+      if (t.length > 2 && t.startsWith("##")) sub += t.substring(2) -> i
+      else main += t -> i
+    }
+    val t = Map.newBuilder[String, NerTensor]
+    def add(name: String, dims: Array[Int]): Unit =
+      t += name -> NerTensor(dims, seeded(name, dims.product))
+    add("embeddings.word_embeddings.weight", Array(hp.nEmbd, hp.nVocab))
+    add("embeddings.token_type_embeddings.weight", Array(hp.nEmbd, 2))
+    add("embeddings.position_embeddings.weight", Array(hp.nEmbd, hp.nMaxTokens))
+    add("embeddings.LayerNorm.weight", Array(hp.nEmbd))
+    add("embeddings.LayerNorm.bias", Array(hp.nEmbd))
+    for (i <- 0 until hp.nLayer) {
+      val b = s"encoder.layer.$i."
+      add(b + "attention.self.query.weight", Array(hp.nEmbd, hp.nEmbd))
+      add(b + "attention.self.query.bias", Array(hp.nEmbd))
+      add(b + "attention.self.key.weight", Array(hp.nEmbd, hp.nEmbd))
+      add(b + "attention.self.key.bias", Array(hp.nEmbd))
+      add(b + "attention.self.value.weight", Array(hp.nEmbd, hp.nEmbd))
+      add(b + "attention.self.value.bias", Array(hp.nEmbd))
+      add(b + "attention.output.dense.weight", Array(hp.nEmbd, hp.nEmbd))
+      add(b + "attention.output.dense.bias", Array(hp.nEmbd))
+      add(b + "attention.output.LayerNorm.weight", Array(hp.nEmbd))
+      add(b + "attention.output.LayerNorm.bias", Array(hp.nEmbd))
+      add(b + "intermediate.dense.weight", Array(hp.nEmbd, hp.nIntermediate))
+      add(b + "intermediate.dense.bias", Array(hp.nIntermediate))
+      add(b + "output.dense.weight", Array(hp.nIntermediate, hp.nEmbd))
+      add(b + "output.dense.bias", Array(hp.nEmbd))
+      add(b + "output.LayerNorm.weight", Array(hp.nEmbd))
+      add(b + "output.LayerNorm.bias", Array(hp.nEmbd))
+    }
+    add("classifier.weight", Array(hp.nEmbd, hp.nLabels))
+    add("classifier.bias", Array(hp.nLabels))
+    val model = NerModel(hp,
+      NerVocab(main.result(), sub.result(), id2.result()), t.result())
+    Ner.Loaded(model, new BertEncoder(model))
+  }
+}

@@ -35,7 +35,32 @@ object NerQueries {
              FROM graft_documents_ner ORDER BY doc_id""")
   }
 
+  /** q26: the WITH-model inference path end-to-end — tokenizer, transformer
+    * forward pass, argmax, BIO merge — against the deterministic in-memory
+    * [[graft.ner.SyntheticModel]] (char-level vocab, seeded weights), run
+    * through `mapPartitions` so the model is resolved once per partition.
+    * Entities are synthetic but deterministic; there is no DuckDB
+    * counterpart for a transformer, so this is a rows-only check by design —
+    * and the bench's measure of real inference throughput.
+    */
+  private def withModel(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.parallelize(s, documents(s, d))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val loaded = Some(graft.ner.SyntheticModel.loaded)
+        rows.map { case (id, text) =>
+          val ents = Ner.evalWith(loaded, text, truncate = true)
+          (id, ents.length, if (ents.isEmpty) null else ents.head.label)
+        }
+      }
+      .toDF("doc_id", "n_entities", "first_label")
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q24_ner_flagship", flagship, Some(oFlagship)),
-    QueryDef("q25_ner_extract_sql", extract2, Some(oFlagship)))
+    QueryDef("q25_ner_extract_sql", extract2, Some(oFlagship)),
+    QueryDef("q26_ner_with_model", withModel, None))
 }
