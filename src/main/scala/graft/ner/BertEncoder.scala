@@ -77,20 +77,32 @@ final class BertEncoder(model: NerModel) {
     )
   }
 
-  /** y[n x out] = x[n x in] * W^T[out x in] + b */
+  /** y[n x out] = x[n x in] * W^T[out x in] + b, into a caller-provided
+    * buffer. Float accumulation in a 4-way unrolled loop: the JIT
+    * auto-vectorizes independent f32 partial sums, which a single double
+    * accumulator would forbid (ggml's F32 kernels accumulate in F32 too,
+    * `ggml_vec_dot_f32`).
+    */
   private def linear(x: Array[Float], n: Int, in: Int, out: Int,
-      w: Array[Float], b: Array[Float]): Array[Float] = {
-    val y = new Array[Float](n * out)
+      w: Array[Float], b: Array[Float], y: Array[Float]): Array[Float] = {
+    val in4 = in - (in & 3)
     var r = 0
     while (r < n) {
       val xo = r * in
       var o = 0
       while (o < out) {
         val wo = o * in
-        var acc = 0.0
+        var a0 = 0f; var a1 = 0f; var a2 = 0f; var a3 = 0f
         var i = 0
-        while (i < in) { acc += x(xo + i) * w(wo + i); i += 1 }
-        y(r * out + o) = (acc + b(o)).toFloat
+        while (i < in4) {
+          a0 += x(xo + i) * w(wo + i)
+          a1 += x(xo + i + 1) * w(wo + i + 1)
+          a2 += x(xo + i + 2) * w(wo + i + 2)
+          a3 += x(xo + i + 3) * w(wo + i + 3)
+          i += 4
+        }
+        while (i < in) { a0 += x(xo + i) * w(wo + i); i += 1 }
+        y(r * out + o) = (a0 + a1) + (a2 + a3) + b(o)
         o += 1
       }
       r += 1
@@ -127,13 +139,33 @@ final class BertEncoder(model: NerModel) {
   @inline private def gelu(x: Float): Float =
     (0.5 * x * (1.0 + math.tanh(0.7978845608028654 * (x + 0.044715 * x * x * x)))).toFloat
 
+  /** Per-thread scratch, sized once for nMaxTokens and reused across rows —
+    * the reference's per-chunk buffer reuse (`ner_extension.cpp:92-95`)
+    * adapted to shared-encoder / many-task execution (ThreadLocal because
+    * one Loaded encoder is shared by every task in the executor JVM).
+    */
+  private final class Scratch {
+    val h = new Array[Float](hp.nMaxTokens * nEmbd)
+    val q = new Array[Float](hp.nMaxTokens * nEmbd)
+    val k = new Array[Float](hp.nMaxTokens * nEmbd)
+    val v = new Array[Float](hp.nMaxTokens * nEmbd)
+    val att = new Array[Float](hp.nMaxTokens * nEmbd)
+    val t1 = new Array[Float](hp.nMaxTokens * nEmbd)
+    val inter = new Array[Float](hp.nMaxTokens * nInter)
+    val scores = new Array[Double](hp.nMaxTokens)
+  }
+
+  private val scratch: ThreadLocal[Scratch] =
+    ThreadLocal.withInitial(() => new Scratch)
+
   /** Run the encoder; returns logits flattened token-major: logit(t, l) =
     * result(t * nLabels + l), same layout the reference memcpy's out
     * (`src/ner_model.cpp:423`).
     */
   def eval(tokens: Array[Int]): Array[Float] = {
     val n = tokens.length
-    var h = new Array[Float](n * nEmbd)
+    val s = scratch.get()
+    val h = s.h
     var t = 0
     while (t < n) {
       val tok = if (tokens(t) >= 0 && tokens(t) < hp.nVocab) tokens(t) else 0
@@ -153,12 +185,12 @@ final class BertEncoder(model: NerModel) {
     var li = 0
     while (li < layers.length) {
       val L = layers(li)
-      val q = linear(h, n, nEmbd, nEmbd, L.qw, L.qb)
-      val k = linear(h, n, nEmbd, nEmbd, L.kw, L.kb)
-      val v = linear(h, n, nEmbd, nEmbd, L.vw, L.vb)
+      val q = linear(h, n, nEmbd, nEmbd, L.qw, L.qb, s.q)
+      val k = linear(h, n, nEmbd, nEmbd, L.kw, L.kb, s.k)
+      val v = linear(h, n, nEmbd, nEmbd, L.vw, L.vb, s.v)
 
-      val att = new Array[Float](n * nEmbd)
-      val scores = new Array[Double](n)
+      val att = s.att
+      val scores = s.scores
       var head = 0
       while (head < nHead) {
         val hOff = head * dHead
@@ -191,23 +223,25 @@ final class BertEncoder(model: NerModel) {
         head += 1
       }
 
-      val attOut = linear(att, n, nEmbd, nEmbd, L.ow, L.ob)
+      val attOut = linear(att, n, nEmbd, nEmbd, L.ow, L.ob, s.t1)
       var i = 0
-      while (i < attOut.length) { attOut(i) += h(i); i += 1 }
+      val nd = n * nEmbd
+      while (i < nd) { attOut(i) += h(i); i += 1 }
       layerNorm(attOut, n, nEmbd, L.lnAw, L.lnAb)
 
-      val inter = linear(attOut, n, nEmbd, nInter, L.fiW, L.fiB)
+      val inter = linear(attOut, n, nEmbd, nInter, L.fiW, L.fiB, s.inter)
       i = 0
-      while (i < inter.length) { inter(i) = gelu(inter(i)); i += 1 }
-      val ffOut = linear(inter, n, nInter, nEmbd, L.foW, L.foB)
+      val ni = n * nInter
+      while (i < ni) { inter(i) = gelu(inter(i)); i += 1 }
+      // FFN output overwrites h (not read again this layer), then residual
+      val ffOut = linear(inter, n, nInter, nEmbd, L.foW, L.foB, h)
       i = 0
-      while (i < ffOut.length) { ffOut(i) += attOut(i); i += 1 }
+      while (i < nd) { ffOut(i) += attOut(i); i += 1 }
       layerNorm(ffOut, n, nEmbd, L.lnOw, L.lnOb)
 
-      h = ffOut
       li += 1
     }
 
-    linear(h, n, nEmbd, nLabels, clsW, clsB)
+    linear(h, n, nEmbd, nLabels, clsW, clsB, new Array[Float](n * nLabels))
   }
 }
