@@ -1,0 +1,100 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Breadth sweep over the remaining built-in families: the full window
+  * function set, extended string functions, and transcendental math (safe
+  * only under aggregation — per-element libm vs JVM last-ulp differences
+  * vanish inside a rounded sum, see q57).
+  */
+object Variety {
+  import Tables._
+
+  /** q55: lead/lag/first/ntile/cume_dist/rank family in one pass. */
+  private def q55(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    orders(s, d)
+      .filter(col("o_custkey") < 200)
+      .select(
+        col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        lag(col("o_totalprice"), 1).over(w).as("prev_price"),
+        lead(col("o_totalprice"), 1).over(w).as("next_price"),
+        first(col("o_totalprice")).over(w).as("first_price"),
+        ntile(4).over(w).as("quartile"),
+        round(cume_dist().over(w), 6).as("cdist"),
+        rank().over(w).as("rnk"),
+        dense_rank().over(w).as("drnk"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  private val o55 = """
+    SELECT o_custkey, o_orderkey, o_totalprice,
+           lag(o_totalprice, 1) OVER w AS prev_price,
+           lead(o_totalprice, 1) OVER w AS next_price,
+           first_value(o_totalprice) OVER w AS first_price,
+           CAST(ntile(4) OVER w AS INT) AS quartile,
+           round(cume_dist() OVER w, 6) AS cdist,
+           CAST(rank() OVER w AS INT) AS rnk,
+           CAST(dense_rank() OVER w AS INT) AS drnk
+    FROM orders WHERE o_custkey < 200
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+    ORDER BY o_custkey, o_orderkey"""
+
+  /** q56: extended string built-ins. */
+  private def q56(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .select(
+        col("p_partkey"),
+        lpad(col("p_brand"), 12, "*").as("brand_pad"),
+        rpad(col("p_type"), 10, ".").as("type_pad"),
+        reverse(col("p_name")).as("name_rev"),
+        expr("repeat(p_brand, 2)").as("brand2"),
+        expr("split_part(p_name, ' ', 1)").as("first_word"),
+        expr("left(p_name, 4)").as("name_l4"),
+        expr("right(p_name, 3)").as("name_r3"),
+        translate(col("p_name"), "aeiou", "AEIOU").as("name_vowels"))
+      .orderBy(col("p_partkey"))
+
+  private val o56 = """
+    SELECT p_partkey,
+           lpad(p_brand, 12, '*') AS brand_pad,
+           rpad(p_type, 10, '.') AS type_pad,
+           reverse(p_name) AS name_rev,
+           repeat(p_brand, 2) AS brand2,
+           split_part(p_name, ' ', 1) AS first_word,
+           left(p_name, 4) AS name_l4,
+           right(p_name, 3) AS name_r3,
+           translate(p_name, 'aeiou', 'AEIOU') AS name_vowels
+    FROM part ORDER BY p_partkey"""
+
+  /** q57: transcendental math under aggregation — ln/exp/log10 per element
+    * differ between libm and the JVM by ulps, so only rounded aggregates are
+    * cross-engine stable (relative error ~1e-16 per term stays ~1e-10
+    * absolute in the sums, far inside the rounding margin).
+    */
+  private def q57(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(sum(log(col("l_extendedprice"))), 4).as("sum_ln_price"),
+        round(avg(exp(col("l_discount"))), 6).as("avg_exp_disc"),
+        round(sum(log10(col("l_quantity"))), 4).as("sum_log10_qty"),
+        round(sum(pow(col("l_discount"), 2)), 6).as("sum_disc_sq"))
+      .orderBy(col("l_returnflag"))
+
+  private val o57 = """
+    SELECT l_returnflag,
+           round(sum(ln(l_extendedprice)), 4) AS sum_ln_price,
+           round(avg(exp(l_discount)), 6) AS avg_exp_disc,
+           round(sum(log10(l_quantity)), 4) AS sum_log10_qty,
+           round(sum(pow(l_discount, 2)), 6) AS sum_disc_sq
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q55_window_variety", q55, Some(o55)),
+    QueryDef("q56_string_variety", q56, Some(o56)),
+    QueryDef("q57_transcendental_agg", q57, Some(o57)))
+}
