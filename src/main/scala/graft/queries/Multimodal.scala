@@ -89,7 +89,75 @@ object Multimodal {
                 WHEN 1 THEN 'png' ELSE 'webp' END AS fake_format
     FROM documents ORDER BY doc_id"""
 
+  /** Typed feature vector from a payload — the feature-extract stage. */
+  final case class MediaFeatures(
+      doc_id: Long, n_bytes: Int, n_tokens: Int, hash_bucket: Int,
+      first_cp: Int)
+
+  /** STUB feature extraction (a real one would run an image/audio encoder):
+    * deterministic integer features of the payload, per partition. Every
+    * feature is SQL-expressible, so unlike the decode stub this stage is
+    * fully oracle-checked.
+    */
+  def featureStub(rows: Iterator[MediaRow]): Iterator[MediaFeatures] =
+    rows.map { r =>
+      val s = new String(r.payload, java.nio.charset.StandardCharsets.UTF_8)
+      var h = 0L
+      s.codePoints().forEach(cp => h = (h * 31 + cp) % 1000000007L)
+      MediaFeatures(r.doc_id, r.payload.length,
+        s.trim.split("\\s+").length, (h % 1000L).toInt,
+        if (s.isEmpty) -1 else s.codePointAt(0))
+    }
+
+  /** STUB resize: scales the fake dimensions preserving aspect (pure
+    * integer arithmetic on the metadata — a real implementation would
+    * transform pixels here).
+    */
+  def resizeStub(rows: Iterator[MediaMeta], maxW: Int): Iterator[MediaMeta] =
+    rows.map { m =>
+      if (m.fake_width <= maxW || m.fake_width == 0) m
+      else m.copy(
+        fake_width = maxW,
+        fake_height = m.fake_height * maxW / m.fake_width)
+    }
+
+  /** STUB frame sampling for "video" payloads: every k-th 16-byte window's
+    * offset — the shape of a keyframe extractor (offsets only; a real one
+    * would decode frames).
+    */
+  def frameSampleStub(rows: Iterator[MediaRow], stride: Int): Iterator[(Long, Seq[Int])] =
+    rows.map { r =>
+      val n = math.max(0, (r.payload.length - 16) / stride + 1)
+      (r.doc_id, (0 until n).map(_ * stride))
+    }
+
+  /** q58: the feature-extract stage end-to-end through the typed pipeline,
+    * oracle-checked against the same integer arithmetic in SQL.
+    */
+  private def q58(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.parallelize(s, documents(s, d))
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRow]
+      .mapPartitions(featureStub _)
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  private val o58 = """
+    SELECT doc_id, CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+           CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tokens,
+           CAST(list_reduce(
+             list_prepend(CAST(0 AS BIGINT),
+               list_transform(range(1, length(text) + 1),
+                 i -> CAST(ascii(substr(text, i, 1)) AS BIGINT))),
+             (a, b) -> (a * 31 + b) % 1000000007) % 1000 AS INT)
+             AS hash_bucket,
+           CAST(ascii(substr(text, 1, 1)) AS INT) AS first_cp
+    FROM documents ORDER BY doc_id"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q45_multimodal_meta", q45, Some(o45)),
-    QueryDef("q46_multimodal_decode", q46, Some(o46)))
+    QueryDef("q46_multimodal_decode", q46, Some(o46)),
+    QueryDef("q58_multimodal_features", q58, Some(o58)))
 }

@@ -93,8 +93,30 @@ object Variety {
            round(sum(pow(l_discount, 2)), 6) AS sum_disc_sq
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  /** q59: arbitrary GROUPING SETS (the general form rollup/cube specialize). */
+  private def q59(s: SparkSession, d: String): DataFrame = {
+    orders(s, d).createOrReplaceTempView("graft_gs_orders")
+    customer(s, d).createOrReplaceTempView("graft_gs_customer")
+    s.sql("""
+      SELECT c_mktsegment, o_orderstatus, count(*) AS n,
+             round(sum(o_totalprice), 2) AS sum_price
+      FROM graft_gs_orders JOIN graft_gs_customer ON o_custkey = c_custkey
+      GROUP BY GROUPING SETS ((c_mktsegment, o_orderstatus),
+                              (c_mktsegment), (o_orderstatus))
+      ORDER BY c_mktsegment ASC NULLS FIRST, o_orderstatus ASC NULLS FIRST""")
+  }
+
+  private val o59 = """
+    SELECT c_mktsegment, o_orderstatus, count(*) AS n,
+           round(sum(o_totalprice), 2) AS sum_price
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY GROUPING SETS ((c_mktsegment, o_orderstatus),
+                            (c_mktsegment), (o_orderstatus))
+    ORDER BY c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q55_window_variety", q55, Some(o55)),
     QueryDef("q56_string_variety", q56, Some(o56)),
-    QueryDef("q57_transcendental_agg", q57, Some(o57)))
+    QueryDef("q57_transcendental_agg", q57, Some(o57)),
+    QueryDef("q59_grouping_sets", q59, Some(o59)))
 }
