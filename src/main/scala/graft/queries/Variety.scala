@@ -114,9 +114,37 @@ object Variety {
                             (c_mktsegment), (o_orderstatus))
     ORDER BY c_mktsegment NULLS FIRST, o_orderstatus NULLS FIRST"""
 
+  private def flagParts(s: SparkSession, d: String, flag: String): DataFrame =
+    lineitem(s, d).filter(col("l_returnflag") === flag)
+      .select(col("l_partkey"))
+
+  /** q60: multiset INTERSECT ALL (multiplicity = min of the two sides). */
+  private def q60(s: SparkSession, d: String): DataFrame =
+    flagParts(s, d, "A").intersectAll(flagParts(s, d, "R"))
+      .orderBy(col("l_partkey"))
+
+  private val o60 = """
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+    INTERSECT ALL
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    ORDER BY l_partkey"""
+
+  /** q61: multiset EXCEPT ALL (multiplicity = left minus right, floor 0). */
+  private def q61(s: SparkSession, d: String): DataFrame =
+    flagParts(s, d, "A").exceptAll(flagParts(s, d, "R"))
+      .orderBy(col("l_partkey"))
+
+  private val o61 = """
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+    EXCEPT ALL
+    SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+    ORDER BY l_partkey"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q55_window_variety", q55, Some(o55)),
     QueryDef("q56_string_variety", q56, Some(o56)),
     QueryDef("q57_transcendental_agg", q57, Some(o57)),
-    QueryDef("q59_grouping_sets", q59, Some(o59)))
+    QueryDef("q59_grouping_sets", q59, Some(o59)),
+    QueryDef("q60_intersect_all", q60, Some(o60)),
+    QueryDef("q61_except_all", q61, Some(o61)))
 }
