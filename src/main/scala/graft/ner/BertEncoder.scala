@@ -78,31 +78,19 @@ final class BertEncoder(model: NerModel) {
   }
 
   /** y[n x out] = x[n x in] * W^T[out x in] + b, into a caller-provided
-    * buffer. Float accumulation in a 4-way unrolled loop: the JIT
-    * auto-vectorizes independent f32 partial sums, which a single double
-    * accumulator would forbid (ggml's F32 kernels accumulate in F32 too,
-    * `ggml_vec_dot_f32`).
+    * buffer. The dot goes through [[Kernels.best]] — Vector-API SIMD when
+    * available, 4-way-unrolled f32 scalar otherwise (either way f32
+    * accumulation, like ggml's `ggml_vec_dot_f32`).
     */
   private def linear(x: Array[Float], n: Int, in: Int, out: Int,
       w: Array[Float], b: Array[Float], y: Array[Float]): Array[Float] = {
-    val in4 = in - (in & 3)
+    val kern = Kernels.best
     var r = 0
     while (r < n) {
       val xo = r * in
       var o = 0
       while (o < out) {
-        val wo = o * in
-        var a0 = 0f; var a1 = 0f; var a2 = 0f; var a3 = 0f
-        var i = 0
-        while (i < in4) {
-          a0 += x(xo + i) * w(wo + i)
-          a1 += x(xo + i + 1) * w(wo + i + 1)
-          a2 += x(xo + i + 2) * w(wo + i + 2)
-          a3 += x(xo + i + 3) * w(wo + i + 3)
-          i += 4
-        }
-        while (i < in) { a0 += x(xo + i) * w(wo + i); i += 1 }
-        y(r * out + o) = (a0 + a1) + (a2 + a3) + b(o)
+        y(r * out + o) = kern.dot(x, xo, w, o * in, in) + b(o)
         o += 1
       }
       r += 1
@@ -135,9 +123,14 @@ final class BertEncoder(model: NerModel) {
     }
   }
 
-  /** ggml_gelu: tanh approximation. */
-  @inline private def gelu(x: Float): Float =
-    (0.5 * x * (1.0 + math.tanh(0.7978845608028654 * (x + 0.044715 * x * x * x)))).toFloat
+  /** ggml_gelu: tanh approximation, computed in sigmoid form —
+    * 0.5x(1+tanh(y)) == x * sigma(2y) — so it costs one `exp` instead of a
+    * `tanh` (~2x cheaper on the JVM, same function up to fp rounding).
+    */
+  @inline private def gelu(x: Float): Float = {
+    val y2 = 2.0 * 0.7978845608028654 * (x + 0.044715 * x * x * x)
+    (x / (1.0 + math.exp(-y2))).toFloat
+  }
 
   /** Per-thread scratch, sized once for nMaxTokens and reused across rows —
     * the reference's per-chunk buffer reuse (`ner_extension.cpp:92-95`)
@@ -153,6 +146,7 @@ final class BertEncoder(model: NerModel) {
     val t1 = new Array[Float](hp.nMaxTokens * nEmbd)
     val inter = new Array[Float](hp.nMaxTokens * nInter)
     val scores = new Array[Double](hp.nMaxTokens)
+    val probs = new Array[Float](hp.nMaxTokens)
   }
 
   private val scratch: ThreadLocal[Scratch] =
@@ -191,32 +185,36 @@ final class BertEncoder(model: NerModel) {
 
       val att = s.att
       val scores = s.scores
+      val probs = s.probs
+      val kern = Kernels.best
       var head = 0
       while (head < nHead) {
         val hOff = head * dHead
         var qi = 0
         while (qi < n) {
+          val qo = qi * nEmbd + hOff
           var kj = 0
           var maxS = Double.NegativeInfinity
           while (kj < n) {
-            var s = 0.0
-            var d = 0
-            while (d < dHead) { s += q(qi * nEmbd + hOff + d) * k(kj * nEmbd + hOff + d); d += 1 }
-            s *= scale
-            scores(kj) = s
-            if (s > maxS) maxS = s
+            val sc = kern.dot(q, qo, k, kj * nEmbd + hOff, dHead) * scale
+            scores(kj) = sc
+            if (sc > maxS) maxS = sc
             kj += 1
           }
+          // softmax in double for stability, weights to float for the AV pass
           var sum = 0.0
           kj = 0
           while (kj < n) { val e = math.exp(scores(kj) - maxS); scores(kj) = e; sum += e; kj += 1 }
+          val inv = (1.0 / sum).toFloat
+          kj = 0
+          while (kj < n) { probs(kj) = scores(kj).toFloat * inv; kj += 1 }
+          // AV as saxpy over the head slice (unit stride, vectorizable)
           var d = 0
-          while (d < dHead) {
-            var acc = 0.0
-            kj = 0
-            while (kj < n) { acc += scores(kj) * v(kj * nEmbd + hOff + d); kj += 1 }
-            att(qi * nEmbd + hOff + d) = (acc / sum).toFloat
-            d += 1
+          while (d < dHead) { att(qo + d) = 0f; d += 1 }
+          kj = 0
+          while (kj < n) {
+            kern.axpy(probs(kj), v, kj * nEmbd + hOff, att, qo, dHead)
+            kj += 1
           }
           qi += 1
         }
