@@ -198,16 +198,16 @@ object TextOps {
 
   /** q48: per-document fingerprints — md5 of the normalized text plus a
     * polynomial rolling hash (base-31 mod 1e9+7 over codepoints, the classic
-    * Rabin-Karp accumulator), both exact and engine-portable.
+    * Rabin-Karp accumulator) computed by the codegen'd native expression
+    * [[graft.functions.RollingHashExpression]]; both exact and
+    * engine-portable.
     */
   private def q48(s: SparkSession, d: String): DataFrame =
     parallelize(s, documents(s, d))
       .select(
         col("doc_id"),
         md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp_md5"),
-        aggregate(sequence(lit(1), length(col("text"))), lit(0L),
-          (acc, i) => (acc * 31L + ascii(col("text").substr(i, lit(1)))
-            .cast("long")) % 1000000007L)
+        graft.functions.RollingHashExpression.rollingHash(col("text"))
           .as("fp_rolling"))
       .orderBy(col("doc_id"))
 
