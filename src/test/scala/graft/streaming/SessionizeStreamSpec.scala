@@ -45,4 +45,49 @@ class SessionizeStreamSpec extends SparkTestBase {
         (1L, bus + 3 * h / 1000, bus + 3 * h / 1000, 1L, 4.0))) // timer-closed
     } finally query.stop()
   }
+
+  test("streaming sessionization agrees with the batch q50 on real events") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val rows = spark.read.parquet(s"${sf()}/events.parquet")
+      .select("ts", "user_id", "value")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1)
+
+    val input = MemoryStream[(Long, Long, Double)]
+    val sessions = SessionizeStream.attach(
+      input.toDS().toDF("ts", "user_id", "value"))
+    val query = sessions.writeStream
+      .format("memory").queryName("sess_batch_eq")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows.toSeq)
+      query.processAllAvailable()
+      // sentinel far past everything: watermark sweep closes all real sessions
+      val flushTs = rows.map(_._1).max + 100L * 3600000000000L
+      input.addData((flushTs, -1L, 0.0))
+      query.processAllAvailable()
+
+      val streamed = spark.table("sess_batch_eq")
+        .filter($"user_id" >= 0)
+        .groupBy("user_id")
+        .agg(
+          org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n_sessions"),
+          org.apache.spark.sql.functions.sum("n_events").as("n_events"))
+        .orderBy("user_id")
+        .collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        .toSeq
+
+      val batch = graft.SparkEntry.queries("q50_sessionize")(spark, sf())
+        .select("user_id", "n_sessions", "n_events")
+        .collect()
+        .map(r => (r.getLong(0), r.getInt(1).toLong, r.getLong(2)))
+        .toSeq
+      assert(streamed == batch)
+    } finally query.stop()
+  }
 }
