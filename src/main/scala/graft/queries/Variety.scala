@@ -140,7 +140,61 @@ object Variety {
     SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
     ORDER BY l_partkey"""
 
+  /** q62: array built-ins over word lists (order-normalized where the
+    * engines' distinct-order guarantees differ).
+    */
+  private def q62(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("ws", split(trim(col("text")), "\\s+"))
+      .select(
+        col("doc_id"),
+        array_sort(array_distinct(col("ws"))).as("vocab_sorted"),
+        slice(col("ws"), 1, 5).as("first5"),
+        size(array_distinct(col("ws"))).as("n_distinct"),
+        array_contains(col("ws"), "spark").as("has_spark"),
+        element_at(array_sort(col("ws")), 1).as("min_word"))
+      .orderBy(col("doc_id"))
+
+  private val o62 = """
+    SELECT doc_id,
+           list_sort(list_distinct(ws)) AS vocab_sorted,
+           list_slice(ws, 1, 5) AS first5,
+           CAST(len(list_distinct(ws)) AS INT) AS n_distinct,
+           list_contains(ws, 'spark') AS has_spark,
+           list_sort(ws)[1] AS min_word
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+          FROM documents)
+    ORDER BY doc_id"""
+
+  /** q63: regexp built-ins (simple patterns are dialect-portable between
+    * Java regex and RE2).
+    */
+  private def q63(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .select(
+        col("p_partkey"),
+        regexp_extract(col("p_brand"), "#([0-9]+)", 1).as("brand_num_s"),
+        col("p_name").rlike("^[a-z]+ (widget|bolt)$").as("is_widget_or_bolt"),
+        regexp_replace(col("p_name"), "[aeiou]", "_").as("name_devoweled"))
+      .withColumn("brand_num",
+        when(col("brand_num_s") === "", -1)
+          .otherwise(col("brand_num_s").cast("int")))
+      .drop("brand_num_s")
+      .orderBy(col("p_partkey"))
+
+  private val o63 = """
+    SELECT p_partkey,
+           regexp_matches(p_name, '^[a-z]+ (widget|bolt)$')
+             AS is_widget_or_bolt,
+           regexp_replace(p_name, '[aeiou]', '_', 'g') AS name_devoweled,
+           CASE WHEN regexp_extract(p_brand, '#([0-9]+)', 1) = '' THEN -1
+                ELSE CAST(regexp_extract(p_brand, '#([0-9]+)', 1) AS INT)
+           END AS brand_num
+    FROM part ORDER BY p_partkey"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q62_array_variety", q62, Some(o62)),
+    QueryDef("q63_regexp_variety", q63, Some(o63)),
     QueryDef("q55_window_variety", q55, Some(o55)),
     QueryDef("q56_string_variety", q56, Some(o56)),
     QueryDef("q57_transcendental_agg", q57, Some(o57)),
