@@ -192,7 +192,42 @@ object Variety {
            END AS brand_num
     FROM part ORDER BY p_partkey"""
 
+  /** q64: NULL semantics — the testdata has no native NULLs, so they are
+    * manufactured with nullif and must behave identically through count/sum/
+    * avg (null-skipping), coalesce, and null-safe equality.
+    */
+  private def q64(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .withColumn("rf_n", expr("nullif(l_returnflag, 'A')"))
+      .withColumn("qty_n", expr("nullif(l_quantity, 1.0D)"))
+      .groupBy(col("l_linestatus"))
+      .agg(
+        count(lit(1)).as("n_rows"),
+        count(col("rf_n")).as("n_not_a"),
+        sum(when(col("rf_n").isNull, 1L).otherwise(0L)).cast("long")
+          .as("n_a"),
+        round(sum(coalesce(col("qty_n"), lit(0.0))), 2).as("sum_qty_no1"),
+        round(avg(col("qty_n")), 4).as("avg_qty_no1"),
+        sum(when(col("rf_n") <=> lit(null), 1L).otherwise(0L)).cast("long")
+          .as("n_null_safe_eq"))
+      .orderBy(col("l_linestatus"))
+
+  private val o64 = """
+    SELECT l_linestatus, count(*) AS n_rows,
+           count(rf_n) AS n_not_a,
+           CAST(sum(CASE WHEN rf_n IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_a,
+           round(sum(coalesce(qty_n, 0.0)), 2) AS sum_qty_no1,
+           round(avg(qty_n), 4) AS avg_qty_no1,
+           CAST(sum(CASE WHEN rf_n IS NOT DISTINCT FROM NULL THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_null_safe_eq
+    FROM (SELECT l_linestatus, nullif(l_returnflag, 'A') AS rf_n,
+                 nullif(l_quantity, 1.0) AS qty_n
+          FROM lineitem)
+    GROUP BY l_linestatus ORDER BY l_linestatus"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q64_null_semantics", q64, Some(o64)),
     QueryDef("q62_array_variety", q62, Some(o62)),
     QueryDef("q63_regexp_variety", q63, Some(o63)),
     QueryDef("q55_window_variety", q55, Some(o55)),
