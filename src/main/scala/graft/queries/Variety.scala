@@ -226,7 +226,39 @@ object Variety {
           FROM lineitem)
     GROUP BY l_linestatus ORDER BY l_linestatus"""
 
+  /** q68: date arithmetic variety (datediff/date_add/last_day/iso weekday/
+    * day-of-year) over the orders-lineitem join. Spark's `weekday` is
+    * 0=Monday; `weekday + 1` equals DuckDB's `isodow`.
+    */
+  private def q68(s: SparkSession, d: String): DataFrame =
+    orders(s, d)
+      .join(lineitem(s, d), col("o_orderkey") === col("l_orderkey"))
+      .filter(col("l_linenumber") === 1)
+      .select(
+        col("o_orderkey"),
+        datediff(col("l_shipdate"), col("o_orderdate")).as("ship_lag_days"),
+        date_add(col("o_orderdate").cast("date"), 30).as("due_date"),
+        last_day(col("o_orderdate")).as("month_end"),
+        (weekday(col("o_orderdate")) + 1).as("iso_dow"),
+        dayofyear(col("o_orderdate")).as("doy"))
+      // (o_orderkey, l_linenumber) is NOT unique in this synthetic data —
+      // order by every output column so any remaining ties are identical rows
+      .orderBy(col("o_orderkey"), col("ship_lag_days"), col("due_date"))
+
+  private val o68 = """
+    SELECT o_orderkey,
+           CAST(date_diff('day', o_orderdate, l_shipdate) AS INT)
+             AS ship_lag_days,
+           CAST(o_orderdate AS DATE) + 30 AS due_date,
+           last_day(o_orderdate) AS month_end,
+           CAST(isodow(o_orderdate) AS INT) AS iso_dow,
+           CAST(dayofyear(o_orderdate) AS INT) AS doy
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_linenumber = 1
+    ORDER BY o_orderkey, ship_lag_days, due_date"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q68_date_arith", q68, Some(o68)),
     QueryDef("q64_null_semantics", q64, Some(o64)),
     QueryDef("q62_array_variety", q62, Some(o62)),
     QueryDef("q63_regexp_variety", q63, Some(o63)),
