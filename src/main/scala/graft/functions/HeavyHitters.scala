@@ -27,7 +27,7 @@ object HeavyHitters {
   final case class Sketch(counts: Map[String, Long], evicted: Long)
 
   final class TopK(capacity: Int)
-      extends Aggregator[Seq[String], Sketch, Map[String, Long]] {
+      extends Aggregator[Seq[String], Sketch, (Map[String, Long], Long)] {
 
     override def zero: Sketch = Sketch(Map.empty, 0L)
 
@@ -48,16 +48,19 @@ object HeavyHitters {
 
     override def reduce(b: Sketch, items: Seq[String]): Sketch = {
       val m = mutable.Map.from(b.counts)
+      var evicted = b.evicted
       items.foreach { it =>
         if (m.contains(it) || m.size < capacity) add(m, it, 1L)
         else {
-          // evict min, inherit its count + 1
+          // evict min, inherit its count + 1; the evicted count is the
+          // overestimate bound — track it so exactness stays observable
           val (mk, mv) = m.minBy { case (k, v) => (v, k) }
           m.remove(mk)
           m.update(it, mv + 1L)
+          evicted = math.max(evicted, mv)
         }
       }
-      Sketch(m.toMap, b.evicted)
+      Sketch(m.toMap, evicted)
     }
 
     override def merge(a: Sketch, b: Sketch): Sketch = {
@@ -67,12 +70,19 @@ object HeavyHitters {
       Sketch(m.toMap, math.max(math.max(a.evicted, b.evicted), ev))
     }
 
-    override def finish(r: Sketch): Map[String, Long] = r.counts
+    /** Result = (counters, max evicted count). The bound is 0 iff the sketch
+      * never hit capacity and is therefore exact; oracle-paired queries expose
+      * it as an output column so the verify harness detects a silent switch
+      * to approximate mode (round-2 ADVICE) instead of a nondeterministic
+      * hash mismatch.
+      */
+    override def finish(r: Sketch): (Map[String, Long], Long) =
+      (r.counts, r.evicted)
 
     override def bufferEncoder: Encoder[Sketch] = Encoders.product[Sketch]
-    // ExpressionEncoder so the result is a real MapType column (explodable),
-    // not an opaque kryo binary
-    override def outputEncoder: Encoder[Map[String, Long]] =
-      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[String, Long]]()
+    // ExpressionEncoder so the result is a real (MapType, Long) struct column
+    // (explodable), not an opaque kryo binary
+    override def outputEncoder: Encoder[(Map[String, Long], Long)] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[(Map[String, Long], Long)]()
   }
 }

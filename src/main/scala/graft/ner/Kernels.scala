@@ -16,26 +16,30 @@ private[ner] trait DotKernel {
 }
 
 private[ner] object ScalarKernel extends DotKernel {
+  // Math.fma matches the SIMD path's fused rounding (round-2 ADVICE: mixed
+  // fused/unfused kernels gave environment-dependent last-ulp logits).
+  // Accumulation *order* still differs from the lane-wise SIMD reduce — only
+  // rounded aggregates of encoder outputs are comparable across kernels.
   override def dot(x: Array[Float], xo: Int, w: Array[Float], wo: Int,
       len: Int): Float = {
     val l4 = len - (len & 3)
     var a0 = 0f; var a1 = 0f; var a2 = 0f; var a3 = 0f
     var i = 0
     while (i < l4) {
-      a0 += x(xo + i) * w(wo + i)
-      a1 += x(xo + i + 1) * w(wo + i + 1)
-      a2 += x(xo + i + 2) * w(wo + i + 2)
-      a3 += x(xo + i + 3) * w(wo + i + 3)
+      a0 = Math.fma(x(xo + i), w(wo + i), a0)
+      a1 = Math.fma(x(xo + i + 1), w(wo + i + 1), a1)
+      a2 = Math.fma(x(xo + i + 2), w(wo + i + 2), a2)
+      a3 = Math.fma(x(xo + i + 3), w(wo + i + 3), a3)
       i += 4
     }
-    while (i < len) { a0 += x(xo + i) * w(wo + i); i += 1 }
+    while (i < len) { a0 = Math.fma(x(xo + i), w(wo + i), a0); i += 1 }
     (a0 + a1) + (a2 + a3)
   }
 
   override def axpy(a: Float, v: Array[Float], vo: Int, y: Array[Float],
       yo: Int, len: Int): Unit = {
     var i = 0
-    while (i < len) { y(yo + i) += a * v(vo + i); i += 1 }
+    while (i < len) { y(yo + i) = Math.fma(a, v(vo + i), y(yo + i)); i += 1 }
   }
 }
 

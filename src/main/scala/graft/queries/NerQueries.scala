@@ -14,24 +14,31 @@ import graft.ner.Ner
 object NerQueries {
   import Tables._
 
-  /** `SELECT doc_id, ner(text) ...` via the DataFrame API entry point. */
+  /** `SELECT doc_id, ner(text) ...` via the DataFrame API entry point.
+    * The LIST(STRUCT) result is serialized with `to_json` for the driver
+    * compare: the pandas hash-compare cannot sort rows on array-typed
+    * columns (round-2 ADVICE), and both engines render the empty typed
+    * list as the JSON literal `[]`. The typed ArrayType(StructType) schema
+    * itself is pinned by `NerSparkSpec`.
+    */
   private def flagship(s: SparkSession, d: String): DataFrame = {
     Ner.register(s)
     documents(s, d)
-      .select(col("doc_id"), Ner.ner(col("text")).as("entities"))
+      .select(col("doc_id"), to_json(Ner.ner(col("text"))).as("entities"))
       .orderBy(col("doc_id"))
   }
 
   private val oFlagship = """
     SELECT doc_id,
-           CAST([] AS STRUCT(entity VARCHAR, label VARCHAR)[]) AS entities
+           CAST(to_json(CAST([] AS STRUCT(entity VARCHAR, label VARCHAR)[]))
+                AS VARCHAR) AS entities
     FROM documents ORDER BY doc_id"""
 
   /** The SQL registration path + alias + 2-arg arity in one query. */
   private def extract2(s: SparkSession, d: String): DataFrame = {
     Ner.register(s)
     documents(s, d).createOrReplaceTempView("graft_documents_ner")
-    s.sql("""SELECT doc_id, ner_extract(text, true) AS entities
+    s.sql("""SELECT doc_id, to_json(ner_extract(text, true)) AS entities
              FROM graft_documents_ner ORDER BY doc_id""")
   }
 

@@ -23,14 +23,19 @@ object Sketches {
       .select(split(trim(col("text")), "\\s+").as("ws"))
       .as[Seq[String]](seqEnc)
     val hh = new HeavyHitters.TopK(1024).toColumn
+    // the tuple-typed aggregate column flattens to (_1 = counters,
+    // _2 = max evicted count); surfacing the bound makes the exact-regime
+    // precondition oracle-checked (expected 0), not assumed
     words.select(hh.name("hh"))
-      .select(explode(col("hh")).as(Seq("token", "cnt")))
+      .select(col("_2").as("evicted_bound"), explode(col("_1")))
+      .select(col("key").as("token"), col("value").as("cnt"),
+        col("evicted_bound"))
       .orderBy(col("cnt").desc, col("token"))
       .limit(20)
   }
 
   private val o53 = """
-    SELECT w AS token, count(*) AS cnt
+    SELECT w AS token, count(*) AS cnt, CAST(0 AS BIGINT) AS evicted_bound
     FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
           FROM documents)
     GROUP BY w ORDER BY cnt DESC, token LIMIT 20"""
@@ -39,7 +44,10 @@ object Sketches {
     * DuckDB `quantile_cont`, both linear-interpolation on the sorted set).
     */
   private def q54(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d)
+    // exact percentiles buffer per-group value maps in the partial agg; a
+    // single-row-group scan would run that on one core (9.6 s at sf0.1) —
+    // spread the partials across the executor count first
+    parallelize(s, lineitem(s, d))
       .groupBy(col("l_returnflag"))
       .agg(
         round(expr("percentile(l_extendedprice, 0.5D)"), 4).as("p50_price"),

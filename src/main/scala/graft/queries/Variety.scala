@@ -141,15 +141,20 @@ object Variety {
     ORDER BY l_partkey"""
 
   /** q62: array built-ins over word lists (order-normalized where the
-    * engines' distinct-order guarantees differ).
+    * engines' distinct-order guarantees differ). Array-typed outputs are
+    * flattened with `array_join(…, ' ')` — tokens come from a `\s+` split so
+    * they contain no spaces, making the join collision-free, and the driver's
+    * pandas hash-compare cannot sort rows on raw array columns (round-2
+    * ADVICE).
     */
   private def q62(s: SparkSession, d: String): DataFrame =
     documents(s, d)
       .withColumn("ws", split(trim(col("text")), "\\s+"))
       .select(
         col("doc_id"),
-        array_sort(array_distinct(col("ws"))).as("vocab_sorted"),
-        slice(col("ws"), 1, 5).as("first5"),
+        array_join(array_sort(array_distinct(col("ws"))), " ")
+          .as("vocab_sorted"),
+        array_join(slice(col("ws"), 1, 5), " ").as("first5"),
         size(array_distinct(col("ws"))).as("n_distinct"),
         array_contains(col("ws"), "spark").as("has_spark"),
         element_at(array_sort(col("ws")), 1).as("min_word"))
@@ -157,8 +162,8 @@ object Variety {
 
   private val o62 = """
     SELECT doc_id,
-           list_sort(list_distinct(ws)) AS vocab_sorted,
-           list_slice(ws, 1, 5) AS first5,
+           array_to_string(list_sort(list_distinct(ws)), ' ') AS vocab_sorted,
+           array_to_string(list_slice(ws, 1, 5), ' ') AS first5,
            CAST(len(list_distinct(ws)) AS INT) AS n_distinct,
            list_contains(ws, 'spark') AS has_spark,
            list_sort(ws)[1] AS min_word

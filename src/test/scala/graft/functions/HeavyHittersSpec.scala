@@ -41,6 +41,7 @@ class HeavyHittersSpec extends AnyFunSuite {
     val m1 = agg.merge(agg.merge(a, b), c)
     val m2 = agg.merge(a, agg.merge(b, c))
     assert(m1.counts == m2.counts)
-    assert(agg.finish(m1) == Map("x" -> 2L, "y" -> 1L, "z" -> 3L))
+    // finish = (counters, evicted bound); bound is 0 in the exact regime
+    assert(agg.finish(m1) == (Map("x" -> 2L, "y" -> 1L, "z" -> 3L), 0L))
   }
 }
