@@ -1,0 +1,295 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Corpus-preparation operators a training-data pipeline runs between raw
+  * ingestion and dedup: lambda-based array analytics, term weighting,
+  * n-gram statistics, PII scrubbing, deterministic corpus splits, and
+  * overlapping-window chunking. No reference counterpart (the reference
+  * delegates all of this to its host engine); every query here is exact
+  * integer/string/IEEE-arithmetic work so the DuckDB oracle reproduces it
+  * bit-for-bit.
+  *
+  * Scale notes: q69/q70/q73/q74/q75/q77 are per-row maps or map + explode
+  * (shuffle-free until their final aggregation); q72 is the classic
+  * two-aggregation term-weighting shape whose document-frequency side is a
+  * broadcastable dimension.
+  */
+object Corpus {
+  import Tables._
+
+  private def wsCol = split(trim(col("text")), "\\s+")
+
+  /** q69: higher-order array functions (filter/aggregate/transform lambdas)
+    * — Catalyst's codegen'd lambda expressions, no UDFs.
+    */
+  private def q69(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("ws", wsCol)
+      .select(
+        col("doc_id"),
+        size(filter(col("ws"), w => length(w) > 5)).as("n_long"),
+        aggregate(col("ws"), lit(0), (acc, w) => acc + length(w))
+          .as("sum_len"),
+        array_max(transform(col("ws"), w => length(w))).as("max_len"),
+        array_join(transform(slice(col("ws"), 1, 5), w => upper(w)), " ")
+          .as("upper5"))
+      .orderBy(col("doc_id"))
+
+  private val o69 = """
+    SELECT doc_id,
+           CAST(len(list_filter(ws, w -> length(w) > 5)) AS INT) AS n_long,
+           CAST(list_sum(list_transform(ws, w -> length(w))) AS INT)
+             AS sum_len,
+           CAST(list_max(list_transform(ws, w -> length(w))) AS INT)
+             AS max_len,
+           array_to_string(list_transform(list_slice(ws, 1, 5),
+                                          w -> upper(w)), ' ') AS upper5
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+          FROM documents)
+    ORDER BY doc_id"""
+
+  /** q70: positional explode (generator with ordinality). DuckDB 1.0 has no
+    * WITH ORDINALITY; `unnest + generate_subscripts` expand in lockstep.
+    */
+  private def q70(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .filter(col("doc_id") < 20)
+      .withColumn("ws", wsCol)
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("pos", "word")))
+      .orderBy(col("doc_id"), col("pos"))
+
+  private val o70 = """
+    SELECT doc_id,
+           CAST(generate_subscripts(ws, 1) - 1 AS INT) AS pos,
+           unnest(ws) AS word
+    FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+          FROM documents WHERE doc_id < 20)
+    ORDER BY doc_id, pos"""
+
+  /** q71: conditional + argmax aggregates: count_if, filtered sum, bool
+    * or/and, max_by/min_by. The arg key is a zero-padded (price, orderkey)
+    * string so ties are impossible and both engines' argmax pick the same
+    * row deterministically.
+    */
+  private def q71(s: SparkSession, d: String): DataFrame = {
+    val key = "concat(lpad(cast(cast(round(o_totalprice * 100) as bigint) " +
+      "as string), 12, '0'), lpad(cast(o_orderkey as string), 12, '0'))"
+    orders(s, d)
+      .groupBy(col("o_orderstatus"))
+      .agg(
+        expr("count_if(o_totalprice > 200000)").as("n_big"),
+        sum(when(col("o_orderpriority") === "1-URGENT", 1).otherwise(0))
+          .cast("long").as("n_urgent"),
+        expr("bool_or(o_totalprice > 400000)").as("has_huge"),
+        expr("bool_and(o_totalprice > 0)").as("all_positive"),
+        expr(s"max_by(o_orderkey, $key)").as("top_order"),
+        expr(s"min_by(o_orderkey, $key)").as("bottom_order"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  private val o71 = """
+    SELECT o_orderstatus,
+           count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
+           CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_urgent,
+           bool_or(o_totalprice > 400000) AS has_huge,
+           bool_and(o_totalprice > 0) AS all_positive,
+           arg_max(o_orderkey,
+             lpad(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+                  12, '0') || lpad(CAST(o_orderkey AS VARCHAR), 12, '0'))
+             AS top_order,
+           arg_min(o_orderkey,
+             lpad(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
+                  12, '0') || lpad(CAST(o_orderkey AS VARCHAR), 12, '0'))
+             AS bottom_order
+    FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+
+  /** q72: TF-IDF-style term weighting, top-3 terms per document. The weight
+    * is `tf * (N / df)` — multiplication and division are exactly rounded in
+    * IEEE-754, so identical inputs give bit-identical doubles in both
+    * engines (a logarithmic idf would differ in last ulps per row — the
+    * linear variant keeps the oracle exact). The document-frequency side is
+    * a per-term dimension — broadcast, so the big fact side never shuffles.
+    */
+  private def q72(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).withColumn("ws", wsCol)
+    val tf = docs
+      .select(col("doc_id"), explode(col("ws")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = documents(s, d).agg(count(lit(1)).as("n"))
+    val scored = tf.filter(col("doc_id") < 10)
+      .join(broadcast(df), "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        col("tf").cast("double") *
+          (col("n").cast("double") / col("df").cast("double")))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score").desc, col("term"))
+    scored
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"),
+        col("rn"))
+      .orderBy(col("doc_id"), col("rn"))
+  }
+
+  private val o72 = """
+    WITH terms AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      FROM documents),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM terms
+           GROUP BY doc_id, term),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT count(*) AS n FROM documents)
+    SELECT doc_id, term, tf, df, score, CAST(rn AS INT) AS rn FROM (
+      SELECT tf.doc_id, tf.term, tf.tf, df.df,
+             CAST(tf.tf AS DOUBLE) * (CAST(n.n AS DOUBLE)
+               / CAST(df.df AS DOUBLE)) AS score,
+             row_number() OVER (PARTITION BY tf.doc_id ORDER BY
+               CAST(tf.tf AS DOUBLE) * (CAST(n.n AS DOUBLE)
+                 / CAST(df.df AS DOUBLE)) DESC, tf.term) AS rn
+      FROM tf JOIN df USING (term), n
+      WHERE tf.doc_id < 10)
+    WHERE rn <= 3 ORDER BY doc_id, rn"""
+
+  /** q73: top-20 corpus bigrams. The adjacent-pair list comes from zipping
+    * the word list with its own tail (null-padded tail entries are dropped);
+    * per-row map + explode, then one count aggregation — the n-gram LM-stats
+    * shape.
+    */
+  private def q73(s: SparkSession, d: String): DataFrame =
+    parallelize(s, documents(s, d))
+      .withColumn("ws", wsCol)
+      .select(explode(filter(
+        zip_with(
+          col("ws"),
+          slice(col("ws"), lit(2), greatest(size(col("ws")) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b)),
+        x => x.isNotNull)).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("bigram"))
+      .limit(20)
+
+  private val o73 = """
+    SELECT bigram, count(*) AS cnt
+    FROM (SELECT unnest(list_transform(range(1, len(ws)),
+                   i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+          FROM (SELECT string_split_regex(trim(text), '\s+') AS ws
+                FROM documents))
+    GROUP BY bigram ORDER BY cnt DESC, bigram LIMIT 20"""
+
+  /** q74: PII-style scrubbing: redact email-shaped tokens then digit runs,
+    * and count redactions. Patterns stick to character classes + quantifiers
+    * so Java regex and DuckDB's RE2 agree; DuckDB needs the 'g' flag to
+    * replace all occurrences. Output carries md5 of the scrubbed text, not
+    * the text, to keep compare rows narrow.
+    */
+  private def q74(s: SparkSession, d: String): DataFrame =
+    parallelize(s, documents(s, d))
+      .withColumn("scrubbed",
+        regexp_replace(
+          regexp_replace(col("text"),
+            "[a-zA-Z0-9._]+@[a-zA-Z0-9.]+", "<EMAIL>"),
+          "[0-9]+", "<NUM>"))
+      .select(
+        col("doc_id"),
+        md5(col("scrubbed")).as("scrub_md5"),
+        expr("CAST(regexp_count(text, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+') AS INT)")
+          .as("n_emails"),
+        expr("CAST(regexp_count(text, '[0-9]+') AS INT)").as("n_nums"),
+        (length(col("text")) - length(col("scrubbed"))).cast("int")
+          .as("chars_removed"))
+      .orderBy(col("doc_id"))
+
+  private val o74 = """
+    SELECT doc_id, md5(scrubbed) AS scrub_md5,
+           CAST(len(regexp_extract_all(text, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+'))
+                AS INT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '[0-9]+')) AS INT) AS n_nums,
+           CAST(length(text) - length(scrubbed) AS INT) AS chars_removed
+    FROM (SELECT doc_id, text,
+            regexp_replace(
+              regexp_replace(text, '[a-zA-Z0-9._]+@[a-zA-Z0-9.]+',
+                             '<EMAIL>', 'g'),
+              '[0-9]+', '<NUM>', 'g') AS scrubbed
+          FROM documents)
+    ORDER BY doc_id"""
+
+  /** q75: deterministic train/val/test split on a content hash — the
+    * reproducible (re-runnable, engine-portable) corpus split: first md5 hex
+    * digit 0-b => train (75%), c-d => val, e-f => test. Shuffle-free until
+    * the 3-group rollup.
+    */
+  private def q75(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("h", substring(md5(col("text")), 1, 1))
+      .withColumn("split",
+        when(col("h") < "c", "train").when(col("h") < "e", "val")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).cast("long").as("total_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("split"))
+
+  private val o75 = """
+    SELECT split, count(*) AS n_docs,
+           CAST(sum(n_chars) AS BIGINT) AS total_chars,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM (SELECT doc_id, n_chars,
+            CASE WHEN substr(md5(text), 1, 1) < 'c' THEN 'train'
+                 WHEN substr(md5(text), 1, 1) < 'e' THEN 'val'
+                 ELSE 'test' END AS split
+          FROM documents)
+    GROUP BY split ORDER BY split"""
+
+  /** q77: overlapping-window chunking (200-char windows, stride 150) — how
+    * long documents become training samples. Chunk index comes from an
+    * exploded integer sequence so the whole operator is a per-row map +
+    * generator, no shuffle; floor of an IEEE division is bit-identical in
+    * both engines.
+    */
+  private def q77(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .withColumn("last_ci",
+        greatest(floor((length(col("text")) - 1) / lit(150.0)).cast("int"),
+          lit(0)))
+      .select(col("doc_id"), col("text"),
+        explode(sequence(lit(0), col("last_ci"))).as("ci"))
+      .select(
+        col("doc_id"), col("ci"),
+        (col("ci") * 150 + 1).as("start"),
+        md5(expr("substring(text, ci * 150 + 1, 200)")).as("chunk_md5"),
+        length(expr("substring(text, ci * 150 + 1, 200)")).cast("int")
+          .as("chunk_len"))
+      .orderBy(col("doc_id"), col("ci"))
+
+  private val o77 = """
+    SELECT doc_id, CAST(ci AS INT) AS ci, CAST(ci * 150 + 1 AS INT) AS start,
+           md5(substr(text, CAST(ci * 150 + 1 AS INT), 200)) AS chunk_md5,
+           CAST(length(substr(text, CAST(ci * 150 + 1 AS INT), 200)) AS INT)
+             AS chunk_len
+    FROM (SELECT doc_id, text,
+            unnest(range(0, greatest(CAST(floor((length(text) - 1) / 150.0)
+                                          AS INT), 0) + 1)) AS ci
+          FROM documents)
+    ORDER BY doc_id, ci"""
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q69_higher_order", q69, Some(o69)),
+    QueryDef("q70_posexplode", q70, Some(o70)),
+    QueryDef("q71_conditional_agg", q71, Some(o71)),
+    QueryDef("q72_tfidf_topk", q72, Some(o72)),
+    QueryDef("q73_bigram_stats", q73, Some(o73)),
+    QueryDef("q74_pii_scrub", q74, Some(o74)),
+    QueryDef("q75_hash_split", q75, Some(o75)),
+    QueryDef("q77_chunking", q77, Some(o77)))
+}
