@@ -136,6 +136,14 @@ final class BertEncoder(model: NerModel) {
     * the reference's per-chunk buffer reuse (`ner_extension.cpp:92-95`)
     * adapted to shared-encoder / many-task execution (ThreadLocal because
     * one Loaded encoder is shared by every task in the executor JVM).
+    *
+    * Retention note (round-2 ADVICE): each pooled executor thread holds one
+    * Scratch per live encoder (~16 MB/thread at real BERT-base dims), and a
+    * replaced encoder's scratch lingers until the encoder itself is GC'd
+    * (the ThreadLocal is a field of this encoder, so it is unreachable as
+    * soon as the encoder is). Acceptable for the bert-tiny-class models
+    * this engine targets; a future large-model path should bucket scratch
+    * by actual token count instead of nMaxTokens.
     */
   private final class Scratch {
     val h = new Array[Float](hp.nMaxTokens * nEmbd)

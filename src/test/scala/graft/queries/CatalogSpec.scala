@@ -16,7 +16,8 @@ class CatalogSpec extends SparkTestBase {
 
   test("catalog names are unique across sub-catalogs") {
     val all = Seq(Rel.defs, NerQueries.defs, TextOps.defs, Dedup.defs,
-      Vec.defs, Multimodal.defs).flatten.map(_.name)
+      Vec.defs, Multimodal.defs, Events.defs, Sketches.defs, Variety.defs,
+      Tpch.defs, Corpus.defs).flatten.map(_.name)
     assert(all.distinct.sizeIs == all.size)
   }
 
@@ -45,7 +46,7 @@ class CatalogSpec extends SparkTestBase {
 
   test("similarity plans use broadcast hash joins, not nested-loop cartesians") {
     for (q <- Seq("q41_cosine_topk", "q42_ann_lsh_bucket", "q43_ivf_assign",
-        "q38_minhash_near_dup")) {
+        "q38_minhash_near_dup", "q72_tfidf_topk")) {
       val plan = SparkEntry.queries(q)(spark, sf())
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$q has CartesianProduct")
