@@ -33,29 +33,44 @@ object Dedup {
     transform(sequence(lit(1), length(t) - lit(ShingleLen - 1)),
       i => t.substr(i, lit(ShingleLen)))
 
-  /** MinHash value for "permutation" j over a prebuilt shingle array. */
-  private def mh(shingles: Column, j: Int): Column =
-    array_min(transform(shingles, sh => md5(concat(lit(s"$j:"), sh))))
-
-  /** doc_id + mh0..mh7 signature frame. md5-per-shingle is CPU-bound, so
-    * the scan is re-partitioned up to core count first (see
-    * `Tables.parallelize`), and the shingle array is materialized once per
-    * row instead of once per permutation.
+  /** The 8 "permutations" come from 2 md5 calls per shingle, not 8: an md5
+    * digest is 32 independent hex chars, so its four 8-hex windows are four
+    * independent 32-bit hash functions (lexicographic min of fixed-width hex
+    * == numeric min of the 32-bit value). Permutations 0-3 window
+    * `md5(shingle)`, 4-7 window `md5('x' || shingle)` — 4x less hashing than
+    * one md5 per permutation for the same minhash guarantees, and still
+    * bit-reproducible in the DuckDB oracle.
+    *
+    * doc_id + mh0..mh7 signature frame. Computed by the codegen'd native
+    * expression [[graft.functions.MinHashSignatureExpression]] — one pass
+    * over the UTF-8 bytes per row, no intermediate shingle/hash arrays (an
+    * interpreted transform+array_min chain was ~3x slower); CPU-bound, so
+    * the scan is re-partitioned up to core count first
+    * (see `Tables.parallelize`).
     */
   private def signatures(s: SparkSession, d: String): DataFrame =
     parallelize(s, documents(s, d))
-      .withColumn("shingles", shingleArr(col("text")))
+      .withColumn("sig",
+        graft.functions.MinHashSignatureExpression.minhashSignature(col("text")))
       .select(
         col("doc_id") +: (0 until NumHashes)
-          .map(j => mh(col("shingles"), j).as(s"mh$j")): _*)
+          .map(j => element_at(col("sig"), j + 1).as(s"mh$j")): _*)
 
   /** Oracle fragment: the same signature columns in DuckDB dialect. */
-  private def oMh(j: Int): String =
-    s"""list_min(list_transform(range(1, length(text) - ${ShingleLen - 2}),
-       i -> md5('$j:' || substr(text, i, $ShingleLen)))) AS mh$j"""
+  private def oMh(j: Int): String = {
+    val src = if (j < NumHashes / 2) "hs1" else "hs2"
+    s"""list_min(list_transform($src,
+       h -> substr(h, ${(j % 4) * 8 + 1}, 8))) AS mh$j"""
+  }
 
   private def oSig: String =
-    s"SELECT doc_id, ${(0 until NumHashes).map(oMh).mkString(",\n ")} FROM documents"
+    s"""SELECT doc_id, ${(0 until NumHashes).map(oMh).mkString(",\n ")}
+       FROM (SELECT doc_id,
+               list_transform(range(1, length(text) - ${ShingleLen - 2}),
+                 i -> md5(substr(text, i, $ShingleLen))) AS hs1,
+               list_transform(range(1, length(text) - ${ShingleLen - 2}),
+                 i -> md5('x' || substr(text, i, $ShingleLen))) AS hs2
+             FROM documents)"""
 
   /** band key columns: md5 over 4 concatenated signature rows per band. */
   private def bandArr: Column = array(
@@ -123,8 +138,17 @@ object Dedup {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sh = parallelize(s, documents(s, d)).select(col("doc_id"),
-      explode(array_distinct(shingleArr(col("text")))).as("sh")).persist()
+    // verification shingles only materialize for docs that appear in some
+    // candidate pair (semi-join restriction): at scale the candidate set is
+    // a tiny fraction of the corpus, so the explode cost tracks candidates,
+    // not corpus size. The oracle explodes all docs — same result, since
+    // only candidate docs' shingles are ever consumed.
+    val candDocs = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+    val sh = parallelize(s, documents(s, d))
+      .join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        explode(array_distinct(shingleArr(col("text")))).as("sh")).persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = cands
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))

@@ -262,7 +262,109 @@ object Variety {
     WHERE l_linenumber = 1
     ORDER BY o_orderkey, ship_lag_days, due_date"""
 
+  /** q76: MAP-typed columns: construction, extraction, keys/values
+    * introspection. DuckDB's `map[key]`/`map_extract` returns a LIST (its
+    * documented not-found semantics), so the oracle unwraps `[1]`; outputs
+    * are serialized to scalars for the row compare.
+    */
+  private def q76(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .select(col("p_partkey"),
+        map(
+          lit("brand"), col("p_brand"),
+          lit("type"), col("p_type")).as("m"))
+      .select(
+        col("p_partkey"),
+        element_at(col("m"), "brand").as("brand"),
+        size(col("m")).as("m_size"),
+        array_join(array_sort(map_keys(col("m"))), ",").as("keys_sorted"),
+        array_join(array_sort(map_values(col("m"))), ",").as("vals_sorted"))
+      .orderBy(col("p_partkey"))
+
+  private val o76 = """
+    SELECT p_partkey,
+           map_extract(m, 'brand')[1] AS brand,
+           CAST(cardinality(m) AS INT) AS m_size,
+           array_to_string(list_sort(map_keys(m)), ',') AS keys_sorted,
+           array_to_string(list_sort(map_values(m)), ',') AS vals_sorted
+    FROM (SELECT p_partkey,
+            MAP {'brand': p_brand, 'type': p_type} AS m FROM part)
+    ORDER BY p_partkey"""
+
+  /** q78: value-RANGE window frames (frame membership decided by the order
+    * key's value, not row position — peer-order-independent, so exact on
+    * both engines; sums stay integer).
+    */
+  private def q78(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("lang")).orderBy(col("n_chars"))
+      .rangeBetween(-100, org.apache.spark.sql.expressions.Window.currentRow)
+    documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        count(lit(1)).over(w).as("n_within_100"),
+        sum(col("n_chars")).over(w).cast("long").as("chars_within_100"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val o78 = """
+    SELECT doc_id, lang, n_chars,
+           count(*) OVER w AS n_within_100,
+           CAST(sum(n_chars) OVER w AS BIGINT) AS chars_within_100
+    FROM documents
+    WINDOW w AS (PARTITION BY lang ORDER BY n_chars
+                 RANGE BETWEEN 100 PRECEDING AND CURRENT ROW)
+    ORDER BY doc_id"""
+
+  /** q79: correlated LATERAL subquery — per-customer top-2 orders by price.
+    * Catalyst decorrelates the LIMIT-ed lateral into a window plan; DuckDB
+    * executes it natively. Same SQL shape on both engines.
+    */
+  private def q79(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("graft_customer_l")
+    orders(s, d).createOrReplaceTempView("graft_orders_l")
+    s.sql("""
+      SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+      FROM graft_customer_l c, LATERAL (
+        SELECT o_orderkey, o_totalprice FROM graft_orders_l
+        WHERE o_custkey = c.c_custkey
+        ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+      WHERE c.c_custkey < 100
+      ORDER BY c_custkey, o_totalprice DESC, o_orderkey""")
+  }
+
+  private val o79 = """
+    SELECT c.c_custkey, o.o_orderkey, o.o_totalprice
+    FROM customer c, LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c.c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 2) o
+    WHERE c.c_custkey < 100
+    ORDER BY c_custkey, o_totalprice DESC, o_orderkey"""
+
+  /** q80: ordered string aggregation (listagg): collect_list is
+    * order-nondeterministic in a distributed agg, so sort before joining —
+    * equivalent to DuckDB's `string_agg(… ORDER BY …)`.
+    */
+  private def q80(s: SparkSession, d: String): DataFrame =
+    customer(s, d)
+      .filter(col("c_custkey") <= 200)
+      .groupBy(col("c_nationkey"))
+      .agg(
+        array_join(array_sort(collect_list(col("c_name"))), "|").as("names"),
+        count(lit(1)).as("n"))
+      .orderBy(col("c_nationkey"))
+
+  private val o80 = """
+    SELECT c_nationkey, string_agg(c_name, '|' ORDER BY c_name) AS names,
+           count(*) AS n
+    FROM customer WHERE c_custkey <= 200
+    GROUP BY c_nationkey ORDER BY c_nationkey"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q76_map_ops", q76, Some(o76)),
+    QueryDef("q78_range_frames", q78, Some(o78)),
+    QueryDef("q79_lateral_topk", q79, Some(o79)),
+    QueryDef("q80_string_agg", q80, Some(o80)),
     QueryDef("q68_date_arith", q68, Some(o68)),
     QueryDef("q64_null_semantics", q64, Some(o64)),
     QueryDef("q62_array_variety", q62, Some(o62)),
