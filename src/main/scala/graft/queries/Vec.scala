@@ -215,7 +215,38 @@ object Vec {
        ORDER BY vec_a, vec_b"""
   }
 
+  /** q81: per-label centroid via the typed single-pass vector Aggregator
+    * ([[graft.functions.VecCentroid]]) — how a pipeline trains the IVF
+    * codebook q43 assigns against. The aggregation ships one O(dim) buffer
+    * per (group, partition); only the final 3 x 64 means explode into rows
+    * for the oracle compare (the DuckDB side must explode first — rows x dim
+    * — which is exactly the shuffle shape the Aggregator avoids).
+    */
+  private def q81(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ds = embeddings(s, d)
+      .select(col("label"), toD(col("embedding")).as("v"))
+      .as[(Int, Seq[Double])]
+    val cent = new graft.functions.VecCentroid.Centroid(Dim).toColumn
+    ds.groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(cent.name("c"))
+      .toDF("label", "c")
+      .select(col("label"), posexplode(col("c")).as(Seq("dim", "mean_raw")))
+      .select(col("label"), col("dim"),
+        round(col("mean_raw"), 6).as("mean_v"))
+      .orderBy(col("label"), col("dim"))
+  }
+
+  private val o81 = """
+    SELECT label, CAST(dim - 1 AS INT) AS dim, round(avg(v), 6) AS mean_v
+    FROM (SELECT label, generate_subscripts(embedding, 1) AS dim,
+                 CAST(unnest(embedding) AS DOUBLE) AS v
+          FROM embeddings)
+    GROUP BY label, dim ORDER BY label, dim"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q81_centroid_agg", q81, Some(o81)),
     QueryDef("q41_cosine_topk", q41, Some(o41)),
     QueryDef("q42_ann_lsh_bucket", q42, Some(o42)),
     QueryDef("q43_ivf_assign", q43, Some(o43)),
