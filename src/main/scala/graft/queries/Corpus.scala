@@ -289,7 +289,59 @@ object Corpus {
           FROM documents)
     ORDER BY doc_id, ci"""
 
+  /** q83: train/eval contamination detection — corpus documents sharing
+    * word-3-grams with a held-out benchmark set (here: doc_id < 5 stands in
+    * for the eval set). The benchmark n-gram table is tiny and broadcast, so
+    * the corpus side is one shuffle-free map + explode + broadcast-hash
+    * probe; work scales with corpus size, never benchmark x corpus.
+    */
+  private def q83(s: SparkSession, d: String): DataFrame = {
+    def grams(df: DataFrame): DataFrame = df
+      .withColumn("ws", wsCol)
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(array_distinct(expr(
+        """transform(sequence(0, size(ws) - 3), i -> concat_ws(' ',
+           element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3)))""")))
+        .as("gram"))
+    val benchGrams = grams(documents(s, d).filter(col("doc_id") < 5))
+      .select(col("gram")).distinct()
+    val corpusGrams = grams(
+      parallelize(s, documents(s, d).filter(col("doc_id") >= 5)))
+    val sz = corpusGrams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+    corpusGrams
+      .join(broadcast(benchGrams), "gram")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+      .join(sz, "doc_id")
+      .select(col("doc_id"), col("n_hits"), col("n_grams"),
+        round(col("n_hits") / col("n_grams").cast("double"), 6)
+          .as("contamination"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val o83 = """
+    WITH d AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      FROM documents),
+    g AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(0, len(w) - 2),
+               i -> w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3])) AS gram
+      FROM d WHERE len(w) >= 3),
+    bench AS (SELECT DISTINCT gram FROM g WHERE doc_id < 5),
+    corpus AS (SELECT * FROM g WHERE doc_id >= 5),
+    sz AS (SELECT doc_id, count(*) AS n_grams FROM corpus GROUP BY doc_id),
+    hits AS (
+      SELECT c.doc_id, count(*) AS n_hits
+      FROM corpus c JOIN bench b ON c.gram = b.gram
+      GROUP BY c.doc_id)
+    SELECT h.doc_id, h.n_hits, s.n_grams,
+           round(h.n_hits / CAST(s.n_grams AS DOUBLE), 6) AS contamination
+    FROM hits h JOIN sz s ON h.doc_id = s.doc_id
+    ORDER BY h.doc_id"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q83_contamination", q83, Some(o83)),
     QueryDef("q69_higher_order", q69, Some(o69)),
     QueryDef("q70_posexplode", q70, Some(o70)),
     QueryDef("q71_conditional_agg", q71, Some(o71)),

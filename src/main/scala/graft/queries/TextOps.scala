@@ -221,7 +221,38 @@ object TextOps {
              (a, b) -> (a * 31 + b) % 1000000007) AS fp_rolling
     FROM documents ORDER BY doc_id"""
 
+  /** q82: canonical-variant selection — within each normalized-fingerprint
+    * dup group, keep the longest variant (ties to the smallest doc_id). The
+    * survivor choice is an argmax on a zero-padded composite key so both
+    * engines pick the same row deterministically; this is the "which copy do
+    * we train on" step that follows dedup grouping (q34).
+    */
+  private def q82(s: SparkSession, d: String): DataFrame = {
+    val key = "concat(lpad(cast(n_chars as string), 12, '0'), " +
+      "lpad(cast(1000000000000 - doc_id as string), 13, '0'))"
+    documents(s, d)
+      .withColumn("fp", md5(regexp_replace(lower(col("text")), "\\s+", " ")))
+      .groupBy(col("fp"))
+      .agg(
+        expr(s"max_by(doc_id, $key)").as("keep_id"),
+        max(col("n_chars")).as("keep_chars"),
+        count(lit(1)).as("n_variants"))
+      .orderBy(col("keep_id"))
+  }
+
+  private val o82 = """
+    SELECT fp,
+           arg_max(doc_id, lpad(CAST(n_chars AS VARCHAR), 12, '0')
+             || lpad(CAST(1000000000000 - doc_id AS VARCHAR), 13, '0'))
+             AS keep_id,
+           max(n_chars) AS keep_chars, count(*) AS n_variants
+    FROM (SELECT doc_id, n_chars,
+            md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+          FROM documents)
+    GROUP BY fp ORDER BY keep_id"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q82_canonical_select", q82, Some(o82)),
     QueryDef("q30_text_stats", q30, Some(o30)),
     QueryDef("q31_token_count", q31, Some(o31)),
     QueryDef("q32_language_id", q32, Some(o32)),
