@@ -245,7 +245,66 @@ object Vec {
           FROM embeddings)
     GROUP BY label, dim ORDER BY label, dim"""
 
+  /** q84: one Lloyd (k-means) iteration of the IVF codebook — assign every
+    * vector to its nearest centroid (q43's plan shape: broadcast codebook,
+    * windowed argmin), then recompute per-cell means with the single-pass
+    * centroid Aggregator (q81's shape). This is the iterative-refinement
+    * step a real pipeline loops; output truncated to the first 4 dims per
+    * cell to keep compare rows bounded.
+    */
+  private def q84(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+    val cents = e.filter(col("vec_id") < NCells)
+      .select(col("vec_id").as("cid"), toD(col("embedding")).as("cv"),
+        pmod(col("vec_id"), lit(1)).as("jk"))
+    val dist2 = aggregate(
+      zip_with(toD(col("embedding")), col("cv"),
+        (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+    val w = Window.partitionBy(col("vec_id"))
+      .orderBy(col("dist").asc, col("cid").asc)
+    val assigned = e.withColumn("jk", pmod(col("vec_id"), lit(1)))
+      .join(broadcast(cents), Seq("jk"))
+      .select(col("vec_id"), col("cid"), sqrt(dist2).as("dist"),
+        toD(col("embedding")).as("v"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+    val cent = new graft.functions.VecCentroid.Centroid(Dim).toColumn
+    assigned.select(col("cid"), col("v")).as[(Long, Seq[Double])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(cent.name("c"))
+      .toDF("cid", "c")
+      .select(col("cid"), posexplode(col("c")).as(Seq("dim", "mean_raw")))
+      .filter(col("dim") < 4)
+      .select(col("cid"), col("dim"), round(col("mean_raw"), 6).as("mean_v"))
+      .orderBy(col("cid"), col("dim"))
+  }
+
+  private val o84 = s"""
+    WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id < $NCells),
+    dists AS (
+      SELECT e.vec_id, c.cid,
+             list_distance(CAST(e.embedding AS DOUBLE[]), c.cv) AS dist
+      FROM embeddings e CROSS JOIN c),
+    best AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      FROM dists),
+    ex AS (
+      SELECT e.vec_id, generate_subscripts(e.embedding, 1) AS dim,
+             CAST(unnest(e.embedding) AS DOUBLE) AS v
+      FROM embeddings e)
+    SELECT b.cid, CAST(ex.dim - 1 AS INT) AS dim,
+           round(avg(ex.v), 6) AS mean_v
+    FROM best b JOIN ex ON b.vec_id = ex.vec_id
+    WHERE b.rn = 1 AND ex.dim <= 4
+    GROUP BY b.cid, ex.dim ORDER BY b.cid, ex.dim"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q84_kmeans_iter", q84, Some(o84)),
     QueryDef("q81_centroid_agg", q81, Some(o81)),
     QueryDef("q41_cosine_topk", q41, Some(o41)),
     QueryDef("q42_ann_lsh_bucket", q42, Some(o42)),
