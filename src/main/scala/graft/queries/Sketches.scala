@@ -62,7 +62,42 @@ object Sketches {
            round(quantile_cont(l_quantity, 0.25), 4) AS p25_qty
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  /** q85: statistical aggregates (stddev/variance/correlation/covariance +
+    * linear-regression slope and r²). Rounding widths are chosen per column
+    * scale so the engines' different accumulation algorithms (Welford-style
+    * vs naive) can't flip a printed digit: bounded quantities round at 4,
+    * bounded-by-1 correlations at 6, tiny covariances at 8, large slopes
+    * at 2.
+    */
+  private def q85(s: SparkSession, d: String): DataFrame =
+    parallelize(s, lineitem(s, d))
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(stddev_samp(col("l_quantity")), 4).as("sd_qty"),
+        round(var_samp(col("l_quantity")), 4).as("var_qty"),
+        round(corr(col("l_quantity"), col("l_extendedprice")), 6)
+          .as("corr_qty_price"),
+        round(covar_samp(col("l_discount"), col("l_tax")), 8)
+          .as("cov_disc_tax"),
+        round(expr("regr_slope(l_extendedprice, l_quantity)"), 2)
+          .as("slope_price_qty"),
+        round(expr("regr_r2(l_extendedprice, l_quantity)"), 6)
+          .as("r2_price_qty"))
+      .orderBy(col("l_returnflag"))
+
+  private val o85 = """
+    SELECT l_returnflag,
+           round(stddev_samp(l_quantity), 4) AS sd_qty,
+           round(var_samp(l_quantity), 4) AS var_qty,
+           round(corr(l_quantity, l_extendedprice), 6) AS corr_qty_price,
+           round(covar_samp(l_discount, l_tax), 8) AS cov_disc_tax,
+           round(regr_slope(l_extendedprice, l_quantity), 2)
+             AS slope_price_qty,
+           round(regr_r2(l_extendedprice, l_quantity), 6) AS r2_price_qty
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q53_heavy_hitters", q53, Some(o53)),
-    QueryDef("q54_percentiles", q54, Some(o54)))
+    QueryDef("q54_percentiles", q54, Some(o54)),
+    QueryDef("q85_stats_agg", q85, Some(o85)))
 }

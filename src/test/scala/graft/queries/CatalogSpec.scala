@@ -46,7 +46,8 @@ class CatalogSpec extends SparkTestBase {
 
   test("similarity plans use broadcast hash joins, not nested-loop cartesians") {
     for (q <- Seq("q41_cosine_topk", "q42_ann_lsh_bucket", "q43_ivf_assign",
-        "q38_minhash_near_dup", "q72_tfidf_topk")) {
+        "q38_minhash_near_dup", "q72_tfidf_topk", "q83_contamination",
+        "q84_kmeans_iter")) {
       val plan = SparkEntry.queries(q)(spark, sf())
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"), s"$q has CartesianProduct")
