@@ -156,8 +156,69 @@ object Multimodal {
            CAST(ascii(substr(text, 1, 1)) AS INT) AS first_cp
     FROM documents ORDER BY doc_id"""
 
+  /** q86: the resize stage through the typed pipeline (decode -> resize per
+    * partition) — deterministic integer arithmetic, so fully oracle-checked.
+    */
+  private def q86(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    decodePipeline(s, d)
+      .mapPartitions(rows => resizeStub(rows, maxW = 320))
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
+  private val o86 = """
+    SELECT doc_id, n_bytes,
+           CASE WHEN fw <= 320 OR fw = 0 THEN fw ELSE 320 END AS fake_width,
+           CASE WHEN fw <= 320 OR fw = 0 THEN fh
+                ELSE CAST(fh * 320 // fw AS INT) END AS fake_height,
+           fake_format
+    FROM (SELECT doc_id,
+            CAST(octet_length(encode(text)) AS INT) AS n_bytes,
+            CAST(octet_length(encode(text)) % 640 AS INT) AS fw,
+            CAST(octet_length(encode(text)) * 7 % 480 AS INT) AS fh,
+            CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'jpg'
+                 WHEN 1 THEN 'png' ELSE 'webp' END AS fake_format
+          FROM documents)
+    ORDER BY doc_id"""
+
+  /** q87: the frame-sampling stage ("video" keyframe offsets at stride 64)
+    * — offsets are pure arithmetic on payload length, so the sampled
+    * positions are oracle-checked end-to-end.
+    */
+  private def q87(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    documents(s, d)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRow]
+      .mapPartitions(rows => frameSampleStub(rows, stride = 64))
+      .toDF("doc_id", "offsets")
+      .select(
+        col("doc_id"),
+        size(col("offsets")).as("n_frames"),
+        array_join(transform(slice(col("offsets"), 1, 5),
+          x => x.cast("string")), " ").as("first5_offsets"),
+        element_at(col("offsets"), -1).as("last_offset"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val o87 = """
+    SELECT doc_id, CAST(n AS INT) AS n_frames,
+           array_to_string(list_transform(range(0, least(n, 5)),
+             i -> CAST(i * 64 AS VARCHAR)), ' ') AS first5_offsets,
+           CAST((n - 1) * 64 AS INT) AS last_offset
+    FROM (SELECT doc_id,
+            -- trunc-toward-zero division mirrors the JVM stub's `/` exactly
+            -- (DuckDB's // floors, which differs for payloads < 16 bytes)
+            greatest(CAST(trunc((CAST(octet_length(encode(text)) AS INT) - 16)
+                                / 64.0) AS INT) + 1, 0) AS n
+          FROM documents)
+    ORDER BY doc_id"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q45_multimodal_meta", q45, Some(o45)),
     QueryDef("q46_multimodal_decode", q46, Some(o46)),
-    QueryDef("q58_multimodal_features", q58, Some(o58)))
+    QueryDef("q58_multimodal_features", q58, Some(o58)),
+    QueryDef("q86_multimodal_resize", q86, Some(o86)),
+    QueryDef("q87_frame_sample", q87, Some(o87)))
 }
