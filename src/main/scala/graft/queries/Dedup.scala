@@ -192,18 +192,12 @@ object Dedup {
        WHERE round(ni / (za.sz + zb.sz - ni), 6) >= 0.25
        ORDER BY doc_a, doc_b"""
 
-  /** 16-bit SimHash over word tokens (md5 bit votes), as a Spark SQL
-    * higher-order-function expression (codegen'd, shuffle-free).
+  /** 16-bit SimHash over word tokens (md5 bit votes), computed by the
+    * codegen'd native expression [[graft.functions.SimHashExpression]] —
+    * one md5 per word voting all 16 bits at once, where the equivalent SQL
+    * higher-order chain re-split and re-hashed the text per bit (16x).
+    * Shuffle-free.
     */
-  private val simhashExpr = """
-    CAST(aggregate(sequence(0, 15), 0, (acc, k) -> acc + IF(
-      2 * size(filter(transform(split(trim(text), '\\s+'), w -> md5(w)),
-        h -> ((shiftright(instr('0123456789abcdef',
-                 substring(h, CAST(k DIV 4 AS INT) + 1, 1)) - 1,
-               3 - (k % 4))) & 1) = 1))
-      > size(split(trim(text), '\\s+')),
-      shiftleft(1, k), 0)) AS INT)"""
-
   private val oSimhashExpr = """
     CAST(list_sum(list_transform(range(0, 16), k ->
       CASE WHEN 2 * len(list_filter(list_transform(
@@ -217,7 +211,8 @@ object Dedup {
   /** q39: SimHash near-dup groups — fingerprints shared by >1 document. */
   private def q39(s: SparkSession, d: String): DataFrame =
     parallelize(s, documents(s, d))
-      .select(col("doc_id"), expr(simhashExpr).as("simhash"))
+      .select(col("doc_id"),
+        graft.functions.SimHashExpression.simhash(col("text")).as("simhash"))
       .groupBy(col("simhash"))
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("min_doc"),
         max(col("doc_id")).as("max_doc"))

@@ -66,26 +66,22 @@ object Vec {
     FROM embeddings WHERE vec_id <> 0
     ORDER BY cos_sim DESC, vec_id LIMIT 10"""
 
-  /** Deterministic md5-derived hyperplane component i of plane j, as a SQL
-    * fragment both engines evaluate identically: first hex digit of
-    * md5("j:i") mapped to [-8.5, 6.5].
+  /** Deterministic md5-derived hyperplane component i of plane j (oracle
+    * fragment): first hex digit of md5("j:i"), offset to be mean-zero-ish.
     */
-  private def hyperplane(j: Int): String =
-    s"""transform(sequence(0, ${Dim - 1}), i ->
-        instr('0123456789abcdef',
-          substring(md5(concat('$j:', CAST(i AS STRING))), 1, 1)) - 8.5)"""
-
   private def oHyperplane(j: Int): String =
     s"""list_transform(range(0, $Dim), i ->
         strpos('0123456789abcdef',
           substr(md5('$j:' || CAST(i AS VARCHAR)), 1, 1)) - 8.5)"""
 
-  /** LSH signature: one char per hyperplane, '1' iff dot(v, h_j) > 0. */
-  private def sigExpr: Column = concat(
-    (0 until NBits).map(j => when(
-      aggregate(
-        zip_with(toD(col("embedding")), expr(hyperplane(j)), (x, y) => x * y),
-        lit(0.0), (acc, x) => acc + x) > 0, lit("1")).otherwise(lit("0"))): _*)
+  /** LSH signature: one char per hyperplane, '1' iff dot(v, h_j) > 0.
+    * Computed by the codegen'd native expression
+    * [[graft.functions.LshSignatureExpression]] (same md5-derived planes and
+    * IEEE fold order as the SQL formulation the oracle runs — an interpreted
+    * aggregate/zip_with chain re-evaluated 4 folds per row).
+    */
+  private def sigExpr: Column =
+    graft.functions.LshSignatureExpression.lshSignature(col("embedding"))
 
   private def oSigExpr: String = (0 until NBits).map(j =>
     s"""(CASE WHEN list_sum(list_transform(range(1, ${Dim + 1}),

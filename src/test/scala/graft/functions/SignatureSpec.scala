@@ -1,0 +1,66 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Pins the codegen'd [[LshSignatureExpression]] and [[SimHashExpression]]
+  * kernels to the SQL-expressible formulations the DuckDB oracles run
+  * (q42/q47 and q39 respectively).
+  */
+class SignatureSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("LSH signature kernel matches the SQL hyperplane formulation") {
+    val vecs = Seq.tabulate(20)(k =>
+      (k.toLong, Array.tabulate(64)(i => math.sin(k * 64 + i).toFloat)))
+    val df = vecs.toDF("vec_id", "embedding")
+      .withColumn("sig", LshSignatureExpression.lshSignature(col("embedding")))
+    def hyperplane(j: Int): String =
+      s"""transform(sequence(0, 63), i ->
+          instr('0123456789abcdef',
+            substring(md5(concat('$j:', CAST(i AS STRING))), 1, 1)) - 8.5)"""
+    val sqlSig = concat((0 until 4).map(j => when(
+      aggregate(
+        zip_with(transform(col("embedding"), x => x.cast("double")),
+          expr(hyperplane(j)), (x, y) => x * y),
+        lit(0.0), (acc, x) => acc + x) > 0, lit("1")).otherwise(lit("0"))): _*)
+    val rows = df.withColumn("expected", sqlSig).collect()
+    rows.foreach { r =>
+      assert(r.getAs[String]("sig") == r.getAs[String]("expected"),
+        s"vec ${r.getAs[Long]("vec_id")}")
+    }
+  }
+
+  test("LSH signature of a wrong-dimension vector is all zeros") {
+    val sig = Seq(Array(1f, 2f, 3f)).toDF("embedding")
+      .select(LshSignatureExpression.lshSignature(col("embedding")).as("s"))
+      .collect()(0).getString(0)
+    assert(sig == "0000")
+  }
+
+  test("SimHash kernel matches the SQL bit-vote formulation") {
+    val texts = Seq(
+      "hello world hello spark",
+      "the quick brown fox",
+      "  leading and trailing  ",
+      "single",
+      "a\tb\tc tabs between")
+    val simhashSql = """
+      CAST(aggregate(sequence(0, 15), 0, (acc, k) -> acc + IF(
+        2 * size(filter(transform(split(trim(text), '\\s+'), w -> md5(w)),
+          h -> ((shiftright(instr('0123456789abcdef',
+                   substring(h, CAST(k DIV 4 AS INT) + 1, 1)) - 1,
+                 3 - (k % 4))) & 1) = 1))
+        > size(split(trim(text), '\\s+')),
+        shiftleft(1, k), 0)) AS INT)"""
+    val rows = texts.toDF("text")
+      .withColumn("native", SimHashExpression.simhash(col("text")))
+      .withColumn("expected", expr(simhashSql))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getAs[Int]("native") == r.getAs[Int]("expected"),
+        s"text='${r.getAs[String]("text")}'")
+    }
+  }
+}
