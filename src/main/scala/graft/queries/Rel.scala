@@ -457,7 +457,50 @@ object Rel {
            count(DISTINCT user_id) AS n_users
     FROM events GROUP BY 1 ORDER BY window_start"""
 
+  /** q88: bucketed co-located join through the session catalog — both sides
+    * written `bucketBy(8, custkey)` so the join plans with NO Exchange on
+    * either input (pre-shuffled on disk; the only shuffle left is the final
+    * 5-row aggregation). This is the sink + layout piece of the engine: at
+    * 100 TB, bucketing the fact tables once amortizes every subsequent
+    * co-located join. The write itself is part of the measured query.
+    */
+  private def q88(s: SparkSession, d: String): DataFrame = {
+    // the in-memory catalog forgets tables between JVMs but the warehouse
+    // directory persists — drop both the entry and any stale location, or
+    // saveAsTable fails with LOCATION_ALREADY_EXISTS on the next session
+    def reset(name: String): Unit = {
+      s.sql(s"DROP TABLE IF EXISTS $name")
+      val wh = s.conf.get("spark.sql.warehouse.dir")
+      val path = new org.apache.hadoop.fs.Path(wh, name.toLowerCase)
+      val fs = path.getFileSystem(s.sparkContext.hadoopConfiguration)
+      if (fs.exists(path)) fs.delete(path, true)
+    }
+    reset("graft_orders_bucketed")
+    reset("graft_customer_bucketed")
+    orders(s, d).write.mode("overwrite").format("parquet")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("graft_orders_bucketed")
+    customer(s, d).write.mode("overwrite").format("parquet")
+      .bucketBy(8, "c_custkey").sortBy("c_custkey")
+      .saveAsTable("graft_customer_bucketed")
+    s.table("graft_orders_bucketed")
+      .join(s.table("graft_customer_bucketed"),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val o88 = """
+    SELECT c_mktsegment, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q88_bucketed_join", q88, Some(o88)),
     QueryDef("q01_pricing_summary", q01, Some(o01)),
     QueryDef("q02_filter_project", q02, Some(o02)),
     QueryDef("q03_join_orders_customer", q03, Some(o03)),
