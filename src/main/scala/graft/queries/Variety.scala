@@ -360,7 +360,36 @@ object Variety {
     FROM customer WHERE c_custkey <= 200
     GROUP BY c_nationkey ORDER BY c_nationkey"""
 
+  /** q89: generator variety beyond explode/posexplode — `stack` (unpivot to
+    * rows) and `sequence` ranges. DuckDB mirrors stack with UNION ALL and
+    * sequence with range().
+    */
+  private def q89(s: SparkSession, d: String): DataFrame =
+    nation(s, d)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+        expr("stack(2, 'key', CAST(n_nationkey AS STRING), " +
+          "'region', CAST(n_regionkey AS STRING)) AS (attr, val)"))
+      .withColumn("seq_sum",
+        aggregate(sequence(lit(1), col("n_nationkey") % 5 + 1), lit(0),
+          (a, x) => a + x).cast("int"))
+      .select(col("n_nationkey"), col("n_name"), col("attr"), col("val"),
+        col("seq_sum"))
+      .orderBy(col("n_nationkey"), col("attr"))
+
+  private val o89 = """
+    WITH un AS (
+      SELECT n_nationkey, n_name, 'key' AS attr,
+             CAST(n_nationkey AS VARCHAR) AS val, n_regionkey FROM nation
+      UNION ALL
+      SELECT n_nationkey, n_name, 'region' AS attr,
+             CAST(n_regionkey AS VARCHAR) AS val, n_regionkey FROM nation)
+    SELECT n_nationkey, n_name, attr, val,
+           CAST(list_sum(range(1, n_nationkey % 5 + 2)) AS INT) AS seq_sum
+    FROM un
+    ORDER BY n_nationkey, attr"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q89_generator_variety", q89, Some(o89)),
     QueryDef("q76_map_ops", q76, Some(o76)),
     QueryDef("q78_range_frames", q78, Some(o78)),
     QueryDef("q79_lateral_topk", q79, Some(o79)),
