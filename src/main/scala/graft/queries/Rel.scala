@@ -272,7 +272,10 @@ object Rel {
 
   /** Exact distinct aggregation (expand + two-phase agg under the hood). */
   private def q14(s: SparkSession, d: String): DataFrame =
-    lineitem(s, d)
+    // 3 multi-column DISTINCTs plan as a 4x Expand before the partial agg —
+    // spread the single-row-group scan first so the expansion runs on all
+    // cores, not one
+    parallelize(s, lineitem(s, d))
       .groupBy(col("l_returnflag"))
       .agg(
         count(lit(1)).as("n_rows"),

@@ -46,13 +46,18 @@ object Sketches {
   private def q54(s: SparkSession, d: String): DataFrame =
     // exact percentiles buffer per-group value maps in the partial agg; a
     // single-row-group scan would run that on one core (9.6 s at sf0.1) —
-    // spread the partials across the executor count first
+    // spread the partials across the executor count first, and ask for both
+    // price fractions from ONE percentile buffer instead of two
     parallelize(s, lineitem(s, d))
       .groupBy(col("l_returnflag"))
       .agg(
-        round(expr("percentile(l_extendedprice, 0.5D)"), 4).as("p50_price"),
-        round(expr("percentile(l_extendedprice, 0.9D)"), 4).as("p90_price"),
+        expr("percentile(l_extendedprice, array(0.5D, 0.9D))").as("pp"),
         round(expr("percentile(l_quantity, 0.25D)"), 4).as("p25_qty"))
+      .select(
+        col("l_returnflag"),
+        round(element_at(col("pp"), 1), 4).as("p50_price"),
+        round(element_at(col("pp"), 2), 4).as("p90_price"),
+        col("p25_qty"))
       .orderBy(col("l_returnflag"))
 
   private val o54 = """
