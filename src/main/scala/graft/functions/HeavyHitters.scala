@@ -67,7 +67,10 @@ object HeavyHitters {
       val m = mutable.Map.from(a.counts)
       b.counts.foreach { case (k, v) => add(m, k, v) }
       val ev = truncate(m)
-      Sketch(m.toMap, math.max(math.max(a.evicted, b.evicted), ev))
+      // mergeable-summaries error bounds ADD across merged sketches (an
+      // item may carry overestimate from both inputs plus this truncation);
+      // max would understate the bound in the approximate regime
+      Sketch(m.toMap, a.evicted + b.evicted + ev)
     }
 
     /** Result = (counters, max evicted count). The bound is 0 iff the sketch

@@ -21,10 +21,13 @@ object VecCentroid {
 
     override def reduce(
         b: (Array[Double], Long), v: Seq[Double]): (Array[Double], Long) = {
+      // fail loudly on ragged input: silently zero-padding/truncating would
+      // produce a wrong centroid that still looks plausible
+      require(v.length == dim,
+        s"centroid aggregator of dim $dim fed a vector of length ${v.length}")
       val acc = b._1
       var i = 0
-      val n = math.min(dim, v.length)
-      while (i < n) { acc(i) += v(i); i += 1 }
+      while (i < dim) { acc(i) += v(i); i += 1 }
       (acc, b._2 + 1)
     }
 

@@ -116,10 +116,14 @@ object Corpus {
     */
   private def q72(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d).withColumn("ws", wsCol)
+    // persisted: tf feeds both the document-frequency aggregate and the
+    // scored join below — without it the explode+aggregate subtree
+    // evaluates twice
     val tf = docs
       .select(col("doc_id"), explode(col("ws")).as("term"))
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).as("tf"))
+      .persist()
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     // the corpus size joins in on a column-derived constant key so Catalyst
     // plans a broadcast HASH join; a literal crossJoin would plan as
@@ -296,17 +300,12 @@ object Corpus {
     * probe; work scales with corpus size, never benchmark x corpus.
     */
   private def q83(s: SparkSession, d: String): DataFrame = {
-    def grams(df: DataFrame): DataFrame = df
-      .withColumn("ws", wsCol)
-      .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        """transform(sequence(0, size(ws) - 3), i -> concat_ws(' ',
-           element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3)))""")))
-        .as("gram"))
-    val benchGrams = grams(documents(s, d).filter(col("doc_id") < 5))
+    val benchGrams = word3grams(documents(s, d).filter(col("doc_id") < 5))
       .select(col("gram")).distinct()
-    val corpusGrams = grams(
-      parallelize(s, documents(s, d).filter(col("doc_id") >= 5)))
+    // persisted: referenced twice below (per-doc sizes + the broadcast
+    // probe) — without it the split/explode subtree evaluates twice
+    val corpusGrams = word3grams(
+      parallelize(s, documents(s, d).filter(col("doc_id") >= 5))).persist()
     val sz = corpusGrams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
     corpusGrams
       .join(broadcast(benchGrams), "gram")

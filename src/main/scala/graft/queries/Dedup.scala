@@ -81,15 +81,20 @@ object Dedup {
     """[md5(mh0 || '|' || mh1 || '|' || mh2 || '|' || mh3),
         md5(mh4 || '|' || mh5 || '|' || mh6 || '|' || mh7)]"""
 
-  /** exploded (doc_id, band_pos, bkey) frame. */
+  /** exploded (doc_id, band_pos, bkey) frame. Docs too short for one
+    * shingle have NULL signatures and are excluded on BOTH sides — without
+    * the symmetric filter, Spark's null-skipping `concat_ws` would bucket
+    * all short docs under one band key while the oracle's null-propagating
+    * `||` would not, silently diverging q37/q38 on such corpora.
+    */
   private def bands(s: SparkSession, d: String): DataFrame =
-    signatures(s, d).select(col("doc_id"),
+    signatures(s, d).filter(col("mh0").isNotNull).select(col("doc_id"),
       posexplode(bandArr).as(Seq("band_pos", "bkey")))
 
   private def oBands: String =
     s"""SELECT doc_id, CAST(generate_subscripts(bl, 1) - 1 AS INT) AS band_pos,
               unnest(bl) AS bkey
-       FROM (SELECT doc_id, $oBandList AS bl FROM ($oSig))"""
+       FROM (SELECT doc_id, $oBandList AS bl FROM ($oSig) WHERE mh0 IS NOT NULL)"""
 
   /** q36: the MinHash signature matrix itself. */
   private def q36(s: SparkSession, d: String): DataFrame =
@@ -229,14 +234,7 @@ object Dedup {
     * exact-verification kernel that LSH candidates feed at scale).
     */
   private def q40(s: SparkSession, d: String): DataFrame = {
-    val g = documents(s, d)
-      .filter(col("doc_id") < 40)
-      .withColumn("ws", split(trim(col("text")), "\\s+"))
-      .filter(size(col("ws")) >= 3)
-      .select(col("doc_id"), explode(array_distinct(expr(
-        """transform(sequence(0, size(ws) - 3), i -> concat_ws(' ',
-           element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3)))""")))
-        .as("gram"))
+    val g = word3grams(documents(s, d).filter(col("doc_id") < 40))
     val sz = g.groupBy(col("doc_id")).agg(count(lit(1)).as("c"))
     g.as("a")
       .join(g.as("b"),

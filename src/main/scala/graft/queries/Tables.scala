@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** A named driver-checkable query: the Spark implementation plus (optionally)
   * an equivalent ANSI/DuckDB SQL text the driver runs as the oracle. Queries
@@ -42,6 +43,19 @@ object Tables {
     val want = s.sparkContext.defaultParallelism
     if (df.rdd.getNumPartitions < want) df.repartition(want) else df
   }
+
+  /** Distinct word-3-grams per document: (doc_id, gram). One definition
+    * shared by the exact-Jaccard verification kernel (q40) and
+    * contamination detection (q83) so the n-gram construction cannot drift
+    * between them.
+    */
+  def word3grams(df: DataFrame): DataFrame = df
+    .withColumn("ws", split(trim(col("text")), "\\s+"))
+    .filter(size(col("ws")) >= 3)
+    .select(col("doc_id"), explode(array_distinct(expr(
+      """transform(sequence(0, size(ws) - 3), i -> concat_ws(' ',
+         element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3)))""")))
+      .as("gram"))
 
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")

@@ -56,6 +56,20 @@ class CatalogSpec extends SparkTestBase {
     }
   }
 
+  test("q88's bucketed join has no Exchange on either join input") {
+    // disable auto-broadcast so the plan shows the bucket join itself (at
+    // tiny SF the customer side would otherwise broadcast and the
+    // co-location claim would go untested)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = SparkEntry.queries("q88_bucketed_join")(spark, sf())
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange hashpartitioning(o_custkey"), plan)
+      assert(!plan.contains("Exchange hashpartitioning(c_custkey"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("filter queries push predicates into the parquet scan") {
     val plan = SparkEntry.queries("q02_filter_project")(spark, sf())
       .queryExecution.executedPlan.toString
