@@ -32,4 +32,27 @@ object EventsStream {
       .agg(
         count(lit(1)).as("n_events"),
         round(sum(col("value")), 4).as("sum_value"))
+
+  /** Stream-static enrichment: each streaming event joins the (batch) user
+    * dimension — the standard lookup-join shape. The static side is a plain
+    * DataFrame Spark re-reads per micro-batch (so dimension updates are
+    * picked up), and with a small dimension the join planner broadcasts it:
+    * no stream-side state, no shuffle of the stream.
+    *
+    * @param events streaming frame with `ts` (long ns), `user_id`, `value`
+    * @param users  static dimension with `user_id`, `segment`
+    * @return per-segment windowed aggregates over the enriched stream
+    */
+  def enrichedBySegment(events: DataFrame, users: DataFrame): DataFrame =
+    events
+      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("event_time", "2 hours")
+      .join(users, Seq("user_id"))
+      .groupBy(
+        window(col("event_time"), "1 hour").getField("start")
+          .as("window_start"),
+        col("segment"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
 }
