@@ -11,6 +11,15 @@ import graft.SparkTestBase
 class SignatureSpec extends SparkTestBase {
   import spark.implicits._
 
+  private val simhashSql = """
+    CAST(aggregate(sequence(0, 15), 0, (acc, k) -> acc + IF(
+      2 * size(filter(transform(split(trim(text), '\\s+'), w -> md5(w)),
+        h -> ((shiftright(instr('0123456789abcdef',
+                 substring(h, CAST(k DIV 4 AS INT) + 1, 1)) - 1,
+               3 - (k % 4))) & 1) = 1))
+      > size(split(trim(text), '\\s+')),
+      shiftleft(1, k), 0)) AS INT)"""
+
   test("LSH signature kernel matches the SQL hyperplane formulation") {
     val vecs = Seq.tabulate(20)(k =>
       (k.toLong, Array.tabulate(64)(i => math.sin(k * 64 + i).toFloat)))
@@ -39,6 +48,38 @@ class SignatureSpec extends SparkTestBase {
     assert(sig == "0000")
   }
 
+  test("kernels match SQL formulations on a seeded random corpus") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "ab cd\tef\ngh€ñ日 .,!x"
+    val texts = Seq.tabulate(100) { _ =>
+      val n = rnd.nextInt(40) // includes 0..4 = shorter than one shingle
+      (0 until n).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+    }
+    val df = texts.toDF("text")
+      .withColumn("mh_native",
+        MinHashSignatureExpression.minhashSignature(col("text")))
+      .withColumn("mh_sql", expr(
+        """transform(sequence(0, 7), j ->
+             IF(length(text) < 5, CAST(NULL AS STRING),
+               array_min(transform(
+                 transform(sequence(1, length(text) - 4),
+                   i -> substring(text, i, 5)),
+                 sh -> substring(IF(j < 4, md5(sh), md5(concat('x', sh))),
+                                 (j % 4) * 8 + 1, 8)))))"""))
+      .withColumn("sh_native", SimHashExpression.simhash(col("text")))
+      .withColumn("sh_sql", expr(simhashSql))
+    val rows = df.collect()
+    rows.foreach { r =>
+      val native = r.getAs[scala.collection.Seq[String]]("mh_native")
+      val sql = r.getAs[scala.collection.Seq[String]]("mh_sql")
+      val t = r.getAs[String]("text")
+      // texts shorter than one shingle are all-null on both paths
+      (0 until 8).foreach(j => assert(native(j) == sql(j), s"mh$j '$t'"))
+      assert(r.getAs[Int]("sh_native") == r.getAs[Int]("sh_sql"),
+        s"simhash '$t'")
+    }
+  }
+
   test("SimHash kernel matches the SQL bit-vote formulation") {
     val texts = Seq(
       "hello world hello spark",
@@ -46,14 +87,6 @@ class SignatureSpec extends SparkTestBase {
       "  leading and trailing  ",
       "single",
       "a\tb\tc tabs between")
-    val simhashSql = """
-      CAST(aggregate(sequence(0, 15), 0, (acc, k) -> acc + IF(
-        2 * size(filter(transform(split(trim(text), '\\s+'), w -> md5(w)),
-          h -> ((shiftright(instr('0123456789abcdef',
-                   substring(h, CAST(k DIV 4 AS INT) + 1, 1)) - 1,
-                 3 - (k % 4))) & 1) = 1))
-        > size(split(trim(text), '\\s+')),
-        shiftleft(1, k), 0)) AS INT)"""
     val rows = texts.toDF("text")
       .withColumn("native", SimHashExpression.simhash(col("text")))
       .withColumn("expected", expr(simhashSql))
