@@ -388,7 +388,96 @@ object Variety {
     FROM un
     ORDER BY n_nationkey, attr"""
 
+  /** q90: bitwise aggregates — exact integer ops, identical in both
+    * engines.
+    */
+  private def q90(s: SparkSession, d: String): DataFrame =
+    lineitem(s, d)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("bit_and(l_linenumber)").cast("int").as("band"),
+        expr("bit_or(l_linenumber)").cast("int").as("bor"),
+        expr("bit_xor(l_linenumber)").cast("int").as("bxor"),
+        expr("bit_count(bit_or(l_linenumber))").cast("int").as("bits_set"))
+      .orderBy(col("l_returnflag"))
+
+  private val o90 = """
+    SELECT l_returnflag,
+           CAST(bit_and(l_linenumber) AS INT) AS band,
+           CAST(bit_or(l_linenumber) AS INT) AS bor,
+           CAST(bit_xor(l_linenumber) AS INT) AS bxor,
+           CAST(bit_count(bit_or(l_linenumber)) AS INT) AS bits_set
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
+
+  /** q91: bounded pairwise edit distance (levenshtein on 40-char prefixes)
+    * — the fuzzy-variant detector that complements hash-based dedup. Pairs
+    * form through a constant-key broadcast hash join (house pattern), never
+    * a nested-loop cartesian; at scale the same kernel runs on LSH
+    * candidates instead of a bounded id range.
+    */
+  private def q91(s: SparkSession, d: String): DataFrame = {
+    val dd = documents(s, d).filter(col("doc_id") < 12)
+      .select(col("doc_id"), substring(col("text"), 1, 40).as("pfx"),
+        pmod(col("doc_id"), lit(1)).as("jk"))
+    dd.as("a")
+      .join(broadcast(dd.as("b")), col("a.jk") === col("b.jk"))
+      .filter(col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        levenshtein(col("a.pfx"), col("b.pfx")).as("edit_dist"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private val o91 = """
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(levenshtein(substr(a.text, 1, 40), substr(b.text, 1, 40))
+                AS INT) AS edit_dist
+    FROM documents a JOIN documents b ON a.doc_id < b.doc_id
+    WHERE a.doc_id < 12 AND b.doc_id < 12
+    ORDER BY doc_a, doc_b"""
+
+  /** q92: IGNORE NULLS window navigation — forward-fill (last non-null
+    * value so far) and next-seen backward fill over a sparse measure (only
+    * purchase events carry one, ~80% null), the standard time-series
+    * gap-filling shape. Written as SQL so both engines run the same text.
+    * Windows order by event_id alone: ordering by the raw timestamp would
+    * diverge where DuckDB's µs truncation merges distinct nanosecond values.
+    */
+  private def q92(s: SparkSession, d: String): DataFrame = {
+    events(s, d).createOrReplaceTempView("graft_events_in")
+    s.sql("""
+      SELECT event_id, user_id, v,
+             last_value(v) IGNORE NULLS OVER
+               (PARTITION BY user_id ORDER BY event_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill,
+             first_value(v) IGNORE NULLS OVER
+               (PARTITION BY user_id ORDER BY event_id
+                ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bfill
+      FROM (SELECT event_id, user_id,
+                   CASE WHEN event_type = 'purchase' THEN round(value, 4) END
+                     AS v
+            FROM graft_events_in)
+      ORDER BY user_id, event_id""")
+  }
+
+  // DuckDB's IGNORE NULLS goes inside the call parens; Spark's after them
+  private val o92 = """
+    SELECT event_id, user_id, v,
+           last_value(v IGNORE NULLS) OVER
+             (PARTITION BY user_id ORDER BY event_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ffill,
+           first_value(v IGNORE NULLS) OVER
+             (PARTITION BY user_id ORDER BY event_id
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS bfill
+    FROM (SELECT event_id, user_id,
+                 CASE WHEN event_type = 'purchase' THEN round(value, 4) END
+                   AS v
+          FROM events)
+    ORDER BY user_id, event_id"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q90_bitwise_agg", q90, Some(o90)),
+    QueryDef("q91_edit_distance", q91, Some(o91)),
+    QueryDef("q92_window_ignore_nulls", q92, Some(o92)),
     QueryDef("q89_generator_variety", q89, Some(o89)),
     QueryDef("q76_map_ops", q76, Some(o76)),
     QueryDef("q78_range_frames", q78, Some(o78)),
