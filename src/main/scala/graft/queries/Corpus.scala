@@ -339,7 +339,71 @@ object Corpus {
     FROM hits h JOIN sz s ON h.doc_id = s.doc_id
     ORDER BY h.doc_id"""
 
+  /** q93: repeated-n-gram ratio — the classic repetition quality filter
+    * (high duplicate-3-gram fraction flags boilerplate/spam). Per-row map,
+    * shuffle-free.
+    */
+  private def q93(s: SparkSession, d: String): DataFrame =
+    parallelize(s, documents(s, d))
+      .withColumn("ws", wsCol)
+      .filter(size(col("ws")) >= 3)
+      .withColumn("grams", expr(
+        """transform(sequence(0, size(ws) - 3), i -> concat_ws(' ',
+           element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3)))"""))
+      .select(
+        col("doc_id"),
+        size(col("grams")).as("n_grams"),
+        size(array_distinct(col("grams"))).as("n_distinct"),
+        round(lit(1.0) -
+          size(array_distinct(col("grams"))).cast("double") /
+            size(col("grams")).cast("double"), 6).as("dup_ratio"))
+      .orderBy(col("doc_id"))
+
+  private val o93 = """
+    SELECT doc_id, CAST(len(g) AS INT) AS n_grams,
+           CAST(len(list_distinct(g)) AS INT) AS n_distinct,
+           round(1.0 - CAST(len(list_distinct(g)) AS DOUBLE)
+                       / CAST(len(g) AS DOUBLE), 6) AS dup_ratio
+    FROM (SELECT doc_id,
+            list_transform(range(0, len(w) - 2),
+              i -> w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3]) AS g
+          FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                FROM documents)
+          WHERE len(w) >= 3)
+    ORDER BY doc_id"""
+
+  /** q94: domain mixing weights — per-source sampling weight that would
+    * rebalance the corpus to uniform shares (weight = target share /
+    * actual share). The arithmetic is one integer-count aggregation plus
+    * exact IEEE division, so the oracle matches bit-for-bit.
+    */
+  private def q94(s: SparkSession, d: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.unboundedFollowing)
+    documents(s, d)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("cnt"))
+      .withColumn("total", sum(col("cnt")).over(w))
+      .withColumn("k", count(lit(1)).over(w))
+      .select(col("source"), col("cnt"),
+        round(col("total").cast("double") / (col("k") * col("cnt")), 6)
+          .as("mix_weight"))
+      .orderBy(col("source"))
+  }
+
+  private val o94 = """
+    SELECT source, cnt,
+           round(CAST(total AS DOUBLE) / (k * cnt), 6) AS mix_weight
+    FROM (SELECT source, count(*) AS cnt,
+                 sum(count(*)) OVER () AS total,
+                 count(*) OVER () AS k
+          FROM documents GROUP BY source)
+    ORDER BY source"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q93_repetition_ratio", q93, Some(o93)),
+    QueryDef("q94_mix_weights", q94, Some(o94)),
     QueryDef("q83_contamination", q83, Some(o83)),
     QueryDef("q69_higher_order", q69, Some(o69)),
     QueryDef("q70_posexplode", q70, Some(o70)),

@@ -1,0 +1,61 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Sources and sinks beyond parquet, declared through the driver contract:
+  * each query writes a slice of `documents` in the target format and reads
+  * it back with an explicit schema (inference would be engine-specific),
+  * then aggregates — so the oracle over the original parquet verifies the
+  * round trip was lossless. `SourcesSpec` covers ORC and partitioned-write
+  * pruning; these two make the JSON/CSV paths driver-checked.
+  */
+object Sources {
+  import Tables._
+
+  private val roundtripSchema = StructType.fromDDL(
+    "doc_id LONG, text STRING, lang STRING")
+
+  private def sinkDir(s: SparkSession, name: String): String = {
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    s"$wh/$name"
+  }
+
+  private def agg(df: DataFrame): DataFrame =
+    df.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("total_chars"),
+        min(col("doc_id")).as("min_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("lang"))
+
+  private val oAgg = """
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM documents GROUP BY lang ORDER BY lang"""
+
+  /** q95: JSON lines sink + source round trip. */
+  private def q95(s: SparkSession, d: String): DataFrame = {
+    val dir = sinkDir(s, "graft_json_roundtrip")
+    documents(s, d).select(col("doc_id"), col("text"), col("lang"))
+      .write.mode("overwrite").json(dir)
+    agg(s.read.schema(roundtripSchema).json(dir))
+  }
+
+  /** q96: CSV sink + source round trip (header + explicit schema; the
+    * writer quotes delimiters inside text fields, the reader must agree).
+    */
+  private def q96(s: SparkSession, d: String): DataFrame = {
+    val dir = sinkDir(s, "graft_csv_roundtrip")
+    documents(s, d).select(col("doc_id"), col("text"), col("lang"))
+      .write.mode("overwrite").option("header", "true").csv(dir)
+    agg(s.read.schema(roundtripSchema).option("header", "true").csv(dir))
+  }
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q95_json_roundtrip", q95, Some(oAgg)),
+    QueryDef("q96_csv_roundtrip", q96, Some(oAgg)))
+}
