@@ -171,7 +171,8 @@ object Dedup {
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
-  private def o38: String =
+  /** o38 body without the final ORDER BY, reusable as a subquery (q97). */
+  private def o38Body: String =
     s"""WITH cand AS (
          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          FROM ($oBands) x JOIN ($oBands) y
@@ -194,8 +195,9 @@ object Dedup {
        FROM inter
        JOIN sz za ON za.doc_id = doc_a
        JOIN sz zb ON zb.doc_id = doc_b
-       WHERE round(ni / (za.sz + zb.sz - ni), 6) >= 0.25
-       ORDER BY doc_a, doc_b"""
+       WHERE round(ni / (za.sz + zb.sz - ni), 6) >= 0.25"""
+
+  private def o38: String = s"$o38Body ORDER BY doc_a, doc_b"
 
   /** 16-bit SimHash over word tokens (md5 bit votes), computed by the
     * codegen'd native expression [[graft.functions.SimHashExpression]] —
@@ -269,7 +271,68 @@ object Dedup {
     JOIN sz zb ON zb.doc_id = doc_b
     ORDER BY doc_a, doc_b"""
 
+  /** q97: near-dup CLUSTERS — the transitive closure of q38's verified
+    * pairs (a~b, b~c => {a,b,c} is one dup group), the step that turns
+    * pairwise similarity into the keep-one-per-cluster decision. Computed
+    * by iterative min-label propagation with a convergence check: each
+    * round every node adopts the smallest label among itself and its
+    * neighbors; ≤ diameter rounds to fixpoint, and components here are
+    * tiny (near-dup groups), so the loop is a handful of small-data jobs.
+    * The per-round count() is a convergence test on an aggregate, not a
+    * driver-side data loop. Oracle: DuckDB recursive CTE enumerating
+    * reachable labels, min per node.
+    */
+  private def q97(s: SparkSession, d: String): DataFrame = {
+    // localCheckpoint (eager) truncates lineage at the tiny pair set: the
+    // iterative joins below must not chain plans back through q38's whole
+    // signature/verification DAG — once cache blocks get evicted under a
+    // long session's memory pressure, that lineage recomputes per
+    // iteration and OOMs. Same per-iteration: labels stay a depth-1 plan.
+    val pairs = q38(s, d).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    val edges = pairs.union(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    var labels = edges.select(col("doc_a").as("doc")).distinct()
+      .withColumn("lab", col("doc")).localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val prop = edges.join(labels, col("doc_a") === col("doc"))
+        .select(col("doc_b").as("doc2"), col("lab").as("lab2"))
+        .withColumnRenamed("doc2", "doc").withColumnRenamed("lab2", "lab")
+      val next = labels.select(col("doc"), col("lab")).union(prop)
+        .groupBy(col("doc")).agg(min(col("lab")).as("lab"))
+        .localCheckpoint(true)
+      changed = next.as("n")
+        .join(labels.as("o"), col("n.doc") === col("o.doc"))
+        .filter(col("n.lab") =!= col("o.lab")).count()
+      labels = next
+      iter += 1
+    }
+    labels
+      .groupBy(col("lab").as("cluster"))
+      .agg(count(lit(1)).as("n_members"), max(col("doc")).as("max_doc"))
+      .filter(col("n_members") > 1)
+      .orderBy(col("cluster"))
+  }
+
+  private def o97: String =
+    s"""WITH RECURSIVE
+       pairs AS ($o38Body),
+       edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                 UNION ALL
+                 SELECT doc_b, doc_a FROM pairs),
+       nodes AS (SELECT DISTINCT src AS doc FROM edges),
+       reach(doc, lab) AS (
+         SELECT doc, doc FROM nodes
+         UNION
+         SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc),
+       cc AS (SELECT doc, min(lab) AS lab FROM reach GROUP BY doc)
+       SELECT lab AS cluster, count(*) AS n_members, max(doc) AS max_doc
+       FROM cc GROUP BY lab HAVING count(*) > 1 ORDER BY cluster"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q97_dedup_clusters", q97, Some(o97)),
     QueryDef("q36_minhash_signatures", q36, Some(o36)),
     QueryDef("q37_lsh_band_stats", q37, Some(o37)),
     QueryDef("q38_minhash_near_dup", q38, Some(o38)),
