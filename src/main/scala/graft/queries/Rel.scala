@@ -502,7 +502,50 @@ object Rel {
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
+  /** q98: upsert / MERGE semantics without a table format — the full-outer
+    * join + coalesce pattern: updates win over base rows, unmatched updates
+    * insert, unmatched base rows survive. The update set here is derived
+    * deterministically from the base (every 10th customer modified, plus a
+    * shifted-key slice as inserts) so the oracle reproduces it exactly.
+    */
+  private def q98(s: SparkSession, d: String): DataFrame = {
+    val base = customer(s, d)
+      .select(col("c_custkey"), col("c_name"), col("c_acctbal"))
+    val mods = customer(s, d).filter(col("c_custkey") % 10 === 0)
+      .select(col("c_custkey"),
+        concat(col("c_name"), lit("-v2")).as("c_name"),
+        round(col("c_acctbal") + 100, 2).as("c_acctbal"))
+    val inserts = customer(s, d).filter(col("c_custkey") % 97 === 0)
+      .select((col("c_custkey") + 1000000).as("c_custkey"),
+        concat(col("c_name"), lit("-new")).as("c_name"), col("c_acctbal"))
+    val updates = mods.union(inserts)
+    base.as("b")
+      .join(updates.as("u"), col("b.c_custkey") === col("u.c_custkey"),
+        "full_outer")
+      .select(
+        coalesce(col("u.c_custkey"), col("b.c_custkey")).as("c_custkey"),
+        coalesce(col("u.c_name"), col("b.c_name")).as("c_name"),
+        coalesce(col("u.c_acctbal"), col("b.c_acctbal")).as("c_acctbal"))
+      .orderBy(col("c_custkey"))
+  }
+
+  private val o98 = """
+    WITH base AS (SELECT c_custkey, c_name, c_acctbal FROM customer),
+    updates AS (
+      SELECT c_custkey, c_name || '-v2' AS c_name,
+             round(c_acctbal + 100, 2) AS c_acctbal
+      FROM customer WHERE c_custkey % 10 = 0
+      UNION ALL
+      SELECT c_custkey + 1000000, c_name || '-new', c_acctbal
+      FROM customer WHERE c_custkey % 97 = 0)
+    SELECT coalesce(u.c_custkey, b.c_custkey) AS c_custkey,
+           coalesce(u.c_name, b.c_name) AS c_name,
+           coalesce(u.c_acctbal, b.c_acctbal) AS c_acctbal
+    FROM base b FULL OUTER JOIN updates u ON b.c_custkey = u.c_custkey
+    ORDER BY c_custkey"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q98_upsert_merge", q98, Some(o98)),
     QueryDef("q88_bucketed_join", q88, Some(o88)),
     QueryDef("q01_pricing_summary", q01, Some(o01)),
     QueryDef("q02_filter_project", q02, Some(o02)),
