@@ -55,7 +55,34 @@ object Sources {
     agg(s.read.schema(roundtripSchema).option("header", "true").csv(dir))
   }
 
+  /** q99: partitioned parquet sink + partition-pruned source — the write
+    * side of partition layout (one directory per lang) and the read side's
+    * pruning: the `lang = 'en'` filter resolves against partition
+    * directories, so only that partition's files are ever opened (the scan
+    * shows it under PartitionFilters, not a data filter).
+    */
+  private def q99(s: SparkSession, d: String): DataFrame = {
+    val dir = sinkDir(s, "graft_part_roundtrip")
+    documents(s, d)
+      .select(col("doc_id"), col("text"), col("source"), col("lang"))
+      .write.mode("overwrite").partitionBy("lang").parquet(dir)
+    s.read.parquet(dir)
+      .filter(col("lang") === "en")
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("total_chars"))
+      .orderBy(col("source"))
+  }
+
+  private val o99 = """
+    SELECT source, count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars
+    FROM documents WHERE lang = 'en'
+    GROUP BY source ORDER BY source"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q95_json_roundtrip", q95, Some(oAgg)),
-    QueryDef("q96_csv_roundtrip", q96, Some(oAgg)))
+    QueryDef("q96_csv_roundtrip", q96, Some(oAgg)),
+    QueryDef("q99_partitioned_pruning", q99, Some(o99)))
 }

@@ -70,6 +70,12 @@ class CatalogSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q99's lang filter prunes partitions rather than filtering rows") {
+    val plan = SparkEntry.queries("q99_partitioned_pruning")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("lang"), plan)
+  }
+
   test("filter queries push predicates into the parquet scan") {
     val plan = SparkEntry.queries("q02_filter_project")(spark, sf())
       .queryExecution.executedPlan.toString
