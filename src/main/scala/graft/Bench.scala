@@ -41,16 +41,20 @@ object Bench {
       }
       // a failed attempt is never a measurement (round-2 ADVICE), but a
       // transient failure shouldn't discard the other attempt's valid time:
-      // report the best successful run, or the -1 sentinel if none succeeded
+      // report the best successful run (flagging the mixed outcome), or the
+      // -1 sentinel if no attempt succeeded
       val good = times.filter(_ >= 0)
-      name -> (if (good.isEmpty) -1.0 else good.min)
+      val t = if (good.isEmpty) -1.0 else good.min
+      (name, t, good.nonEmpty && good.size < times.size)
     }
-    val failed = results.collect { case (k, v) if v < 0 => k }
-    val qs = results.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+    val failed = results.collect { case (k, v, _) if v < 0 => k }
+    val flaky = results.collect { case (k, _, true) => k }
+    val qs = results.map { case (k, v, _) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir"}""")
+    def arr(xs: Seq[String]): String =
+      xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":${arr(failed)},"flaky":${arr(flaky)},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

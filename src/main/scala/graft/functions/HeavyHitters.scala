@@ -73,11 +73,12 @@ object HeavyHitters {
       Sketch(m.toMap, a.evicted + b.evicted + ev)
     }
 
-    /** Result = (counters, max evicted count). The bound is 0 iff the sketch
-      * never hit capacity and is therefore exact; oracle-paired queries expose
-      * it as an output column so the verify harness detects a silent switch
-      * to approximate mode (round-2 ADVICE) instead of a nondeterministic
-      * hash mismatch.
+    /** Result = (counters, summed evicted bound — per-stream max within a
+      * partition, added across merged partials). The bound is 0 iff the
+      * sketch never hit capacity and is therefore exact; oracle-paired
+      * queries expose it as an output column so the verify harness detects
+      * a silent switch to approximate mode (round-2 ADVICE) instead of a
+      * nondeterministic hash mismatch.
       */
     override def finish(r: Sketch): (Map[String, Long], Long) =
       (r.counts, r.evicted)

@@ -347,9 +347,7 @@ object Corpus {
     parallelize(s, documents(s, d))
       .withColumn("ws", wsCol)
       .filter(size(col("ws")) >= 3)
-      .withColumn("grams", expr(
-        """transform(sequence(0, size(ws) - 3), i -> concat_ws(' ',
-           element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3)))"""))
+      .withColumn("grams", expr(Tables.word3GramArraySql))
       .select(
         col("doc_id"),
         size(col("grams")).as("n_grams"),

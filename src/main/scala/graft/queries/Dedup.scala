@@ -309,6 +309,12 @@ object Dedup {
       labels = next
       iter += 1
     }
+    // fail loudly if a pathological long chain exceeded the iteration cap:
+    // silently returning split clusters would be a wrong answer with no
+    // oracle to catch it at production scale
+    require(changed == 0,
+      s"label propagation did not converge in $iter iterations " +
+        "(component diameter exceeds cap) — raise the cap for this corpus")
     labels
       .groupBy(col("lab").as("cluster"))
       .agg(count(lit(1)).as("n_members"), max(col("doc")).as("max_doc"))

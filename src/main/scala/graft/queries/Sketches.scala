@@ -24,7 +24,7 @@ object Sketches {
       .as[Seq[String]](seqEnc)
     val hh = new HeavyHitters.TopK(1024).toColumn
     // the tuple-typed aggregate column flattens to (_1 = counters,
-    // _2 = max evicted count); surfacing the bound makes the exact-regime
+    // _2 = summed evicted bound); surfacing the bound makes the exact-regime
     // precondition oracle-checked (expected 0), not assumed
     words.select(hh.name("hh"))
       .select(col("_2").as("evicted_bound"), explode(col("_1")))

@@ -47,12 +47,24 @@ object Sources {
 
   /** q96: CSV sink + source round trip (header + explicit schema; the
     * writer quotes delimiters inside text fields, the reader must agree).
+    * Lossless-text options are explicit: the writer's whitespace trimming
+    * defaults ON and would drop edge spaces, and the reader needs
+    * multiLine for quoted embedded newlines.
     */
   private def q96(s: SparkSession, d: String): DataFrame = {
     val dir = sinkDir(s, "graft_csv_roundtrip")
     documents(s, d).select(col("doc_id"), col("text"), col("lang"))
-      .write.mode("overwrite").option("header", "true").csv(dir)
-    agg(s.read.schema(roundtripSchema).option("header", "true").csv(dir))
+      .write.mode("overwrite")
+      .option("header", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(dir)
+    agg(s.read.schema(roundtripSchema)
+      .option("header", "true")
+      .option("multiLine", "true")
+      .option("ignoreLeadingWhiteSpace", "false")
+      .option("ignoreTrailingWhiteSpace", "false")
+      .csv(dir))
   }
 
   /** q99: partitioned parquet sink + partition-pruned source — the write

@@ -44,18 +44,24 @@ object Tables {
     if (df.rdd.getNumPartitions < want) df.repartition(want) else df
   }
 
-  /** Distinct word-3-grams per document: (doc_id, gram). One definition
-    * shared by the exact-Jaccard verification kernel (q40) and
-    * contamination detection (q83) so the n-gram construction cannot drift
-    * between them.
+  /** SQL fragment building the adjacent word-3-gram array from a `ws`
+    * word-array column — the ONE gram definition; [[word3grams]] explodes
+    * its distinct form, the repetition filter (q93) consumes the raw
+    * multiset. Change it here or nowhere.
+    */
+  val word3GramArraySql: String =
+    """transform(sequence(0, size(ws) - 3), i -> concat_ws(' ',
+       element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3)))"""
+
+  /** Distinct word-3-grams per document: (doc_id, gram). Shared by the
+    * exact-Jaccard verification kernel (q40) and contamination detection
+    * (q83) so the n-gram construction cannot drift between them.
     */
   def word3grams(df: DataFrame): DataFrame = df
     .withColumn("ws", split(trim(col("text")), "\\s+"))
     .filter(size(col("ws")) >= 3)
-    .select(col("doc_id"), explode(array_distinct(expr(
-      """transform(sequence(0, size(ws) - 3), i -> concat_ws(' ',
-         element_at(ws, i + 1), element_at(ws, i + 2), element_at(ws, i + 3)))""")))
-      .as("gram"))
+    .select(col("doc_id"),
+      explode(array_distinct(expr(word3GramArraySql))).as("gram"))
 
   def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
   def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")

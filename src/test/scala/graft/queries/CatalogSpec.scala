@@ -73,7 +73,10 @@ class CatalogSpec extends SparkTestBase {
   test("q99's lang filter prunes partitions rather than filtering rows") {
     val plan = SparkEntry.queries("q99_partitioned_pruning")(spark, sf())
       .queryExecution.executedPlan.toString
-    assert(plan.contains("PartitionFilters") && plan.contains("lang"), plan)
+    // the lang predicate must appear INSIDE the PartitionFilters list —
+    // merely containing both substrings would also pass for a row filter
+    assert("PartitionFilters: \\[[^\\]]*lang".r.findFirstIn(plan).isDefined,
+      plan)
   }
 
   test("filter queries push predicates into the parquet scan") {
