@@ -474,7 +474,28 @@ object Variety {
           FROM events)
     ORDER BY user_id, event_id"""
 
+  /** q100: recursive CTE — Spark 4's WITH RECURSIVE (planned as
+    * UnionLoopExec) running the IDENTICAL SQL text DuckDB runs: ancestor
+    * chains over a synthetic parent edge (nationkey -> nationkey - 5), five
+    * levels deep. Complements q97, which solves the same closure problem
+    * with an explicit iterative plan.
+    */
+  private val recursiveSql = """
+    WITH RECURSIVE anc(nk, root, depth) AS (
+      SELECT n_nationkey, n_nationkey, 0 FROM nation WHERE n_nationkey < 5
+      UNION ALL
+      SELECT n.n_nationkey, a.root, a.depth + 1
+      FROM nation n JOIN anc a ON n.n_nationkey = a.nk + 5)
+    SELECT nk, root, CAST(depth AS INT) AS depth
+    FROM anc ORDER BY nk, root"""
+
+  private def q100(s: SparkSession, d: String): DataFrame = {
+    nation(s, d).createOrReplaceTempView("nation")
+    s.sql(recursiveSql)
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q100_recursive_cte", q100, Some(recursiveSql)),
     QueryDef("q90_bitwise_agg", q90, Some(o90)),
     QueryDef("q91_edit_distance", q91, Some(o91)),
     QueryDef("q92_window_ignore_nulls", q92, Some(o92)),
