@@ -480,22 +480,26 @@ object Variety {
     * levels deep. Complements q97, which solves the same closure problem
     * with an explicit iterative plan.
     */
-  private val recursiveSql = """
+  // one SQL text, parameterized only by the table name: the oracle reads
+  // DuckDB's `nation` view, the Spark side a graft_-prefixed temp view (the
+  // house convention — a bare `nation` temp view would shadow resolution
+  // for any later unqualified reference in the shared session)
+  private def recursiveSql(tbl: String) = s"""
     WITH RECURSIVE anc(nk, root, depth) AS (
-      SELECT n_nationkey, n_nationkey, 0 FROM nation WHERE n_nationkey < 5
+      SELECT n_nationkey, n_nationkey, 0 FROM $tbl WHERE n_nationkey < 5
       UNION ALL
       SELECT n.n_nationkey, a.root, a.depth + 1
-      FROM nation n JOIN anc a ON n.n_nationkey = a.nk + 5)
+      FROM $tbl n JOIN anc a ON n.n_nationkey = a.nk + 5)
     SELECT nk, root, CAST(depth AS INT) AS depth
     FROM anc ORDER BY nk, root"""
 
   private def q100(s: SparkSession, d: String): DataFrame = {
-    nation(s, d).createOrReplaceTempView("nation")
-    s.sql(recursiveSql)
+    nation(s, d).createOrReplaceTempView("graft_nation_rec")
+    s.sql(recursiveSql("graft_nation_rec"))
   }
 
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("q100_recursive_cte", q100, Some(recursiveSql)),
+    QueryDef("q100_recursive_cte", q100, Some(recursiveSql("nation"))),
     QueryDef("q90_bitwise_agg", q90, Some(o90)),
     QueryDef("q91_edit_distance", q91, Some(o91)),
     QueryDef("q92_window_ignore_nulls", q92, Some(o92)),

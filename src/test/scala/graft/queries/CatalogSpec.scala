@@ -70,6 +70,12 @@ class CatalogSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("q100 plans as a recursive UnionLoop, not a rewritten union/join") {
+    val plan = SparkEntry.queries("q100_recursive_cte")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("UnionLoop"), plan)
+  }
+
   test("q99's lang filter prunes partitions rather than filtering rows") {
     val plan = SparkEntry.queries("q99_partitioned_pruning")(spark, sf())
       .queryExecution.executedPlan.toString
