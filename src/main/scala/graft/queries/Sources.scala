@@ -93,8 +93,19 @@ object Sources {
     FROM documents WHERE lang = 'en'
     GROUP BY source ORDER BY source"""
 
+  /** q101: ORC sink + source round trip (columnar like parquet; types and
+    * strings round-trip losslessly without options).
+    */
+  private def q101(s: SparkSession, d: String): DataFrame = {
+    val dir = sinkDir(s, "graft_orc_roundtrip")
+    documents(s, d).select(col("doc_id"), col("text"), col("lang"))
+      .write.mode("overwrite").orc(dir)
+    agg(s.read.schema(roundtripSchema).orc(dir))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q95_json_roundtrip", q95, Some(oAgg)),
     QueryDef("q96_csv_roundtrip", q96, Some(oAgg)),
-    QueryDef("q99_partitioned_pruning", q99, Some(o99)))
+    QueryDef("q99_partitioned_pruning", q99, Some(o99)),
+    QueryDef("q101_orc_roundtrip", q101, Some(oAgg)))
 }
