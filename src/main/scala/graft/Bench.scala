@@ -37,6 +37,11 @@ object Bench {
               System.err.println(s"[bench] $name failed: ${e.getMessage}")
               false
           }
+        // drop persist()ed intermediates (q38/q47/q72/q83) after every run:
+        // Spark's CacheManager dedups by logical plan, so without this the
+        // second timed run silently reuses the first run's cache (flattering
+        // the min) AND cached blocks pile up across the ~100-query session
+        spark.catalog.clearCache()
         if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
       }
       // a failed attempt is never a measurement (round-2 ADVICE), but a
@@ -54,7 +59,18 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     def arr(xs: Seq[String]): String =
       xs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"failed":${arr(failed)},"flaky":${arr(flaky)},"sf":"$sfDir"}""")
+    // The driver tail-captures stdout, so the per-query detail line (>4 KB at
+    // ~100 queries) must come FIRST and the machine-read summary must be the
+    // compact LAST line — three rounds of BENCH_r*.json "parsed": null came
+    // from a single long line whose front (with "value") fell off the capture.
+    val detail = f"""{"metric":"detail","queries":$qs,"failed":${arr(failed)},"flaky":${arr(flaky)},"sf":"$sfDir"}"""
+    println(detail)
+    val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "/tmp/graft_bench_detail.json")
+    try {
+      java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
+        (detail + "\n").getBytes("UTF-8"))
+    } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"failed":${failed.size},"flaky":${flaky.size},"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1,7 +1,6 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (`Array[Float]`, dim 64).
@@ -78,19 +77,19 @@ object Vec {
     * Computed by the codegen'd native expression
     * [[graft.functions.LshSignatureExpression]] (same md5-derived planes and
     * IEEE fold order as the SQL formulation the oracle runs — an interpreted
-    * aggregate/zip_with chain re-evaluated 4 folds per row).
+    * aggregate/zip_with chain re-evaluated every fold per row).
     */
-  private def sigExpr: Column =
-    graft.functions.LshSignatureExpression.lshSignature(col("embedding"))
+  private def sigExpr(bits: Int): Column =
+    graft.functions.LshSignatureExpression.lshSignature(col("embedding"), bits)
 
-  private def oSigExpr: String = (0 until NBits).map(j =>
+  private def oSigExpr(bits: Int): String = (0 until bits).map(j =>
     s"""(CASE WHEN list_sum(list_transform(range(1, ${Dim + 1}),
         i -> CAST(embedding[i] AS DOUBLE) * hp$j[i])) > 0
         THEN '1' ELSE '0' END)""").mkString(" || ")
 
   /** q42: all vectors in the query vector's LSH bucket, ranked by cosine. */
   private def q42(s: SparkSession, d: String): DataFrame = {
-    val e = parallelize(s, embeddings(s, d)).withColumn("sig", sigExpr)
+    val e = parallelize(s, embeddings(s, d)).withColumn("sig", sigExpr(NBits))
     val q = e.filter(col("vec_id") === 0)
       .select(toD(col("embedding")).as("qv"), col("sig").as("qsig"))
     e.filter(col("vec_id") =!= 0)
@@ -104,7 +103,7 @@ object Vec {
     val hps = (0 until NBits).map(j => s"${oHyperplane(j)} AS hp$j").mkString(", ")
     s"""WITH hp AS (SELECT $hps),
        sigs AS (
-         SELECT vec_id, embedding, ($oSigExpr) AS sig
+         SELECT vec_id, embedding, (${oSigExpr(NBits)}) AS sig
          FROM embeddings, hp)
        SELECT s.vec_id, s.sig,
               round(list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
@@ -116,43 +115,78 @@ object Vec {
        ORDER BY cos_sim DESC, s.vec_id"""
   }
 
+  /** Squared L2 distance to a centroid, as the identical left-to-right IEEE
+    * fold on both engines (Spark `aggregate(zip_with(...))` vs DuckDB
+    * `list_sum(list_transform(...))`) — NOT `sqrt`/`list_distance`, whose
+    * internal accumulation differs in last ulps between engines and could
+    * flip a near-tie assignment (round-3 ADVICE). Ranking on the
+    * bit-identical squared distance with a `cid` tie-break makes the argmin
+    * engine-independent.
+    */
+  private def oCd2: String =
+    s"""list_sum(list_transform(range(1, ${Dim + 1}),
+        i -> (CAST(e.embedding[i] AS DOUBLE) - c.cv[i])
+           * (CAST(e.embedding[i] AS DOUBLE) - c.cv[i])))"""
+
+  /** Nearest-centroid assignment as a MAP-SIDE fold: the 16-row codebook is
+    * aggregated into one cid-sorted `ARRAY<STRUCT<cid, cv>>` row, broadcast,
+    * and each vector folds over it keeping the lexicographic min of
+    * `(d2, cid)` — strict `<` over the cid-ascending array makes the lowest
+    * cid win exact-d2 ties, identical to the oracle's
+    * `ORDER BY d2, cid ... rn = 1`. No 16x row expansion, no groupBy over
+    * vec_id, no window: assignment is a Project over a one-row
+    * BroadcastHashJoin, so the only shuffle left in q43/q84 is the final
+    * 16-group rollup. (The round-3 version exploded each vector x 16 and
+    * ran `row_number()` over a vec_id window — a full shuffle AND sort of
+    * the expanded corpus, flagged as the scale-killer.)
+    */
+  private def assignNearest(s: SparkSession, d: String): DataFrame = {
+    val e = embeddings(s, d)
+    val cb = e.filter(col("vec_id") < NCells)
+      .agg(array_sort(collect_list(struct(col("vec_id").as("cid"),
+        toD(col("embedding")).as("cv")))).as("cb"))
+      // join key derived from a column (pmod == 0 always) so Catalyst keeps
+      // a hash-join key instead of folding a literal into a nested loop
+      .withColumn("jk", pmod(size(col("cb")), size(col("cb"))))
+    val best = aggregate(col("cb"),
+      struct(lit(Double.MaxValue).as("d2"), lit(-1L).as("cid")),
+      (acc, c) => {
+        val d2 = aggregate(
+          zip_with(toD(col("embedding")), c.getField("cv"),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (a2, x) => a2 + x)
+        val cand = struct(d2.as("d2"), c.getField("cid").as("cid"))
+        when(cand < acc, cand).otherwise(acc)
+      })
+    e.withColumn("jk", pmod(col("vec_id"), lit(1)))
+      .join(broadcast(cb), Seq("jk"))
+      .withColumn("best", best)
+      .select(col("vec_id"), col("best.cid").as("cid"),
+        col("best.d2").as("d2"), toD(col("embedding")).as("v"))
+  }
+
   /** q43: IVF cell assignment — nearest of the 16 codebook centroids per
     * vector (L2), with per-cell population and mean distance.
     */
-  private def q43(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d)
-    val cents = e.filter(col("vec_id") < NCells)
-      .select(col("vec_id").as("cid"), toD(col("embedding")).as("cv"),
-        pmod(col("vec_id"), lit(1)).as("jk"))
-    val dist2 = aggregate(
-      zip_with(toD(col("embedding")), col("cv"),
-        (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist").asc, col("cid").asc)
-    e.withColumn("jk", pmod(col("vec_id"), lit(1)))
-      .join(broadcast(cents), Seq("jk"))
-      .select(col("vec_id"), col("cid"), sqrt(dist2).as("dist"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+  private def q43(s: SparkSession, d: String): DataFrame =
+    assignNearest(s, d)
+      .select(col("cid"), sqrt(col("d2")).as("dist"))
       .groupBy(col("cid"))
       .agg(count(lit(1)).as("n_vectors"),
         round(avg(col("dist")), 6).as("avg_dist"))
       .orderBy(col("cid"))
-  }
 
-  private val o43 = s"""
+  private def o43 = s"""
     WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
                FROM embeddings WHERE vec_id < $NCells),
     dists AS (
-      SELECT e.vec_id, c.cid,
-             list_distance(CAST(e.embedding AS DOUBLE[]), c.cv) AS dist
+      SELECT e.vec_id, c.cid, $oCd2 AS d2
       FROM embeddings e CROSS JOIN c),
     best AS (
-      SELECT vec_id, cid, dist,
-             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+      SELECT vec_id, cid, d2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
       FROM dists)
-    SELECT cid, count(*) AS n_vectors, round(avg(dist), 6) AS avg_dist
+    SELECT cid, count(*) AS n_vectors, round(avg(sqrt(d2)), 6) AS avg_dist
     FROM best WHERE rn = 1
     GROUP BY cid ORDER BY cid"""
 
@@ -177,35 +211,72 @@ object Vec {
           FROM embeddings)
     GROUP BY label ORDER BY label"""
 
-  /** q47: embedding near-duplicate pairs — candidates limited to vectors
-    * sharing an LSH signature (hamming-0 buckets; at uniform spread each
-    * bucket holds ~1/2^bits of the corpus, so pair work is corpus²/2^bits
-    * per bucket set, never a global all-pairs), then verified by exact
-    * cosine >= 0.3.
+  /** q47 banding: 4 bands x 8 hyperplane bits (32 planes total). Candidate
+    * pairs must agree on ALL 8 bits of at least one band, so pair work is
+    * Σ_buckets C(pop, 2) per band with ~2^8 = 256 buckets per band — bucket
+    * POPULATION, not bucket count, bounds the join (the round-3 4-bit
+    * single-band design had 16 global buckets = corpus²/16 pair work, a
+    * scale-killer). At larger corpora the knob is `DupBandBits`: it grows
+    * with log₂(corpus / target-bucket-size) while `DupBands` sets recall —
+    * identical to the banded-MinHash trade in q36–q38.
+    */
+  private val DupBands = 4
+  private val DupBandBits = 8
+
+  /** q47: embedding near-duplicate pairs — banded-LSH candidates (shared
+    * 8-bit band bucket), then verified by exact cosine >= 0.3. Same
+    * candidates → distinct-pairs → verify shape as q38's banded MinHash;
+    * the verification join re-fetches embeddings only for candidate ids.
     */
   private def q47(s: SparkSession, d: String): DataFrame = {
-    val sigs = parallelize(s, embeddings(s, d)).withColumn("sig", sigExpr)
+    val sigs = parallelize(s, embeddings(s, d))
+      .withColumn("sig", sigExpr(DupBands * DupBandBits))
       .select(col("vec_id"), col("sig"), toD(col("embedding")).as("ed"))
-    sigs.as("a")
-      .join(sigs.as("b"),
-        col("a.sig") === col("b.sig") && col("a.vec_id") < col("b.vec_id"))
-      .select(col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
+      .persist()
+    val bands = sigs.select(col("vec_id"),
+      posexplode(array((0 until DupBands).map(b =>
+        col("sig").substr(b * DupBandBits + 1, DupBandBits)): _*))
+        .as(Seq("band_pos", "bkey")))
+    val cands = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band_pos") === col("y.band_pos") &&
+        col("x.bkey") === col("y.bkey") &&
+        col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
+      .distinct()
+    cands
+      .join(sigs.as("a"), col("vec_a") === col("a.vec_id"))
+      .join(sigs.as("b"), col("vec_b") === col("b.vec_id"))
+      .select(col("vec_a"), col("vec_b"),
         round(cosine(col("a.ed"), col("b.ed")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= 0.3)
       .orderBy(col("vec_a"), col("vec_b"))
   }
 
   private def o47: String = {
-    val hps = (0 until NBits).map(j => s"${oHyperplane(j)} AS hp$j").mkString(", ")
+    val nb = DupBands * DupBandBits
+    val hps = (0 until nb).map(j => s"${oHyperplane(j)} AS hp$j").mkString(", ")
+    val bandIdx = (0 until DupBands).mkString("[", ", ", "]")
     s"""WITH hp AS (SELECT $hps),
        sigs AS (
-         SELECT vec_id, embedding, ($oSigExpr) AS sig
-         FROM embeddings, hp)
-       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+         SELECT vec_id, embedding, (${oSigExpr(nb)}) AS sig
+         FROM embeddings, hp),
+       bands AS (
+         SELECT vec_id,
+                substr(sig, band_pos * $DupBandBits + 1, $DupBandBits) AS bkey,
+                band_pos
+         FROM sigs, (SELECT unnest($bandIdx) AS band_pos) bp),
+       cand AS (
+         SELECT DISTINCT x.vec_id AS vec_a, y.vec_id AS vec_b
+         FROM bands x JOIN bands y
+           ON x.band_pos = y.band_pos AND x.bkey = y.bkey
+          AND x.vec_id < y.vec_id)
+       SELECT c.vec_a, c.vec_b,
               round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                 CAST(b.embedding AS DOUBLE[])), 6) AS cos_sim
-       FROM sigs a JOIN sigs b
-         ON a.sig = b.sig AND a.vec_id < b.vec_id
+       FROM cand c
+       JOIN sigs a ON a.vec_id = c.vec_a
+       JOIN sigs b ON b.vec_id = c.vec_b
        WHERE round(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
                CAST(b.embedding AS DOUBLE[])), 6) >= 0.3
        ORDER BY vec_a, vec_b"""
@@ -242,30 +313,17 @@ object Vec {
     GROUP BY label, dim ORDER BY label, dim"""
 
   /** q84: one Lloyd (k-means) iteration of the IVF codebook — assign every
-    * vector to its nearest centroid (q43's plan shape: broadcast codebook,
-    * windowed argmin), then recompute per-cell means with the single-pass
-    * centroid Aggregator (q81's shape). This is the iterative-refinement
-    * step a real pipeline loops; output truncated to the first 4 dims per
-    * cell to keep compare rows bounded.
+    * vector to its nearest centroid (q43's plan shape: map-side fold over
+    * the one-row broadcast codebook — no expansion, no window, no sort), then
+    * recompute per-cell means with the single-pass centroid Aggregator
+    * (q81's shape). This is the iterative-refinement step a real pipeline
+    * loops; output truncated to the first 4 dims per cell to keep compare
+    * rows bounded. The assignment row already carries the vector, so no
+    * second join re-fetches it.
     */
   private def q84(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
-    val e = embeddings(s, d)
-    val cents = e.filter(col("vec_id") < NCells)
-      .select(col("vec_id").as("cid"), toD(col("embedding")).as("cv"),
-        pmod(col("vec_id"), lit(1)).as("jk"))
-    val dist2 = aggregate(
-      zip_with(toD(col("embedding")), col("cv"),
-        (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, x) => acc + x)
-    val w = Window.partitionBy(col("vec_id"))
-      .orderBy(col("dist").asc, col("cid").asc)
-    val assigned = e.withColumn("jk", pmod(col("vec_id"), lit(1)))
-      .join(broadcast(cents), Seq("jk"))
-      .select(col("vec_id"), col("cid"), sqrt(dist2).as("dist"),
-        toD(col("embedding")).as("v"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
+    val assigned = assignNearest(s, d)
     val cent = new graft.functions.VecCentroid.Centroid(Dim).toColumn
     assigned.select(col("cid"), col("v")).as[(Long, Seq[Double])]
       .groupByKey(_._1)
@@ -278,16 +336,15 @@ object Vec {
       .orderBy(col("cid"), col("dim"))
   }
 
-  private val o84 = s"""
+  private def o84 = s"""
     WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
                FROM embeddings WHERE vec_id < $NCells),
     dists AS (
-      SELECT e.vec_id, c.cid,
-             list_distance(CAST(e.embedding AS DOUBLE[]), c.cv) AS dist
+      SELECT e.vec_id, c.cid, $oCd2 AS d2
       FROM embeddings e CROSS JOIN c),
     best AS (
       SELECT vec_id, cid,
-             row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
       FROM dists),
     ex AS (
       SELECT e.vec_id, generate_subscripts(e.embedding, 1) AS dim,

@@ -24,12 +24,13 @@ class SignatureSpec extends SparkTestBase {
     val vecs = Seq.tabulate(20)(k =>
       (k.toLong, Array.tabulate(64)(i => math.sin(k * 64 + i).toFloat)))
     val df = vecs.toDF("vec_id", "embedding")
-      .withColumn("sig", LshSignatureExpression.lshSignature(col("embedding")))
+      .withColumn("sig",
+        LshSignatureExpression.lshSignature(col("embedding"), 32))
     def hyperplane(j: Int): String =
       s"""transform(sequence(0, 63), i ->
           instr('0123456789abcdef',
             substring(md5(concat('$j:', CAST(i AS STRING))), 1, 1)) - 8.5)"""
-    val sqlSig = concat((0 until 4).map(j => when(
+    val sqlSig = concat((0 until 32).map(j => when(
       aggregate(
         zip_with(transform(col("embedding"), x => x.cast("double")),
           expr(hyperplane(j)), (x, y) => x * y),
@@ -41,11 +42,37 @@ class SignatureSpec extends SparkTestBase {
     }
   }
 
+  test("narrow LSH signature is a prefix of the wide one (global planes)") {
+    val vecs = Seq.tabulate(10)(k =>
+      Array.tabulate(64)(i => math.cos(k * 64 + i).toFloat))
+    val rows = vecs.toDF("embedding")
+      .select(
+        LshSignatureExpression.lshSignature(col("embedding"), 4).as("s4"),
+        LshSignatureExpression.lshSignature(col("embedding"), 32).as("s32"))
+      .collect()
+    rows.foreach { r =>
+      assert(r.getString(1).startsWith(r.getString(0)))
+      assert(r.getString(0).length == 4 && r.getString(1).length == 32)
+    }
+  }
+
   test("LSH signature of a wrong-dimension vector is all zeros") {
     val sig = Seq(Array(1f, 2f, 3f)).toDF("embedding")
-      .select(LshSignatureExpression.lshSignature(col("embedding")).as("s"))
+      .select(LshSignatureExpression.lshSignature(col("embedding"), 4).as("s"))
       .collect()(0).getString(0)
     assert(sig == "0000")
+  }
+
+  test("LSH signature with a null element is all zeros (null-poisoned sum)") {
+    // SQL semantics: a NULL term makes the whole dot product NULL, and
+    // `NULL > 0` selects the '0' branch for every hyperplane
+    val df = spark.sql(
+      """SELECT transform(sequence(0, 63),
+           i -> IF(i = 7, CAST(NULL AS FLOAT), CAST(i AS FLOAT))) AS embedding""")
+    val sig = df
+      .select(LshSignatureExpression.lshSignature(col("embedding"), 8).as("s"))
+      .collect()(0).getString(0)
+    assert(sig == "00000000")
   }
 
   test("kernels match SQL formulations on a seeded random corpus") {
