@@ -15,7 +15,7 @@ import graft.queries._
   * rows-only check.
   */
 object SparkEntry {
-  private def catalogs: Seq[QueryDef] =
+  private[graft] def catalogs: Seq[QueryDef] =
     Rel.defs ++ NerQueries.defs ++ TextOps.defs ++ Dedup.defs ++ Vec.defs ++ Multimodal.defs ++ Events.defs ++ Sketches.defs ++ Variety.defs ++ Tpch.defs ++ Corpus.defs ++ Sources.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:

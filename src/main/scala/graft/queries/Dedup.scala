@@ -337,7 +337,66 @@ object Dedup {
        SELECT lab AS cluster, count(*) AS n_members, max(doc) AS max_doc
        FROM cc GROUP BY lab HAVING count(*) > 1 ORDER BY cluster"""
 
+  /** q102: SimHash neighbors within hamming distance <= 2 — the radius
+    * search q39's exact-fingerprint grouping (hamming-0) cannot express.
+    * Scale design is bit-band LSH by pigeonhole: split the 16-bit
+    * fingerprint into k+1 = 3 disjoint bands (6/5/5 bits); two fingerprints
+    * differing in <= 2 bits must agree EXACTLY on at least one band, so an
+    * equi-join per band finds every such pair with zero false negatives.
+    * Candidates are then verified with `bit_count(xor)` — pair work is
+    * bounded by band-bucket population (2^5..2^6 buckets per band here;
+    * for a w-bit fingerprint at corpus scale, band count is k+1 and band
+    * width w/(k+1) grows with w, exactly the banded-MinHash trade).
+    */
+  private def q102(s: SparkSession, d: String): DataFrame = {
+    val fps = parallelize(s, documents(s, d))
+      .select(col("doc_id"),
+        graft.functions.SimHashExpression.simhash(col("text")).as("fp"))
+    val bands = fps.select(col("doc_id"),
+      posexplode(array(
+        shiftright(col("fp"), 10).bitwiseAND(lit(63)),
+        shiftright(col("fp"), 5).bitwiseAND(lit(31)),
+        col("fp").bitwiseAND(lit(31)))).as(Seq("band_pos", "bval")))
+    val cands = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band_pos") === col("y.band_pos") &&
+        col("x.bval") === col("y.bval") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    cands
+      .join(fps.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(fps.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).cast("int")
+          .as("hamming"))
+      .filter(col("hamming") <= 2)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private def o102: String =
+    s"""WITH fp AS (SELECT doc_id, $oSimhashExpr AS fp FROM documents),
+       bands AS (
+         SELECT doc_id, band_pos,
+                CASE band_pos WHEN 0 THEN (fp >> 10) & 63
+                              WHEN 1 THEN (fp >> 5) & 31
+                              ELSE fp & 31 END AS bval
+         FROM fp, (SELECT unnest([0, 1, 2]) AS band_pos) bp),
+       cand AS (
+         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM bands x JOIN bands y
+           ON x.band_pos = y.band_pos AND x.bval = y.bval
+          AND x.doc_id < y.doc_id)
+       SELECT c.doc_a, c.doc_b,
+              CAST(bit_count(xor(a.fp, b.fp)) AS INT) AS hamming
+       FROM cand c
+       JOIN fp a ON a.doc_id = c.doc_a
+       JOIN fp b ON b.doc_id = c.doc_b
+       WHERE bit_count(xor(a.fp, b.fp)) <= 2
+       ORDER BY doc_a, doc_b"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q102_simhash_hamming", q102, Some(o102)),
     QueryDef("q97_dedup_clusters", q97, Some(o97)),
     QueryDef("q36_minhash_signatures", q36, Some(o36)),
     QueryDef("q37_lsh_band_stats", q37, Some(o37)),

@@ -16,6 +16,14 @@ object Sketches {
     * Aggregator (capacity 1024 >> distinct tokens here, so the sketch is
     * exact and DuckDB-comparable; at real scale the same plan holds the
     * memory bound instead of exactness).
+    *
+    * PRECONDITION for the oracle pairing: every merged partial must stay
+    * under capacity — the oracle hardcodes `evicted_bound = 0`, so a richer
+    * corpus (or larger sf) that overflows the sketch flips the query to
+    * approximate mode and the driver compare fails on this column BY DESIGN
+    * (the bound makes the failure attributable, not a generic hash
+    * mismatch). Size capacity above the corpus's distinct-token count when
+    * re-targeting the verify scale.
     */
   private def q53(s: SparkSession, d: String): DataFrame = {
     implicit val seqEnc = ExpressionEncoder[Seq[String]]()
