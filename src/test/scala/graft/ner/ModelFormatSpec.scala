@@ -90,6 +90,52 @@ class ModelFormatSpec extends AnyFunSuite {
     assert(ModelFormat.f16ToFloat(0x0001) == 5.9604645e-8f) // smallest subnormal
   }
 
+  test("golden converter-layout fixture loads end-to-end") {
+    // committed binary produced by tools/make_golden_model.py, which
+    // reproduces the reference converter's writer logic byte-for-byte
+    // (convert_ner_to_ggml.py:37-89): ftype=1 header, 2-D .weight tensors
+    // narrowed to f16, dims written innermost-first, pooler tensors written
+    // (converter does not skip them) and position_ids dropped, plus a
+    // hand-quantized Q4_0 appendix for the ner_model.cpp:278 read path.
+    // Pins ModelFormat against the on-disk format, not in-test mirrors.
+    val in = getClass.getResourceAsStream("/graft/ner/golden_converter_model.bin")
+    assert(in != null, "fixture missing from test resources")
+    val bytes = in.readAllBytes(); in.close()
+    val m = ModelFormat.loadBytes(bytes).get
+    assert(m.hparams == NerHparams(16, 16, 32, 64, 2, 1, 1, 9))
+    // vocab split on the converter's id-ordered packing
+    assert(m.vocab.main("duck") == 4)
+    assert(m.vocab.sub("db") == 5)
+    assert(m.vocab.sub("s") == 7)
+    assert(m.vocab.tokenOf(5) == "##db")
+    // pooler.* written by the converter but unknown to the reader -> seeked
+    // past (ner_model.cpp:275-282), incl. the f16 2-D payload-size branch
+    assert(!m.tensors.keys.exists(_.startsWith("pooler.")))
+    assert(!m.tensors.contains("embeddings.position_ids"))
+    // dims land innermost-first: HF (n_inter=64, n_embd=32) -> file [32, 64]
+    assert(m.tensors("encoder.layer.0.intermediate.dense.weight").dims.toSeq
+      == Seq(32, 64))
+    assert(m.tensors("classifier.weight").dims.toSeq == Seq(32, 9))
+    // f16 narrowing of the generator's 1/16-grid pattern is exact: tensor 0
+    // (word embeddings) has data[k] = ((k % 17) - 8) / 16
+    val we = m.tensors("embeddings.word_embeddings.weight").data
+    assert(we.length == 16 * 32)
+    for (k <- Seq(0, 1, 16, 17, 100, 511))
+      assert(we(k) == ((k % 17) - 8) / 16.0f, s"word_embeddings($k)")
+    // classifier.bias stays f32 (1-D): tensor index 24 in generation order
+    val cb = m.tensors("classifier.bias").data
+    for (k <- 0 until 9) assert(cb(k) == (((k + 24) % 17) - 8) / 16.0f)
+    // Q4_0 appendix decodes per the ggml block layout: ((k%16) - 8) / 64
+    val lnb = m.tensors("embeddings.LayerNorm.bias").data
+    assert(lnb.length == 32)
+    for (k <- 0 until 32) assert(lnb(k) == ((k % 16) - 8) / 64.0f, s"lnb($k)")
+    // and the encoder runs the mixed f16/f32/Q4_0 weights end-to-end
+    val logits = new BertEncoder(m).eval(Array(2, 4, 3)) // [CLS] duck [SEP]
+    assert(logits.length == 3 * 9)
+    assert(logits.forall(f => !f.isNaN && !f.isInfinite))
+    assert(logits.exists(_ != 0f))
+  }
+
   test("encoder is deterministic and shape-correct on a seeded model") {
     val p = tmp("seeded.bin")
     TestModels.writeValid(p, weightGen = TestModels.seeded(123))
