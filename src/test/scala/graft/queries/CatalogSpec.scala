@@ -59,6 +59,37 @@ class CatalogSpec extends SparkTestBase {
     }
   }
 
+  test("join-heavy plans survive a scale-representative broadcast threshold") {
+    // At local SFs every join auto-broadcasts (pruned size estimates sit
+    // under the 10 MB default), so the sf0.001 no-BNLJ pin alone audits
+    // nothing about growth. Re-plan the join-heavy queries at sf0.1 with a
+    // 1 MB threshold — dims still fit, facts don't, mirroring the ratio AQE
+    // faces at cluster scale — and require: no nested-loop/cartesian
+    // fallback anywhere, and the TPC-H shapes keep dim broadcasts while the
+    // fact-fact join goes to a shuffle strategy. Planning only, no execution.
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "1048576")
+    try {
+      for (q <- Seq("q03_join_orders_customer", "q04_join_broadcast_dims",
+          "q05_semi_join", "q06_anti_join", "q07_range_join_events",
+          "q38_minhash_near_dup", "q41_cosine_topk", "q42_ann_lsh_bucket",
+          "q43_ivf_assign", "q47_embedding_near_dup", "q65_tpch_q5_shape",
+          "q66_tpch_q3_shape", "q72_tfidf_topk", "q83_contamination",
+          "q84_kmeans_iter", "q102_simhash_hamming")) {
+        val plan = SparkEntry.queries(q)(spark, sf("sf0.1"))
+          .queryExecution.executedPlan.toString
+        assert(!plan.contains("CartesianProduct"), s"$q has CartesianProduct")
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$q has BroadcastNestedLoopJoin")
+        if (q.startsWith("q65") || q.startsWith("q66")) {
+          assert(plan.contains("BroadcastExchange"), s"$q lost dim broadcasts")
+          assert(plan.contains("SortMergeJoin") ||
+            plan.contains("ShuffledHashJoin"), s"$q fact join not shuffled")
+        }
+      }
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("IVF assignment is a map-side fold: no window, no sort-aggregate") {
     // the nearest-centroid argmin must stay a Project over the one-row
     // broadcast codebook join — a Window or SortAggregate here means the
