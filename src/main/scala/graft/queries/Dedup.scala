@@ -298,15 +298,19 @@ object Dedup {
     var iter = 0
     while (changed > 0 && iter < 20) {
       val prop = edges.join(labels, col("doc_a") === col("doc"))
-        .select(col("doc_b").as("doc2"), col("lab").as("lab2"))
-        .withColumnRenamed("doc2", "doc").withColumnRenamed("lab2", "lab")
-      val next = labels.select(col("doc"), col("lab")).union(prop)
-        .groupBy(col("doc")).agg(min(col("lab")).as("lab"))
+        .select(col("doc_b").as("doc"), col("lab"), lit(false).as("own"))
+      // convergence check rides the same aggregation instead of a separate
+      // next-vs-old join+count job: each doc's own (pre-round) label is the
+      // unique `own = true` row in the union, so `min(lab) < own_lab` marks
+      // a change — one localCheckpoint job + one count on the materialized
+      // result per round, halving the per-iteration job cost
+      val next = labels.withColumn("own", lit(true)).union(prop)
+        .groupBy(col("doc"))
+        .agg(min(col("lab")).as("lab"),
+          min(when(col("own"), col("lab"))).as("own_lab"))
         .localCheckpoint(true)
-      changed = next.as("n")
-        .join(labels.as("o"), col("n.doc") === col("o.doc"))
-        .filter(col("n.lab") =!= col("o.lab")).count()
-      labels = next
+      changed = next.filter(col("lab") < col("own_lab")).count()
+      labels = next.select(col("doc"), col("lab"))
       iter += 1
     }
     // fail loudly if a pathological long chain exceeded the iteration cap:
