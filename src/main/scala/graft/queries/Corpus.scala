@@ -399,7 +399,75 @@ object Corpus {
           FROM documents GROUP BY source)
     ORDER BY source"""
 
+  /** q103: sequence packing — concat-and-split assignment of documents into
+    * fixed-size (512-token) training bins, the step that turns a cleaned
+    * corpus into dense pretraining sequences. Docs pack in doc_id order
+    * WITHIN independent shards (`pmod(doc_id, 8)`), so at scale each shard
+    * packs in parallel after one shuffle and no global order exists; a
+    * cluster run raises the shard count with the executor count. The bin of
+    * a doc is `cumulative-tokens-before DIV 512` (concat-and-split: a doc
+    * may straddle bins; every bin except a shard's last is exactly full),
+    * a running-sum window per shard — shuffle once, sort within shard.
+    */
+  private def q103(s: SparkSession, d: String): DataFrame = {
+    val binSize = 512
+    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    documents(s, d)
+      .select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("shard"),
+        size(wsCol).as("n_tok"))
+      .withColumn("cum_before",
+        coalesce(sum(col("n_tok")).over(w), lit(0L)))
+      .withColumn("bin", expr(s"cum_before DIV $binSize"))
+      .groupBy(col("shard"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("tok_sum"),
+        min(col("doc_id")).as("first_doc"))
+      .orderBy(col("shard"), col("bin"))
+  }
+
+  private val o103 = """
+    WITH t AS (SELECT doc_id, doc_id % 8 AS shard,
+                      len(string_split_regex(trim(text), '\s+')) AS n_tok
+               FROM documents),
+    c AS (SELECT doc_id, shard, n_tok,
+                 CAST(COALESCE(sum(n_tok) OVER (PARTITION BY shard
+                   ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING
+                   AND 1 PRECEDING), 0) AS BIGINT) AS cum_before
+          FROM t)
+    SELECT shard, cum_before // 512 AS bin, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS tok_sum, min(doc_id) AS first_doc
+    FROM c GROUP BY shard, bin ORDER BY shard, bin"""
+
+  /** q105: deterministic stratified sampling — top-3 docs per language by
+    * md5(doc_id) rank, the reproducible per-stratum pick a pipeline uses
+    * for eval carve-outs and inspection samples (no RNG state, any engine
+    * reproduces the same sample). Window top-k per stratum: k rows survive
+    * per group; on a skewed stratum at 100 TB the same query pre-filters
+    * with a hash-prefix predicate (md5 < threshold) to bound the sort input
+    * — the rank stays correct because the hash order is the sort order.
+    */
+  private def q105(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    documents(s, d)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 3)
+      .orderBy(col("lang"), col("rk"))
+  }
+
+  private val o105 = """
+    SELECT doc_id, lang, CAST(rk AS INT) AS rk
+    FROM (SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rk
+          FROM documents)
+    WHERE rk <= 3 ORDER BY lang, rk"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q103_sequence_packing", q103, Some(o103)),
+    QueryDef("q105_stratified_sample", q105, Some(o105)),
     QueryDef("q93_repetition_ratio", q93, Some(o93)),
     QueryDef("q94_mix_weights", q94, Some(o94)),
     QueryDef("q83_contamination", q83, Some(o83)),

@@ -399,7 +399,44 @@ object Dedup {
        WHERE bit_count(xor(a.fp, b.fp)) <= 2
        ORDER BY doc_a, doc_b"""
 
+  /** q104: INCREMENTAL near-dup screening — a new ingest batch (stand-in:
+    * `doc_id % 10 == 0`) checked against the existing corpus via the same
+    * banded-MinHash index as q37/q38, the CCNet/RefinedWeb-style pass that
+    * avoids re-deduping the whole corpus per ingest. Asymmetric by design:
+    * at 100 TB the corpus's band table is a write-once persisted index and
+    * the (small) batch side broadcasts or bucket-joins into it, so work
+    * scales with the batch and its band collisions, never with corpus².
+    * Output: each incoming doc with its count of distinct candidate dups
+    * already in the corpus (downstream would Jaccard-verify exactly like
+    * q38 and drop confirmed dups).
+    */
+  private def q104(s: SparkSession, d: String): DataFrame = {
+    val b = bands(s, d).persist()
+    val inc = b.filter(col("doc_id") % 10 === 0)
+    val ref = b.filter(col("doc_id") % 10 =!= 0)
+    inc.as("i")
+      .join(ref.as("r"),
+        col("i.band_pos") === col("r.band_pos") &&
+        col("i.bkey") === col("r.bkey"))
+      .select(col("i.doc_id").as("doc_id"), col("r.doc_id").as("ref_doc"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_ref_cands"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def o104: String =
+    s"""WITH b AS ($oBands),
+       cand AS (
+         SELECT DISTINCT i.doc_id AS doc_id, r.doc_id AS ref_doc
+         FROM b i JOIN b r
+           ON i.band_pos = r.band_pos AND i.bkey = r.bkey
+         WHERE i.doc_id % 10 = 0 AND r.doc_id % 10 <> 0)
+       SELECT doc_id, count(*) AS n_ref_cands
+       FROM cand GROUP BY doc_id ORDER BY doc_id"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q104_incremental_dedup", q104, Some(o104)),
     QueryDef("q102_simhash_hamming", q102, Some(o102)),
     QueryDef("q97_dedup_clusters", q97, Some(o97)),
     QueryDef("q36_minhash_signatures", q36, Some(o36)),

@@ -356,7 +356,58 @@ object Vec {
     WHERE b.rn = 1 AND ex.dim <= 4
     GROUP BY b.cid, ex.dim ORDER BY b.cid, ex.dim"""
 
+  /** q106: symmetric int8 embedding quantization audit — per vector,
+    * scale = amax/127, q_i = clamp(floor(x_i/scale + 0.5), ±127), and the
+    * reconstruction MSE per label. The compression an ANN index applies
+    * before storing 100 TB of vectors (4x smaller + SIMD int8 distance);
+    * the audit decides per-corpus whether recall survives it. Pure per-row
+    * map + 3-group rollup: shuffle-free until the final aggregation. Every
+    * step (abs/max/divide/floor/clamp/multiply/subtract/square, left-fold
+    * sum) is identical IEEE arithmetic in both engines; only the averaged
+    * MSE is rounded.
+    */
+  private def q106(s: SparkSession, d: String): DataFrame = {
+    val sc = col("scale")
+    val err = aggregate(
+      transform(col("vd"), x => {
+        val q = least(greatest(floor(x / sc + lit(0.5)), lit(-127.0)),
+          lit(127.0))
+        val r = x - q * sc
+        r * r
+      }),
+      lit(0.0), (acc, x) => acc + x) / lit(Dim.toDouble)
+    embeddings(s, d)
+      .select(col("label"), toD(col("embedding")).as("vd"))
+      .withColumn("amax", array_max(transform(col("vd"), x => abs(x))))
+      .withColumn("scale",
+        when(col("amax") === 0.0, lit(1.0)).otherwise(col("amax") / 127.0))
+      .select(col("label"), err.as("mse"))
+      .groupBy(col("label"))
+      .agg(round(avg(col("mse")), 6).as("avg_mse"),
+        round(max(col("mse")), 6).as("max_mse"))
+      .orderBy(col("label"))
+  }
+
+  private val o106 = s"""
+    WITH e AS (SELECT label, CAST(embedding AS DOUBLE[]) AS vd
+               FROM embeddings),
+    sc AS (SELECT label, vd,
+                  CASE WHEN amax = 0 THEN 1.0 ELSE amax / 127.0 END AS scale
+           FROM (SELECT label, vd,
+                        list_max(list_transform(vd, x -> abs(x))) AS amax
+                 FROM e)),
+    m AS (SELECT label,
+                 list_sum(list_transform(vd, x ->
+                   (x - least(greatest(floor(x / scale + 0.5), -127.0),
+                              127.0) * scale)
+                   * (x - least(greatest(floor(x / scale + 0.5), -127.0),
+                                127.0) * scale))) / $Dim.0 AS mse
+          FROM sc)
+    SELECT label, round(avg(mse), 6) AS avg_mse, round(max(mse), 6) AS max_mse
+    FROM m GROUP BY label ORDER BY label"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q106_int8_quant_error", q106, Some(o106)),
     QueryDef("q84_kmeans_iter", q84, Some(o84)),
     QueryDef("q81_centroid_agg", q81, Some(o81)),
     QueryDef("q41_cosine_topk", q41, Some(o41)),
