@@ -133,7 +133,88 @@ object Events {
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
+  /** q107: conversion funnel — first view, first click strictly after it,
+    * first purchase strictly after that, per user; one summary row with
+    * per-stage user counts and mean view→purchase latency. Three
+    * min-aggregations keyed by user_id (partial map-side, one shuffle each,
+    * all co-partitioned on user_id so AQE reuses the exchange) and two
+    * left joins on the same key — no window over the full event stream,
+    * no self-join on time ranges.
+    */
+  private def q107(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(tsUs).as("t_view"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(tsUs > col("t_view"))
+      .groupBy(col("user_id")).agg(min(tsUs).as("t_click"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(tsUs > col("t_click"))
+      .groupBy(col("user_id")).agg(min(tsUs).as("t_purchase"))
+    v.join(c, Seq("user_id"), "left")
+      .join(p, Seq("user_id"), "left")
+      .agg(
+        count(col("t_view")).as("view_users"),
+        count(col("t_click")).as("click_users"),
+        count(col("t_purchase")).as("purchase_users"),
+        round(avg((col("t_purchase") - col("t_view")) / lit(60000000.0)), 4)
+          .as("avg_min_to_purchase"))
+  }
+
+  private val o107 = """
+    WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t_view
+               FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t_view
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_click
+          GROUP BY e.user_id)
+    SELECT count(v.t_view) AS view_users, count(c.t_click) AS click_users,
+           count(p.t_purchase) AS purchase_users,
+           round(avg((p.t_purchase - v.t_view) / 60000000.0), 4)
+             AS avg_min_to_purchase
+    FROM v LEFT JOIN c ON v.user_id = c.user_id
+           LEFT JOIN p ON v.user_id = p.user_id"""
+
+  /** q108: event debounce — drop repeats of the same (user, event_type)
+    * arriving within 5 minutes of that key's previous event (lag-based, one
+    * pass), the bot/retry-squashing filter an ingest pipeline applies
+    * before counting anything. Same lag + window shape as sessionization:
+    * one shuffle on the key, O(1) state per row, no self-join.
+    */
+  private def q108(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"), col("event_type"))
+      .orderBy(tsUs, col("event_id"))
+    val gapUs = 300000000L // 5 min
+    events(s, d)
+      .withColumn("prev_us", lag(tsUs, 1).over(w))
+      .withColumn("kept",
+        when(col("prev_us").isNull || tsUs - col("prev_us") > gapUs, 1L)
+          .otherwise(0L))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_total"),
+        sum(col("kept")).cast("long").as("n_kept"))
+      .orderBy(col("event_type"))
+  }
+
+  private val o108 = """
+    SELECT event_type, count(*) AS n_total,
+           CAST(sum(CASE WHEN prev_us IS NULL OR us - prev_us > 300000000
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+    FROM (SELECT event_type, epoch_us(ts) AS us,
+                 lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type
+                   ORDER BY epoch_us(ts), event_id) AS prev_us
+          FROM events)
+    GROUP BY event_type ORDER BY event_type"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q107_funnel", q107, Some(o107)),
+    QueryDef("q108_debounce", q108, Some(o108)),
     QueryDef("q49_json_extract", q49, Some(o49)),
     QueryDef("q50_sessionize", q50, Some(o50)),
     QueryDef("q51_asof_prior_view", q51, Some(o51)),
