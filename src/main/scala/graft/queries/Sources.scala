@@ -103,9 +103,33 @@ object Sources {
     agg(s.read.schema(roundtripSchema).orc(dir))
   }
 
+  /** q109: small-file compaction — the table-maintenance pass a 100 TB
+    * lakehouse runs continuously: a fragmented partitioned dataset (16
+    * writer tasks per lang here, i.e. 16 small files per partition) is
+    * rewritten with one shuffle keyed on the partition column so each
+    * partition lands in a single file, then read back and aggregated so
+    * the oracle proves the rewrite lossless. At real scale the shuffle key
+    * adds a size-derived file-group (`hash(doc_id) pmod ceil(part_bytes /
+    * target_file_bytes)`) to target a file SIZE instead of one file;
+    * the single-key form here is that with group count 1. File counts are
+    * asserted by `SourcesSpec`.
+    */
+  private def q109(s: SparkSession, d: String): DataFrame = {
+    val frag = sinkDir(s, "graft_fragmented")
+    val compacted = sinkDir(s, "graft_compacted")
+    documents(s, d).select(col("doc_id"), col("text"), col("lang"))
+      .repartition(16)
+      .write.mode("overwrite").partitionBy("lang").parquet(frag)
+    s.read.parquet(frag)
+      .repartition(col("lang"))
+      .write.mode("overwrite").partitionBy("lang").parquet(compacted)
+    agg(s.read.parquet(compacted))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q95_json_roundtrip", q95, Some(oAgg)),
     QueryDef("q96_csv_roundtrip", q96, Some(oAgg)),
     QueryDef("q99_partitioned_pruning", q99, Some(o99)),
-    QueryDef("q101_orc_roundtrip", q101, Some(oAgg)))
+    QueryDef("q101_orc_roundtrip", q101, Some(oAgg)),
+    QueryDef("q109_compaction", q109, Some(oAgg)))
 }

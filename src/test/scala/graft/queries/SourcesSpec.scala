@@ -4,7 +4,7 @@ import java.nio.file.Files
 
 import org.apache.spark.sql.functions._
 
-import graft.SparkTestBase
+import graft.{SparkEntry, SparkTestBase}
 
 /** Source/sink coverage beyond the driver's parquet surface: CSV, JSON and
   * ORC round-trips preserve the relational results (the host-engine formats
@@ -25,6 +25,22 @@ class SourcesSpec extends SparkTestBase {
     assert(back.schema == src.schema)
     assert(back.agg(round(sum(col("c_acctbal")), 2)).head.getDouble(0) ==
       src.agg(round(sum(col("c_acctbal")), 2)).head.getDouble(0))
+  }
+
+  test("q109 compaction collapses each lang partition to one file") {
+    SparkEntry.queries("q109_compaction")(spark, sf()).collect()
+    val wh = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    def filesPerPartition(dir: String): Map[String, Int] = {
+      val root = new java.io.File(s"$wh/$dir")
+      root.listFiles().filter(f => f.isDirectory && f.getName.startsWith("lang="))
+        .map(p => p.getName ->
+          p.listFiles().count(_.getName.endsWith(".parquet"))).toMap
+    }
+    val frag = filesPerPartition("graft_fragmented")
+    val compact = filesPerPartition("graft_compacted")
+    assert(frag.keySet == compact.keySet)
+    assert(frag.values.forall(_ > 1), s"fragmented input not fragmented: $frag")
+    assert(compact.values.forall(_ == 1), s"compaction left small files: $compact")
   }
 
   test("json lines round-trip including nested arrays") {
