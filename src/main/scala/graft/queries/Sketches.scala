@@ -109,8 +109,34 @@ object Sketches {
            round(regr_r2(l_extendedprice, l_quantity), 6) AS r2_price_qty
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
+  /** q111: bounded-memory quantile sketch per group
+    * ([[graft.functions.QuantileSketch]], k = 256) over l_extendedprice —
+    * the one-pass alternative to q54's exact `percentile`, whose final
+    * aggregation must buffer every group value. Rows-only at the driver:
+    * Spark's partial-merge order varies run to run, so results are only
+    * reproducible within the sketch's rank-error bound (asserted at 5%·n by
+    * `QuantileSketchSpec`) — same treatment as the HLL query q15.
+    */
+  private def q111(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ds = parallelize(s, lineitem(s, d))
+      .select(col("l_returnflag"), col("l_extendedprice"))
+      .as[(String, Double)]
+    val qs = new graft.functions.QuantileSketch.Quantiles(
+      256, Seq(0.25, 0.5, 0.75, 0.9)).toColumn
+    ds.groupByKey(_._1).mapValues(_._2).agg(qs.name("qq"))
+      .toDF("l_returnflag", "qq")
+      .select(col("l_returnflag"),
+        element_at(col("qq"), 1).as("p25"),
+        element_at(col("qq"), 2).as("p50"),
+        element_at(col("qq"), 3).as("p75"),
+        element_at(col("qq"), 4).as("p90"))
+      .orderBy(col("l_returnflag"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q53_heavy_hitters", q53, Some(o53)),
     QueryDef("q54_percentiles", q54, Some(o54)),
-    QueryDef("q85_stats_agg", q85, Some(o85)))
+    QueryDef("q85_stats_agg", q85, Some(o85)),
+    QueryDef("q111_quantile_sketch", q111, None))
 }

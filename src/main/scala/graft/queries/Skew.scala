@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Key-salting for skewed equi-joins: when a handful of hot keys dominate a
@@ -36,4 +36,36 @@ object Skew {
       explode(array((0 until salts).map(lit): _*)))
     l.join(r, keys :+ "__graft_salt").drop("__graft_salt")
   }
+
+  import Tables._
+
+  /** q110: the salted join, driver-checked — orders x customer through
+    * [[saltedEquiJoin]] (8 salts: the orders side hashes o_orderkey into a
+    * salt, the customer side replicates x 8), rolled up per market segment.
+    * The oracle is the PLAIN join, so the hash-compare proves salting is
+    * result-invariant — the property `SkewSpec` asserts locally, now pinned
+    * by the driver at every sf. The join spreads each hot customer key over
+    * 8 reducers at the cost of an 8x-replicated (still broadcastable-or-
+    * bucketed) build side.
+    */
+  private def q110(s: SparkSession, d: String): DataFrame = {
+    val l = orders(s, d).select(col("o_custkey").as("custkey"),
+      col("o_totalprice"), col("o_orderkey"))
+    val r = customer(s, d).select(col("c_custkey").as("custkey"),
+      col("c_mktsegment"))
+    saltedEquiJoin(l, r, Seq("custkey"), 8, col("o_orderkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("c_mktsegment"))
+  }
+
+  private val o110 = """
+    SELECT c_mktsegment, count(*) AS n_orders,
+           round(sum(o_totalprice), 2) AS revenue
+    FROM orders JOIN customer ON o_custkey = c_custkey
+    GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q110_salted_join", q110, Some(o110)))
 }

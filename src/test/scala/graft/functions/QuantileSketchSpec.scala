@@ -1,0 +1,68 @@
+package graft.functions
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkTestBase
+
+/** Quantifies [[QuantileSketch]]: exact below capacity, rank error bounded
+  * in the approximate regime through Spark's real partial/merge machinery —
+  * the local backing for q111's rows-only driver entry (same pattern as the
+  * HLL error-bound test for q15).
+  */
+class QuantileSketchSpec extends SparkTestBase {
+  import spark.implicits._
+
+  private val probes = Seq(0.25, 0.5, 0.75, 0.9)
+
+  /** deterministic pseudo-uniform stream, no RNG state */
+  private def stream(n: Int): IndexedSeq[Double] =
+    (0 until n).map(i => ((i * 2654435761L) % 1000003L).toDouble / 1000003.0)
+
+  test("below capacity the sketch is exact") {
+    val agg = new QuantileSketch.Quantiles(256, probes)
+    val xs = stream(200)
+    val sk = xs.foldLeft(agg.zero)(agg.reduce)
+    val got = agg.finish(sk)
+    val sorted = xs.sorted
+    val want = probes.map(p =>
+      sorted(math.max(1, math.ceil(p * xs.size).toInt) - 1))
+    assert(got == want)
+  }
+
+  test("merge of exact sketches stays exact while combined size < k") {
+    val agg = new QuantileSketch.Quantiles(256, probes)
+    val xs = stream(200)
+    val (a, b) = xs.splitAt(100)
+    val sk = agg.merge(a.foldLeft(agg.zero)(agg.reduce),
+      b.foldLeft(agg.zero)(agg.reduce))
+    val sorted = xs.sorted
+    val want = probes.map(p =>
+      sorted(math.max(1, math.ceil(p * xs.size).toInt) - 1))
+    assert(agg.finish(sk) == want)
+  }
+
+  test("distributed rank error stays within 5% of n in the approx regime") {
+    val n = 50000
+    val xs = stream(n)
+    val qs = new QuantileSketch.Quantiles(128, probes).toColumn
+    val got = xs.toDF("x").repartition(32).as[Double]
+      .groupByKey(_ => 0).mapValues(identity)
+      .agg(qs.name("qq")).collect()(0)._2
+    val sorted = xs.sorted
+    probes.zip(got).foreach { case (p, est) =>
+      // rank of the estimate in the true data vs the target rank
+      val rank = sorted.count(_ <= est)
+      assert(math.abs(rank - p * n) <= 0.05 * n,
+        s"probe $p: estimate $est has rank $rank, want ~${p * n}")
+    }
+  }
+
+  test("memory stays bounded: every level holds fewer than k items") {
+    val k = 64
+    val agg = new QuantileSketch.Quantiles(k, probes)
+    val sk = stream(20000).foldLeft(agg.zero)(agg.reduce)
+    assert(sk.levels.forall(_.size < k))
+    // log-many levels, not linear in n
+    assert(sk.levels.size <= 16, s"levels = ${sk.levels.size}")
+  }
+}
