@@ -37,12 +37,15 @@ object Bench {
               System.err.println(s"[bench] $name failed: ${e.getMessage}")
               false
           }
+        // elapsed stops BEFORE the cache teardown below — the run's time
+        // must not include unpersisting the blocks it built
+        val elapsed = (System.nanoTime() - t0) / 1e9
         // drop persist()ed intermediates (q38/q47/q72/q83) after every run:
         // Spark's CacheManager dedups by logical plan, so without this the
         // second timed run silently reuses the first run's cache (flattering
         // the min) AND cached blocks pile up across the ~100-query session
         spark.catalog.clearCache()
-        if (ok) (System.nanoTime() - t0) / 1e9 else -1.0
+        if (ok) elapsed else -1.0
       }
       // a failed attempt is never a measurement (round-2 ADVICE), but a
       // transient failure shouldn't discard the other attempt's valid time:

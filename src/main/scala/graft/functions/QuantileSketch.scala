@@ -16,8 +16,8 @@ import org.apache.spark.sql.expressions.Aggregator
   * (fixed offset 0 — compaction is deterministic, no RNG), promoting the
   * survivors to level i+1. Each compaction at level i perturbs any rank by
   * at most 2^i, giving a worst-case rank error of Σ c_i·2^i ≈ n·log₂(n/k)/k
-  * over c_i compactions — `QuantileSketchSpec` asserts an empirical 5%·n
-  * bound end-to-end through Spark's partial/merge machinery (merge ORDER
+  * over c_i compactions — `QuantileSketchSpec` asserts that derived bound
+  * end-to-end through Spark's partial/merge machinery (merge ORDER
   * across partitions varies run to run, so the sketch result may vary
   * within the bound; the driver entry is rows-only for that reason, exactly
   * like the HLL query).

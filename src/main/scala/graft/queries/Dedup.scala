@@ -353,9 +353,14 @@ object Dedup {
     * width w/(k+1) grows with w, exactly the banded-MinHash trade).
     */
   private def q102(s: SparkSession, d: String): DataFrame = {
+    // persist: fps feeds the band self-join (both sides) and two
+    // verification re-joins — without it the full-corpus fingerprint scan
+    // recomputes ~4x (same materialize-the-signature-table-once stance as
+    // q38/q47/q104; Bench/Verify clearCache per query)
     val fps = parallelize(s, documents(s, d))
       .select(col("doc_id"),
         graft.functions.SimHashExpression.simhash(col("text")).as("fp"))
+      .persist()
     val bands = fps.select(col("doc_id"),
       posexplode(array(
         shiftright(col("fp"), 10).bitwiseAND(lit(63)),

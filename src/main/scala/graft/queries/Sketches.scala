@@ -114,8 +114,8 @@ object Sketches {
     * the one-pass alternative to q54's exact `percentile`, whose final
     * aggregation must buffer every group value. Rows-only at the driver:
     * Spark's partial-merge order varies run to run, so results are only
-    * reproducible within the sketch's rank-error bound (asserted at 5%·n by
-    * `QuantileSketchSpec`) — same treatment as the HLL query q15.
+    * reproducible within the sketch's rank-error bound (asserted at the derived
+    * n*log2(n/k)/k bound by `QuantileSketchSpec`) — same treatment as the HLL query q15.
     */
   private def q111(s: SparkSession, d: String): DataFrame = {
     import s.implicits._

@@ -120,10 +120,13 @@ object Sources {
     documents(s, d).select(col("doc_id"), col("text"), col("lang"))
       .repartition(16)
       .write.mode("overwrite").partitionBy("lang").parquet(frag)
-    s.read.parquet(frag)
+    // explicit schema on read-back (module convention): without it the lang
+    // partition-directory values go through partition-column TYPE INFERENCE
+    // and a lang spelled like a number or date would come back non-string
+    s.read.schema(roundtripSchema).parquet(frag)
       .repartition(col("lang"))
       .write.mode("overwrite").partitionBy("lang").parquet(compacted)
-    agg(s.read.parquet(compacted))
+    agg(s.read.schema(roundtripSchema).parquet(compacted))
   }
 
   val defs: Seq[QueryDef] = Seq(

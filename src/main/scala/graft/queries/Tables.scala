@@ -45,14 +45,21 @@ object Tables {
     * driver sweep, and one planning pass per distinct scan is enough
     * (round-3 verdict nit).
     */
-  private val partsMemo =
-    new java.util.concurrent.ConcurrentHashMap[(Int, Int), Int]()
+  // weak keys: a stopped session's memo entries become collectable instead
+  // of leaking (and an identity-hash reuse by a NEW session can never serve
+  // a dead session's counts)
+  private val partsMemo = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession,
+      java.util.concurrent.ConcurrentHashMap[String, Int]]())
 
   def parallelize(s: SparkSession, df: DataFrame): DataFrame = {
     val want = s.sparkContext.defaultParallelism
-    val key = (System.identityHashCode(s),
-      df.queryExecution.analyzed.semanticHash())
-    val have = partsMemo.computeIfAbsent(key, _ => df.rdd.getNumPartitions)
+    val inner = partsMemo.computeIfAbsent(s,
+      _ => new java.util.concurrent.ConcurrentHashMap[String, Int]())
+    // canonicalized plan text as the key: collision-free for the handful of
+    // distinct scans this caches, unlike a 32-bit semanticHash
+    val key = df.queryExecution.analyzed.canonicalized.toString
+    val have = inner.computeIfAbsent(key, _ => df.rdd.getNumPartitions)
     if (have < want) df.repartition(want) else df
   }
 

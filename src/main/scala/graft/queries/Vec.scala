@@ -148,14 +148,27 @@ object Vec {
       // join key derived from a column (pmod == 0 always) so Catalyst keeps
       // a hash-join key instead of folding a literal into a nested loop
       .withColumn("jk", pmod(size(col("cb")), size(col("cb"))))
+    // Comparison key layout: (key, cid, d2) with key = d2 null-coalesced to
+    // +Infinity and the nullable raw d2 LAST, after the tie-breaking cid, so
+    // a NULL never participates in the struct comparison. A malformed
+    // embedding (null element / wrong length) nulls every dot product: all
+    // keys tie at +Infinity and the lowest cid wins — exactly the oracle's
+    // `ORDER BY d2, cid` under its all-NULL tie — while the preserved NULL
+    // d2 keeps sqrt/avg null-skipping behavior identical on both engines.
+    // (A bare (d2, cid) struct with a MaxValue sentinel would strand such
+    // rows on the sentinel cid and poison avg_dist with sqrt(MaxValue).)
     val best = aggregate(col("cb"),
-      struct(lit(Double.MaxValue).as("d2"), lit(-1L).as("cid")),
+      struct(lit(Double.PositiveInfinity).as("key"),
+        lit(Long.MaxValue).as("cid"),
+        lit(null).cast("double").as("d2")),
       (acc, c) => {
         val d2 = aggregate(
           zip_with(toD(col("embedding")), c.getField("cv"),
             (x, y) => (x - y) * (x - y)),
           lit(0.0), (a2, x) => a2 + x)
-        val cand = struct(d2.as("d2"), c.getField("cid").as("cid"))
+        val cand = struct(
+          coalesce(d2, lit(Double.PositiveInfinity)).as("key"),
+          c.getField("cid").as("cid"), d2.as("d2"))
         when(cand < acc, cand).otherwise(acc)
       })
     e.withColumn("jk", pmod(col("vec_id"), lit(1)))

@@ -41,19 +41,26 @@ class QuantileSketchSpec extends SparkTestBase {
     assert(agg.finish(sk) == want)
   }
 
-  test("distributed rank error stays within 5% of n in the approx regime") {
+  test("distributed rank error stays within the sketch's worst-case bound") {
     val n = 50000
+    val k = 128
     val xs = stream(n)
-    val qs = new QuantileSketch.Quantiles(128, probes).toColumn
+    val qs = new QuantileSketch.Quantiles(k, probes).toColumn
     val got = xs.toDF("x").repartition(32).as[Double]
       .groupByKey(_ => 0).mapValues(identity)
       .agg(qs.name("qq")).collect()(0)._2
     val sorted = xs.sorted
+    // merge order across the 32 partitions varies run to run, so assert the
+    // DERIVED worst-case bound, n*log2(n/k)/k (~6.7% of n here, rounded up
+    // to 8% for the constant factors), not an empirical best-case — a
+    // tighter constant would make this test flaky under unlucky task
+    // completion orders (deterministic offset-0 compaction biases one way,
+    // no random cancellation)
+    val bound = math.ceil(n * (math.log(n.toDouble / k) / math.log(2)) / k * 1.2)
     probes.zip(got).foreach { case (p, est) =>
-      // rank of the estimate in the true data vs the target rank
       val rank = sorted.count(_ <= est)
-      assert(math.abs(rank - p * n) <= 0.05 * n,
-        s"probe $p: estimate $est has rank $rank, want ~${p * n}")
+      assert(math.abs(rank - p * n) <= bound,
+        s"probe $p: estimate $est has rank $rank, want ~${p * n} +- $bound")
     }
   }
 
