@@ -90,6 +90,30 @@ class CatalogSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("runtime bloom-filter pruning engages on the shuffled fact join") {
+    // Spark injects a runtime bloom filter (row-level semi-join pruning of
+    // the big scan from the filtered side) only when the application-side
+    // scan exceeds spark.sql.optimizer.runtime.bloomFilter.
+    // applicationSideScanSizeThreshold — 10 GB by default, i.e. exactly the
+    // cluster-scale regime. Scaling both thresholds to sf0.1's sizes proves
+    // the declarative plan picks it up with no query change: the TPC-H Q5
+    // shape's SortMergeJoin gains a bloom_filter_might_contain predicate on
+    // the fact scan.
+    val conf = spark.conf
+    val keys = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "1048576",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1MB",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1MB")
+    val prev = keys.map { case (k, _) => k -> conf.get(k) }
+    keys.foreach { case (k, v) => conf.set(k, v) }
+    try {
+      val plan = SparkEntry.queries("q65_tpch_q5_shape")(spark, sf("sf0.1"))
+        .queryExecution.executedPlan.toString
+      assert(plan.toLowerCase.contains("bloom"),
+        "q65's fact join lost runtime bloom-filter pruning")
+    } finally prev.foreach { case (k, v) => conf.set(k, v) }
+  }
+
   test("IVF assignment is a map-side fold: no window, no sort-aggregate") {
     // the nearest-centroid argmin must stay a Project over the one-row
     // broadcast codebook join — a Window or SortAggregate here means the
