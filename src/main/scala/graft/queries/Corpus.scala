@@ -465,7 +465,60 @@ object Corpus {
           FROM documents)
     WHERE rk <= 3 ORDER BY lang, rk"""
 
+  /** q112: the corpus-prep stages COMPOSED end-to-end in one declarative
+    * plan — quality gate, exact dedup (lowest doc_id survives per identical
+    * text), deterministic content-hash split (q75's convention), per-split
+    * rollup — proving the catalog's stages chain without materialization
+    * boundaries: Catalyst fuses the gate into the scan, the dedup is one
+    * aggregation (min doc_id per md5) feeding a semi-join, and the split is
+    * a shuffle-free map before the final 3-group rollup. This is the shape
+    * a production run executes nightly; each stage is oracle-checked alone
+    * elsewhere (q32/q35/q75), the composition is oracle-checked here.
+    */
+  private def q112(s: SparkSession, d: String): DataFrame = {
+    val gated = documents(s, d)
+      .withColumn("n_tok", size(wsCol))
+      .filter(col("n_tok") >= 5 && col("n_chars") >= 20)
+    val survivors = gated
+      .groupBy(md5(col("text")).as("h"))
+      .agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    gated
+      .join(survivors, Seq("doc_id"), "left_semi")
+      .withColumn("h1", substring(md5(col("text")), 1, 1))
+      .withColumn("split",
+        when(col("h1") < "c", "train").when(col("h1") < "e", "val")
+          .otherwise("test"))
+      .groupBy(col("split"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).cast("long").as("total_tokens"),
+        countDistinct(col("lang")).as("n_langs"),
+        min(col("doc_id")).as("min_doc"))
+      .orderBy(col("split"))
+  }
+
+  private val o112 = """
+    WITH gated AS (
+      SELECT doc_id, text, lang,
+             len(string_split_regex(trim(text), '\s+')) AS n_tok
+      FROM documents
+      WHERE len(string_split_regex(trim(text), '\s+')) >= 5
+        AND n_chars >= 20),
+    survivors AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
+    split AS (
+      SELECT g.*, CASE WHEN substr(md5(g.text), 1, 1) < 'c' THEN 'train'
+                       WHEN substr(md5(g.text), 1, 1) < 'e' THEN 'val'
+                       ELSE 'test' END AS split
+      FROM gated g JOIN survivors s ON g.doc_id = s.doc_id)
+    SELECT split, count(*) AS n_docs,
+           CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+           CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+           min(doc_id) AS min_doc
+    FROM split GROUP BY split ORDER BY split"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q112_pipeline_compose", q112, Some(o112)),
     QueryDef("q103_sequence_packing", q103, Some(o103)),
     QueryDef("q105_stratified_sample", q105, Some(o105)),
     QueryDef("q93_repetition_ratio", q93, Some(o93)),
