@@ -162,6 +162,27 @@ class CatalogSpec extends SparkTestBase {
     assert(plan.contains("l_quantity"), "quantity filter not pushed")
   }
 
+  test("native-expression queries agree between codegen and interpreted eval") {
+    // Every custom Expression has two execution paths: doGenCode (hit in
+    // normal whole-stage codegen) and eval/nullSafeEval (hit when codegen
+    // falls back — wide plans, debug, future Spark changes). A divergence
+    // between them is silent corruption, so pin the queries built on the
+    // native kernels (MinHash/SimHash/LSH/RollingHash/NerExtract) to equal
+    // results under spark.sql.codegen.factoryMode=NO_CODEGEN.
+    val targets = Seq("q36_minhash_signatures", "q39_simhash_groups",
+      "q42_ann_lsh_bucket", "q48_rolling_fingerprint", "q24_ner_flagship")
+    val codegenOn = targets.map(q =>
+      q -> SparkEntry.queries(q)(spark, sf()).collect().toSeq)
+    val prev = spark.conf.get("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+    try {
+      for ((q, expected) <- codegenOn) {
+        val interpreted = SparkEntry.queries(q)(spark, sf()).collect().toSeq
+        assert(interpreted == expected, s"$q diverges under interpreted eval")
+      }
+    } finally spark.conf.set("spark.sql.codegen.factoryMode", prev)
+  }
+
   test("q15's HLL estimates stay within the configured relative error") {
     // q15 is rows-only at the driver (HLL sketches differ across engines by
     // construction) — this quantifies the bound locally: rsd = 0.02, so a
