@@ -48,6 +48,11 @@ object MinHashSignatureExpression {
 
   private val tlMd = ThreadLocal.withInitial[MessageDigest](() =>
     MessageDigest.getInstance("MD5"))
+  // digest scratch reused across calls: md.digest() allocates a fresh
+  // 16-byte array per invocation — at 2 digests per shingle that is tens of
+  // millions of throwaway allocations per corpus pass
+  private val tlBuf = ThreadLocal.withInitial[Array[Byte]](() =>
+    new Array[Byte](32))
 
   @inline private def utf8CharLen(b: Byte): Int = {
     val u = b & 0xFF
@@ -73,22 +78,23 @@ object MinHashSignatureExpression {
       return new GenericArrayData(new Array[Any](NumHashes)) // all-null
     val mins = Array.fill(NumHashes)(0xFFFFFFFFL)
     val md = tlMd.get()
+    val buf = tlBuf.get()
     var k = 0
     while (k < nSh) {
       val from = offs(k)
       val len = offs(k + ShingleLen) - from
       md.reset()
       md.update(bytes, from, len)
-      val d1 = md.digest()
+      md.digest(buf, 0, 16)
       md.reset()
       md.update('x'.toByte)
       md.update(bytes, from, len)
-      val d2 = md.digest()
+      md.digest(buf, 16, 16)
       var j = 0
       while (j < 4) {
-        val v1 = uint32(d1, j * 4)
+        val v1 = uint32(buf, j * 4)
         if (v1 < mins(j)) mins(j) = v1
-        val v2 = uint32(d2, j * 4)
+        val v2 = uint32(buf, 16 + j * 4)
         if (v2 < mins(j + 4)) mins(j + 4) = v2
         j += 1
       }

@@ -42,6 +42,9 @@ object SimHashExpression {
 
   private val tlMd = ThreadLocal.withInitial[MessageDigest](() =>
     MessageDigest.getInstance("MD5"))
+  // reused digest scratch — md.digest() would allocate 16 bytes per word
+  private val tlBuf = ThreadLocal.withInitial[Array[Byte]](() =>
+    new Array[Byte](16))
 
   /** Static kernel shared by interpreted eval and generated code. */
   def compute(s: UTF8String): Int = {
@@ -51,10 +54,12 @@ object SimHashExpression {
     val n = words.length
     val votes = new Array[Int](NBits)
     val md = tlMd.get()
+    val d = tlBuf.get()
     var w = 0
     while (w < n) {
       md.reset()
-      val d = md.digest(words(w).getBytes(StandardCharsets.UTF_8))
+      md.update(words(w).getBytes(StandardCharsets.UTF_8))
+      md.digest(d, 0, 16)
       // first 4 hex digits live in digest bytes 0-1, high nibble first
       var k = 0
       while (k < NBits) {
