@@ -107,6 +107,26 @@ class SignatureSpec extends SparkTestBase {
     }
   }
 
+  test("q102's 6/5/5 band split has zero false negatives for hamming <= 2") {
+    // exhaustive, not sampled: every 16-bit fingerprint x every error
+    // pattern of <= 2 flipped bits (65536 x 137 cases). The pigeonhole
+    // argument says 2 flips cannot touch all 3 disjoint bands, so at least
+    // one band must compare equal — the property q102's candidate
+    // generation (and its DuckDB oracle) silently relies on.
+    def bands(fp: Int): (Int, Int, Int) =
+      ((fp >> 10) & 63, (fp >> 5) & 31, fp & 31)
+    val errors = Seq(0) ++
+      (0 until 16).map(1 << _) ++
+      (for (i <- 0 until 16; j <- (i + 1) until 16) yield (1 << i) | (1 << j))
+    assert(errors.size == 1 + 16 + 120)
+    for (fp <- 0 until 65536; e <- errors) {
+      val (a1, a2, a3) = bands(fp)
+      val (b1, b2, b3) = bands(fp ^ e)
+      assert(a1 == b1 || a2 == b2 || a3 == b3,
+        f"fp=$fp%04x error=$e%04x shares no band")
+    }
+  }
+
   test("SimHash kernel matches the SQL bit-vote formulation") {
     val texts = Seq(
       "hello world hello spark",
