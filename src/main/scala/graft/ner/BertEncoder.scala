@@ -47,17 +47,23 @@ final class BertEncoder(model: NerModel) {
   private val clsW = req("classifier.weight", nLabels.toLong * nEmbd)
   private val clsB = req("classifier.bias", nLabels)
 
-  private final case class Layer(
-      qw: Array[Float], qb: Array[Float], kw: Array[Float], kb: Array[Float],
-      vw: Array[Float], vb: Array[Float], ow: Array[Float], ob: Array[Float],
-      lnAw: Array[Float], lnAb: Array[Float],
-      fiW: Array[Float], fiB: Array[Float], foW: Array[Float], foB: Array[Float],
-      lnOw: Array[Float], lnOb: Array[Float]
+  // plain class, not case class: it's a weight holder — the synthesized
+  // case-class equals on a nested class also trips the unchecked
+  // outer-reference warning
+  private final class Layer(
+      val qw: Array[Float], val qb: Array[Float],
+      val kw: Array[Float], val kb: Array[Float],
+      val vw: Array[Float], val vb: Array[Float],
+      val ow: Array[Float], val ob: Array[Float],
+      val lnAw: Array[Float], val lnAb: Array[Float],
+      val fiW: Array[Float], val fiB: Array[Float],
+      val foW: Array[Float], val foB: Array[Float],
+      val lnOw: Array[Float], val lnOb: Array[Float]
   )
 
   private val layers: Array[Layer] = Array.tabulate(hp.nLayer) { i =>
     val b = s"encoder.layer.$i."
-    Layer(
+    new Layer(
       qw = req(b + "attention.self.query.weight", nEmbd.toLong * nEmbd),
       qb = req(b + "attention.self.query.bias", nEmbd),
       kw = req(b + "attention.self.key.weight", nEmbd.toLong * nEmbd),

@@ -109,7 +109,11 @@ object Ner {
             t += 1
           }
           val tokenStrs = tokens.map(model.vocab.tokenOf)
-          BioMerge.merge(tokenStrs, labels)
+          // non-copying array wrap (the implicit conversion would copy both
+          // arrays per document on the hot path)
+          BioMerge.merge(
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(tokenStrs),
+            scala.collection.immutable.ArraySeq.unsafeWrapArray(labels))
             .map(e => NerEntity(e.entity, e.label)).toArray
         }
     }
