@@ -1,0 +1,49 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Stream-STREAM interval join — the attribution shape q107 computes in
+  * batch, expressed over two live streams: every view joined to the same
+  * user's clicks that land within the following 10 minutes. The fourth
+  * canonical stateful-streaming shape in this engine, next to the windowed
+  * aggregate (EventsStream), the gap sessionizer (SessionizeStream) and the
+  * bounded dedup (DedupStream).
+  *
+  * Scale notes: both sides are watermarked and the join condition carries a
+  * two-sided event-time interval, so Spark derives a state-retention bound
+  * PER SIDE (a view can only match clicks up to 10 minutes later; a click
+  * only views up to 10 minutes earlier + watermark delay) and evicts state
+  * beyond it — without the interval the join state would grow forever.
+  * State is shuffled by user_id like the batch join's exchange.
+  *
+  * Not oracle-checkable (no streams in DuckDB); `JoinStreamSpec` feeds both
+  * sides through MemoryStreams and asserts exact equality with the SAME
+  * join run as a batch query over the same rows — the streaming/batch
+  * duality proof used across graft.streaming.
+  */
+object JoinStream {
+
+  /** @param views  streaming frame: `ts` (long, ns), `user_id`, `event_id`
+    * @param clicks streaming frame: same shape
+    * @return one row per (view, click-within-10-min) pair:
+    *         user_id, view_id, click_id, view_time, click_time
+    */
+  def viewClickAttribution(views: DataFrame, clicks: DataFrame): DataFrame = {
+    val v = views
+      .withColumn("view_time", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("view_time", "30 minutes")
+      .select(col("user_id"), col("event_id").as("view_id"), col("view_time"))
+    val c = clicks
+      .withColumn("click_time", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("click_time", "30 minutes")
+      .select(col("user_id").as("c_user"), col("event_id").as("click_id"),
+        col("click_time"))
+    v.join(c,
+      col("user_id") === col("c_user") &&
+      col("click_time") >= col("view_time") &&
+      col("click_time") <= col("view_time") + expr("INTERVAL 10 MINUTES"))
+      .select(col("user_id"), col("view_id"), col("click_id"),
+        col("view_time"), col("click_time"))
+  }
+}

@@ -1,0 +1,65 @@
+package graft.streaming
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+
+import graft.SparkTestBase
+
+class JoinStreamSpec extends SparkTestBase {
+
+  private val minNs = 60000000000L // one minute in nanoseconds
+
+  // (ts, user_id, event_id) rows; event times offset from epoch so nothing
+  // collides with the initial watermark (round-3 gotcha)
+  private val viewRows = Seq(
+    (10 * minNs, 1L, 100L), // matched by clicks at +5min and +10min (edge)
+    (10 * minNs, 2L, 101L), // matched once; click at +11min is out of range
+    (40 * minNs, 1L, 102L), // second view of user 1, no later click
+    (10 * minNs, 3L, 103L)) // user with no clicks at all
+  private val clickRows = Seq(
+    (15 * minNs, 1L, 200L), // 100 +5min
+    (20 * minNs, 1L, 201L), // 100 +10min boundary — inclusive
+    (9 * minNs, 2L, 202L),  // BEFORE user 2's view — excluded
+    (21 * minNs, 2L, 203L), // 101 +11min — out of range
+    (12 * minNs, 2L, 204L)) // 101 +2min
+
+  test("stream-stream interval join equals the same join run in batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val vIn = MemoryStream[(Long, Long, Long)]
+    val cIn = MemoryStream[(Long, Long, Long)]
+    val joined = JoinStream.viewClickAttribution(
+      vIn.toDF().toDF("ts", "user_id", "event_id"),
+      cIn.toDF().toDF("ts", "user_id", "event_id"))
+    val query = joined.writeStream
+      .format("memory").queryName("attr_join_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    val streamed =
+      try {
+        vIn.addData(viewRows: _*)
+        cIn.addData(clickRows: _*)
+        query.processAllAvailable()
+        spark.table("attr_join_test")
+          .select("user_id", "view_id", "click_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSet
+      } finally query.stop()
+
+    // the same operator over the same rows as finite frames: streaming
+    // append-mode inner join must produce exactly the batch result
+    val batch = JoinStream.viewClickAttribution(
+      viewRows.toDF("ts", "user_id", "event_id"),
+      clickRows.toDF("ts", "user_id", "event_id"))
+      .select("user_id", "view_id", "click_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+
+    assert(streamed == batch)
+    assert(streamed == Set(
+      (1L, 100L, 200L), // +5 min
+      (1L, 100L, 201L), // +10 min inclusive boundary
+      (2L, 101L, 204L)) // +2 min; the +11min and before-view clicks excluded
+    )
+  }
+}
