@@ -162,6 +162,18 @@ class CatalogSpec extends SparkTestBase {
     assert(plan.contains("l_quantity"), "quantity filter not pushed")
   }
 
+  test("no query in the catalog plans a ScalaUDF") {
+    // the engine's stance: functions.* and native Catalyst Expressions
+    // everywhere — even the NER family is a codegen-capable Expression, not
+    // a UDF with an encoder round-trip. A ScalaUDF appearing anywhere means
+    // a hot path silently fell out of codegen.
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).filter {
+      case (_, fn) =>
+        fn(spark, sf()).queryExecution.executedPlan.toString.contains("UDF")
+    }.map(_._1)
+    assert(offenders.isEmpty, s"queries planning UDFs: $offenders")
+  }
+
   test("native-expression queries agree between codegen and interpreted eval") {
     // Every custom Expression has two execution paths: doGenCode (hit in
     // normal whole-stage codegen) and eval/nullSafeEval (hit when codegen
