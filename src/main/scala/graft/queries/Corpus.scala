@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -231,17 +231,27 @@ object Corpus {
           FROM documents)
     ORDER BY doc_id"""
 
+  /** THE content-hash split convention, one definition for every consumer
+    * (q75 and the composed pipeline q112, both engines): first md5 hex digit
+    * 0-b => train (75%), c-d => val, e-f => test.
+    */
+  private def splitCol(text: Column): Column = {
+    val h = substring(md5(text), 1, 1)
+    when(h < "c", "train").when(h < "e", "val").otherwise("test")
+  }
+
+  private def oSplitCase(textExpr: String): String =
+    s"""CASE WHEN substr(md5($textExpr), 1, 1) < 'c' THEN 'train'
+             WHEN substr(md5($textExpr), 1, 1) < 'e' THEN 'val'
+             ELSE 'test' END"""
+
   /** q75: deterministic train/val/test split on a content hash — the
-    * reproducible (re-runnable, engine-portable) corpus split: first md5 hex
-    * digit 0-b => train (75%), c-d => val, e-f => test. Shuffle-free until
-    * the 3-group rollup.
+    * reproducible (re-runnable, engine-portable) corpus split
+    * ([[splitCol]]). Shuffle-free until the 3-group rollup.
     */
   private def q75(s: SparkSession, d: String): DataFrame =
     documents(s, d)
-      .withColumn("h", substring(md5(col("text")), 1, 1))
-      .withColumn("split",
-        when(col("h") < "c", "train").when(col("h") < "e", "val")
-          .otherwise("test"))
+      .withColumn("split", splitCol(col("text")))
       .groupBy(col("split"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -250,14 +260,11 @@ object Corpus {
         max(col("doc_id")).as("max_doc"))
       .orderBy(col("split"))
 
-  private val o75 = """
+  private def o75 = s"""
     SELECT split, count(*) AS n_docs,
            CAST(sum(n_chars) AS BIGINT) AS total_chars,
            min(doc_id) AS min_doc, max(doc_id) AS max_doc
-    FROM (SELECT doc_id, n_chars,
-            CASE WHEN substr(md5(text), 1, 1) < 'c' THEN 'train'
-                 WHEN substr(md5(text), 1, 1) < 'e' THEN 'val'
-                 ELSE 'test' END AS split
+    FROM (SELECT doc_id, n_chars, ${oSplitCase("text")} AS split
           FROM documents)
     GROUP BY split ORDER BY split"""
 
@@ -485,10 +492,7 @@ object Corpus {
       .select(col("doc_id"))
     gated
       .join(survivors, Seq("doc_id"), "left_semi")
-      .withColumn("h1", substring(md5(col("text")), 1, 1))
-      .withColumn("split",
-        when(col("h1") < "c", "train").when(col("h1") < "e", "val")
-          .otherwise("test"))
+      .withColumn("split", splitCol(col("text")))
       .groupBy(col("split"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -498,18 +502,16 @@ object Corpus {
       .orderBy(col("split"))
   }
 
-  private val o112 = """
+  private def o112 = s"""
     WITH gated AS (
       SELECT doc_id, text, lang,
-             len(string_split_regex(trim(text), '\s+')) AS n_tok
+             len(string_split_regex(trim(text), '\\s+')) AS n_tok
       FROM documents
-      WHERE len(string_split_regex(trim(text), '\s+')) >= 5
+      WHERE len(string_split_regex(trim(text), '\\s+')) >= 5
         AND n_chars >= 20),
     survivors AS (SELECT min(doc_id) AS doc_id FROM gated GROUP BY md5(text)),
     split AS (
-      SELECT g.*, CASE WHEN substr(md5(g.text), 1, 1) < 'c' THEN 'train'
-                       WHEN substr(md5(g.text), 1, 1) < 'e' THEN 'val'
-                       ELSE 'test' END AS split
+      SELECT g.*, ${oSplitCase("g.text")} AS split
       FROM gated g JOIN survivors s ON g.doc_id = s.doc_id)
     SELECT split, count(*) AS n_docs,
            CAST(sum(n_tok) AS BIGINT) AS total_tokens,

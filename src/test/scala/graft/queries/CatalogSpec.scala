@@ -99,15 +99,18 @@ class CatalogSpec extends SparkTestBase {
     // the declarative plan picks it up with no query change: the TPC-H Q5
     // shape's SortMergeJoin gains a bloom_filter_might_contain predicate on
     // the fact scan.
+    // thresholds scaled to sf0.001's sizes (the suite's default dataset) so
+    // this test needs no larger checkout: lineitem ~110 KB > 10 KB app-side
+    // threshold, the filtered orders side sits under the 64 KB creation cap
     val conf = spark.conf
     val keys = Seq(
-      "spark.sql.autoBroadcastJoinThreshold" -> "1048576",
-      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "1MB",
-      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "1MB")
+      "spark.sql.autoBroadcastJoinThreshold" -> "10240",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "10KB",
+      "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "64KB")
     val prev = keys.map { case (k, _) => k -> conf.get(k) }
     keys.foreach { case (k, v) => conf.set(k, v) }
     try {
-      val plan = SparkEntry.queries("q65_tpch_q5_shape")(spark, sf("sf0.1"))
+      val plan = SparkEntry.queries("q65_tpch_q5_shape")(spark, sf())
         .queryExecution.executedPlan.toString
       assert(plan.toLowerCase.contains("bloom"),
         "q65's fact join lost runtime bloom-filter pruning")
@@ -160,6 +163,19 @@ class CatalogSpec extends SparkTestBase {
       .queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters: ["), plan)
     assert(plan.contains("l_quantity"), "quantity filter not pushed")
+  }
+
+  test("q112's composed pipeline keeps its fused shape") {
+    // the query's premise IS plan shape (CLAUDE.md: pin where shape
+    // matters): quality gate pushed into the scan, dedup as an aggregation
+    // feeding a LeftSemi hash join, no nested-loop anywhere
+    val plan = SparkEntry.queries("q112_pipeline_compose")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), "dedup semi-join degraded")
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"), "semi-join fell to nested loop")
+    assert("PushedFilters: \\[[^\\]]*n_chars".r.findFirstIn(plan).isDefined,
+      "quality gate not pushed into the scan")
   }
 
   test("no query in the catalog plans a ScalaUDF") {
