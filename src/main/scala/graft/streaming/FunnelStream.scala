@@ -32,10 +32,17 @@ object FunnelStream {
   final case class Funnel(
       user_id: Long, t_view_us: Long, t_click_us: Long, t_purchase_us: Long)
 
-  /** Stage state: -1 = stage not reached yet. */
-  final case class FunnelState(tView: Long, tClick: Long, tPurchase: Long)
+  /** Stage state: -1 = stage not reached yet. `lastTs` is the max event
+    * time ever seen for the user — the monotone base for the GC timeout
+    * (deriving the timeout from the current batch alone would let a late
+    * straggler SHRINK an existing deadline).
+    */
+  final case class FunnelState(
+      tView: Long, tClick: Long, tPurchase: Long, lastTs: Long)
 
-  /** Keep an incomplete funnel's state for this long past its last stage. */
+  /** Keep an incomplete funnel's state for this long past the user's
+    * latest event.
+    */
   val HorizonUs: Long = 24L * 3600 * 1000000
 
   private def update(
@@ -46,7 +53,7 @@ object FunnelStream {
       state.remove() // abandoned funnel: no emission, state GC'd
       Iterator.empty
     } else {
-      var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L))
+      var s = state.getOption.getOrElse(FunnelState(-1L, -1L, -1L, 0L))
       val done0 = s.tPurchase >= 0
       val sorted = events.toSeq.sortBy(e => (e.ts_us, e.event_type))
       sorted.foreach { e =>
@@ -61,9 +68,10 @@ object FunnelStream {
           case _ => // stage already filled or precondition unmet
         }
       }
+      s = s.copy(lastTs = math.max(s.lastTs,
+        sorted.map(_.ts_us).maxOption.getOrElse(0L)))
       state.update(s)
-      state.setTimeoutTimestamp(
-        (sorted.map(_.ts_us).maxOption.getOrElse(0L) + HorizonUs) / 1000L)
+      state.setTimeoutTimestamp((s.lastTs + HorizonUs) / 1000L)
       if (!done0 && s.tPurchase >= 0)
         Iterator(Funnel(userId, s.tView, s.tClick, s.tPurchase))
       else Iterator.empty

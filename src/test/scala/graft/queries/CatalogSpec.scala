@@ -95,10 +95,10 @@ class CatalogSpec extends SparkTestBase {
     // the big scan from the filtered side) only when the application-side
     // scan exceeds spark.sql.optimizer.runtime.bloomFilter.
     // applicationSideScanSizeThreshold — 10 GB by default, i.e. exactly the
-    // cluster-scale regime. Scaling both thresholds to sf0.1's sizes proves
-    // the declarative plan picks it up with no query change: the TPC-H Q5
-    // shape's SortMergeJoin gains a bloom_filter_might_contain predicate on
-    // the fact scan.
+    // cluster-scale regime. Scaling both thresholds down to the suite
+    // dataset's sizes proves the declarative plan picks it up with no query
+    // change: the TPC-H Q5 shape's join gains a bloom_filter_might_contain
+    // predicate on the fact scan.
     // thresholds scaled to sf0.001's sizes (the suite's default dataset) so
     // this test needs no larger checkout: lineitem ~110 KB > 10 KB app-side
     // threshold, the filtered orders side sits under the 64 KB creation cap
