@@ -212,7 +212,50 @@ object Events {
           FROM events)
     GROUP BY event_type ORDER BY event_type"""
 
+  /** q113: NATIVE session windows — `session_window(event_time, gap)` as a
+    * groupBy key, Spark's built-in merging-session aggregation (one shuffle
+    * on user_id, sessions merged inside the aggregation operator — no lag
+    * window, no cumsum pass). Complements q50, which builds the same
+    * sessions manually via lag + running sum: the oracle reconstructs
+    * sessions with that lag formulation and must produce identical
+    * boundaries — `end = last event + gap`, a new session at gap >=
+    * 30 minutes (session ranges are half-open, so an event exactly at the
+    * previous end does not overlap it).
+    */
+  private def q113(s: SparkSession, d: String): DataFrame =
+    events(s, d)
+      .withColumn("event_time", timestamp_micros(tsUs))
+      .groupBy(col("user_id"),
+        session_window(col("event_time"), "30 minutes"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("user_id"),
+        unix_micros(col("session_window.start")).as("sess_start_us"),
+        unix_micros(col("session_window.end")).as("sess_end_us"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("user_id"), col("sess_start_us"))
+
+  private val o113 = """
+    WITH marks AS (
+      SELECT user_id, epoch_us(ts) AS us, event_id, value,
+             CASE WHEN lag(ts) OVER w IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+      SELECT user_id, us, value,
+             sum(new_sess) OVER (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+      FROM marks)
+    SELECT user_id, min(us) AS sess_start_us,
+           max(us) + 1800000000 AS sess_end_us,
+           count(*) AS n_events, round(sum(value), 2) AS sum_value
+    FROM sess GROUP BY user_id, sid
+    ORDER BY user_id, sess_start_us"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q113_session_window", q113, Some(o113)),
     QueryDef("q107_funnel", q107, Some(o107)),
     QueryDef("q108_debounce", q108, Some(o108)),
     QueryDef("q49_json_extract", q49, Some(o49)),
