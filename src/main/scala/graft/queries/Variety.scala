@@ -498,7 +498,29 @@ object Variety {
     s.sql(recursiveSql("graft_nation_rec"))
   }
 
+  /** q114: keyset-free pagination — `offset(20).limit(10)` over a total
+    * order (page 3 of the price-ranked parts). Spark plans
+    * GlobalLimitAndOffset over per-partition TakeOrdered partials, so only
+    * offset+limit rows ever reach the driver-side merge; the oracle is the
+    * literal LIMIT/OFFSET clause. (At interactive scale deep offsets still
+    * pay offset+limit work per page — the documented trade vs keyset
+    * pagination, which q10's top-k shape provides.)
+    */
+  private def q114(s: SparkSession, d: String): DataFrame =
+    part(s, d)
+      .select(col("p_partkey"), col("p_name"), col("p_retailprice"))
+      .orderBy(col("p_retailprice").desc, col("p_partkey"))
+      .offset(20)
+      .limit(10)
+
+  private val o114 = """
+    SELECT p_partkey, p_name, p_retailprice
+    FROM part
+    ORDER BY p_retailprice DESC, p_partkey
+    LIMIT 10 OFFSET 20"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q114_pagination", q114, Some(o114)),
     QueryDef("q100_recursive_cte", q100, Some(recursiveSql("nation"))),
     QueryDef("q90_bitwise_agg", q90, Some(o90)),
     QueryDef("q91_edit_distance", q91, Some(o91)),
