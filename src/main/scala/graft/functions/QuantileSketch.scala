@@ -12,9 +12,12 @@ import org.apache.spark.sql.expressions.Aggregator
   *
   * Munro–Paterson / MRL-style multi-level buffer (the deterministic core of
   * the KLL family, public literature): level i holds items of weight 2^i,
-  * at most k per level. A full level sorts and keeps every other element
-  * (fixed offset 0 — compaction is deterministic, no RNG), promoting the
-  * survivors to level i+1. Each compaction at level i perturbs any rank by
+  * at most k per level. A full level sorts and keeps every other element of
+  * its even prefix (fixed offset 0 — compaction is deterministic, no RNG),
+  * promoting the survivors to level i+1; when the level size is odd (possible
+  * after merge() concatenation) the single leftover element is retained at
+  * level i with its weight, so total sketch weight always equals the number
+  * of values observed. Each compaction at level i perturbs any rank by
   * at most 2^i, giving a worst-case rank error of Σ c_i·2^i ≈ n·log₂(n/k)/k
   * over c_i compactions — `QuantileSketchSpec` asserts that derived bound
   * end-to-end through Spark's partial/merge machinery (merge ORDER
@@ -36,7 +39,10 @@ object QuantileSketch {
 
     override def zero: Sketch = Sketch(Seq(Vector.empty))
 
-    /** keep-every-other compaction of a full level into the next. */
+    /** keep-every-other compaction of a full level into the next. An odd
+      * leftover element stays at level i (standard MRL behavior) so no
+      * weight is ever dropped: 2·⌊s/2⌋ weight promotes, s−2·⌊s/2⌋ remains.
+      */
     private def compact(levels: Array[Vector[Double]]): Array[Vector[Double]] = {
       var i = 0
       var ls = levels
@@ -46,7 +52,8 @@ object QuantileSketch {
           val survivors = Vector.tabulate(sorted.size / 2)(j => sorted(2 * j))
           if (i + 1 == ls.length) ls = ls :+ Vector.empty[Double]
           ls(i + 1) = ls(i + 1) ++ survivors
-          ls(i) = Vector.empty
+          ls(i) =
+            if (sorted.size % 2 == 1) Vector(sorted.last) else Vector.empty
         }
         i += 1
       }
@@ -54,9 +61,15 @@ object QuantileSketch {
     }
 
     override def reduce(b: Sketch, x: Double): Sketch = {
-      val ls = b.levels.map(_.toVector).toArray
-      ls(0) = ls(0) :+ x
-      Sketch(compact(ls).toSeq)
+      // Hot path: level 0 still has room — one Vector append, no compaction
+      // cascade and no per-row rebuild of the whole level structure.
+      val l0 = b.levels.head :+ x
+      if (l0.size < k) Sketch(l0 +: b.levels.tail)
+      else {
+        val ls = b.levels.map(_.toVector).toArray
+        ls(0) = l0.toVector
+        Sketch(compact(ls).toSeq)
+      }
     }
 
     override def merge(a: Sketch, b: Sketch): Sketch = {

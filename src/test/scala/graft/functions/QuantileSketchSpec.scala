@@ -64,6 +64,32 @@ class QuantileSketchSpec extends SparkTestBase {
     }
   }
 
+  test("no weight is dropped: total sketch weight equals values observed") {
+    // odd level sizes only arise through merge() concatenation; drive many
+    // uneven merges and check Σ value·2^level == n exactly every time
+    val k = 8
+    val agg = new QuantileSketch.Quantiles(k, probes)
+    def weight(s: QuantileSketch.Sketch): Long =
+      s.levels.zipWithIndex.map { case (vs, i) => vs.size.toLong << i }.sum
+    val xs = stream(5000)
+    var merged = agg.zero
+    var seen = 0L
+    // chunk sizes 1,2,3,... keep hitting odd totals at every level
+    var off = 0
+    var step = 1
+    while (off < xs.size) {
+      val chunk = xs.slice(off, math.min(off + step, xs.size))
+      val part = chunk.foldLeft(agg.zero)(agg.reduce)
+      assert(weight(part) == chunk.size.toLong)
+      merged = agg.merge(merged, part)
+      seen += chunk.size
+      assert(weight(merged) == seen,
+        s"after merging $seen values the sketch weighs ${weight(merged)}")
+      off += step
+      step += 1
+    }
+  }
+
   test("memory stays bounded: every level holds fewer than k items") {
     val k = 64
     val agg = new QuantileSketch.Quantiles(k, probes)

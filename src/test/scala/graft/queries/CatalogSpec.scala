@@ -182,10 +182,14 @@ class CatalogSpec extends SparkTestBase {
     // the engine's stance: functions.* and native Catalyst Expressions
     // everywhere — even the NER family is a codegen-capable Expression, not
     // a UDF with an encoder round-trip. A ScalaUDF appearing anywhere means
-    // a hot path silently fell out of codegen.
+    // a hot path silently fell out of codegen. Detect actual ScalaUDF
+    // expression nodes in the executed plan tree (round-4 ADVICE: a bare
+    // "UDF" substring match would trip on any alias/relation containing it).
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
     val offenders = SparkEntry.queries.toSeq.sortBy(_._1).filter {
       case (_, fn) =>
-        fn(spark, sf()).queryExecution.executedPlan.toString.contains("UDF")
+        fn(spark, sf()).queryExecution.executedPlan.exists(
+          _.expressions.exists(_.exists(_.isInstanceOf[ScalaUDF])))
     }.map(_._1)
     assert(offenders.isEmpty, s"queries planning UDFs: $offenders")
   }
