@@ -1,0 +1,327 @@
+package graft.queries
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Auxiliary structures a large-scale pipeline builds BESIDE its tables:
+  * frequency sketches, membership filters, posting lists, space-filling-curve
+  * layout keys, and link-graph scores. Each is expressed declaratively so the
+  * structure itself is produced by ordinary shuffle-bounded aggregation, and
+  * each is md5/integer-deterministic so the DuckDB oracle reproduces it
+  * bit-for-bit (`('0x'||hex)::BIGINT` ≡ Spark `conv(hex,16,10)`).
+  *
+  * Scale stances (the reason each query is shaped the way it is):
+  *   - q115 count-min: the sketch state is d·w counters regardless of input
+  *     size, so the build is a map-side-combined groupBy with AT MOST d·w
+  *     groups per task — shuffle volume is O(tasks·d·w), not O(rows).
+  *   - q116 bloom: the filter (≤m distinct bit positions) broadcasts; the
+  *     fact side is probed by k BROADCAST left joins — zero fact shuffle,
+  *     exactly the map-side semi-join pruning Spark's own runtime bloom
+  *     filters perform, but with the false-positive accounting surfaced.
+  *   - q117 inverted index: one explode + one groupBy(term); posting lists
+  *     arrive pre-deduped from collect_set's map-side partials and are
+  *     delta-encoded (gap lists), the standard index compression.
+  *   - q118 z-order: the interleave is pure per-row integer arithmetic
+  *     (codegen'd, shuffle-free); the per-bucket bbox aggregation SHOWS the
+  *     locality a z-ordered rewrite would give a min/max-pruning reader.
+  *   - q119 pagerank: one damped power iteration = two key-partitioned
+  *     aggregations and one co-partitioned join — the canonical iteration
+  *     body whose shuffles are on the natural graph keys.
+  */
+object Indexing {
+  import Tables._
+
+  /** Unsigned 32-bit integer from the first 8 hex chars of md5 — the
+    * cross-engine "hash function family" (j picks the member).
+    */
+  private def h32(j: Column, key: Column): Column =
+    conv(substring(md5(concat(j.cast("string"), lit(":"),
+      key.cast("string"))), 1, 8), 16, 10).cast("long")
+
+  private def oH32(j: String, key: String): String =
+    s"('0x' || substr(md5($j || ':' || $key), 1, 8))::BIGINT"
+
+  // ---------------------------------------------------------------- q115
+  private val CmsDepth = 4
+  private val CmsWidth = 512
+
+  /** q115: count-min sketch build + probe over `l_suppkey` frequencies.
+    * Build: every row votes one counter per depth; the groupBy(d, bucket)
+    * carries at most d·w = 2048 groups, so partial aggregation collapses
+    * the 4× row expansion inside each task. Probe: estimates for suppkeys
+    * 1-8 = min over depths of the probed counter, joined against the exact
+    * counts so the ≥0 overcount (CMS's one-sided error) is oracle-checked.
+    */
+  private def q115(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+    val sketch = li
+      .select(col("l_suppkey"),
+        explode(sequence(lit(0), lit(CmsDepth - 1))).as("d"))
+      .groupBy(col("d"),
+        pmod(h32(col("d"), col("l_suppkey")), lit(CmsWidth)).as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val exact = li.filter(col("l_suppkey").between(1, 8))
+      .groupBy(col("l_suppkey")).agg(count(lit(1)).as("exact_cnt"))
+    val est = exact.select(col("l_suppkey"),
+        explode(sequence(lit(0), lit(CmsDepth - 1))).as("d"))
+      .withColumn("b", pmod(h32(col("d"), col("l_suppkey")), lit(CmsWidth)))
+      .join(broadcast(sketch), Seq("d", "b"))
+      .groupBy(col("l_suppkey")).agg(min(col("cnt")).as("est_cnt"))
+    exact.join(est, Seq("l_suppkey"))
+      .select(col("l_suppkey").as("suppkey"), col("exact_cnt"),
+        col("est_cnt"), (col("est_cnt") - col("exact_cnt")).as("overcount"))
+      .orderBy(col("suppkey"))
+  }
+
+  private val o115 = s"""
+    WITH sk AS (
+      SELECT t.d, ${oH32("t.d", "l_suppkey")} % $CmsWidth AS b,
+             count(*) AS cnt
+      FROM lineitem CROSS JOIN generate_series(0, ${CmsDepth - 1}) AS t(d)
+      GROUP BY 1, 2),
+    exact AS (
+      SELECT l_suppkey, count(*) AS exact_cnt FROM lineitem
+      WHERE l_suppkey BETWEEN 1 AND 8 GROUP BY 1),
+    est AS (
+      SELECT e.l_suppkey, min(sk.cnt) AS est_cnt
+      FROM exact e
+      CROSS JOIN generate_series(0, ${CmsDepth - 1}) AS t(d)
+      JOIN sk ON sk.d = t.d
+             AND sk.b = ${oH32("t.d", "e.l_suppkey")} % $CmsWidth
+      GROUP BY 1)
+    SELECT e.l_suppkey AS suppkey, e.exact_cnt, est.est_cnt,
+           est.est_cnt - e.exact_cnt AS overcount
+    FROM exact e JOIN est ON e.l_suppkey = est.l_suppkey
+    ORDER BY suppkey"""
+
+  // ---------------------------------------------------------------- q116
+  private val BloomBits = 4096
+  private val BloomK = 3
+
+  /** q116: bloom-filter join pruning, fully accounted. The filter is built
+    * from the BUILDING-segment customers (k=3 md5 positions into m=4096
+    * bits, kept as a ≤m-row distinct-position table) and probed by `orders`
+    * through 3 broadcast left joins — the fact side never shuffles, which
+    * is the entire point of bloom pruning at 100 TB. The output row
+    * cross-checks the filter's contract: zero false negatives (every true
+    * member passes) and a measured false-positive count/rate.
+    */
+  private def q116(s: SparkSession, d: String): DataFrame = {
+    val build = customer(s, d)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    val bits = build
+      .select(explode(sequence(lit(0), lit(BloomK - 1))).as("j"),
+        col("c_custkey"))
+      .select(pmod(h32(col("j"), col("c_custkey")), lit(BloomBits)).as("p"))
+      .distinct()
+    val probed = (0 until BloomK).foldLeft(
+      orders(s, d).select(col("o_orderkey"), col("o_custkey"))) {
+      case (df, j) =>
+        df.withColumn(s"p$j", pmod(h32(lit(j), col("o_custkey")), lit(BloomBits)))
+          .join(broadcast(bits.select(col("p").as(s"p$j"), lit(1).as(s"h$j"))),
+            Seq(s"p$j"), "left")
+    }
+    val hits = (0 until BloomK)
+      .map(j => coalesce(col(s"h$j"), lit(0)))
+      .reduce(_ + _)
+    probed.withColumn("hits", hits)
+      .join(broadcast(build.withColumn("member", lit(1))),
+        col("o_custkey") === col("c_custkey"), "left")
+      .agg(
+        count(lit(1)).as("total_orders"),
+        sum(when(col("hits") === BloomK, 1L).otherwise(0L)).as("bloom_pass"),
+        sum(when(col("hits") === BloomK && col("member").isNotNull, 1L)
+          .otherwise(0L)).as("true_match"),
+        sum(when(col("member").isNull, 1L).otherwise(0L)).as("non_members"))
+      .select(col("total_orders"), col("bloom_pass"), col("true_match"),
+        (col("bloom_pass") - col("true_match")).as("false_pos"),
+        round((col("bloom_pass") - col("true_match")) /
+          col("non_members").cast("double"), 6).as("fp_rate"))
+  }
+
+  private val o116 = {
+    val joins = (0 until BloomK).map { j =>
+      s"""LEFT JOIN bits b$j
+          ON b$j.p = ${oH32(j.toString, "o.o_custkey")} % $BloomBits"""
+    }.mkString("\n      ")
+    val hits = (0 until BloomK)
+      .map(j => s"CASE WHEN b$j.p IS NULL THEN 0 ELSE 1 END")
+      .mkString(" + ")
+    s"""
+    WITH build AS (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = 'BUILDING'),
+    bits AS (
+      SELECT DISTINCT ${oH32("t.j", "c_custkey")} % $BloomBits AS p
+      FROM build CROSS JOIN generate_series(0, ${BloomK - 1}) AS t(j)),
+    probed AS (
+      SELECT o.o_orderkey, o.o_custkey, $hits AS hits
+      FROM orders o
+      $joins),
+    truth AS (
+      SELECT p.*, b.c_custkey AS member
+      FROM probed p LEFT JOIN build b ON p.o_custkey = b.c_custkey)
+    SELECT count(*) AS total_orders,
+           CAST(sum(CASE WHEN hits = $BloomK THEN 1 ELSE 0 END) AS BIGINT)
+             AS bloom_pass,
+           CAST(sum(CASE WHEN hits = $BloomK AND member IS NOT NULL
+                         THEN 1 ELSE 0 END) AS BIGINT) AS true_match,
+           CAST(sum(CASE WHEN hits = $BloomK THEN 1 ELSE 0 END)
+                - sum(CASE WHEN hits = $BloomK AND member IS NOT NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS false_pos,
+           round((sum(CASE WHEN hits = $BloomK THEN 1 ELSE 0 END)
+                  - sum(CASE WHEN hits = $BloomK AND member IS NOT NULL
+                             THEN 1 ELSE 0 END))
+                 / CAST(sum(CASE WHEN member IS NULL THEN 1 ELSE 0 END)
+                        AS DOUBLE), 6) AS fp_rate
+    FROM truth"""
+  }
+
+  // ---------------------------------------------------------------- q117
+
+  /** q117: inverted-index construction — term → delta-encoded posting list.
+    * One explode, one groupBy(term) whose collect_set partials dedup
+    * map-side; postings sort once inside the finished array and the gap
+    * list (first id, then deltas) is the standard index compression. The
+    * 40 highest-df terms ship with their document frequency; a production
+    * build would range-partition terms and write the postings as the index
+    * segment — the aggregation shape here is exactly that build.
+    */
+  private def q117(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+      .filter(length(col("term")) > 0)
+      .groupBy(col("term"))
+      .agg(sort_array(collect_set(col("doc_id"))).as("post"))
+      .select(col("term"), size(col("post")).cast("long").as("df"),
+        array_join(
+          transform(col("post"), (x, i) =>
+            when(i === 0, x).otherwise(x - element_at(col("post"), i))
+              .cast("string")),
+          " ").as("gaps"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(40)
+
+  private val o117 = """
+    WITH w AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      FROM documents),
+    d AS (SELECT DISTINCT doc_id, term FROM w WHERE length(term) > 0),
+    g AS (
+      SELECT term, doc_id,
+             doc_id - coalesce(lag(doc_id)
+               OVER (PARTITION BY term ORDER BY doc_id), 0) AS gap
+      FROM d)
+    SELECT term, count(*) AS df,
+           string_agg(gap::VARCHAR, ' ' ORDER BY doc_id) AS gaps
+    FROM g GROUP BY term
+    ORDER BY df DESC, term LIMIT 40"""
+
+  // ---------------------------------------------------------------- q118
+
+  /** 32-bit Morton code: interleave the low 16 bits of x (even positions)
+    * and y (odd positions) — pure integer arithmetic, identical in both
+    * engines, codegen'd as one long expression tree.
+    */
+  private def zInterleave(x: Column, y: Column): Column =
+    (0 until 16).foldLeft(lit(0L)) { (acc, i) =>
+      acc +
+        shiftleft(shiftright(x, i).bitwiseAND(lit(1L)), 2 * i) +
+        shiftleft(shiftright(y, i).bitwiseAND(lit(1L)), 2 * i + 1)
+    }
+
+  private def oZInterleave(x: String, y: String): String =
+    (0 until 16).map(i =>
+      s"((($x >> $i) & 1) << ${2 * i}) + ((($y >> $i) & 1) << ${2 * i + 1})")
+      .mkString(" + ")
+
+  /** q118: z-order (Morton) layout key over (l_partkey, l_suppkey) and the
+    * per-bucket bounding boxes a z-ordered rewrite would hand a min/max
+    * zone-map reader. The curve key is shuffle-free per-row arithmetic;
+    * bucketing by the key's high bits is how a writer would range-partition
+    * the rewrite (`repartitionByRange(zval)`), and the tight per-bucket
+    * (part, supp) bboxes versus the global domain are precisely the file-
+    * skipping payoff: a predicate on EITHER dimension prunes most buckets.
+    */
+  private def q118(s: SparkSession, d: String): DataFrame = {
+    val x = col("l_partkey").bitwiseAND(lit(65535L))
+    val y = col("l_suppkey").bitwiseAND(lit(65535L))
+    lineitem(s, d)
+      .select(shiftright(zInterleave(x, y), 16).as("bucket"),
+        col("l_partkey"), col("l_suppkey"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min(col("l_partkey")).as("min_part"),
+        max(col("l_partkey")).as("max_part"),
+        min(col("l_suppkey")).as("min_supp"),
+        max(col("l_suppkey")).as("max_supp"))
+      .select(col("bucket"), col("n"), col("min_part"), col("max_part"),
+        col("min_supp"), col("max_supp"),
+        ((col("max_part") - col("min_part") + 1) *
+          (col("max_supp") - col("min_supp") + 1)).as("bbox_area"))
+      .orderBy(col("bucket"))
+      .limit(64)
+  }
+
+  private val o118 = s"""
+    WITH z AS (
+      SELECT (${oZInterleave("(l_partkey & 65535)", "(l_suppkey & 65535)")})
+               >> 16 AS bucket,
+             l_partkey, l_suppkey
+      FROM lineitem)
+    SELECT bucket, count(*) AS n,
+           min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+           min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp,
+           (max(l_partkey) - min(l_partkey) + 1)
+             * (max(l_suppkey) - min(l_suppkey) + 1) AS bbox_area
+    FROM z GROUP BY bucket ORDER BY bucket LIMIT 64"""
+
+  // ---------------------------------------------------------------- q119
+
+  /** q119: one damped PageRank power iteration over the bipartite
+    * supplier→part graph from `lineitem`, uniform start: rank(p) = 0.15/|P|
+    * + 0.85·Σ_{s→p} (1/|S|)/outdeg(s). The iteration body is two
+    * aggregations (distinct edges, outdegree) and one equi-join with both
+    * inputs hash-partitioned on s; the contribution sum then shuffles on p.
+    * A fixpoint loop would persist `e` partitioned by s once and reuse that
+    * layout every round, leaving rank-on-p as the only per-iteration
+    * shuffle — the canonical iteration a full PageRank repeats (cf. q97's iterative
+    * label propagation for the convergence-loop machinery). All per-edge
+    * arithmetic is IEEE double in both engines; only the order-dependent
+    * final sum needs rounding, at 10 digits (values ~1e-4, ulp ~1e-20).
+    */
+  private def q119(s: SparkSession, d: String): DataFrame = {
+    lineitem(s, d).createOrReplaceTempView("graft_pr_lineitem")
+    supplier(s, d).createOrReplaceTempView("graft_pr_supplier")
+    part(s, d).createOrReplaceTempView("graft_pr_part")
+    s.sql(prSql("graft_pr_lineitem", "graft_pr_supplier", "graft_pr_part"))
+  }
+
+  /** Engine-portable SQL (scalar subqueries for |S|, |P|; Catalyst plans
+    * them as reused broadcast results, DuckDB as uncorrelated subqueries).
+    */
+  private def prSql(li: String, sup: String, part: String): String = s"""
+    WITH e AS (SELECT DISTINCT l_suppkey AS s, l_partkey AS p FROM $li),
+    deg AS (SELECT s, count(*) AS outdeg FROM e GROUP BY s),
+    contrib AS (
+      SELECT e.p,
+             sum(CAST(1.0 AS DOUBLE) / (SELECT count(*) FROM $sup)
+                 / deg.outdeg) AS c,
+             count(*) AS in_deg
+      FROM e JOIN deg ON e.s = deg.s
+      GROUP BY e.p)
+    SELECT p AS p_partkey,
+           round(CAST(0.15 AS DOUBLE) / (SELECT count(*) FROM $part)
+                 + CAST(0.85 AS DOUBLE) * c, 10) AS rank,
+           in_deg
+    FROM contrib
+    ORDER BY rank DESC, p_partkey LIMIT 20"""
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q115_countmin_sketch", q115, Some(o115)),
+    QueryDef("q116_bloom_prune", q116, Some(o116)),
+    QueryDef("q117_inverted_index", q117, Some(o117)),
+    QueryDef("q118_zorder_layout", q118, Some(o118)),
+    QueryDef("q119_pagerank_iter", q119,
+      Some(prSql("lineitem", "supplier", "part"))))
+}
