@@ -440,7 +440,93 @@ object Dedup {
        SELECT doc_id, count(*) AS n_ref_cands
        FROM cand GROUP BY doc_id ORDER BY doc_id"""
 
+  /** q120: EXACT set-similarity self-join by prefix filtering (PPJoin-style,
+    * public literature) — the deterministic counterpart to the probabilistic
+    * MinHash screen (q36-q38): guaranteed no false negatives at Jaccard ≥ τ.
+    *
+    * Token sets ordered by ascending document frequency (rarest first,
+    * token as tie-break — a total order needing NO global rank window, just
+    * the (df, token) tuple sort inside each doc's collected set). Any two
+    * sets with Jaccard ≥ τ=0.6 must share a token within their first
+    * ⌊(1-τ)·|A|⌋+1 tokens of that order, so candidates are generated only
+    * from the rare-token prefix inverted index — bucket population is
+    * bounded by prefix-token df (rare by construction), never corpus².
+    * Candidates then verify by exact overlap join restricted to candidate
+    * docs, exactly q38's verification shape. The df dimension broadcasts
+    * (vocabulary-sized).
+    */
+  private def q120(s: SparkSession, d: String): DataFrame = {
+    val tau = 0.6
+    val toks = parallelize(s, documents(s, d))
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .distinct()
+    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val sets = toks.join(broadcast(dfreq), Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("c"), col("tok")))).as("ordered"))
+      .select(col("doc_id"), size(col("ordered")).cast("long").as("n"),
+        col("ordered"))
+    val prefix = sets
+      .select(col("doc_id"), col("n"),
+        explode(slice(col("ordered"), lit(1),
+          (floor(lit(0.4) * col("n")) + 1).cast("int"))).as("pt"))
+      .select(col("doc_id"), col("n"), col("pt.tok").as("tok"))
+    val cand = prefix.as("a")
+      .join(prefix.as("b"),
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+        col("a.n").as("na"), col("b.n").as("nb"))
+      .distinct()
+    cand
+      .join(toks.select(col("doc_id").as("da"), col("tok")), Seq("da"))
+      .join(toks.select(col("doc_id").as("db"), col("tok")), Seq("db", "tok"))
+      .groupBy(col("da"), col("db"), col("na"), col("nb"))
+      .agg(count(lit(1)).as("overlap"))
+      .withColumn("jac",
+        col("overlap") / (col("na") + col("nb") - col("overlap")))
+      .filter(col("jac") >= tau)
+      .select(col("da").as("doc_a"), col("db").as("doc_b"), col("na"),
+        col("nb"), col("overlap"), round(col("jac"), 6).as("jac"))
+      .orderBy(col("jac").desc, col("doc_a"), col("doc_b"))
+      .limit(15)
+  }
+
+  private val o120 = """
+    WITH toks AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id,
+               unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents)
+      WHERE length(tok) > 0),
+    dfreq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    ranked AS (
+      SELECT t.doc_id, t.tok,
+             row_number() OVER (PARTITION BY t.doc_id ORDER BY f.c, t.tok)
+               AS rn,
+             count(*) OVER (PARTITION BY t.doc_id) AS n
+      FROM toks t JOIN dfreq f ON t.tok = f.tok),
+    prefix AS (
+      SELECT doc_id, n, tok FROM ranked
+      WHERE rn <= floor(CAST(0.4 AS DOUBLE) * n) + 1),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.n AS na, b.n AS nb
+      FROM prefix a JOIN prefix b
+        ON a.tok = b.tok AND a.doc_id < b.doc_id),
+    ov AS (
+      SELECT c.da, c.db, c.na, c.nb, count(*) AS overlap
+      FROM cand c
+      JOIN toks ta ON ta.doc_id = c.da
+      JOIN toks tb ON tb.doc_id = c.db AND tb.tok = ta.tok
+      GROUP BY c.da, c.db, c.na, c.nb)
+    SELECT da AS doc_a, db AS doc_b, na, nb, overlap,
+           round(overlap / (na + nb - overlap), 6) AS jac
+    FROM ov
+    WHERE overlap / (na + nb - overlap) >= 0.6
+    ORDER BY jac DESC, doc_a, doc_b LIMIT 15"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q120_prefix_filter_join", q120, Some(o120)),
     QueryDef("q104_incremental_dedup", q104, Some(o104)),
     QueryDef("q102_simhash_hamming", q102, Some(o102)),
     QueryDef("q97_dedup_clusters", q97, Some(o97)),

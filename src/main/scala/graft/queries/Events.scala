@@ -254,7 +254,57 @@ object Events {
     FROM sess GROUP BY user_id, sid
     ORDER BY user_id, sess_start_us"""
 
+  /** q121: SCD-type-2 dimension build from the event stream — collapse each
+    * user's event-type history to CHANGE rows and emit validity intervals
+    * [valid_from, valid_to), NULL-open for the current row. Two window
+    * passes over one shuffle on user_id (lag to detect changes, lead for
+    * the closing timestamp) — the standard warehouse history-table build,
+    * with O(1) state per row and no self-join. Restricted to user_id < 40
+    * so the driver compares full interval rows, not a lossy rollup.
+    */
+  private def q121(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(tsUs, col("event_id"))
+    val changes = events(s, d)
+      .filter(col("user_id") < 40)
+      .withColumn("us", tsUs)
+      .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+      .filter(col("prev_type").isNull ||
+        col("prev_type") =!= col("event_type"))
+    val w2 = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    changes
+      .withColumn("valid_to_us", lead(col("us"), 1).over(w2))
+      .withColumn("version",
+        row_number().over(w2))
+      .select(col("user_id"), col("event_type"), col("version"),
+        col("us").as("valid_from_us"), col("valid_to_us"),
+        col("valid_to_us").isNull.as("is_current"))
+      .orderBy(col("user_id"), col("version"))
+  }
+
+  private val o121 = """
+    WITH ordered AS (
+      SELECT user_id, event_type, event_id,
+             epoch_us(ts) AS us,
+             lag(event_type) OVER
+               (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+      FROM events WHERE user_id < 40),
+    changes AS (
+      SELECT user_id, event_type, event_id, us FROM ordered
+      WHERE prev_type IS NULL OR prev_type <> event_type),
+    v AS (
+      SELECT user_id, event_type,
+             CAST(row_number() OVER w AS INT) AS version,
+             us AS valid_from_us,
+             lead(us) OVER w AS valid_to_us
+      FROM changes
+      WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id))
+    SELECT user_id, event_type, version, valid_from_us, valid_to_us,
+           valid_to_us IS NULL AS is_current
+    FROM v ORDER BY user_id, version"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q121_scd2_history", q121, Some(o121)),
     QueryDef("q113_session_window", q113, Some(o113)),
     QueryDef("q107_funnel", q107, Some(o107)),
     QueryDef("q108_debounce", q108, Some(o108)),

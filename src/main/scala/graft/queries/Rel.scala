@@ -544,7 +544,84 @@ object Rel {
     FROM base b FULL OUTER JOIN updates u ON b.c_custkey = u.c_custkey
     ORDER BY c_custkey"""
 
+  /** q122: snapshot diff (CDC reconciliation) — classify every key across
+    * two table versions as added / removed / changed / unchanged via ONE
+    * full-outer hash join on the key, comparing a row fingerprint (md5 of
+    * the canonicalized payload) instead of N column equalities. The "new"
+    * snapshot is derived deterministically from `orders` (drop keys ≡0 mod
+    * 13, bump totalprice on ≡0 mod 7, append fresh keys for ≡0 mod 17) so
+    * both engines reconstruct it identically. At 100 TB both sides shuffle
+    * once on the join key — the minimal possible data movement for a full
+    * diff; the fingerprint keeps the comparison one string equality.
+    */
+  private def q122(s: SparkSession, d: String): DataFrame = {
+    val old = orders(s, d)
+    val neu = old
+      .filter(pmod(col("o_orderkey"), lit(13)) =!= 0)
+      .withColumn("o_totalprice",
+        when(pmod(col("o_orderkey"), lit(7)) === 0,
+          col("o_totalprice") + lit(1.5)) // IEEE-exact, same in both engines
+          .otherwise(col("o_totalprice")))
+      .unionByName(
+        old.filter(pmod(col("o_orderkey"), lit(17)) === 0)
+          .withColumn("o_orderkey", col("o_orderkey") + lit(10000000L)))
+    // price enters the fingerprint as integer cents: *100 then round-to-int
+    // is boundary-free for 2-decimal values (within 1e-10 of the integer),
+    // unlike decimal re-formatting whose half-up/half-even modes differ
+    def fp(df: DataFrame): DataFrame = df.select(col("o_orderkey").as("k"),
+      md5(concat_ws("|", col("o_custkey"), col("o_orderstatus"),
+        round(col("o_totalprice") * 100).cast("long"), col("o_orderdate"),
+        col("o_orderpriority"))).as("fp"))
+    fp(old).as("o")
+      .join(fp(neu).withColumnRenamed("fp", "fp_new").as("n"),
+        Seq("k"), "full_outer")
+      .withColumn("status",
+        when(col("fp").isNull, "added")
+          .when(col("fp_new").isNull, "removed")
+          .when(col("fp") === col("fp_new"), "unchanged")
+          .otherwise("changed"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_keys"), min(col("k")).as("min_key"),
+        max(col("k")).as("max_key"))
+      .orderBy(col("status"))
+  }
+
+  private val o122 = """
+    WITH neu AS (
+      SELECT o_orderkey,
+             CASE WHEN o_orderkey % 7 = 0
+                  THEN o_totalprice + CAST(1.5 AS DOUBLE)
+                  ELSE o_totalprice END AS o_totalprice,
+             o_custkey, o_orderstatus, o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 13 <> 0
+      UNION ALL
+      SELECT o_orderkey + 10000000, o_totalprice, o_custkey, o_orderstatus,
+             o_orderdate, o_orderpriority
+      FROM orders WHERE o_orderkey % 17 = 0),
+    ofp AS (
+      SELECT o_orderkey AS k,
+             md5(o_custkey || '|' || o_orderstatus || '|'
+                 || CAST(round(o_totalprice * 100) AS BIGINT) || '|'
+                 || o_orderdate || '|' || o_orderpriority) AS fp
+      FROM orders),
+    nfp AS (
+      SELECT o_orderkey AS k,
+             md5(o_custkey || '|' || o_orderstatus || '|'
+                 || CAST(round(o_totalprice * 100) AS BIGINT) || '|'
+                 || o_orderdate || '|' || o_orderpriority) AS fp_new
+      FROM neu)
+    SELECT CASE WHEN o.fp IS NULL THEN 'added'
+                WHEN n.fp_new IS NULL THEN 'removed'
+                WHEN o.fp = n.fp_new THEN 'unchanged'
+                ELSE 'changed' END AS status,
+           count(*) AS n_keys,
+           min(coalesce(o.k, n.k)) AS min_key,
+           max(coalesce(o.k, n.k)) AS max_key
+    FROM ofp o FULL OUTER JOIN nfp n ON o.k = n.k
+    GROUP BY 1 ORDER BY status"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q122_snapshot_diff", q122, Some(o122)),
     QueryDef("q98_upsert_merge", q98, Some(o98)),
     QueryDef("q88_bucketed_join", q88, Some(o88)),
     QueryDef("q01_pricing_summary", q01, Some(o01)),
