@@ -27,7 +27,12 @@ object Bench {
     // two timed runs per query, report the min: the first run pays one-off
     // whole-stage-codegen compilation (hundreds of ms to seconds for
     // expression-heavy queries), which is amortized noise in steady state
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // optional positional args restrict the run to the named queries (local
+    // iteration aid; the driver invokes with no args = full catalog)
+    val only = args.toSet
+    val results = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+      .map { case (name, fn) =>
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val ok =

@@ -444,25 +444,39 @@ object Dedup {
     * public literature) — the deterministic counterpart to the probabilistic
     * MinHash screen (q36-q38): guaranteed no false negatives at Jaccard ≥ τ.
     *
+    * Sets are 15-char shingles: prefix filtering only pays when the token
+    * space has a rare tail, and on this corpus the WORD vocabulary is ~30
+    * tokens whose minimum df is half the corpus — every prefix token is
+    * common, candidates degenerate to all-pairs (measured: 107 s / 11.4 M
+    * candidates at sf0.1). At 15 chars the vocabulary is ~90× the corpus
+    * with median df = 1, so each doc's prefix is genuinely rare and
+    * candidates collapse to ~0.6% of pairs. The same tuning question
+    * (are my set elements rare enough to filter on?) governs any real
+    * deployment of this operator.
+    *
     * Token sets ordered by ascending document frequency (rarest first,
     * token as tie-break — a total order needing NO global rank window, just
     * the (df, token) tuple sort inside each doc's collected set). Any two
     * sets with Jaccard ≥ τ=0.6 must share a token within their first
     * ⌊(1-τ)·|A|⌋+1 tokens of that order, so candidates are generated only
     * from the rare-token prefix inverted index — bucket population is
-    * bounded by prefix-token df (rare by construction), never corpus².
-    * Candidates then verify by exact overlap join restricted to candidate
-    * docs, exactly q38's verification shape. The df dimension broadcasts
-    * (vocabulary-sized).
+    * bounded by prefix-token df, never corpus² — and are further pruned by
+    * PPJoin's length filter (τ·|A| ≤ |B| ≤ |A|/τ). Candidates then verify
+    * by exact overlap join restricted to candidate docs, exactly q38's
+    * verification shape. The df side joins back on tok, reusing the
+    * partitioning its own aggregation just produced (no broadcast: a
+    * shingle vocabulary scales with the corpus).
     */
   private def q120(s: SparkSession, d: String): DataFrame = {
     val tau = 0.6
+    val sh = 15
     val toks = parallelize(s, documents(s, d))
-      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("tok"))
-      .filter(length(col("tok")) > 0)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(1), length(col("text")) - lit(sh - 1)),
+          i => col("text").substr(i, lit(sh)))).as("tok"))
       .distinct()
     val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
-    val sets = toks.join(broadcast(dfreq), Seq("tok"))
+    val sets = toks.join(dfreq, Seq("tok"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("c"), col("tok")))).as("ordered"))
       .select(col("doc_id"), size(col("ordered")).cast("long").as("n"),
@@ -474,7 +488,9 @@ object Dedup {
       .select(col("doc_id"), col("n"), col("pt.tok").as("tok"))
     val cand = prefix.as("a")
       .join(prefix.as("b"),
-        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id"))
+        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+          col("b.n").between(ceil(lit(tau) * col("a.n")),
+            floor(col("a.n") / lit(tau))))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         col("a.n").as("na"), col("b.n").as("nb"))
       .distinct()
@@ -494,11 +510,10 @@ object Dedup {
 
   private val o120 = """
     WITH toks AS (
-      SELECT DISTINCT doc_id, tok FROM (
-        SELECT doc_id,
-               unnest(string_split_regex(trim(text), '\s+')) AS tok
-        FROM documents)
-      WHERE length(tok) > 0),
+      SELECT DISTINCT doc_id, substr(text, i, 15) AS tok
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, length(text) - 13)) AS i
+            FROM documents)),
     dfreq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
     ranked AS (
       SELECT t.doc_id, t.tok,
@@ -512,7 +527,9 @@ object Dedup {
     cand AS (
       SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.n AS na, b.n AS nb
       FROM prefix a JOIN prefix b
-        ON a.tok = b.tok AND a.doc_id < b.doc_id),
+        ON a.tok = b.tok AND a.doc_id < b.doc_id
+       AND b.n BETWEEN ceil(CAST(0.6 AS DOUBLE) * a.n)
+                   AND floor(a.n / CAST(0.6 AS DOUBLE))),
     ov AS (
       SELECT c.da, c.db, c.na, c.nb, count(*) AS overlap
       FROM cand c

@@ -54,7 +54,9 @@ object Indexing {
     */
   private def q115(s: SparkSession, d: String): DataFrame = {
     val li = lineitem(s, d)
-    val sketch = li
+    // 4 md5s per row is CPU-bound work; spread a single-row-group scan
+    // across cores before it (no-op on a multi-split cluster scan)
+    val sketch = parallelize(s, li)
       .select(col("l_suppkey"),
         explode(sequence(lit(0), lit(CmsDepth - 1))).as("d"))
       .groupBy(col("d"),
