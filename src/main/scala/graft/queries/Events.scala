@@ -303,7 +303,54 @@ object Events {
            valid_to_us IS NULL AS is_current
     FROM v ORDER BY user_id, version"""
 
+  /** q123: time-series gap filling — build each user's dense hourly
+    * calendar spine between their first and last event (per-user min/max +
+    * `sequence` explode, no global calendar table), left-join the sparse
+    * hourly aggregates back onto it and zero-fill the holes. The spine
+    * generation is one aggregation + a generator (rows ∝ output, not
+    * input²); the fill join is co-partitioned on (user, bucket). Restricted
+    * to user_id < 6 so the driver compares the full dense series.
+    */
+  private def q123(s: SparkSession, d: String): DataFrame = {
+    val hourUs = 3600000000L
+    val ev = events(s, d).filter(col("user_id") < 6)
+      .withColumn("h", expr(s"ts DIV 1000 DIV $hourUs"))
+    val actual = ev.groupBy(col("user_id"), col("h"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+    val spine = ev.groupBy(col("user_id"))
+      .agg(min(col("h")).as("h0"), max(col("h")).as("h1"))
+      .select(col("user_id"),
+        explode(sequence(col("h0"), col("h1"))).as("h"))
+    spine.join(actual, Seq("user_id", "h"), "left")
+      .select(col("user_id"), col("h").as("hour_bucket"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"),
+        col("n_events").isNull.as("filled"))
+      .orderBy(col("user_id"), col("hour_bucket"))
+  }
+
+  private val o123 = """
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) // 3600000000 AS h, value
+      FROM events WHERE user_id < 6),
+    actual AS (
+      SELECT user_id, h, count(*) AS n_events,
+             round(sum(value), 4) AS sum_value
+      FROM ev GROUP BY user_id, h),
+    spine AS (
+      SELECT user_id, unnest(range(min(h), max(h) + 1)) AS h
+      FROM ev GROUP BY user_id)
+    SELECT s.user_id, s.h AS hour_bucket,
+           coalesce(a.n_events, 0) AS n_events,
+           coalesce(a.sum_value, CAST(0.0 AS DOUBLE)) AS sum_value,
+           a.n_events IS NULL AS filled
+    FROM spine s LEFT JOIN actual a
+      ON s.user_id = a.user_id AND s.h = a.h
+    ORDER BY s.user_id, hour_bucket"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q123_gap_fill", q123, Some(o123)),
     QueryDef("q121_scd2_history", q121, Some(o121)),
     QueryDef("q113_session_window", q113, Some(o113)),
     QueryDef("q107_funnel", q107, Some(o107)),

@@ -134,7 +134,47 @@ object Sketches {
       .orderBy(col("l_returnflag"))
   }
 
+  /** q125: IQR outlier detection — flag documents whose n_chars falls
+    * outside [Q1 − 1.5·IQR, Q3 + 1.5·IQR] of their language's length
+    * distribution. One per-group quantile aggregation broadcast back onto
+    * the corpus (group count = languages, always tiny) — the standard
+    * robust-statistics data-quality gate. The interpolated quartiles of
+    * INTEGER data are exact binary fractions (.0/.25/.5/.75), so both
+    * engines compute bit-identical bounds and the comparison can't flip on
+    * a boundary ulp.
+    */
+  private def q125(s: SparkSession, d: String): DataFrame = {
+    val q = documents(s, d).groupBy(col("lang"))
+      .agg(expr("percentile(n_chars, array(0.25D, 0.75D))").as("qq"))
+      .select(col("lang"), element_at(col("qq"), 1).as("q1"),
+        element_at(col("qq"), 2).as("q3"))
+      .withColumn("lo", col("q1") - lit(1.5) * (col("q3") - col("q1")))
+      .withColumn("hi", col("q3") + lit(1.5) * (col("q3") - col("q1")))
+    documents(s, d)
+      .join(broadcast(q), Seq("lang"))
+      .filter(col("n_chars") < col("lo") || col("n_chars") > col("hi"))
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        round(col("lo"), 4).as("lo"), round(col("hi"), 4).as("hi"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val o125 = """
+    WITH q AS (
+      SELECT lang,
+             quantile_cont(n_chars, 0.25) AS q1,
+             quantile_cont(n_chars, 0.75) AS q3
+      FROM documents GROUP BY lang),
+    b AS (
+      SELECT lang, q1 - 1.5 * (q3 - q1) AS lo, q3 + 1.5 * (q3 - q1) AS hi
+      FROM q)
+    SELECT d.doc_id, d.lang, d.n_chars,
+           round(b.lo, 4) AS lo, round(b.hi, 4) AS hi
+    FROM documents d JOIN b ON d.lang = b.lang
+    WHERE d.n_chars < b.lo OR d.n_chars > b.hi
+    ORDER BY d.doc_id"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q125_outlier_iqr", q125, Some(o125)),
     QueryDef("q53_heavy_hitters", q53, Some(o53)),
     QueryDef("q54_percentiles", q54, Some(o54)),
     QueryDef("q85_stats_agg", q85, Some(o85)),

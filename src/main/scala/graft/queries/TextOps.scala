@@ -251,7 +251,42 @@ object TextOps {
           FROM documents)
     GROUP BY fp ORDER BY keep_id"""
 
+  /** q124: corpus-mix drift — per-source language-distribution entropy and
+    * KL divergence against the global language mix, the monitoring
+    * statistic a training-data pipeline tracks when the source blend
+    * shifts. Two hash aggregations + one broadcast-sized dimension join
+    * (distinct (source, lang) pairs). Shared SQL text runs on both engines;
+    * ln() differs only in final ulps and every transcendental is consumed
+    * inside a ≤6-term rounded aggregate (round 6), per the parity rules.
+    */
+  private def q124(s: SparkSession, d: String): DataFrame = {
+    documents(s, d).createOrReplaceTempView("graft_kl_documents")
+    s.sql(klSql("graft_kl_documents"))
+  }
+
+  private def klSql(t: String): String = s"""
+    WITH sl AS (
+      SELECT source, lang, count(*) AS c
+      FROM $t GROUP BY source, lang),
+    srct AS (SELECT source, CAST(sum(c) AS BIGINT) AS cs FROM sl GROUP BY source),
+    gl AS (SELECT lang, CAST(sum(c) AS BIGINT) AS cg FROM sl GROUP BY lang),
+    tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM sl)
+    SELECT sl.source,
+           CAST(count(*) AS INT) AS n_langs,
+           round(-sum((sl.c / CAST(srct.cs AS DOUBLE))
+                      * ln(sl.c / CAST(srct.cs AS DOUBLE))), 6) AS entropy,
+           round(sum((sl.c / CAST(srct.cs AS DOUBLE))
+                     * ln((sl.c / CAST(srct.cs AS DOUBLE))
+                          / (gl.cg / CAST((SELECT n FROM tot) AS DOUBLE)))),
+                 6) AS kl_vs_global
+    FROM sl
+    JOIN srct ON sl.source = srct.source
+    JOIN gl ON sl.lang = gl.lang
+    GROUP BY sl.source
+    ORDER BY sl.source"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q124_lang_mix_kl", q124, Some(klSql("documents"))),
     QueryDef("q82_canonical_select", q82, Some(o82)),
     QueryDef("q30_text_stats", q30, Some(o30)),
     QueryDef("q31_token_count", q31, Some(o31)),
