@@ -519,7 +519,68 @@ object Corpus {
            min(doc_id) AS min_doc
     FROM split GROUP BY split ORDER BY split"""
 
+  /** q126: token co-occurrence + pointwise mutual information — the
+    * association-mining statistic (collocation detection, embedding-free
+    * relatedness) over within-document token pairs. Pair space is bounded
+    * BEFORE pairing: only tokens in the broadcast top-20-df vocabulary
+    * participate, so the per-doc self-join emits ≤ C(20,2) pairs per doc
+    * regardless of corpus size — the standard guard that keeps co-occurrence
+    * mining linear in the corpus. PMI's ln() is a single transcendental per
+    * OUTPUT row (30 rows), rounded at 6 per the parity rules.
+    */
+  private def q126(s: SparkSession, d: String): DataFrame = {
+    val docTok = documents(s, d)
+      .select(col("doc_id"), explode(wsCol).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .distinct()
+    val vocab = docTok.groupBy(col("tok"))
+      .agg(count(lit(1)).as("df"))
+      .orderBy(col("df").desc, col("tok")).limit(20)
+    val in = docTok.join(broadcast(vocab), Seq("tok"))
+    val nDocs = documents(s, d).select(
+      countDistinct(col("doc_id")).as("n_docs"),
+      pmod(count(lit(1)), lit(1)).as("jk")) // column-derived key, stays a hash join
+    in.as("a")
+      .join(in.as("b"),
+        col("a.doc_id") === col("b.doc_id") && col("a.tok") < col("b.tok"))
+      .groupBy(col("a.tok").as("tok_a"), col("b.tok").as("tok_b"),
+        col("a.df").as("df_a"), col("b.df").as("df_b"))
+      .agg(count(lit(1)).as("n_both"))
+      .withColumn("jk", pmod(col("n_both"), lit(1)))
+      .join(broadcast(nDocs), Seq("jk"))
+      .select(col("tok_a"), col("tok_b"), col("n_both"),
+        round(
+          log((col("n_both") * col("n_docs")).cast("double") /
+            (col("df_a") * col("df_b")).cast("double")), 6).as("pmi"))
+      .orderBy(col("n_both").desc, col("tok_a"), col("tok_b"))
+      .limit(30)
+  }
+
+  private val o126 = """
+    WITH docTok AS (
+      SELECT DISTINCT doc_id, tok FROM (
+        SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+        FROM documents)
+      WHERE length(tok) > 0),
+    vocab AS (
+      SELECT tok, count(*) AS df FROM docTok GROUP BY tok
+      ORDER BY df DESC, tok LIMIT 20),
+    i AS (SELECT d.doc_id, d.tok, v.df
+          FROM docTok d JOIN vocab v ON d.tok = v.tok),
+    pairs AS (
+      SELECT a.tok AS tok_a, b.tok AS tok_b, a.df AS df_a, b.df AS df_b,
+             count(*) AS n_both
+      FROM i a JOIN i b ON a.doc_id = b.doc_id AND a.tok < b.tok
+      GROUP BY 1, 2, 3, 4)
+    SELECT tok_a, tok_b, n_both,
+           round(ln(CAST(n_both * (SELECT count(DISTINCT doc_id)
+                                   FROM documents) AS DOUBLE)
+                    / CAST(df_a * df_b AS DOUBLE)), 6) AS pmi
+    FROM pairs
+    ORDER BY n_both DESC, tok_a, tok_b LIMIT 30"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q126_cooccur_pmi", q126, Some(o126)),
     QueryDef("q112_pipeline_compose", q112, Some(o112)),
     QueryDef("q103_sequence_packing", q103, Some(o103)),
     QueryDef("q105_stratified_sample", q105, Some(o105)),

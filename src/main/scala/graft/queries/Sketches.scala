@@ -173,7 +173,57 @@ object Sketches {
     WHERE d.n_chars < b.lo OR d.n_chars > b.hi
     ORDER BY d.doc_id"""
 
+  /** q127: equi-depth histogram of l_extendedprice — decile cut points from
+    * ONE percentile aggregation, then every row bucketed by counting the
+    * broadcast cut array it exceeds (a 9-element fold per row, codegen'd
+    * comparisons). This is the scalable shape: the naive `ntile(10) OVER ()`
+    * funnels the whole table through a single-partition global sort, while
+    * here the only non-map work is the cut-point aggregation and the final
+    * 10-group rollup. Interpolated cut points are identical IEEE doubles in
+    * both engines; rows never sit ON a cut (prices have 2 decimals, cuts
+    * interpolate between them), so bucketing can't flip on an ulp.
+    */
+  private def q127(s: SparkSession, d: String): DataFrame = {
+    val cuts = parallelize(s, lineitem(s, d))
+      .agg(expr(
+        "percentile(l_extendedprice, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))")
+        .as("cuts"),
+        pmod(count(lit(1)), lit(1)).as("jk")) // column-derived broadcast key
+    lineitem(s, d)
+      .select(col("l_extendedprice").as("p"),
+        pmod(col("l_orderkey"), lit(1)).as("jk"))
+      .join(broadcast(cuts), Seq("jk"))
+      .select(col("p"),
+        // 9 unrolled codegen'd comparisons, not an interpreted lambda fold
+        (1 to 9).map(i =>
+          when(col("p") > element_at(col("cuts"), i), 1).otherwise(0))
+          .reduce(_ + _).as("decile"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("p")), 2).as("lo"),
+        round(max(col("p")), 2).as("hi"),
+        round(avg(col("p")), 4).as("mean"))
+      .orderBy(col("decile"))
+  }
+
+  private val o127 = """
+    WITH c AS (
+      SELECT quantile_cont(l_extendedprice,
+               [0.1,0.2,0.3,0.4,0.5,0.6,0.7,0.8,0.9]) AS cuts
+      FROM lineitem),
+    b AS (
+      SELECT l_extendedprice AS p,
+             CAST(list_sum(list_transform((SELECT cuts FROM c),
+               x -> CASE WHEN l_extendedprice > x THEN 1 ELSE 0 END))
+               AS INT) AS decile
+      FROM lineitem)
+    SELECT decile, count(*) AS n,
+           round(min(p), 2) AS lo, round(max(p), 2) AS hi,
+           round(avg(p), 4) AS mean
+    FROM b GROUP BY decile ORDER BY decile"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q127_equidepth_hist", q127, Some(o127)),
     QueryDef("q125_outlier_iqr", q125, Some(o125)),
     QueryDef("q53_heavy_hitters", q53, Some(o53)),
     QueryDef("q54_percentiles", q54, Some(o54)),
