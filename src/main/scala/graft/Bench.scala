@@ -50,6 +50,11 @@ object Bench {
         // second timed run silently reuses the first run's cache (flattering
         // the min) AND cached blocks pile up across the ~100-query session
         spark.catalog.clearCache()
+        // clearCache only covers CacheManager-tracked DataFrames; q97's
+        // per-iteration localCheckpoints live as raw persistent RDD blocks
+        // and otherwise accumulate until GC, inflating later queries'
+        // memory pressure (q120 measured 2x slower in-suite than alone)
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         if (ok) elapsed else -1.0
       }
       // a failed attempt is never a measurement (round-2 ADVICE), but a

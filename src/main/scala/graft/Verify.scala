@@ -35,8 +35,11 @@ object Verify {
         }
         // queries persist() intermediates (q38/q47/q72/q83); drop them once
         // the dump is written so a ~100-query session doesn't accumulate
-        // cached blocks (round-3 verdict, cache hygiene)
+        // cached blocks (round-3 verdict, cache hygiene). q97's per-
+        // iteration localCheckpoints are raw RDD blocks the CacheManager
+        // doesn't track — unpersist those too.
         spark.catalog.clearCache()
+        spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
       }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
