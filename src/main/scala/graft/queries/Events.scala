@@ -349,7 +349,37 @@ object Events {
       ON s.user_id = a.user_id AND s.h = a.h
     ORDER BY s.user_id, hour_bucket"""
 
+  /** q128: cohort retention — users grouped by first-activity week, then
+    * the distinct-user count per (cohort, week-offset) cell: the standard
+    * product-analytics retention matrix. Shapes: one aggregation for the
+    * cohort assignment, a co-partitioned join back on user_id (same key as
+    * the aggregation that produced it), and one distinct-count rollup —
+    * every shuffle is on a natural key, nothing global.
+    */
+  private def q128(s: SparkSession, d: String): DataFrame = {
+    val weekUs = 7L * 86400 * 1000000
+    val act = events(s, d)
+      .select(col("user_id"), expr(s"ts DIV 1000 DIV $weekUs").as("w"))
+      .distinct()
+    val cohort = act.groupBy(col("user_id")).agg(min(col("w")).as("w0"))
+    act.join(cohort, Seq("user_id"))
+      .groupBy(col("w0").as("cohort_week"), (col("w") - col("w0")).as("offset"))
+      .agg(countDistinct(col("user_id")).as("n_users"))
+      .orderBy(col("cohort_week"), col("offset"))
+  }
+
+  private val o128 = """
+    WITH act AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 604800000000 AS w
+      FROM events),
+    cohort AS (SELECT user_id, min(w) AS w0 FROM act GROUP BY user_id)
+    SELECT c.w0 AS cohort_week, a.w - c.w0 AS "offset",
+           count(DISTINCT a.user_id) AS n_users
+    FROM act a JOIN cohort c ON a.user_id = c.user_id
+    GROUP BY 1, 2 ORDER BY cohort_week, "offset""""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q128_cohort_retention", q128, Some(o128)),
     QueryDef("q123_gap_fill", q123, Some(o123)),
     QueryDef("q121_scd2_history", q121, Some(o121)),
     QueryDef("q113_session_window", q113, Some(o113)),

@@ -419,7 +419,66 @@ object Vec {
     SELECT label, round(avg(mse), 6) AS avg_mse, round(max(mse), 6) AS max_mse
     FROM m GROUP BY label ORDER BY label"""
 
+  /** q129: multi-probe LSH — recover the recall a single-bucket LSH probe
+    * (q42) loses by ALSO probing every bucket whose signature is within
+    * hamming distance 1 of the query's (the standard multi-probe trade:
+    * ×(bits+1) probe work instead of ×tables memory). The probe set is
+    * GENERATED as bits+1 explicit signatures equi-joined against the
+    * corpus's signature column — never a `hamming(sig, qsig) <= 1`
+    * inequality join, which would plan as a nested-loop scan of every
+    * vector. Each vector has one signature and probes are distinct, so no
+    * dedup step is needed.
+    */
+  private def q129(s: SparkSession, d: String): DataFrame = {
+    val e = parallelize(s, embeddings(s, d)).withColumn("sig", sigExpr(NBits))
+    val q0 = e.filter(col("vec_id") === 0)
+      .select(col("sig").as("qsig"), toD(col("embedding")).as("qv"))
+    val flips: Seq[Column] = (0 to NBits).map { j =>
+      if (j == 0) col("qsig")
+      else concat(
+        substring(col("qsig"), 1, j - 1),
+        when(substring(col("qsig"), j, 1) === "1", "0").otherwise("1"),
+        substring(col("qsig"), j + 1, NBits - j))
+    }
+    val probes = q0.select(col("qsig"), col("qv"),
+      explode(array(flips: _*)).as("psig"))
+    e.filter(col("vec_id") =!= 0)
+      .join(broadcast(probes), col("sig") === col("psig"))
+      .select(col("vec_id"), col("sig"),
+        when(col("sig") === col("qsig"), 0).otherwise(1).as("probe_dist"),
+        round(cosine(toD(col("embedding")), col("qv")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+  }
+
+  private def o129: String = {
+    val hps = (0 until NBits).map(j => s"${oHyperplane(j)} AS hp$j").mkString(", ")
+    val flipBranches = (1 to NBits).map { j =>
+      s"""SELECT substr(sig, 1, ${j - 1})
+            || (CASE WHEN substr(sig, $j, 1) = '1' THEN '0' ELSE '1' END)
+            || substr(sig, ${j + 1}, ${NBits - j}) AS psig
+          FROM q"""
+    }.mkString("\n        UNION ALL\n        ")
+    s"""WITH hp AS (SELECT $hps),
+       sigs AS (
+         SELECT vec_id, embedding, (${oSigExpr(NBits)}) AS sig
+         FROM embeddings, hp),
+       q AS (SELECT sig, embedding FROM sigs WHERE vec_id = 0),
+       probes AS (
+         SELECT sig AS psig FROM q
+         UNION ALL
+         $flipBranches)
+       SELECT s.vec_id, s.sig,
+              CASE WHEN s.sig = (SELECT sig FROM q) THEN 0 ELSE 1 END
+                AS probe_dist,
+              round(list_cosine_similarity(CAST(s.embedding AS DOUBLE[]),
+                (SELECT CAST(embedding AS DOUBLE[]) FROM q)), 6) AS cos_sim
+       FROM sigs s JOIN probes p ON s.sig = p.psig
+       WHERE s.vec_id <> 0
+       ORDER BY cos_sim DESC, s.vec_id"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q129_multiprobe_lsh", q129, Some(o129)),
     QueryDef("q106_int8_quant_error", q106, Some(o106)),
     QueryDef("q84_kmeans_iter", q84, Some(o84)),
     QueryDef("q81_centroid_agg", q81, Some(o81)),
