@@ -579,7 +579,146 @@ object Corpus {
     FROM pairs
     ORDER BY n_both DESC, tok_a, tok_b LIMIT 30"""
 
+  /** q131: BM25 retrieval — score every document against a fixed term query
+    * and return the top 20. The classic search-engine ranking function as
+    * one declarative plan:
+    *   - the postings explode is filtered to the QUERY'S terms immediately
+    *     (an `isin` literal filter under the generator), so everything past
+    *     the scan touches only matching postings — at 100 TB the per-query
+    *     work is proportional to the query terms' posting lists, never the
+    *     corpus token count;
+    *   - document length joins in from the same scan (carried through the
+    *     explode, no second pass over `text`);
+    *   - df and the (N, avgdl) corpus stats are tiny aggregates joined back
+    *     by broadcast on column-derived keys (hash join, not nested loop).
+    * Scoring uses the standard Robertson/Sparck-Jones parameters k1=1.2,
+    * b=0.75 and the +1-smoothed idf. The ln() lands inside a rounded
+    * per-doc sum, so engine ulp drift cannot flip a digit.
+    */
+  private val Bm25K1 = 1.2
+  private val Bm25B = 0.75
+  private val Bm25Terms = Seq("spark", "hash", "merge")
+
+  private def q131(s: SparkSession, d: String): DataFrame = {
+    val docs = parallelize(s, documents(s, d)).withColumn("ws", wsCol)
+    val stats = docs
+      .agg(count(lit(1)).as("n_docs"), avg(size(col("ws"))).as("avgdl"))
+      .withColumn("jk", pmod(col("n_docs"), lit(1)).cast("int"))
+    val tf = docs
+      .select(col("doc_id"), size(col("ws")).cast("long").as("dl"),
+        explode(col("ws")).as("term"))
+      .filter(col("term").isin(Bm25Terms: _*))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).as("tf"), max(col("dl")).as("dl"))
+    val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    tf.join(broadcast(df), Seq("term"))
+      .withColumn("jk", pmod(col("tf"), lit(1)).cast("int"))
+      .join(broadcast(stats), Seq("jk"))
+      .withColumn("idf",
+        log((col("n_docs") - col("df") + lit(0.5)) /
+          (col("df") + lit(0.5)) + lit(1.0)))
+      .withColumn("w",
+        col("idf") * col("tf") * lit(Bm25K1 + 1.0) /
+          (col("tf") + lit(Bm25K1) * (lit(1.0 - Bm25B) +
+            lit(Bm25B) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("w")), 5).as("bm25"),
+        count(lit(1)).as("n_terms_hit"))
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private val o131 = s"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(len(ws)) AS avgdl FROM docs),
+    toks AS (
+      SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, unnest(ws) AS term
+      FROM docs),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+      FROM toks WHERE term IN ('spark', 'hash', 'merge')
+      GROUP BY doc_id, term),
+    df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+    SELECT doc_id,
+           round(sum(
+             ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+               * tf * ${Bm25K1 + 1.0}
+               / (tf + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * dl / avgdl))
+           ), 5) AS bm25,
+           count(*) AS n_terms_hit
+    FROM tf JOIN df USING (term), stats
+    GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id LIMIT 20"""
+
+  /** q133: bigram-language-model perplexity scoring — the classic
+    * KenLM-style quality filter: fit add-one-smoothed bigram probabilities
+    * on the corpus itself, then score every document's cross-entropy
+    * `H = avg(-ln p(w_i | w_{i-1}))` under that model.
+    *
+    * Scale shape: the model (bigram counts, unigram context counts, vocab
+    * size) is vocabulary-bounded, not corpus-bounded — here it rides a
+    * broadcast; dropping the hint degrades gracefully to a shuffle join on
+    * the SAME n-gram key, never a replan. The document side is one explode
+    * pass; per-doc H is one hash aggregation. Only the rounded per-doc
+    * AGGREGATES of the ln() terms are compared (engine ulp drift on a
+    * single ln cannot survive a 150-term mean rounded to 4 digits).
+    */
+  private def q133(s: SparkSession, d: String): DataFrame = {
+    val docs = parallelize(s, documents(s, d)).withColumn("ws", wsCol)
+    val bg = docs.select(col("doc_id"),
+      explode(filter(
+        zip_with(
+          col("ws"),
+          slice(col("ws"), lit(2), greatest(size(col("ws")) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b)),
+        x => x.isNotNull)).as("bigram"))
+    val c12 = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+    val c1 = docs.select(explode(col("ws")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+    val v = c1.agg(count(lit(1)).as("v"))
+      .withColumn("jk", pmod(col("v"), lit(1)).cast("int"))
+    bg.join(broadcast(c12), Seq("bigram"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .join(broadcast(c1), Seq("w1"))
+      .withColumn("jk", pmod(col("c12"), lit(1)).cast("int"))
+      .join(broadcast(v), Seq("jk"))
+      .withColumn("nlp",
+        -log((col("c12") + lit(1.0)) / (col("c1") + col("v"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("nlp")), 4).as("cross_entropy"),
+        round(exp(avg(col("nlp"))), 2).as("perplexity"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val o133 = """
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      FROM documents),
+    bg AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+               i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+      FROM docs),
+    c12 AS (SELECT bigram, count(*) AS c12 FROM bg GROUP BY bigram),
+    c1 AS (SELECT w1, count(*) AS c1
+           FROM (SELECT unnest(ws) AS w1 FROM docs) GROUP BY w1),
+    v AS (SELECT count(*) AS v FROM c1)
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(nlp), 4) AS cross_entropy,
+           round(exp(avg(nlp)), 2) AS perplexity
+    FROM (
+      SELECT b.doc_id,
+             -ln((c.c12 + 1.0) / (u.c1 + v.v)) AS nlp
+      FROM bg b
+      JOIN c12 c USING (bigram)
+      JOIN c1 u ON u.w1 = string_split(b.bigram, ' ')[1], v)
+    GROUP BY doc_id ORDER BY doc_id"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q131_bm25_topk", q131, Some(o131)),
+    QueryDef("q133_bigram_perplexity", q133, Some(o133)),
     QueryDef("q126_cooccur_pmi", q126, Some(o126)),
     QueryDef("q112_pipeline_compose", q112, Some(o112)),
     QueryDef("q103_sequence_packing", q103, Some(o103)),

@@ -547,7 +547,64 @@ object Dedup {
     WHERE overlap / (na + nb - overlap) >= 0.6
     ORDER BY jac DESC, doc_a, doc_b LIMIT 15"""
 
+  /** q132: duplicate-content ratio — for each document, the fraction of its
+    * distinct word-5-grams that also appear in at least one OTHER document
+    * (the Gopher/RefinedWeb "duplicate n-gram fraction" quality signal; docs
+    * above a threshold get dropped or down-weighted before training).
+    *
+    * Two shuffles, both on natural keys: one n-gram-grain count (how many
+    * docs contain each gram — map-side-combined since grams are
+    * per-doc-distinct before the explode), one doc-grain rollup of the
+    * shared fraction. Nothing pairwise, nothing quadratic: unlike the
+    * jaccard family this never forms doc pairs, so it runs on the WHOLE
+    * corpus at any scale — it is the cheap screen that feeds the expensive
+    * pairwise verifiers.
+    */
+  private val DupGramN = 5
+
+  private def q132(s: SparkSession, d: String): DataFrame = {
+    val grams = parallelize(s, documents(s, d))
+      .withColumn("ws", split(trim(col("text")), "\\s+"))
+      .filter(size(col("ws")) >= DupGramN)
+      .select(col("doc_id"), explode(array_distinct(
+        transform(sequence(lit(1), size(col("ws")) - lit(DupGramN - 1)),
+          i => concat_ws(" ", slice(col("ws"), i, lit(DupGramN))))))
+        .as("g"))
+    val counts = grams.groupBy(col("g"))
+      .agg(count(lit(1)).as("nd"))
+    grams.join(counts, Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("nd") >= 2, 1).otherwise(0)).cast("long")
+          .as("n_shared"))
+      .withColumn("dup_ratio",
+        round(col("n_shared").cast("double") / col("n_grams"), 6))
+      .orderBy(col("dup_ratio").desc, col("doc_id"))
+      .limit(100)
+  }
+
+  private val o132 = s"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents),
+    grams AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, len(ws) - ${DupGramN - 2}),
+               i -> array_to_string(list_slice(ws, i, i + ${DupGramN - 1}),
+                 ' '))) AS g
+      FROM docs WHERE len(ws) >= $DupGramN),
+    counts AS (SELECT g, count(*) AS nd FROM grams GROUP BY g)
+    SELECT doc_id, count(*) AS n_grams,
+           CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_shared,
+           round(CAST(sum(CASE WHEN nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS dup_ratio
+    FROM grams JOIN counts USING (g)
+    GROUP BY doc_id
+    ORDER BY dup_ratio DESC, doc_id LIMIT 100"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q132_dup_ngram_ratio", q132, Some(o132)),
     QueryDef("q120_prefix_filter_join", q120, Some(o120)),
     QueryDef("q104_incremental_dedup", q104, Some(o104)),
     QueryDef("q102_simhash_hamming", q102, Some(o102)),
