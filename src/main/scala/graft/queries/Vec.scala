@@ -477,7 +477,253 @@ object Vec {
        ORDER BY cos_sim DESC, s.vec_id"""
   }
 
+  /** q130: semantic deduplication (SemDeDup) — cluster the corpus with the
+    * IVF codebook, then look for near-duplicate pairs ONLY inside each
+    * cluster and prune the higher vec_id of every qualifying pair. This is
+    * the published recipe for semantic dedup at web scale: the clustering
+    * turns an O(N²) cosine sweep into Σ_cells O(pop²), and the cell count is
+    * the knob (k ≈ √N keeps per-cell pair work flat as the corpus grows —
+    * here k=16 stands in, same codebook as q43/q84).
+    *
+    * Plan shape: one broadcast-codebook map-side assignment (no shuffle),
+    * one self-join ON THE CLUSTER KEY (shuffle on cid — an equi-join, never
+    * a cartesian), one rollup. The assignment subtree is persisted so the
+    * self-join's two sides and the per-cell baseline reuse it instead of
+    * re-deriving the fold three times.
+    */
+  private val SemDedupTau = 0.3
+
+  private def q130(s: SparkSession, d: String): DataFrame = {
+    val a = assignNearest(s, d)
+      .select(col("vec_id"), col("cid"), col("v")).persist()
+    val base = a.groupBy(col("cid")).agg(count(lit(1)).as("n_vectors"))
+    val pairs = a.as("x")
+      .join(a.as("y"),
+        col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
+      .filter(round(cosine(col("x.v"), col("y.v")), 6) >= SemDedupTau)
+      .groupBy(col("x.cid").as("cid"))
+      .agg(count(lit(1)).as("n_dup_pairs"),
+        countDistinct(col("y.vec_id")).as("n_pruned"))
+    base.join(pairs, Seq("cid"), "left")
+      .select(col("cid"), col("n_vectors"),
+        coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
+        coalesce(col("n_pruned"), lit(0L)).as("n_pruned"))
+      .orderBy(col("cid"))
+  }
+
+  private def o130 = s"""
+    WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id < $NCells),
+    dists AS (
+      SELECT e.vec_id, c.cid, $oCd2 AS d2
+      FROM embeddings e CROSS JOIN c),
+    best AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      FROM dists),
+    a AS (SELECT b.vec_id, b.cid, CAST(e.embedding AS DOUBLE[]) AS v
+          FROM best b JOIN embeddings e ON e.vec_id = b.vec_id
+          WHERE rn = 1),
+    pairs AS (
+      SELECT x.cid, count(*) AS n_dup_pairs,
+             count(DISTINCT y.vec_id) AS n_pruned
+      FROM a x JOIN a y ON x.cid = y.cid AND x.vec_id < y.vec_id
+      WHERE round(list_cosine_similarity(x.v, y.v), 6) >= $SemDedupTau
+      GROUP BY x.cid)
+    SELECT b.cid, count(*) AS n_vectors,
+           coalesce(any_value(p.n_dup_pairs), 0) AS n_dup_pairs,
+           coalesce(any_value(p.n_pruned), 0) AS n_pruned
+    FROM a b LEFT JOIN pairs p ON b.cid = p.cid
+    GROUP BY b.cid ORDER BY b.cid"""
+
+  /** q134: Johnson–Lindenstrauss random projection audit — project 64-dim
+    * embeddings to 16 dims with a deterministic ±1 sign matrix (md5-derived,
+    * so the oracle regenerates it bit-for-bit) and measure how well pairwise
+    * cosine survives, banded by the true cosine.
+    *
+    * Scale stance: the projection matrix is data-independent — in Spark it
+    * is evaluated DRIVER-SIDE and baked into the plan as literal
+    * coefficients (the "broadcast the matrix" design), so the projection
+    * itself is a shuffle-free, fully codegen'd 64-term arithmetic map over
+    * any corpus size. Only the AUDIT is pairwise, and it is restricted to a
+    * fixed vec_id sample joined on a column-derived constant key (hash join,
+    * one partition of 40 rows) — the unbounded corpus never self-joins.
+    */
+  private val JlOutDim = 16
+  private val JlSample = 40
+
+  /** ±1 sign for matrix cell (i, j), from the first hex digit of
+    * md5("jl:i:j") — same derivation the oracle runs in SQL.
+    */
+  private def jlSign(i: Int, j: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"jl:$i:$j".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    if (hex.charAt(0) <= '7') 1 else -1
+  }
+
+  private def q134(s: SparkSession, d: String): DataFrame = {
+    val proj = array((0 until JlOutDim).map { j =>
+      (0 until Dim).map { i =>
+        element_at(col("v"), i + 1) * lit(jlSign(i, j).toDouble)
+      }.reduce(_ + _)
+    }: _*)
+    val sample = embeddings(s, d)
+      .filter(col("vec_id") < JlSample)
+      .select(col("vec_id"), toD(col("embedding")).as("v"))
+      .withColumn("p", proj)
+      .withColumn("jk", pmod(col("vec_id"), lit(1)))
+    val pairs = sample.as("x")
+      .join(sample.as("y"),
+        col("x.jk") === col("y.jk") && col("x.vec_id") < col("y.vec_id"))
+      .select(cosine(col("x.v"), col("y.v")).as("ct"),
+        cosine(col("x.p"), col("y.p")).as("cp"))
+    pairs
+      .withColumn("band", floor(round(col("ct"), 6) * 4).cast("int"))
+      .groupBy(col("band"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(abs(col("ct") - col("cp"))), 6).as("avg_abs_err"),
+        round(max(abs(col("ct") - col("cp"))), 6).as("max_abs_err"))
+      .orderBy(col("band"))
+  }
+
+  private def o134 = s"""
+    WITH sv AS (
+      SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings WHERE vec_id < $JlSample),
+    proj AS (
+      SELECT vec_id, v,
+             list_transform(range(0, $JlOutDim), j ->
+               list_sum(list_transform(range(1, ${Dim + 1}), i ->
+                 v[i] * (CASE WHEN substr(md5('jl:' || CAST(i - 1 AS VARCHAR)
+                     || ':' || CAST(j AS VARCHAR)), 1, 1) <= '7'
+                   THEN 1 ELSE -1 END)))) AS p
+      FROM sv),
+    pairs AS (
+      SELECT list_cosine_similarity(x.v, y.v) AS ct,
+             list_cosine_similarity(x.p, y.p) AS cp
+      FROM proj x JOIN proj y ON x.vec_id < y.vec_id)
+    SELECT CAST(floor(round(ct, 6) * 4) AS INT) AS band,
+           count(*) AS n_pairs,
+           round(avg(abs(ct - cp)), 6) AS avg_abs_err,
+           round(max(abs(ct - cp)), 6) AS max_abs_err
+    FROM pairs GROUP BY band ORDER BY band"""
+
+  /** q135: product quantization with asymmetric-distance search (PQ/ADC) —
+    * the memory-side half of a production ANN index (IVF partitions the
+    * corpus, PQ compresses what each cell stores: 64 floats → 4 codebook
+    * ids here). Encoding assigns each of the 4 sub-vectors to its nearest
+    * of 8 sub-centroids; search scores every code against the QUERY's
+    * sub-distances (the classic distance-lookup-table trick) and returns
+    * the top 20 by estimated distance alongside the true distance.
+    *
+    * Plan shape: the codebook (and the query row) join in by broadcast on
+    * column-derived keys; encoding and ADC scoring are then map-side folds
+    * — per row the work is fixed (M·K sub-distances), there is NO
+    * per-query shuffle, and the final top-k is a TakeOrdered. The code
+    * column is serialized to a string because the driver's hash-compare
+    * cannot digest ARRAY output columns.
+    */
+  private val PqM = 4
+  private val PqSub = Dim / PqM
+  private val PqK = 8
+
+  private def q135(s: SparkSession, d: String): DataFrame = {
+    val e = parallelize(s, embeddings(s, d))
+    val cb = e.filter(col("vec_id") < PqK)
+      .agg(array_sort(collect_list(struct(col("vec_id").as("cid"),
+        toD(col("embedding")).as("cv")))).as("cb"))
+      .withColumn("jk", pmod(size(col("cb")), size(col("cb"))))
+    val q = e.filter(col("vec_id") === 0)
+      .select(toD(col("embedding")).as("qv"),
+        pmod(col("vec_id"), lit(1)).as("jk"))
+    def subD2(a: Column, b: Column, m: Int): Column =
+      aggregate(
+        zip_with(slice(a, m * PqSub + 1, PqSub), slice(b, m * PqSub + 1, PqSub),
+          (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    // nearest sub-centroid of subspace m: fold over the broadcast codebook
+    // keeping the lexicographic min of (d2, cid) — ties (impossible with
+    // distinct centroids) would break toward the lower cid, matching the
+    // oracle's ORDER BY d2, cid
+    def bestM(m: Int): Column = aggregate(col("cb"),
+      struct(lit(Double.PositiveInfinity).as("d2"),
+        lit(Long.MaxValue).as("cid"), lit(null).cast("array<double>").as("cv")),
+      (acc, c) => {
+        val cand = struct(
+          subD2(toD(col("embedding")), c.getField("cv"), m).as("d2"),
+          c.getField("cid").as("cid"), c.getField("cv").as("cv"))
+        when(struct(cand.getField("d2"), cand.getField("cid")) <
+          struct(acc.getField("d2"), acc.getField("cid")), cand).otherwise(acc)
+      })
+    val enc = e.filter(col("vec_id") =!= 0)
+      .withColumn("jk", pmod(col("vec_id"), lit(1)))
+      .join(broadcast(cb), Seq("jk"))
+      .join(broadcast(q), Seq("jk"))
+      .select(col("vec_id"), col("qv"), toD(col("embedding")).as("v"),
+        array((0 until PqM).map(bestM): _*).as("best"))
+    enc.select(
+      col("vec_id"),
+      concat_ws("-", (0 until PqM).map(m =>
+        element_at(col("best"), m + 1).getField("cid").cast("string")): _*)
+        .as("code"),
+      round((0 until PqM).map(m =>
+          subD2(col("qv"), element_at(col("best"), m + 1).getField("cv"), m))
+        .reduce(_ + _), 6).as("est_d2"),
+      round(aggregate(zip_with(col("v"), col("qv"),
+          (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x), 6).as("true_d2"))
+      .orderBy(col("est_d2"), col("vec_id"))
+      .limit(20)
+  }
+
+  private def oSubD2(a: String, b: String): String =
+    s"""list_sum(list_transform(range(1, ${PqSub + 1}),
+        i -> ($a[m.m * $PqSub + i] - $b[m.m * $PqSub + i])
+           * ($a[m.m * $PqSub + i] - $b[m.m * $PqSub + i])))"""
+
+  private def o135 = s"""
+    WITH cb AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                FROM embeddings WHERE vec_id < $PqK),
+    ms AS (SELECT unnest(range(0, $PqM)) AS m),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+          WHERE vec_id = 0),
+    sub AS (
+      SELECT e.vec_id, m.m, c.cid,
+             ${oSubD2("CAST(e.embedding AS DOUBLE[])", "c.cv")} AS d2
+      FROM embeddings e CROSS JOIN cb c CROSS JOIN ms m
+      WHERE e.vec_id <> 0),
+    best AS (
+      SELECT vec_id, m, cid,
+             row_number() OVER (PARTITION BY vec_id, m
+               ORDER BY d2, cid) AS rn
+      FROM sub),
+    lut AS (
+      SELECT m.m, c.cid, ${oSubD2("q.qv", "c.cv")} AS dq
+      FROM cb c CROSS JOIN ms m, q),
+    est AS (
+      SELECT b.vec_id,
+             array_to_string(list(CAST(b.cid AS VARCHAR) ORDER BY b.m), '-')
+               AS code,
+             round(sum(l.dq), 6) AS est_d2
+      FROM best b JOIN lut l ON b.m = l.m AND b.cid = l.cid
+      WHERE b.rn = 1
+      GROUP BY b.vec_id),
+    troo AS (
+      SELECT e.vec_id,
+             round(list_sum(list_transform(range(1, ${Dim + 1}),
+               i -> (CAST(e.embedding[i] AS DOUBLE) - q.qv[i])
+                  * (CAST(e.embedding[i] AS DOUBLE) - q.qv[i]))), 6)
+               AS true_d2
+      FROM embeddings e, q WHERE e.vec_id <> 0)
+    SELECT est.vec_id, est.code, est.est_d2, troo.true_d2
+    FROM est JOIN troo ON est.vec_id = troo.vec_id
+    ORDER BY est.est_d2, est.vec_id LIMIT 20"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q130_semantic_dedup", q130, Some(o130)),
+    QueryDef("q134_jl_projection", q134, Some(o134)),
+    QueryDef("q135_pq_adc", q135, Some(o135)),
     QueryDef("q129_multiprobe_lsh", q129, Some(o129)),
     QueryDef("q106_int8_quant_error", q106, Some(o106)),
     QueryDef("q84_kmeans_iter", q84, Some(o84)),
