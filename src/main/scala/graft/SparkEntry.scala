@@ -16,7 +16,7 @@ import graft.queries._
   */
 object SparkEntry {
   private[graft] def catalogs: Seq[QueryDef] =
-    Rel.defs ++ NerQueries.defs ++ TextOps.defs ++ Dedup.defs ++ Vec.defs ++ Multimodal.defs ++ Events.defs ++ Sketches.defs ++ Variety.defs ++ Tpch.defs ++ Corpus.defs ++ Sources.defs ++ Skew.defs ++ Indexing.defs
+    Rel.defs ++ NerQueries.defs ++ TextOps.defs ++ Dedup.defs ++ Vec.defs ++ Multimodal.defs ++ Events.defs ++ Sketches.defs ++ Variety.defs ++ Tpch.defs ++ Corpus.defs ++ Sources.defs ++ Skew.defs ++ Indexing.defs ++ Graph.defs
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * the reference's headline UX — extract entities from a table's text

@@ -1,0 +1,170 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Link-graph analytics beyond PageRank (q119): exact triangle counting and
+  * co-purchase similarity over graphs DERIVED from the relational tables —
+  * the "build the graph as a DataFrame, keep every join on a vertex key"
+  * tier. No reference counterpart (SURVEY §2.C last rows).
+  *
+  * Scale stances, explicitly:
+  *   - q136 is the degree-oriented distributed triangle count: every edge is
+  *     oriented from its (degree, id)-smaller endpoint to the larger, which
+  *     turns the graph into a DAG whose max out-degree is O(√E) — so the
+  *     wedge join (the only superlinear step) does Σ_v C(outdeg(v), 2) work
+  *     with a provably bounded per-key fanout, instead of Σ C(deg, 2) which
+  *     a hub vertex makes quadratic. All three joins are equi-joins on
+  *     vertex keys.
+  *   - q137 caps posting lists BEFORE pairing (the stop-item cut every
+  *     co-occurrence miner at scale applies): a part bought by more than
+  *     `CopurchaseCap` customers is excluded, bounding per-part pair fanout
+  *     at C(cap, 2) and making total work linear in the incidence count at
+  *     fixed cap. The dropped-part count is surfaced in the result, not
+  *     silently swallowed.
+  */
+object Graph {
+  import Tables._
+
+  /** q136: exact triangle count over the co-ordered-parts graph (two parts
+    * are adjacent iff some order contains both). Per-order pair fanout is
+    * bounded by the order's line count (≤ 13 in TPC-H), so edge generation
+    * is linear in lineitems; the rest is the oriented wedge-close algorithm.
+    * One row: graph size, wedge count, triangle count.
+    */
+  private def q136(s: SparkSession, d: String): DataFrame = {
+    val op = lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val e = op.as("x")
+      .join(op.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .select(col("x.p").as("a"), col("y.p").as("b"))
+      .distinct()
+    val deg = e.select(col("a").as("v"))
+      .union(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("deg"))
+    // orient each edge toward the (deg, id)-larger endpoint; carry the
+    // destination's order key so the wedge join can order its two legs by
+    // the SAME total order the orientation used
+    val orient = e
+      .join(deg.as("da"), col("a") === col("da.v"))
+      .join(deg.as("db"), col("b") === col("db.v"))
+      .select(
+        when(struct(col("da.deg"), col("a")) < struct(col("db.deg"), col("b")),
+          struct(col("a").as("src"), col("b").as("dst"),
+            col("db.deg").as("ddeg")))
+          .otherwise(struct(col("b").as("src"), col("a").as("dst"),
+            col("da.deg").as("ddeg"))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"),
+        col("e.ddeg").as("ddeg"))
+    val wedges = orient.as("e1")
+      .join(orient.as("e2"),
+        col("e1.src") === col("e2.src") &&
+          struct(col("e1.ddeg"), col("e1.dst")) <
+            struct(col("e2.ddeg"), col("e2.dst")))
+      .select(col("e1.dst").as("v"), col("e2.dst").as("w"))
+    val nTri = wedges
+      .join(orient.as("e3"),
+        col("v") === col("e3.src") && col("w") === col("e3.dst"), "left_semi")
+    val stats = e.agg(count(lit(1)).as("n_edges"))
+      .withColumn("jk", pmod(col("n_edges"), lit(1)))
+    deg.agg(count(lit(1)).as("n_nodes"))
+      .withColumn("jk", pmod(col("n_nodes"), lit(1)))
+      .join(broadcast(stats), Seq("jk"))
+      .join(broadcast(wedges.agg(count(lit(1)).as("n_wedges"))
+        .withColumn("jk", pmod(col("n_wedges"), lit(1)))), Seq("jk"))
+      .join(broadcast(nTri.agg(count(lit(1)).as("n_triangles"))
+        .withColumn("jk", pmod(col("n_triangles"), lit(1)))), Seq("jk"))
+      .select(col("n_nodes"), col("n_edges"), col("n_wedges"),
+        col("n_triangles"))
+  }
+
+  private val o136 = """
+    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                FROM lineitem),
+    e AS (SELECT DISTINCT x.p AS a, y.p AS b
+          FROM op x JOIN op y ON x.o = y.o AND x.p < y.p),
+    deg AS (SELECT v, count(*) AS deg
+            FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
+            GROUP BY v),
+    orient AS (
+      SELECT CASE WHEN (da.deg, a) < (db.deg, b) THEN a ELSE b END AS src,
+             CASE WHEN (da.deg, a) < (db.deg, b) THEN b ELSE a END AS dst,
+             CASE WHEN (da.deg, a) < (db.deg, b) THEN db.deg ELSE da.deg END
+               AS ddeg
+      FROM e JOIN deg da ON da.v = a JOIN deg db ON db.v = b),
+    wedges AS (
+      SELECT e1.dst AS v, e2.dst AS w
+      FROM orient e1 JOIN orient e2
+        ON e1.src = e2.src AND (e1.ddeg, e1.dst) < (e2.ddeg, e2.dst)),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM wedges WHERE EXISTS (SELECT 1 FROM orient e3
+                                WHERE e3.src = v AND e3.dst = w))
+    SELECT (SELECT count(*) FROM deg) AS n_nodes,
+           (SELECT count(*) FROM e) AS n_edges,
+           (SELECT count(*) FROM wedges) AS n_wedges,
+           (SELECT n_triangles FROM tri) AS n_triangles"""
+
+  /** q137: co-purchase customer similarity — the item-based collaborative-
+    * filtering kernel: customers are similar when their purchased-part sets
+    * overlap. Pairs are generated per part (posting-list self-join), with
+    * parts above the popularity cap excluded up front; overlap counts then
+    * roll up per customer pair and Jaccard comes from the per-customer set
+    * sizes. Top 20 pairs by overlap.
+    */
+  private val CopurchaseCap = 40
+
+  private def q137(s: SparkSession, d: String): DataFrame = {
+    val inc = lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+    val pop = inc.groupBy(col("p")).agg(count(lit(1)).as("pop"))
+    val kept = inc.join(pop.filter(col("pop") <= CopurchaseCap), Seq("p"))
+    val nDropped = pop.filter(col("pop") > CopurchaseCap)
+      .agg(count(lit(1)).as("n_parts_dropped"))
+      .withColumn("jk", pmod(col("n_parts_dropped"), lit(1)))
+    val sizes = inc.groupBy(col("c")).agg(count(lit(1)).as("sz"))
+    kept.as("x")
+      .join(kept.as("y"), col("x.p") === col("y.p") && col("x.c") < col("y.c"))
+      .groupBy(col("x.c").as("c1"), col("y.c").as("c2"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(sizes.as("za"), col("c1") === col("za.c"))
+      .join(sizes.as("zb"), col("c2") === col("zb.c"))
+      .withColumn("jk", pmod(col("n_shared"), lit(1)))
+      .join(broadcast(nDropped), Seq("jk"))
+      .select(col("c1"), col("c2"), col("n_shared"),
+        round(col("n_shared").cast("double") /
+          (col("za.sz") + col("zb.sz") - col("n_shared")), 6).as("jaccard"),
+        col("n_parts_dropped"))
+      .orderBy(col("n_shared").desc, col("c1"), col("c2"))
+      .limit(20)
+  }
+
+  private val o137 = s"""
+    WITH inc AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+                 FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    pop AS (SELECT p, count(*) AS pop FROM inc GROUP BY p),
+    kept AS (SELECT inc.c, inc.p FROM inc JOIN pop USING (p)
+             WHERE pop <= $CopurchaseCap),
+    dropped AS (SELECT count(*) AS n_parts_dropped FROM pop
+                WHERE pop > $CopurchaseCap),
+    sizes AS (SELECT c, count(*) AS sz FROM inc GROUP BY c),
+    pairs AS (
+      SELECT x.c AS c1, y.c AS c2, count(*) AS n_shared
+      FROM kept x JOIN kept y ON x.p = y.p AND x.c < y.c
+      GROUP BY x.c, y.c)
+    SELECT c1, c2, n_shared,
+           round(CAST(n_shared AS DOUBLE) / (za.sz + zb.sz - n_shared), 6)
+             AS jaccard,
+           n_parts_dropped
+    FROM pairs
+    JOIN sizes za ON za.c = c1
+    JOIN sizes zb ON zb.c = c2, dropped
+    ORDER BY n_shared DESC, c1, c2 LIMIT 20"""
+
+  val defs: Seq[QueryDef] = Seq(
+    QueryDef("q136_triangle_count", q136, Some(o136)),
+    QueryDef("q137_copurchase_similarity", q137, Some(o137)))
+}

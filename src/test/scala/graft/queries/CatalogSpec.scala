@@ -77,7 +77,8 @@ class CatalogSpec extends SparkTestBase {
           "q66_tpch_q3_shape", "q72_tfidf_topk", "q83_contamination",
           "q84_kmeans_iter", "q102_simhash_hamming", "q115_countmin_sketch",
           "q116_bloom_prune", "q119_pagerank_iter", "q120_prefix_filter_join",
-          "q122_snapshot_diff")) {
+          "q122_snapshot_diff", "q130_semantic_dedup", "q131_bm25_topk",
+          "q136_triangle_count", "q137_copurchase_similarity")) {
         val plan = SparkEntry.queries(q)(spark, sf("sf0.1"))
           .queryExecution.executedPlan.toString
         assert(!plan.contains("CartesianProduct"), s"$q has CartesianProduct")
