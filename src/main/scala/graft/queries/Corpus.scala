@@ -716,7 +716,100 @@ object Corpus {
       JOIN c1 u ON u.w1 = string_split(b.bigram, ' ')[1], v)
     GROUP BY doc_id ORDER BY doc_id"""
 
+  /** q138: weighted sampling without replacement (Efraimidis–Spirakis
+    * A-ES): each document draws a deterministic md5-uniform u and gets the
+    * exponential key `-ln(u) / weight`; the k smallest keys ARE a
+    * weight-proportional sample without replacement. This is the standard
+    * distributed weighted sampler — fully map-side (one hash per row) plus
+    * a TakeOrdered(k), no shuffle, no RNG state, reproducible across
+    * engines and re-runs.
+    *
+    * The uniform comes from the first 8 md5 hex digits: `(v + 0.5) / 2^32`
+    * is exact IEEE arithmetic, so u is bit-identical in both engines; the
+    * single ln() lands under round(8) where a last-ulp libm difference
+    * cannot flip a digit.
+    */
+  private def q138(s: SparkSession, d: String): DataFrame = {
+    val v = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long")
+    documents(s, d)
+      .select(col("doc_id"), col("n_chars"),
+        round(-log((v.cast("double") + 0.5) / 4294967296.0)
+          / col("n_chars"), 8).as("aes_key"))
+      .orderBy(col("aes_key"), col("doc_id"))
+      .limit(20)
+  }
+
+  private val o138 = """
+    SELECT doc_id, n_chars,
+           round(-ln((hv + 0.5) / 4294967296.0) / n_chars, 8) AS aes_key
+    FROM (SELECT doc_id, n_chars,
+                 list_sum(list_transform(range(1, 9), k ->
+                   (strpos('0123456789abcdef',
+                      substr(md5(CAST(doc_id AS VARCHAR)), k, 1)) - 1)
+                   * power(16, 8 - k))) AS hv
+          FROM documents)
+    ORDER BY aes_key, doc_id LIMIT 20"""
+
+  /** q139: sorted-neighborhood dedup screening (SNM) — the classic
+    * alternative to hash/LSH blocking: sort each language block by a
+    * cheap key (length, then id), then compare each record only against
+    * its next `SnmWindow` neighbors in sort order. Candidate volume is
+    * EXACTLY window × corpus — linear by construction, no bucket-skew
+    * failure mode — at the cost of only catching duplicates the sort key
+    * places nearby (why real pipelines run several passes with different
+    * keys).
+    *
+    * Plan shape: one range-partitioned sort per block (a scalable
+    * exchange), neighbor pairs via a generated offset equi-join on
+    * (block, rank + offset), word-set Jaccard on the paired texts, top 20.
+    */
+  private val SnmWindow = 3
+
+  private def q139(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars"), col("doc_id"))
+    val ranked = documents(s, d)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        array_distinct(wsCol).as("wset"))
+      .withColumn("rn", row_number().over(w))
+    val probes = ranked
+      .select(col("doc_id"), col("lang"), col("wset"),
+        explode(sequence(lit(1), lit(SnmWindow))).as("off"),
+        col("rn"))
+      .withColumn("rn2", col("rn") + col("off"))
+    probes.as("x")
+      .join(ranked.as("y"),
+        col("x.lang") === col("y.lang") && col("x.rn2") === col("y.rn"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        round(size(array_intersect(col("x.wset"), col("y.wset")))
+          .cast("double") /
+          size(array_union(col("x.wset"), col("y.wset"))), 6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(20)
+  }
+
+  private val o139 = s"""
+    WITH ranked AS (
+      SELECT doc_id, lang,
+             list_distinct(string_split_regex(trim(text), '\\s+')) AS wset,
+             row_number() OVER (PARTITION BY lang
+               ORDER BY n_chars, doc_id) AS rn
+      FROM documents),
+    probes AS (
+      SELECT doc_id, lang, wset, rn, rn + off.off AS rn2
+      FROM ranked CROSS JOIN
+        (SELECT unnest(range(1, ${SnmWindow + 1})) AS off) off)
+    SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+           round(CAST(len(list_intersect(x.wset, y.wset)) AS DOUBLE)
+             / len(list_distinct(list_concat(x.wset, y.wset))), 6)
+             AS jaccard
+    FROM probes x JOIN ranked y ON x.lang = y.lang AND x.rn2 = y.rn
+    ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q138_weighted_sample", q138, Some(o138)),
+    QueryDef("q139_sorted_neighborhood", q139, Some(o139)),
     QueryDef("q131_bm25_topk", q131, Some(o131)),
     QueryDef("q133_bigram_perplexity", q133, Some(o133)),
     QueryDef("q126_cooccur_pmi", q126, Some(o126)),

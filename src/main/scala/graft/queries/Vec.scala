@@ -720,7 +720,58 @@ object Vec {
     FROM est JOIN troo ON est.vec_id = troo.vec_id
     ORDER BY est.est_d2, est.vec_id LIMIT 20"""
 
+  /** q140: IVF-partitioned vector store — persist the corpus PARTITIONED BY
+    * its IVF cell (the physical layout a disk-based IVF index is), then
+    * answer a query by reading ONLY the query's cell. The probe filter is a
+    * 1-row broadcast equi-join on the partition column, so Spark prunes the
+    * scan with DYNAMIC partition pruning — the plan reads 1 of 16
+    * directories without the query's cell id ever appearing as a literal.
+    * This is the storage-side answer to q42/q129's in-flight bucketing: at
+    * 100 TB the win is not scanning 15/16 of the files at all.
+    *
+    * The top-k within the probed cell is exact cosine — IVF's contract
+    * (exact search inside probed cells, recall governed by how many cells
+    * you probe).
+    */
+  private def q140(s: SparkSession, d: String): DataFrame = {
+    val wh = s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
+    val dir = s"$wh/graft_ivf_store"
+    assignNearest(s, d)
+      .select(col("vec_id"), col("cid"), col("v"))
+      .write.mode("overwrite").partitionBy("cid").parquet(dir)
+    val store = s.read.parquet(dir)
+    val q = store.filter(col("vec_id") === 0)
+      .select(col("cid"), col("v").as("qv"))
+    store.filter(col("vec_id") =!= 0)
+      .join(broadcast(q), Seq("cid"))
+      .select(col("vec_id"), col("cid"),
+        round(cosine(col("v"), col("qv")), 6).as("cos_sim"))
+      .orderBy(col("cos_sim").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  private def o140 = s"""
+    WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id < $NCells),
+    dists AS (
+      SELECT e.vec_id, c.cid, $oCd2 AS d2
+      FROM embeddings e CROSS JOIN c),
+    best AS (
+      SELECT vec_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      FROM dists),
+    a AS (SELECT b.vec_id, b.cid, CAST(e.embedding AS DOUBLE[]) AS v
+          FROM best b JOIN embeddings e ON e.vec_id = b.vec_id
+          WHERE rn = 1),
+    q AS (SELECT cid, v AS qv FROM a WHERE vec_id = 0)
+    SELECT a.vec_id, a.cid,
+           round(list_cosine_similarity(a.v, q.qv), 6) AS cos_sim
+    FROM a JOIN q ON a.cid = q.cid
+    WHERE a.vec_id <> 0
+    ORDER BY cos_sim DESC, a.vec_id LIMIT 10"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q140_ivf_partitioned_store", q140, Some(o140)),
     QueryDef("q130_semantic_dedup", q130, Some(o130)),
     QueryDef("q134_jl_projection", q134, Some(o134)),
     QueryDef("q135_pq_adc", q135, Some(o135)),

@@ -161,6 +161,17 @@ class CatalogSpec extends SparkTestBase {
       plan)
   }
 
+  test("q140's cell probe prunes the IVF store with dynamic partition pruning") {
+    // the query's premise IS the storage layout: the probe side must reach
+    // the partitioned scan as a dynamicpruning subquery on cid (the cell id
+    // is computed at runtime, never a literal), not as a row filter over all
+    // 16 cells
+    val plan = SparkEntry.queries("q140_ivf_partitioned_store")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*dynamicpruning"
+      .r.findFirstIn(plan).isDefined, plan)
+  }
+
   test("filter queries push predicates into the parquet scan") {
     val plan = SparkEntry.queries("q02_filter_project")(spark, sf())
       .queryExecution.executedPlan.toString
