@@ -33,8 +33,16 @@ object Vec {
 
   private def toD(a: Column): Column = transform(a, x => x.cast("double"))
 
+  /** Codegen'd native kernel ([[graft.functions.DotProductExpression]]) —
+    * bit-identical to the interpreted
+    * `aggregate(zip_with(a, b, _ * _), 0.0, _ + _)` fold the oracle's SQL
+    * mirrors (same left-to-right IEEE order), but evaluated as a tight
+    * loop inside whole-stage codegen instead of re-entering the HOF
+    * interpreter per element. The pairwise stages (q130's within-cluster
+    * sweep above all) are cosine-bound, so this is the hot path.
+    */
   private def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+    graft.functions.DotProductExpression.dotProduct(a, b)
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
@@ -494,13 +502,18 @@ object Vec {
   private val SemDedupTau = 0.3
 
   private def q130(s: SparkSession, d: String): DataFrame = {
+    // vector norms are per-VECTOR, not per-pair — compute them once before
+    // the self-join so each candidate pair evaluates one dot product, not
+    // one dot plus two norm folds
     val a = assignNearest(s, d)
-      .select(col("vec_id"), col("cid"), col("v")).persist()
+      .select(col("vec_id"), col("cid"), col("v"), norm(col("v")).as("nrm"))
+      .persist()
     val base = a.groupBy(col("cid")).agg(count(lit(1)).as("n_vectors"))
     val pairs = a.as("x")
       .join(a.as("y"),
         col("x.cid") === col("y.cid") && col("x.vec_id") < col("y.vec_id"))
-      .filter(round(cosine(col("x.v"), col("y.v")), 6) >= SemDedupTau)
+      .filter(round(dot(col("x.v"), col("y.v")) /
+        (col("x.nrm") * col("y.nrm")), 6) >= SemDedupTau)
       .groupBy(col("x.cid").as("cid"))
       .agg(count(lit(1)).as("n_dup_pairs"),
         countDistinct(col("y.vec_id")).as("n_pruned"))
