@@ -603,7 +603,213 @@ object Dedup {
     GROUP BY doc_id
     ORDER BY dup_ratio DESC, doc_id LIMIT 100"""
 
+  /** q141: segment-grain exact dedup (the CCNet/RefinedWeb paragraph-dedup
+    * pass, at fixed 10-word segment grain since this corpus has no newlines):
+    * every document is cut into consecutive word segments, and each distinct
+    * segment text is kept ONLY at its globally-first occurrence — first by
+    * (doc_id, seg_idx), a total deterministic order. Output is the per-doc
+    * retention ledger the pipeline uses to rewrite or down-weight documents.
+    *
+    * Scale: one hash aggregation at segment grain (map-side-combinable min of
+    * the composite occurrence key) and one equi-join back on the segment —
+    * which reuses the partitioning the aggregation just produced. Work is
+    * linear in total segments; nothing pairwise anywhere, so unlike the
+    * jaccard family this runs over the full corpus at any scale.
+    */
+  private val SegWords = 10
+
+  private def q141(s: SparkSession, d: String): DataFrame = {
+    val segs = parallelize(s, documents(s, d))
+      .withColumn("ws", split(trim(col("text")), "\\s+"))
+      .select(col("doc_id"),
+        posexplode(expr(
+          s"""transform(sequence(0, CAST(ceil(size(ws) / $SegWords.0) AS INT) - 1),
+              i -> concat_ws(' ', slice(ws, i * $SegWords + 1, $SegWords)))"""))
+          .as(Seq("seg_idx", "seg")))
+      // composite occurrence key: doc_id * 1000 + seg_idx is a total order
+      // because seg_idx < 1000 for any document this corpus can hold
+      .withColumn("okey", col("doc_id") * 1000 + col("seg_idx"))
+    val firsts = segs.groupBy(col("seg"))
+      .agg(min(col("okey")).as("keep_key"))
+    segs.join(firsts, Seq("seg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("okey") === col("keep_key"), 1L).otherwise(0L))
+          .cast("long").as("n_kept"))
+      .select(col("doc_id"), col("n_segs"), col("n_kept"),
+        (col("n_segs") - col("n_kept")).as("n_removed"),
+        round(col("n_kept").cast("double") / col("n_segs"), 6)
+          .as("kept_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val o141 = s"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents),
+    segs AS (
+      SELECT doc_id, CAST(i AS INT) AS seg_idx,
+             array_to_string(
+               list_slice(ws, i * $SegWords + 1, i * $SegWords + $SegWords),
+               ' ') AS seg,
+             doc_id * 1000 + CAST(i AS INT) AS okey
+      FROM (SELECT doc_id, ws,
+                   unnest(range(0, CAST(ceil(len(ws) / $SegWords.0) AS BIGINT)))
+                     AS i
+            FROM docs)),
+    firsts AS (SELECT seg, min(okey) AS keep_key FROM segs GROUP BY seg)
+    SELECT doc_id, count(*) AS n_segs,
+           CAST(sum(CASE WHEN okey = keep_key THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           count(*) - CAST(sum(CASE WHEN okey = keep_key THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_removed,
+           round(CAST(sum(CASE WHEN okey = keep_key THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*), 6) AS kept_ratio
+    FROM segs JOIN firsts USING (seg)
+    GROUP BY doc_id ORDER BY doc_id"""
+
+  /** q142: duplicated-span mining — surface the exact character spans copied
+    * across documents (the Lee-et-al. "exact substring deduplication" signal,
+    * at fixed 30-char window grain over every offset). Where q132 scores each
+    * DOC by how much of it is shared, this reports the SPANS themselves with
+    * their corpus reach — the report a curator reads before deciding what the
+    * dedup pass should cut.
+    *
+    * Scale: the window explode is linear in corpus bytes (one row per char
+    * offset), and the rest is a single hash aggregation on the span text with
+    * map-side partial counts, then a top-k — no pairwise work. At 100 TB the
+    * span-grain shuffle is the cost, and it shrinks 30× by pre-hashing spans
+    * to 8-byte keys; kept as raw text here so the report carries the span.
+    */
+  private val SpanLen = 30
+
+  private def q142(s: SparkSession, d: String): DataFrame =
+    parallelize(s, documents(s, d))
+      .select(col("doc_id"),
+        explode(transform(
+          sequence(lit(1), greatest(length(col("text")) - lit(SpanLen - 1),
+            lit(1))),
+          p => col("text").substr(p, lit(SpanLen)))).as("span"))
+      .groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("span"))
+      .limit(20)
+
+  private val o142 = s"""
+    WITH spans AS (
+      SELECT doc_id, substr(text, CAST(p AS INT), $SpanLen) AS span
+      FROM (SELECT doc_id, text,
+                   unnest(range(1, greatest(length(text) - ${SpanLen - 2}, 2)))
+                     AS p
+            FROM documents))
+    SELECT span, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
+           min(doc_id) AS first_doc
+    FROM spans
+    GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, n_occ DESC, span LIMIT 20"""
+
+  /** q143: sketch-accuracy audit — for every LSH candidate pair (q38's
+    * screen), the MinHash ESTIMATE of Jaccard (matching signature components
+    * / 8) against the EXACT char-5-shingle Jaccard the signature estimates,
+    * plus the absolute error. This is the calibration loop that tells a
+    * pipeline operator whether 8 permutations / 2 bands are enough before
+    * trusting the screen on the full corpus.
+    *
+    * Scale: candidates come only from band buckets (q38's bound); the two
+    * signature lookups and two shingle-set lookups are equi-joins on doc_id;
+    * exact-Jaccard work is restricted to candidate docs via semi-join exactly
+    * as in q38.
+    */
+  private def q143(s: SparkSession, d: String): DataFrame = {
+    val b = bands(s, d).persist()
+    val cands = b.as("x")
+      .join(b.as("y"),
+        col("x.band_pos") === col("y.band_pos") &&
+        col("x.bkey") === col("y.bkey") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sig = signatures(s, d)
+    val matches = (0 until NumHashes)
+      .map(j => when(col(s"a.mh$j") === col(s"b.mh$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = cands
+      .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (matches / lit(NumHashes.toDouble)).as("est_jac"))
+    val candDocs = cands.select(col("doc_a").as("doc_id"))
+      .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+    val sh = parallelize(s, documents(s, d))
+      .join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        explode(array_distinct(shingleArr(col("text")))).as("sh")).persist()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val exact = cands
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("ni"))
+      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("ni") / (col("za.sz") + col("zb.sz") - col("ni")))
+          .as("exact_jac"))
+    est.join(exact, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"),
+        round(col("est_jac"), 6).as("est_jac"),
+        round(coalesce(col("exact_jac"), lit(0.0)), 6).as("exact_jac"),
+        round(abs(col("est_jac") - coalesce(col("exact_jac"), lit(0.0))), 6)
+          .as("abs_err"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  private def o143: String =
+    s"""WITH b AS ($oBands),
+       cand AS (
+         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM b x JOIN b y
+           ON x.band_pos = y.band_pos AND x.bkey = y.bkey
+          AND x.doc_id < y.doc_id),
+       sig AS ($oSig),
+       est AS (
+         SELECT doc_a, doc_b,
+                (${(0 until NumHashes)
+                  .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END")
+                  .mkString(" + ")}) / ${NumHashes}.0 AS est_jac
+         FROM cand
+         JOIN sig a ON a.doc_id = doc_a
+         JOIN sig b ON b.doc_id = doc_b),
+       sh AS (
+         SELECT DISTINCT doc_id,
+                unnest(list_transform(range(1, length(text) - ${ShingleLen - 2}),
+                  i -> substr(text, i, $ShingleLen))) AS sh
+         FROM documents),
+       sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       exact AS (
+         SELECT doc_a, doc_b, ni / (za.sz + zb.sz - ni) AS exact_jac
+         FROM (SELECT doc_a, doc_b, count(*) AS ni
+               FROM cand
+               JOIN sh sa ON sa.doc_id = doc_a
+               JOIN sh sb ON sb.doc_id = doc_b AND sb.sh = sa.sh
+               GROUP BY 1, 2) i
+         JOIN sz za ON za.doc_id = doc_a
+         JOIN sz zb ON zb.doc_id = doc_b)
+       SELECT est.doc_a, est.doc_b, round(est_jac, 6) AS est_jac,
+              round(coalesce(exact_jac, 0), 6) AS exact_jac,
+              round(abs(est_jac - coalesce(exact_jac, 0)), 6) AS abs_err
+       FROM est LEFT JOIN exact
+         ON est.doc_a = exact.doc_a AND est.doc_b = exact.doc_b
+       ORDER BY est.doc_a, est.doc_b"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q141_segment_dedup", q141, Some(o141)),
+    QueryDef("q142_dup_spans", q142, Some(o142)),
+    QueryDef("q143_minhash_accuracy", q143, Some(o143)),
     QueryDef("q132_dup_ngram_ratio", q132, Some(o132)),
     QueryDef("q120_prefix_filter_join", q120, Some(o120)),
     QueryDef("q104_incremental_dedup", q104, Some(o104)),

@@ -378,7 +378,114 @@ object Events {
     FROM act a JOIN cohort c ON a.user_id = c.user_id
     GROUP BY 1, 2 ORDER BY cohort_week, "offset""""
 
+  /** q144: moving median — per-user rolling median of `value` over the last
+    * 5 events, the robust-trendline twin of q09's moving average (a median
+    * shrugs off the outlier spikes that drag a mean). Same shape as q09: ONE
+    * shuffle on user_id, a bounded 5-row frame, state O(frame) per row —
+    * no self-join, nothing global. NULL values are excluded up front (a
+    * median over nulls is undefined, and null sort order differs between
+    * engines).
+    *
+    * The even-count interpolation is spelled with the SAME explicit
+    * (lower + upper) / 2 arithmetic on both sides — DuckDB's quantile_cont
+    * may associate the midpoint differently in the last ulp, so the oracle
+    * sorts the frame's list and indexes it identically rather than calling
+    * `median()`.
+    */
+  private def q144(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(tsUs, col("event_id"))
+      .rowsBetween(-4, 0)
+    events(s, d)
+      .filter(col("value").isNotNull)
+      .withColumn("sorted", array_sort(collect_list(col("value")).over(w)))
+      .withColumn("n", size(col("sorted")))
+      .select(col("event_id"), col("user_id"),
+        round((element_at(col("sorted"),
+            ((col("n") + 1) / 2).cast("int")) +
+          element_at(col("sorted"), (col("n") / 2).cast("int") + 1))
+          / 2.0, 6).as("moving_median"))
+      .orderBy(col("event_id"))
+  }
+
+  private val o144 = """
+    SELECT event_id, user_id,
+           round((l[(n + 1) // 2] + l[n // 2 + 1]) / 2.0, 6) AS moving_median
+    FROM (
+      SELECT event_id, user_id,
+             list_sort(list(value) OVER w) AS l,
+             CAST(count(*) OVER w AS INT) AS n
+      FROM events WHERE value IS NOT NULL
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW))
+    ORDER BY event_id"""
+
+  /** q145: interval union — each event projects a 5-minute activity interval
+    * [ts, ts+300s); per user, merge overlapping intervals into islands and
+    * report total COVERED time (the de-overlapped sum every "active minutes"
+    * metric needs — naive sum double-counts overlap). Classic running-max
+    * island detection: a new island starts when this interval's start clears
+    * every previous end. One shuffle on user_id, two window passes over the
+    * same sort, one aggregation — exact integer microsecond arithmetic
+    * end-to-end, no self-join (the join-based overlap formulation is
+    * quadratic per user at scale; this is O(n log n) and AQE-friendly).
+    */
+  private def q145(s: SparkSession, d: String): DataFrame = {
+    val spanUs = 300000000L
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("st"), col("event_id"))
+    val ev = events(s, d)
+      .select(col("user_id"), col("event_id"), tsUs.as("st"),
+        (tsUs + spanUs).as("en"))
+      .withColumn("prev_max_en",
+        max(col("en")).over(w.rowsBetween(Window.unboundedPreceding, -1)))
+      .withColumn("new_isl",
+        when(col("prev_max_en").isNull || col("st") > col("prev_max_en"), 1L)
+          .otherwise(0L))
+      .withColumn("isl",
+        sum(col("new_isl")).over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    ev.groupBy(col("user_id"), col("isl"))
+      .agg(min(col("st")).as("isl_st"), max(col("en")).as("isl_en"),
+        count(lit(1)).as("n_ev"))
+      .groupBy(col("user_id"))
+      .agg(sum(col("n_ev")).cast("long").as("n_events"),
+        count(lit(1)).as("n_islands"),
+        sum(col("isl_en") - col("isl_st")).cast("long").as("covered_us"))
+      .orderBy(col("user_id"))
+  }
+
+  private val o145 = """
+    WITH ev AS (
+      SELECT user_id, event_id, epoch_us(ts) AS st,
+             epoch_us(ts) + 300000000 AS en
+      FROM events),
+    marked AS (
+      SELECT user_id, st, en,
+             CASE WHEN max(en) OVER (PARTITION BY user_id
+                    ORDER BY st, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                   OR st > max(en) OVER (PARTITION BY user_id
+                    ORDER BY st, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                  THEN 1 ELSE 0 END AS new_isl,
+             event_id
+      FROM ev),
+    isl AS (
+      SELECT user_id, st, en,
+             sum(new_isl) OVER (PARTITION BY user_id ORDER BY st, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS isl
+      FROM marked),
+    grp AS (
+      SELECT user_id, isl, min(st) AS isl_st, max(en) AS isl_en,
+             count(*) AS n_ev
+      FROM isl GROUP BY user_id, isl)
+    SELECT user_id, CAST(sum(n_ev) AS BIGINT) AS n_events,
+           count(*) AS n_islands,
+           CAST(sum(isl_en - isl_st) AS BIGINT) AS covered_us
+    FROM grp GROUP BY user_id ORDER BY user_id"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q144_moving_median", q144, Some(o144)),
+    QueryDef("q145_interval_union", q145, Some(o145)),
     QueryDef("q128_cohort_retention", q128, Some(o128)),
     QueryDef("q123_gap_fill", q123, Some(o123)),
     QueryDef("q121_scd2_history", q121, Some(o121)),
