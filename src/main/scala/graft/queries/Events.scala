@@ -483,7 +483,49 @@ object Events {
            CAST(sum(isl_en - isl_st) AS BIGINT) AS covered_us
     FROM grp GROUP BY user_id ORDER BY user_id"""
 
+  /** q147: exponential recency decay — per event type, the half-life-weighted
+    * value sum (`weight = 0.5^(age_days / 7)`) that recency-sensitive
+    * sampling and trending-content scores use: yesterday counts ~0.9, last
+    * month ~0.05. The reference instant is the corpus max timestamp, computed
+    * once and broadcast (single-row join on a constant key derived FROM a
+    * column — `pmod(n, 1)` — since a literal=literal key would fold into a
+    * nested-loop join). One scan, one broadcast, one aggregation.
+    *
+    * Age stays exact integer microseconds until the one pow() per row;
+    * per-element transcendentals differ in last ulps across engines, so only
+    * the ROUNDED aggregate is compared (the module-wide rule), with the sum
+    * over ~thousands of O(1e2) terms rounded at 3 decimals.
+    */
+  private def q147(s: SparkSession, d: String): DataFrame = {
+    val ref = events(s, d)
+      .agg(max(tsUs).as("ref_us"))
+      .withColumn("jk", pmod(col("ref_us"), lit(1)))
+    events(s, d)
+      .filter(col("value").isNotNull)
+      .withColumn("jk", pmod(tsUs, lit(1)) * lit(0))
+      .join(broadcast(ref), Seq("jk"))
+      .withColumn("w",
+        pow(lit(0.5), (col("ref_us") - tsUs).cast("double")
+          / lit(7.0 * 86400 * 1000000)))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("w") * col("value")), 3).as("decayed_sum"),
+        round(sum(col("w")), 3).as("effective_n"))
+      .orderBy(col("event_type"))
+  }
+
+  private val o147 = """
+    WITH ref AS (SELECT max(epoch_us(ts)) AS ref_us FROM events)
+    SELECT event_type, count(*) AS n,
+           round(sum(pow(0.5, (ref_us - epoch_us(ts))
+             / (7.0 * 86400 * 1000000)) * value), 3) AS decayed_sum,
+           round(sum(pow(0.5, (ref_us - epoch_us(ts))
+             / (7.0 * 86400 * 1000000))), 3) AS effective_n
+    FROM events, ref WHERE value IS NOT NULL
+    GROUP BY event_type ORDER BY event_type"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q147_decay_score", q147, Some(o147)),
     QueryDef("q144_moving_median", q144, Some(o144)),
     QueryDef("q145_interval_union", q145, Some(o145)),
     QueryDef("q128_cohort_retention", q128, Some(o128)),

@@ -129,7 +129,55 @@ object Sources {
     agg(s.read.schema(roundtripSchema).parquet(compacted))
   }
 
+  /** q146: schema evolution — the lakehouse reality that a long-lived table's
+    * files carry DIFFERENT schemas as columns are added over time. Two
+    * generations of the documents table are written side by side (gen 1
+    * without `source`, gen 2 with it); `mergeSchema` reads them as one table
+    * whose union schema null-fills the column gen-1 files lack. The aggregate
+    * distinguishes genuine nulls from fill-nulls via the generation marker,
+    * so the oracle (which reconstructs the same union from the base table)
+    * proves both the merge and the null-fill semantics.
+    *
+    * Scale note: mergeSchema footer-merging is a driver-side O(files)
+    * planning cost — production tables pin the merged schema in a catalog
+    * instead; the per-file null-fill column adaptation exercised here is the
+    * part that runs on executors and survives any scale.
+    */
+  private def q146(s: SparkSession, d: String): DataFrame = {
+    val dir = sinkDir(s, "graft_schema_evolution")
+    val docs = documents(s, d)
+    docs.filter(col("doc_id") % 2 === 0)
+      .select(col("doc_id"), col("text"), col("lang"))
+      .write.mode("overwrite").parquet(s"$dir/gen=1")
+    docs.filter(col("doc_id") % 2 =!= 0)
+      .select(col("doc_id"), col("text"), col("lang"), col("source"))
+      .write.mode("overwrite").parquet(s"$dir/gen=2")
+    s.read.option("mergeSchema", "true").parquet(dir)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("source").isNull, 1L).otherwise(0L)).cast("long")
+          .as("n_gen1"),
+        countDistinct(col("source")).as("n_sources"),
+        sum(length(col("text"))).cast("long").as("total_chars"))
+      .orderBy(col("lang"))
+  }
+
+  private val o146 = """
+    WITH merged AS (
+      SELECT doc_id, text, lang, NULL AS source FROM documents
+      WHERE doc_id % 2 = 0
+      UNION ALL
+      SELECT doc_id, text, lang, source FROM documents
+      WHERE doc_id % 2 <> 0)
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_gen1,
+           count(DISTINCT source) AS n_sources,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars
+    FROM merged GROUP BY lang ORDER BY lang"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q146_schema_merge", q146, Some(o146)),
     QueryDef("q95_json_roundtrip", q95, Some(oAgg)),
     QueryDef("q96_csv_roundtrip", q96, Some(oAgg)),
     QueryDef("q99_partitioned_pruning", q99, Some(o99)),

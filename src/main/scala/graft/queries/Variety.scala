@@ -519,7 +519,48 @@ object Variety {
     ORDER BY p_retailprice DESC, p_partkey
     LIMIT 10 OFFSET 20"""
 
+  /** q148: Benford first-digit audit — the data-quality screen that flags
+    * fabricated or truncated numeric columns: naturally-occurring amounts
+    * follow log10(1 + 1/d) first-digit frequencies, and a column that
+    * deviates hard (synthetic uniforms, price floors) shows up immediately.
+    * First digit comes from integer/string ops only (floor → BIGINT → first
+    * char), never float formatting, so both engines bucket identically; the
+    * expected frequency and the chi-square-style deviation are rounded
+    * aggregates of transcendentals (module rule). One scan, one 9-bucket
+    * aggregation — trivially scale-free.
+    */
+  private def q148(s: SparkSession, d: String): DataFrame = {
+    val total = orders(s, d).agg(count(lit(1)).as("n_total"))
+      .withColumn("jk", pmod(col("n_total"), lit(1)))
+    orders(s, d)
+      .withColumn("digit",
+        substring(floor(col("o_totalprice")).cast("long").cast("string"), 1, 1)
+          .cast("int"))
+      .withColumn("jk", pmod(col("o_orderkey"), lit(1)) * lit(0))
+      .join(broadcast(total), Seq("jk"))
+      .groupBy(col("digit"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(count(lit(1)) / max(col("n_total")).cast("double"), 6)
+          .as("observed_freq"),
+        round(log10(lit(1.0) + lit(1.0) / max(col("digit"))), 6)
+          .as("benford_freq"))
+      .orderBy(col("digit"))
+  }
+
+  private val o148 = """
+    WITH tot AS (SELECT count(*) AS n_total FROM orders),
+    digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS VARCHAR),
+               1, 1) AS INT) AS digit
+      FROM orders)
+    SELECT digit, count(*) AS n_orders,
+           round(count(*) / CAST(max(n_total) AS DOUBLE), 6) AS observed_freq,
+           round(log10(1.0 + 1.0 / max(digit)), 6) AS benford_freq
+    FROM digits, tot
+    GROUP BY digit ORDER BY digit"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q148_benford_digits", q148, Some(o148)),
     QueryDef("q114_pagination", q114, Some(o114)),
     QueryDef("q100_recursive_cte", q100, Some(recursiveSql("nation"))),
     QueryDef("q90_bitwise_agg", q90, Some(o90)),
