@@ -1,0 +1,71 @@
+package graft.functions
+
+import org.apache.spark.sql.{Encoder, Encoders}
+import org.apache.spark.sql.expressions.Aggregator
+
+/** Per-group top-k as a typed, mergeable [[Aggregator]] — the scalable
+  * replacement for the `row_number().over(Window.partitionBy(g).orderBy(v))
+  * <= k` idiom. The window form shuffles and SORTS every row of every group;
+  * this aggregator keeps a k-bounded ordered buffer per group, runs as a
+  * normal partial+final hash aggregation (map-side partials shrink each
+  * partition's contribution to <= k rows per group before the shuffle), and
+  * never sorts anything larger than k. At 100 TB the shuffle carries
+  * O(k * groups) rows instead of the corpus.
+  *
+  * Ordering is total and deterministic: score DESC, then key ASC — ties
+  * cannot reorder across partition-merge schedules, so the result is
+  * hash-comparable against a windowed SQL oracle.
+  *
+  * The common-case `reduce` path is O(1): a row worse than the current k-th
+  * entry is rejected without allocation (the overwhelming majority of rows
+  * once the buffer warms up).
+  */
+object GroupedTopK {
+
+  /** One candidate: the ranking score and a unique tie-break key. */
+  final case class Entry(score: Double, key: Long)
+
+  /** Buffer: entries sorted by (score DESC, key ASC), size <= k. */
+  final case class Buf(entries: Seq[Entry])
+
+  private def beats(a: Entry, b: Entry): Boolean =
+    a.score > b.score || (a.score == b.score && a.key < b.key)
+
+  final class TopK(k: Int) extends Aggregator[Entry, Buf, Seq[Entry]] {
+    require(k >= 1, s"k must be >= 1, got $k")
+
+    override def zero: Buf = Buf(Vector.empty)
+
+    override def reduce(b: Buf, e: Entry): Buf = {
+      val es = b.entries
+      // fast reject: buffer full and e does not beat the current k-th
+      if (es.size >= k && !beats(e, es.last)) b
+      else {
+        val i = es.indexWhere(x => beats(e, x)) match {
+          case -1 => es.size
+          case n => n
+        }
+        Buf(((es.take(i) :+ e) ++ es.drop(i)).take(k))
+      }
+    }
+
+    override def merge(a: Buf, b: Buf): Buf = {
+      // merge two sorted runs, stop at k — O(k), no re-sort
+      val out = Vector.newBuilder[Entry]
+      var (i, j, n) = (0, 0, 0)
+      val (xs, ys) = (a.entries, b.entries)
+      while (n < k && (i < xs.size || j < ys.size)) {
+        val takeX = j >= ys.size || (i < xs.size && beats(xs(i), ys(j)))
+        if (takeX) { out += xs(i); i += 1 } else { out += ys(j); j += 1 }
+        n += 1
+      }
+      Buf(out.result())
+    }
+
+    override def finish(r: Buf): Seq[Entry] = r.entries
+
+    override def bufferEncoder: Encoder[Buf] = Encoders.product[Buf]
+    override def outputEncoder: Encoder[Seq[Entry]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Entry]]()
+  }
+}

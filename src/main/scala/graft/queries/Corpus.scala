@@ -807,7 +807,54 @@ object Corpus {
     FROM probes x JOIN ranked y ON x.lang = y.lang AND x.rn2 = y.rn
     ORDER BY jaccard DESC, doc_a, doc_b LIMIT 20"""
 
+  /** q151: vocabulary coverage curve — rank tokens by corpus frequency and
+    * report the cumulative token-mass each rank covers: the measurement that
+    * sizes a tokenizer vocabulary (or a stopword list): "the top V tokens
+    * cover X% of the stream". Token counting is one hash aggregation over
+    * the exploded stream (map-side combinable); the ranking window then runs
+    * over the VOCABULARY — already aggregated, orders of magnitude smaller
+    * than the corpus — never over the token stream itself. Exact integer
+    * counts until the final division.
+    *
+    * Rank ties cannot occur nondeterministically: the window orders by
+    * (freq DESC, token), a total order.
+    */
+  private def q151(s: SparkSession, d: String): DataFrame = {
+    val freqs = parallelize(s, documents(s, d))
+      .select(explode(split(trim(col("text")), "\\s+")).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    val w = Window.orderBy(col("freq").desc, col("token"))
+    val total = Window.partitionBy()
+    freqs
+      .withColumn("rnk", row_number().over(w))
+      .withColumn("cum", sum(col("freq"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("total", sum(col("freq")).over(total))
+      .filter(col("rnk") <= 25)
+      .select(col("rnk"), col("token"), col("freq").cast("long").as("freq"),
+        round(col("cum").cast("double") / col("total"), 6).as("cum_coverage"))
+      .orderBy(col("rnk"))
+  }
+
+  private val o151 = """
+    WITH f AS (
+      SELECT w AS token, count(*) AS freq
+      FROM (SELECT unnest(string_split_regex(trim(text), '\s+')) AS w
+            FROM documents)
+      GROUP BY w),
+    r AS (
+      SELECT token, freq,
+             row_number() OVER (ORDER BY freq DESC, token) AS rnk,
+             sum(freq) OVER (ORDER BY freq DESC, token
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+             sum(freq) OVER () AS total
+      FROM f)
+    SELECT CAST(rnk AS INT) AS rnk, token, CAST(freq AS BIGINT) AS freq,
+           round(CAST(cum AS DOUBLE) / total, 6) AS cum_coverage
+    FROM r WHERE rnk <= 25 ORDER BY rnk"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q151_vocab_coverage", q151, Some(o151)),
     QueryDef("q138_weighted_sample", q138, Some(o138)),
     QueryDef("q139_sorted_neighborhood", q139, Some(o139)),
     QueryDef("q131_bm25_topk", q131, Some(o131)),

@@ -222,7 +222,43 @@ object Sketches {
            round(avg(p), 4) AS mean
     FROM b GROUP BY decile ORDER BY decile"""
 
+  /** q149: per-group top-k WITHOUT a window sort — q10/q66's "top orders per
+    * priority" shape re-expressed through [[graft.functions.GroupedTopK]]:
+    * a k-bounded mergeable heap Aggregator that runs as partial+final hash
+    * aggregation. The windowed `row_number() <= 3` oracle shuffles and sorts
+    * every order row per priority; this plan's map-side partials cut each
+    * partition to <= 3 rows per priority BEFORE the shuffle, so the exchange
+    * carries O(k * groups) rows at any corpus size. Determinism comes from
+    * the aggregator's total (score DESC, key ASC) order.
+    */
+  private def q149(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ds = parallelize(s, orders(s, d))
+      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+      .as[(String, Double, Long)]
+    val tk = new graft.functions.GroupedTopK.TopK(3).toColumn
+    ds.groupByKey(_._1)
+      .mapValues(t => graft.functions.GroupedTopK.Entry(t._2, t._3))
+      .agg(tk.name("top"))
+      .toDF("o_orderpriority", "top")
+      .select(col("o_orderpriority"), posexplode(col("top")))
+      .select(col("o_orderpriority"),
+        (col("pos") + 1).cast("int").as("rnk"),
+        col("col.key").as("o_orderkey"),
+        col("col.score").as("o_totalprice"))
+      .orderBy(col("o_orderpriority"), col("rnk"))
+  }
+
+  private val o149 = """
+    SELECT o_orderpriority, CAST(rnk AS INT) AS rnk, o_orderkey, o_totalprice
+    FROM (SELECT o_orderpriority, o_orderkey, o_totalprice,
+                 row_number() OVER (PARTITION BY o_orderpriority
+                   ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+          FROM orders)
+    WHERE rnk <= 3 ORDER BY o_orderpriority, rnk"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q149_grouped_topk", q149, Some(o149)),
     QueryDef("q127_equidepth_hist", q127, Some(o127)),
     QueryDef("q125_outlier_iqr", q125, Some(o125)),
     QueryDef("q53_heavy_hitters", q53, Some(o53)),

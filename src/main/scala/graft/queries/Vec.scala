@@ -783,7 +783,55 @@ object Vec {
     WHERE a.vec_id <> 0
     ORDER BY cos_sim DESC, a.vec_id LIMIT 10"""
 
+  /** q150: matryoshka truncation audit — how much embedding "energy"
+    * (L2 norm, equivalently cosine of the truncated prefix against the full
+    * vector) survives at prefix budgets 8/16/32/64 of the 64 dims. This is
+    * the measurement behind MRL-style dimension-adaptive retrieval: pick the
+    * smallest budget whose retained fraction clears the recall target, and
+    * the ANN index shrinks by dims/budget.
+    *
+    * Per-row work only (slice + the codegen'd dot kernel), one 4-group
+    * rollup — scale-free. Retained fraction is sqrt(dot_s)/sqrt(dot_v) with
+    * the SAME left-to-right fold and sqrt on both engines (IEEE sqrt is
+    * correctly rounded, so per-row values are bit-identical pre-round).
+    */
+  private def q150(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d)
+      .select(col("vec_id"), toD(col("embedding")).as("vd"))
+      .select(col("vec_id"), col("vd"),
+        explode(array(lit(8), lit(16), lit(32), lit(64))).as("budget"))
+      .withColumn("sv", slice(col("vd"), lit(1), col("budget")))
+      .withColumn("retained", sqrt(dot(col("sv"), col("sv"))) / norm(col("vd")))
+      .groupBy(col("budget"))
+      .agg(count(lit(1)).as("n_vecs"),
+        round(avg(col("retained")), 6).as("avg_retained"),
+        round(min(col("retained")), 6).as("min_retained"),
+        sum(when(col("retained") >= 0.9, 1L).otherwise(0L)).cast("long")
+          .as("n_above_090"))
+      .orderBy(col("budget"))
+
+  private def o150: String = {
+    def dotSlice(n: String) =
+      s"list_sum(list_transform(range(1, $n + 1), i -> vd[i] * vd[i]))"
+    s"""WITH b AS (
+         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS vd,
+                unnest([8, 16, 32, 64]) AS budget
+         FROM embeddings),
+       r AS (
+         SELECT budget,
+                sqrt(${dotSlice("budget")}) / sqrt(${dotSlice(Dim.toString)})
+                  AS retained
+         FROM b)
+       SELECT budget, count(*) AS n_vecs,
+              round(avg(retained), 6) AS avg_retained,
+              round(min(retained), 6) AS min_retained,
+              CAST(sum(CASE WHEN retained >= 0.9 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_above_090
+       FROM r GROUP BY budget ORDER BY budget"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q150_matryoshka_audit", q150, Some(o150)),
     QueryDef("q140_ivf_partitioned_store", q140, Some(o140)),
     QueryDef("q130_semantic_dedup", q130, Some(o130)),
     QueryDef("q134_jl_projection", q134, Some(o134)),
