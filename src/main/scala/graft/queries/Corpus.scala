@@ -751,6 +751,8 @@ object Corpus {
           FROM documents)
     ORDER BY aes_key, doc_id LIMIT 20"""
 
+  private val SnmWindow = 3
+
   /** q139: sorted-neighborhood dedup screening (SNM) — the classic
     * alternative to hash/LSH blocking: sort each language block by a
     * cheap key (length, then id), then compare each record only against
@@ -764,8 +766,6 @@ object Corpus {
     * exchange), neighbor pairs via a generated offset equi-join on
     * (block, rank + offset), word-set Jaccard on the paired texts, top 20.
     */
-  private val SnmWindow = 3
-
   private def q139(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("n_chars"), col("doc_id"))

@@ -603,6 +603,8 @@ object Dedup {
     GROUP BY doc_id
     ORDER BY dup_ratio DESC, doc_id LIMIT 100"""
 
+  private val SegWords = 10
+
   /** q141: segment-grain exact dedup (the CCNet/RefinedWeb paragraph-dedup
     * pass, at fixed 10-word segment grain since this corpus has no newlines):
     * every document is cut into consecutive word segments, and each distinct
@@ -616,8 +618,6 @@ object Dedup {
     * linear in total segments; nothing pairwise anywhere, so unlike the
     * jaccard family this runs over the full corpus at any scale.
     */
-  private val SegWords = 10
-
   private def q141(s: SparkSession, d: String): DataFrame = {
     val segs = parallelize(s, documents(s, d))
       .withColumn("ws", split(trim(col("text")), "\\s+"))
@@ -668,6 +668,8 @@ object Dedup {
     FROM segs JOIN firsts USING (seg)
     GROUP BY doc_id ORDER BY doc_id"""
 
+  private val SpanLen = 30
+
   /** q142: duplicated-span mining — surface the exact character spans copied
     * across documents (the Lee-et-al. "exact substring deduplication" signal,
     * at fixed 30-char window grain over every offset). Where q132 scores each
@@ -681,8 +683,6 @@ object Dedup {
     * span-grain shuffle is the cost, and it shrinks 30× by pre-hashing spans
     * to 8-byte keys; kept as raw text here so the report carries the span.
     */
-  private val SpanLen = 30
-
   private def q142(s: SparkSession, d: String): DataFrame =
     parallelize(s, documents(s, d))
       .select(col("doc_id"),
