@@ -257,7 +257,111 @@ object Sketches {
           FROM orders)
     WHERE rnk <= 3 ORDER BY o_orderpriority, rnk"""
 
+  /** q152: Spearman rank correlation between l_quantity and l_discount —
+    * the robust (monotone-invariant) companion to q85's Pearson `corr`.
+    * Average ranks (proper tie handling) are computed the SCALABLE way: one
+    * hash aggregation to per-distinct-value counts, a cumulative window over
+    * the DISTINCT VALUES ONLY (both columns here have tiny value vocabularies;
+    * the corpus never passes through a global sort — the same stance as
+    * q127's no-ntile histogram), then a broadcast join back onto the rows.
+    * avg_rank = (#rows below) + (ties+1)/2 is exact in halves, so the only
+    * fp divergence is `corr`'s accumulation — rounded at 6 like q85.
+    */
+  private def q152(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def ranks(colName: String): DataFrame =
+      lineitem(s, d).groupBy(col(colName).as("v"))
+        .agg(count(lit(1)).as("c"))
+        .withColumn("below",
+          coalesce(sum(col("c")).over(Window.orderBy(col("v"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+        .select(col("v"), (col("below") + (col("c") + lit(1)) / lit(2.0))
+          .as("avg_rank"))
+    val rq = ranks("l_quantity")
+      .select(col("v").as("vq"), col("avg_rank").as("rank_q"))
+    val rd = ranks("l_discount")
+      .select(col("v").as("vd"), col("avg_rank").as("rank_d"))
+    parallelize(s, lineitem(s, d))
+      .select(col("l_quantity"), col("l_discount"))
+      .join(broadcast(rq), col("l_quantity") === col("vq"))
+      .join(broadcast(rd), col("l_discount") === col("vd"))
+      .agg(count(lit(1)).as("n"),
+        round(corr(col("rank_q"), col("rank_d")), 6).as("spearman_rho"))
+  }
+
+  private val o152 = """
+    WITH rq AS (
+      SELECT v, below + (c + 1) / 2.0 AS rank_q FROM (
+        SELECT l_quantity AS v, count(*) AS c,
+               coalesce(sum(count(*)) OVER (ORDER BY l_quantity
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS below
+        FROM lineitem GROUP BY l_quantity)),
+    rd AS (
+      SELECT v, below + (c + 1) / 2.0 AS rank_d FROM (
+        SELECT l_discount AS v, count(*) AS c,
+               coalesce(sum(count(*)) OVER (ORDER BY l_discount
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 AS below
+        FROM lineitem GROUP BY l_discount))
+    SELECT count(*) AS n, round(corr(rank_q, rank_d), 6) AS spearman_rho
+    FROM lineitem
+    JOIN rq ON l_quantity = rq.v
+    JOIN rd ON l_discount = rd.v"""
+
+  /** q153: chi-square independence audit of two categoricals (market
+    * segment × order priority) — the statistical screen for "is this
+    * stratification balanced / is this column informative", run over the
+    * orders-to-customer join. Expected cell counts come from the row/column
+    * marginals (integer counts; the marginal joins are broadcast dimensions
+    * over a constant-key single row for N). Per-cell contributions are
+    * bit-identical fp; only their 25-cell SUM is engine-order-sensitive, so
+    * the statistic rounds at 6 while cells round at 6 individually.
+    */
+  private def q153(s: SparkSession, d: String): DataFrame = {
+    val joined = orders(s, d)
+      .join(customer(s, d), col("o_custkey") === col("c_custkey"))
+      .select(col("c_mktsegment").as("seg"), col("o_orderpriority").as("pri"))
+    val cells = joined.groupBy(col("seg"), col("pri"))
+      .agg(count(lit(1)).as("obs"))
+    val rowTot = joined.groupBy(col("seg")).agg(count(lit(1)).as("seg_tot"))
+    val colTot = joined.groupBy(col("pri")).agg(count(lit(1)).as("pri_tot"))
+    val n = joined.agg(count(lit(1)).as("n_tot"))
+      .withColumn("jk", pmod(col("n_tot"), lit(1)))
+    cells
+      .join(broadcast(rowTot), Seq("seg"))
+      .join(broadcast(colTot), Seq("pri"))
+      .withColumn("jk", pmod(col("obs"), lit(1)) * lit(0))
+      .join(broadcast(n), Seq("jk"))
+      .withColumn("exp",
+        col("seg_tot") * col("pri_tot") / col("n_tot").cast("double"))
+      .select(col("seg"), col("pri"), col("obs"),
+        round(col("exp"), 6).as("expected"),
+        round((col("obs") - col("exp")) * (col("obs") - col("exp"))
+          / col("exp"), 6).as("chi2_contrib"))
+      .orderBy(col("seg"), col("pri"))
+  }
+
+  private val o153 = """
+    WITH j AS (
+      SELECT c_mktsegment AS seg, o_orderpriority AS pri
+      FROM orders JOIN customer ON o_custkey = c_custkey),
+    cells AS (SELECT seg, pri, count(*) AS obs FROM j GROUP BY seg, pri),
+    rt AS (SELECT seg, count(*) AS seg_tot FROM j GROUP BY seg),
+    ct AS (SELECT pri, count(*) AS pri_tot FROM j GROUP BY pri),
+    n AS (SELECT count(*) AS n_tot FROM j)
+    SELECT seg, pri, obs,
+           round(seg_tot * pri_tot / CAST(n_tot AS DOUBLE), 6) AS expected,
+           round((obs - seg_tot * pri_tot / CAST(n_tot AS DOUBLE))
+             * (obs - seg_tot * pri_tot / CAST(n_tot AS DOUBLE))
+             / (seg_tot * pri_tot / CAST(n_tot AS DOUBLE)), 6)
+             AS chi2_contrib
+    FROM cells JOIN rt USING (seg) JOIN ct USING (pri), n
+    ORDER BY seg, pri"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q152_spearman_rank", q152, Some(o152)),
+    QueryDef("q153_chi2_independence", q153, Some(o153)),
     QueryDef("q149_grouped_topk", q149, Some(o149)),
     QueryDef("q127_equidepth_hist", q127, Some(o127)),
     QueryDef("q125_outlier_iqr", q125, Some(o125)),

@@ -66,6 +66,52 @@ object Skew {
     FROM orders JOIN customer ON o_custkey = c_custkey
     GROUP BY c_mktsegment ORDER BY c_mktsegment"""
 
+  /** q154: key-distribution skew audit — the diagnostic a pipeline runs
+    * BEFORE deciding whether q110's salting (or AQE skew splitting) is even
+    * needed: per-key cardinalities rolled up into the max/avg skew ratio,
+    * tail percentiles, and the hottest key. Two hash aggregations (key grain
+    * → one stats row); the hottest key is a tie-free argmax on a zero-padded
+    * (count DESC, key ASC) composite string so both engines pick the same
+    * key deterministically. The key-grain aggregate is exactly the map the
+    * salting decision needs (which keys exceed avg x factor), so at 100 TB
+    * this query IS the planning pass, not an approximation of it.
+    */
+  private def q154(s: SparkSession, d: String): DataFrame = {
+    val counts = lineitem(s, d)
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
+    // composite argmax key: larger cnt wins, then SMALLER partkey — encode
+    // partkey inverted so lexicographic max is (cnt DESC, key ASC)
+    val akey = "concat(lpad(cast(cnt as string), 12, '0'), " +
+      "lpad(cast(999999999999 - l_partkey as string), 12, '0'))"
+    counts.agg(
+      count(lit(1)).as("n_keys"),
+      sum(col("cnt")).cast("long").as("total_rows"),
+      max(col("cnt")).as("max_cnt"),
+      round(avg(col("cnt")), 4).as("avg_cnt"),
+      expr("percentile(cnt, 0.99D)").as("p99_cnt"),
+      round(max(col("cnt")) / avg(col("cnt")), 4).as("skew_ratio"),
+      expr(s"max_by(l_partkey, $akey)").as("hottest_key"))
+      .select(col("n_keys"), col("total_rows"), col("max_cnt"),
+        col("avg_cnt"), round(col("p99_cnt"), 4).as("p99_cnt"),
+        col("skew_ratio"), col("hottest_key"))
+  }
+
+  private val o154 = """
+    WITH counts AS (
+      SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY l_partkey)
+    SELECT count(*) AS n_keys,
+           CAST(sum(cnt) AS BIGINT) AS total_rows,
+           max(cnt) AS max_cnt,
+           round(avg(cnt), 4) AS avg_cnt,
+           round(quantile_cont(cnt, 0.99), 4) AS p99_cnt,
+           round(max(cnt) / avg(cnt), 4) AS skew_ratio,
+           arg_max(l_partkey,
+             lpad(CAST(cnt AS VARCHAR), 12, '0') ||
+             lpad(CAST(999999999999 - l_partkey AS VARCHAR), 12, '0'))
+             AS hottest_key
+    FROM counts"""
+
   val defs: Seq[QueryDef] = Seq(
-    QueryDef("q110_salted_join", q110, Some(o110)))
+    QueryDef("q110_salted_join", q110, Some(o110)),
+    QueryDef("q154_skew_audit", q154, Some(o154)))
 }
