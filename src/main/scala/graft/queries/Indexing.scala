@@ -117,8 +117,10 @@ object Indexing {
         col("c_custkey"))
       .select(pmod(h32(col("j"), col("c_custkey")), lit(BloomBits)).as("p"))
       .distinct()
+    // k md5 probes per row is CPU-bound; spread the single-row-group scan
+    // (no-op on a real multi-split cluster scan)
     val probed = (0 until BloomK).foldLeft(
-      orders(s, d).select(col("o_orderkey"), col("o_custkey"))) {
+      parallelize(s, orders(s, d)).select(col("o_orderkey"), col("o_custkey"))) {
       case (df, j) =>
         df.withColumn(s"p$j", pmod(h32(lit(j), col("o_custkey")), lit(BloomBits)))
           .join(broadcast(bits.select(col("p").as(s"p$j"), lit(1).as(s"h$j"))),

@@ -285,7 +285,68 @@ object TextOps {
     GROUP BY sl.source
     ORDER BY sl.source"""
 
+  /** q155: per-source boilerplate detection — the CCNet-style screen for
+    * template text: a segment (fixed 10-word grain, as q141) recurring
+    * across >= 5% of a source's documents is site furniture (headers,
+    * cookie banners, nav text), not content, and gets stripped before
+    * training. Work is two hash aggregations at natural keys — per-(source,
+    * segment) distinct-doc counts, then the per-source doc totals broadcast
+    * back — nothing pairwise, so the screen runs over the full corpus at
+    * any scale (at 100 TB the (source, segment) rollup is the shuffle, and
+    * it shrinks with map-side distinct-combine exactly like q132's gram
+    * counts).
+    */
+  private def q155(s: SparkSession, d: String): DataFrame = {
+    val segs = parallelize(s, documents(s, d))
+      .withColumn("ws", split(trim(col("text")), "\\s+"))
+      .select(col("doc_id"), col("source"),
+        explode(expr(
+          """transform(sequence(0, CAST(ceil(size(ws) / 10.0) AS INT) - 1),
+             i -> concat_ws(' ', slice(ws, i * 10 + 1, 10)))"""))
+          .as("seg"))
+      .distinct()
+    val srcTot = segs.select(col("source"), col("doc_id")).distinct()
+      .groupBy(col("source")).agg(count(lit(1)).as("n_docs"))
+    segs.groupBy(col("source"), col("seg"))
+      .agg(count(lit(1)).as("n_with"))
+      .filter(col("n_with") >= 2)
+      .join(broadcast(srcTot), Seq("source"))
+      // threshold on the RAW ratio (identical doubles from identical ints in
+      // both engines); rounding only the presented column — filtering on the
+      // rounded value would admit 0.049999x rows the oracle excludes
+      .withColumn("fr", col("n_with").cast("double") / col("n_docs"))
+      .filter(col("fr") >= 0.05)
+      .select(col("source"), col("seg"), col("n_with"), col("n_docs"),
+        round(col("fr"), 6).as("frac"))
+      .orderBy(col("frac").desc, col("source"), col("seg"))
+      .limit(50)
+  }
+
+  private val o155 = """
+    WITH docs AS (
+      SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS ws
+      FROM documents),
+    segs AS (
+      SELECT DISTINCT doc_id, source,
+             array_to_string(list_slice(ws, i * 10 + 1, i * 10 + 10), ' ')
+               AS seg
+      FROM (SELECT doc_id, source, ws,
+                   unnest(range(0, CAST(ceil(len(ws) / 10.0) AS BIGINT))) AS i
+            FROM docs)),
+    srct AS (
+      SELECT source, count(DISTINCT doc_id) AS n_docs FROM segs
+      GROUP BY source),
+    hits AS (
+      SELECT source, seg, count(*) AS n_with FROM segs
+      GROUP BY source, seg HAVING count(*) >= 2)
+    SELECT h.source, h.seg, h.n_with, s.n_docs,
+           round(h.n_with / CAST(s.n_docs AS DOUBLE), 6) AS frac
+    FROM hits h JOIN srct s USING (source)
+    WHERE h.n_with / CAST(s.n_docs AS DOUBLE) >= 0.05
+    ORDER BY frac DESC, h.source, h.seg LIMIT 50"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q155_boilerplate", q155, Some(o155)),
     QueryDef("q124_lang_mix_kl", q124, Some(klSql("documents"))),
     QueryDef("q82_canonical_select", q82, Some(o82)),
     QueryDef("q30_text_stats", q30, Some(o30)),
