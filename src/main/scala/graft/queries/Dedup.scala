@@ -282,7 +282,18 @@ object Dedup {
     * driver-side data loop. Oracle: DuckDB recursive CTE enumerating
     * reachable labels, min per node.
     */
-  private def q97(s: SparkSession, d: String): DataFrame = {
+  private def q97(s: SparkSession, d: String): DataFrame =
+    clusterLabels(s, d)
+      .groupBy(col("lab").as("cluster"))
+      .agg(count(lit(1)).as("n_members"), max(col("doc")).as("max_doc"))
+      .filter(col("n_members") > 1)
+      .orderBy(col("cluster"))
+
+  /** Doc-grain connected-component labels over q38's verified near-dup
+    * pairs: (doc, lab) with lab = smallest doc_id in the component. Shared
+    * by q97 (cluster rollup) and q157 (keep/drop ledger).
+    */
+  private def clusterLabels(s: SparkSession, d: String): DataFrame = {
     // localCheckpoint (eager) truncates lineage at the tiny pair set: the
     // iterative joins below must not chain plans back through q38's whole
     // signature/verification DAG — once cache blocks get evicted under a
@@ -320,10 +331,6 @@ object Dedup {
       s"label propagation did not converge in $iter iterations " +
         "(component diameter exceeds cap) — raise the cap for this corpus")
     labels
-      .groupBy(col("lab").as("cluster"))
-      .agg(count(lit(1)).as("n_members"), max(col("doc")).as("max_doc"))
-      .filter(col("n_members") > 1)
-      .orderBy(col("cluster"))
   }
 
   private def o97: String =
@@ -810,7 +817,103 @@ object Dedup {
          ON est.doc_a = exact.doc_a AND est.doc_b = exact.doc_b
        ORDER BY est.doc_a, est.doc_b"""
 
+  /** q156: cross-source duplication matrix — q38's verified near-dup pairs
+    * rolled up by the SOURCES the two docs came from (pair normalized so the
+    * matrix is upper-triangular): the data-governance report that tells a
+    * curator which feeds copy which (mirror sites, scraped re-posts) and
+    * therefore which source to drop wholesale instead of deduping doc by
+    * doc. Cost = q38 + two dimension joins on doc_id + a tiny rollup.
+    */
+  private def q156(s: SparkSession, d: String): DataFrame = {
+    val src = documents(s, d).select(col("doc_id"), col("source"))
+    q38(s, d)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        Seq("doc_b"))
+      .groupBy(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("jaccard")), 6).as("avg_jaccard"))
+      .orderBy(col("n_pairs").desc, col("source_a"), col("source_b"))
+  }
+
+  private def o156: String =
+    s"""WITH pairs AS ($o38Body)
+       SELECT least(da.source, db.source) AS source_a,
+              greatest(da.source, db.source) AS source_b,
+              count(*) AS n_pairs,
+              round(avg(jaccard), 6) AS avg_jaccard
+       FROM pairs
+       JOIN documents da ON da.doc_id = doc_a
+       JOIN documents db ON db.doc_id = doc_b
+       GROUP BY 1, 2
+       ORDER BY n_pairs DESC, source_a, source_b"""
+
+  /** q157: the dedup VERDICT ledger — the artifact the whole dedup tier
+    * exists to produce: per document, its near-dup cluster (own id if
+    * unique), whether it survives, and why. Canonical-per-cluster is the
+    * longest document (doc_id ascending as the tie-break), encoded as a
+    * tie-free composite argmax exactly like q82's canonical selection.
+    * Composition: cluster labels (q97's propagation) LEFT-joined onto the
+    * corpus, canonical picks broadcast back — the unbounded corpus is
+    * touched by one scan and two joins on doc_id/cluster keys.
+    */
+  private def q157(s: SparkSession, d: String): DataFrame = {
+    val labels = clusterLabels(s, d).localCheckpoint(true)
+    val docs = documents(s, d).select(col("doc_id"), col("n_chars"))
+    val akey = "concat(lpad(cast(n_chars as string), 10, '0'), " +
+      "lpad(cast(9999999999 - doc as string), 10, '0'))"
+    val canon = labels
+      .join(docs, labels("doc") === docs("doc_id"))
+      .groupBy(col("lab"))
+      .agg(expr(s"max_by(doc, $akey)").as("canon_doc"))
+    docs
+      .join(labels, col("doc_id") === col("doc"), "left")
+      .join(broadcast(canon), Seq("lab"), "left")
+      .select(col("doc_id"),
+        coalesce(col("lab"), col("doc_id")).as("cluster"),
+        (col("lab").isNull || col("doc_id") === col("canon_doc")).as("keep"),
+        when(col("lab").isNull, "unique")
+          .when(col("doc_id") === col("canon_doc"), "canonical")
+          .otherwise("dup").as("reason"))
+      .orderBy(col("doc_id"))
+  }
+
+  private def o157: String =
+    s"""WITH RECURSIVE
+       pairs AS ($o38Body),
+       edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                 UNION ALL
+                 SELECT doc_b, doc_a FROM pairs),
+       nodes AS (SELECT DISTINCT src AS doc FROM edges),
+       reach(doc, lab) AS (
+         SELECT doc, doc FROM nodes
+         UNION
+         SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc),
+       cc AS (SELECT doc, min(lab) AS lab FROM reach GROUP BY doc),
+       canon AS (
+         SELECT cc.lab,
+                arg_max(cc.doc,
+                  lpad(CAST(d.n_chars AS VARCHAR), 10, '0') ||
+                  lpad(CAST(9999999999 - cc.doc AS VARCHAR), 10, '0'))
+                  AS canon_doc
+         FROM cc JOIN documents d ON d.doc_id = cc.doc
+         GROUP BY cc.lab)
+       SELECT d.doc_id,
+              coalesce(cc.lab, d.doc_id) AS cluster,
+              (cc.lab IS NULL OR d.doc_id = canon.canon_doc) AS keep,
+              CASE WHEN cc.lab IS NULL THEN 'unique'
+                   WHEN d.doc_id = canon.canon_doc THEN 'canonical'
+                   ELSE 'dup' END AS reason
+       FROM documents d
+       LEFT JOIN cc ON cc.doc = d.doc_id
+       LEFT JOIN canon ON canon.lab = cc.lab
+       ORDER BY d.doc_id"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q156_source_overlap", q156, Some(o156)),
+    QueryDef("q157_dedup_ledger", q157, Some(o157)),
     QueryDef("q141_segment_dedup", q141, Some(o141)),
     QueryDef("q142_dup_spans", q142, Some(o142)),
     QueryDef("q143_minhash_accuracy", q143, Some(o143)),
