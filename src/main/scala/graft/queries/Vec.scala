@@ -576,11 +576,18 @@ object Vec {
   }
 
   private def q134(s: SparkSession, d: String): DataFrame = {
-    val proj = array((0 until JlOutDim).map { j =>
-      (0 until Dim).map { i =>
-        element_at(col("v"), i + 1) * lit(jlSign(i, j).toDouble)
-      }.reduce(_ + _)
-    }: _*)
+    // the sign matrix as ONE typedLit literal + an interpreted HOF fold:
+    // the unrolled alternative (16 sums of 64 element_at*sign terms) builds
+    // a 1024-operator expression tree whose janino compile dominated the
+    // query's wall time (~2.7 s for a 40-row sample). The fold keeps the
+    // identical left-to-right add order, so projected values are
+    // bit-identical to the unrolled form and the oracle.
+    val signs = typedLit((0 until JlOutDim).map(j =>
+      (0 until Dim).map(i => jlSign(i, j).toDouble)))
+    val proj = transform(sequence(lit(1), lit(JlOutDim)),
+      j => aggregate(
+        zip_with(col("v"), element_at(signs, j), (x, sgn) => x * sgn),
+        lit(0.0), (acc, x) => acc + x))
     val sample = embeddings(s, d)
       .filter(col("vec_id") < JlSample)
       .select(col("vec_id"), toD(col("embedding")).as("v"))
