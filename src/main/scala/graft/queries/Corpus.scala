@@ -811,26 +811,31 @@ object Corpus {
     * report the cumulative token-mass each rank covers: the measurement that
     * sizes a tokenizer vocabulary (or a stopword list): "the top V tokens
     * cover X% of the stream". Token counting is one hash aggregation over
-    * the exploded stream (map-side combinable); the ranking window then runs
-    * over the VOCABULARY — already aggregated, orders of magnitude smaller
-    * than the corpus — never over the token stream itself. Exact integer
-    * counts until the final division.
+    * the exploded stream (map-side combinable); the top-25 then comes from a
+    * TakeOrdered over the vocabulary (per-partition heaps + merge — a
+    * ranking WINDOW over the vocabulary would funnel every distinct token
+    * through one sorted partition, the q127 anti-pattern), and the
+    * rank/cumsum window runs over the 25 SURVIVORS only, with the corpus
+    * total joined in as a broadcast scalar. Exact integer counts until the
+    * final division.
     *
-    * Rank ties cannot occur nondeterministically: the window orders by
+    * Rank ties cannot occur nondeterministically: everything orders by
     * (freq DESC, token), a total order.
     */
   private def q151(s: SparkSession, d: String): DataFrame = {
     val freqs = parallelize(s, documents(s, d))
       .select(explode(split(trim(col("text")), "\\s+")).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+    val total = freqs.agg(sum(col("freq")).as("total"))
+      .withColumn("jk", pmod(col("total"), lit(1)))
     val w = Window.orderBy(col("freq").desc, col("token"))
-    val total = Window.partitionBy()
     freqs
+      .orderBy(col("freq").desc, col("token")).limit(25)
+      .withColumn("jk", pmod(col("freq"), lit(1)) * lit(0))
+      .join(broadcast(total), Seq("jk"))
       .withColumn("rnk", row_number().over(w))
       .withColumn("cum", sum(col("freq"))
         .over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("total", sum(col("freq")).over(total))
-      .filter(col("rnk") <= 25)
       .select(col("rnk"), col("token"), col("freq").cast("long").as("freq"),
         round(col("cum").cast("double") / col("total"), 6).as("cum_coverage"))
       .orderBy(col("rnk"))

@@ -74,7 +74,10 @@ object Skew {
     * (count DESC, key ASC) composite string so both engines pick the same
     * key deterministically. The key-grain aggregate is exactly the map the
     * salting decision needs (which keys exceed avg x factor), so at 100 TB
-    * this query IS the planning pass, not an approximation of it.
+    * this query IS the planning pass, not an approximation of it. (The one
+    * piece that grows with DISTINCT keys is the exact p99 over key-grain
+    * counts; a corpus with billions of keys swaps it for the bounded-memory
+    * quantile-sketch Aggregator — q111 — without touching the rest.)
     */
   private def q154(s: SparkSession, d: String): DataFrame = {
     val counts = lineitem(s, d)
