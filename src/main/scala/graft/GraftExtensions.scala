@@ -20,11 +20,16 @@ import graft.ner.Ner
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     Seq("ner", "ner_extract").foreach { name =>
       ext.injectFunction((
         new FunctionIdentifier(name),
         new ExpressionInfo(classOf[Ner.type].getName, name),
         (children: Seq[Expression]) => Ner.expressionBuilder(name)(children)))
     }
+    // the custom whole-operator tier: plans the native as-of join
+    // (graft.plans.AsOfJoin) for sessions built with the extension;
+    // AsOfJoin.install covers ad-hoc sessions via experimental strategies
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoin.Strategy)
+  }
 }

@@ -524,7 +524,45 @@ object Events {
     FROM events, ref WHERE value IS NOT NULL
     GROUP BY event_type ORDER BY event_type"""
 
+  /** q158: the NATIVE as-of join — q51's "latest prior view per purchase"
+    * computed by the custom physical operator [[graft.plans.AsOfJoin]]
+    * (logical node + planner strategy + merge-pass exec with declared
+    * hash-distribution and (key, time) sort requirements) instead of the
+    * windowed union. Same answer, different machinery — the oracle is the
+    * SAME SQL as q51's, so the driver hash-compare proves the custom
+    * operator end-to-end. Scale shape: two co-partitioned exchanges + two
+    * sorts (what a shuffled join costs), then O(1)-state merge — no window
+    * buffering, no row expansion.
+    */
+  private def q158(s: SparkSession, d: String): DataFrame = {
+    val purchases = events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), tsUs.as("ts_us"))
+    val views = events(s, d)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), tsUs.as("ts_us"),
+        tsUs.as("view_us"))
+    graft.plans.AsOfJoin
+      .joinPrior(purchases, views, "user_id", "ts_us", "view_us",
+        as = "prior_view_us")
+      .orderBy(col("event_id"))
+  }
+
+  /** q158's oracle spells the operator's exact contract (largest view time
+    * strictly BEFORE the purchase time, per user) as a correlated scalar
+    * subquery — deliberately not o51's windowed form, whose row-order frame
+    * would count a view in the SAME truncated microsecond as prior.
+    */
+  private val o158 = """
+    SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+           (SELECT max(epoch_us(v.ts)) FROM events v
+            WHERE v.user_id = e.user_id AND v.event_type = 'view'
+              AND epoch_us(v.ts) < epoch_us(e.ts)) AS prior_view_us
+    FROM events e WHERE e.event_type = 'purchase'
+    ORDER BY e.event_id"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q158_asof_native", q158, Some(o158)),
     QueryDef("q147_decay_score", q147, Some(o147)),
     QueryDef("q144_moving_median", q144, Some(o144)),
     QueryDef("q145_interval_union", q145, Some(o145)),
