@@ -858,7 +858,52 @@ object Corpus {
            round(CAST(cum AS DOUBLE) / total, 6) AS cum_coverage
     FROM r WHERE rnk <= 25 ORDER BY rnk"""
 
+  /** q160: the corpus data card — the one-row summary a dataset release
+    * ships with: volume (docs/tokens/chars), composition (languages,
+    * sources), and integrity (exact-duplicate count via the q34
+    * normalized fingerprint). Three independent aggregations stitched on
+    * column-derived constant keys (each a broadcast of one row); every
+    * number is an exact integer or a widely-rounded mean, so the card is
+    * hash-comparable. At 100 TB each branch is one scan + one partial/final
+    * aggregation; nothing here holds more than a row.
+    */
+  private def q160(s: SparkSession, d: String): DataFrame = {
+    val base = documents(s, d).agg(
+      count(lit(1)).as("n_docs"),
+      sum(size(wsCol)).cast("long").as("n_tokens"),
+      sum(col("n_chars")).cast("long").as("n_chars"),
+      countDistinct(col("lang")).as("n_langs"),
+      countDistinct(col("source")).as("n_sources"),
+      round(avg(col("n_chars")), 4).as("avg_chars"))
+      .withColumn("jk", pmod(col("n_docs"), lit(1)))
+    val dups = documents(s, d)
+      .agg((count(lit(1)) - countDistinct(
+        md5(regexp_replace(lower(col("text")), "\\s+", " "))))
+        .as("n_exact_dups"))
+      .withColumn("jk", pmod(col("n_exact_dups"), lit(1)))
+    val vecs = embeddings(s, d).agg(count(lit(1)).as("n_vectors"))
+      .withColumn("jk", pmod(col("n_vectors"), lit(1)))
+    base.join(broadcast(dups), Seq("jk")).join(broadcast(vecs), Seq("jk"))
+      .select(col("n_docs"), col("n_tokens"), col("n_chars"),
+        col("n_langs"), col("n_sources"), col("avg_chars"),
+        col("n_exact_dups"), col("n_vectors"))
+  }
+
+  private val o160 = """
+    SELECT (SELECT count(*) FROM documents) AS n_docs,
+           (SELECT CAST(sum(len(string_split_regex(trim(text), '\s+')))
+              AS BIGINT) FROM documents) AS n_tokens,
+           (SELECT CAST(sum(n_chars) AS BIGINT) FROM documents) AS n_chars,
+           (SELECT count(DISTINCT lang) FROM documents) AS n_langs,
+           (SELECT count(DISTINCT source) FROM documents) AS n_sources,
+           (SELECT round(avg(n_chars), 4) FROM documents) AS avg_chars,
+           (SELECT count(*) - count(DISTINCT
+              md5(regexp_replace(lower(text), '\s+', ' ', 'g')))
+            FROM documents) AS n_exact_dups,
+           (SELECT count(*) FROM embeddings) AS n_vectors"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q160_corpus_card", q160, Some(o160)),
     QueryDef("q151_vocab_coverage", q151, Some(o151)),
     QueryDef("q138_weighted_sample", q138, Some(o138)),
     QueryDef("q139_sorted_neighborhood", q139, Some(o139)),

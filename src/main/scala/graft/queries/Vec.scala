@@ -837,7 +837,65 @@ object Vec {
        FROM r GROUP BY budget ORDER BY budget"""
   }
 
+  /** q159: embedding centroid drift — split the corpus into two cohorts
+    * (stand-in: even/odd vec_id; in production, last week vs this week) and
+    * measure, per label, how far each label's mean embedding moved (cosine
+    * between cohort centroids). This is the drift monitor that catches a
+    * changed upstream encoder or a shifted data mix before training does.
+    * One aggregation per cohort at (label) grain — centroids are a tiny
+    * dimension joined back to nothing — all heavy work is the map-side
+    * partial sums of the two groupBys.
+    *
+    * Same summation-order discipline as q81: per-dimension sums use
+    * `array_agg`-free explode + groupBy(label, dim) so partial aggregation
+    * is associative integer-free fp addition — and the final cosine rounds
+    * at 6 to absorb order effects.
+    */
+  private def q159(s: SparkSession, d: String): DataFrame = {
+    def centroid(which: Int): DataFrame =
+      embeddings(s, d)
+        .filter(pmod(col("vec_id"), lit(2)) === which)
+        .select(col("label"), posexplode(toD(col("embedding")))
+          .as(Seq("dim", "x")))
+        .groupBy(col("label"), col("dim"))
+        .agg(avg(col("x")).as("m"))
+        .groupBy(col("label"))
+        .agg(sort_array(collect_list(struct(col("dim"), col("m"))))
+          .as("pairs"))
+        .select(col("label"),
+          transform(col("pairs"), p => p.getField("m")).as(s"c$which"))
+    centroid(0).join(centroid(1), Seq("label"))
+      .select(col("label"),
+        round(cosine(col("c0"), col("c1")), 6).as("cohort_cosine"))
+      .orderBy(col("label"))
+  }
+
+  private def o159: String = {
+    def c(which: Int) =
+      s"""SELECT label, list_transform(range(1, ${Dim + 1}),
+            i -> avg_l[i]) AS c$which
+          FROM (
+            SELECT label,
+                   list_transform(range(1, ${Dim + 1}), i ->
+                     list_sum(list_transform(vs, v -> v[i])) / len(vs))
+                     AS avg_l
+            FROM (SELECT label,
+                         list(CAST(embedding AS DOUBLE[])) AS vs
+                  FROM embeddings WHERE vec_id % 2 = $which
+                  GROUP BY label))"""
+    s"""WITH c0 AS (${c(0)}), c1 AS (${c(1)})
+       SELECT label, round(
+         list_sum(list_transform(range(1, ${Dim + 1}),
+           i -> c0.c0[i] * c1.c1[i]))
+         / (sqrt(list_sum(list_transform(range(1, ${Dim + 1}),
+              i -> c0.c0[i] * c0.c0[i])))
+          * sqrt(list_sum(list_transform(range(1, ${Dim + 1}),
+              i -> c1.c1[i] * c1.c1[i])))), 6) AS cohort_cosine
+       FROM c0 JOIN c1 USING (label) ORDER BY label"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q159_centroid_drift", q159, Some(o159)),
     QueryDef("q150_matryoshka_audit", q150, Some(o150)),
     QueryDef("q140_ivf_partitioned_store", q140, Some(o140)),
     QueryDef("q130_semantic_dedup", q130, Some(o130)),
