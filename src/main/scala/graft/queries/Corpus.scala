@@ -902,7 +902,87 @@ object Corpus {
             FROM documents) AS n_exact_dups,
            (SELECT count(*) FROM embeddings) AS n_vectors"""
 
+  /** q161: length-bucketed batching audit — the inference/training
+    * efficiency decision: batching mixed-length documents pads every one to
+    * the batch max, so wasted compute = padding fraction. Compare the
+    * no-bucketing strategy (pad all to the corpus max) against 4 quartile
+    * buckets (pad to each bucket's max): the output is the waste each
+    * strategy pays, which is the number that justifies length-aware
+    * batching in a serving stack. Quartile cuts of INTEGER token counts are
+    * exact binary fractions (q125's argument), bucketing compares ints to
+    * those cuts, and every downstream number is an exact integer until the
+    * final rounded division. Two aggregations + a broadcast cut row; the
+    * union has two branches over the same cached-size scan.
+    */
+  private def q161(s: SparkSession, d: String): DataFrame = {
+    val lens = documents(s, d)
+      .select(col("doc_id"), size(wsCol).cast("long").as("n"))
+    val cuts = lens.agg(
+      expr("percentile(n, array(0.25D, 0.5D, 0.75D))").as("qs"),
+      pmod(count(lit(1)), lit(1)).as("jk"))
+    val bucketed = lens.withColumn("jk", pmod(col("n"), lit(1)) * lit(0))
+      .join(broadcast(cuts), Seq("jk"))
+      .withColumn("bucket",
+        (1 to 3).map(i =>
+          when(col("n") > element_at(col("qs"), i), 1).otherwise(0))
+          .reduce(_ + _))
+    val global = lens.agg(max(col("n")).as("bmax"),
+        count(lit(1)).as("n_docs"), sum(col("n")).cast("long").as("sum_tokens"))
+      .select(lit("no_bucketing").as("strategy"), col("n_docs"),
+        col("sum_tokens"),
+        (col("bmax") * col("n_docs")).cast("long").as("sum_padded"))
+    val byBucket = bucketed.groupBy(col("bucket"))
+      .agg(max(col("n")).as("bmax"), count(lit(1)).as("nb"),
+        sum(col("n")).cast("long").as("st"))
+      .agg(sum(col("nb")).cast("long").as("n_docs"),
+        sum(col("st")).cast("long").as("sum_tokens"),
+        sum(col("bmax") * col("nb")).cast("long").as("sum_padded"))
+      .select(lit("quartile_buckets").as("strategy"), col("n_docs"),
+        col("sum_tokens"), col("sum_padded"))
+    global.unionByName(byBucket)
+      .select(col("strategy"), col("n_docs"), col("sum_tokens"),
+        col("sum_padded"),
+        round((col("sum_padded") - col("sum_tokens")).cast("double")
+          / col("sum_padded"), 6).as("waste_frac"))
+      .orderBy(col("strategy"))
+  }
+
+  private val o161 = """
+    WITH lens AS (
+      SELECT doc_id,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT) AS n
+      FROM documents),
+    cuts AS (
+      SELECT quantile_cont(n, [0.25, 0.5, 0.75]) AS qs FROM lens),
+    bucketed AS (
+      SELECT n,
+             CAST((CASE WHEN n > qs[1] THEN 1 ELSE 0 END)
+                + (CASE WHEN n > qs[2] THEN 1 ELSE 0 END)
+                + (CASE WHEN n > qs[3] THEN 1 ELSE 0 END) AS INT) AS bucket
+      FROM lens, cuts),
+    g AS (
+      SELECT 'no_bucketing' AS strategy, count(*) AS n_docs,
+             CAST(sum(n) AS BIGINT) AS sum_tokens,
+             CAST(max(n) * count(*) AS BIGINT) AS sum_padded
+      FROM lens),
+    bb AS (
+      SELECT bucket, max(n) AS bmax, count(*) AS nb,
+             CAST(sum(n) AS BIGINT) AS st
+      FROM bucketed GROUP BY bucket),
+    b AS (
+      SELECT 'quartile_buckets' AS strategy,
+             CAST(sum(nb) AS BIGINT) AS n_docs,
+             CAST(sum(st) AS BIGINT) AS sum_tokens,
+             CAST(sum(bmax * nb) AS BIGINT) AS sum_padded
+      FROM bb)
+    SELECT strategy, n_docs, sum_tokens, sum_padded,
+           round(CAST(sum_padded - sum_tokens AS DOUBLE) / sum_padded, 6)
+             AS waste_frac
+    FROM (SELECT * FROM g UNION ALL SELECT * FROM b)
+    ORDER BY strategy"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q161_length_bucketing", q161, Some(o161)),
     QueryDef("q160_corpus_card", q160, Some(o160)),
     QueryDef("q151_vocab_coverage", q151, Some(o151)),
     QueryDef("q138_weighted_sample", q138, Some(o138)),
