@@ -47,6 +47,16 @@ class CatalogSpec extends SparkTestBase {
     assert(SparkEntry.queries("q37_lsh_band_stats")(spark, sf()).count() == 2L)
   }
 
+  test("q149's grouped top-k plans as partial+final hash aggregation") {
+    // the Aggregator's whole point vs the window form: map-side partials
+    // (one ObjectHashAggregate BEFORE the exchange, one after) and no Sort
+    // over the input — a window row_number plan would show Sort + Window
+    val plan = SparkEntry.queries("q149_grouped_topk")(spark, sf())
+      .queryExecution.executedPlan.toString
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2, plan)
+    assert(!plan.contains("Window"), plan)
+  }
+
   test("NO query in the catalog plans a nested-loop or cartesian join") {
     // catalog-wide (not an enumerated list) so every future query is pinned
     // the day it lands — a literal=literal join key or a missing equi-key
