@@ -870,7 +870,10 @@ object Dedup {
       .agg(expr(s"max_by(doc, $akey)").as("canon_doc"))
     docs
       .join(labels, col("doc_id") === col("doc"), "left")
-      .join(broadcast(canon), Seq("lab"), "left")
+      // no broadcast hint: cluster count grows with the corpus, so the
+      // canon side must stay free to shuffle-join; AQE broadcasts it
+      // whenever it is actually small (as here)
+      .join(canon, Seq("lab"), "left")
       .select(col("doc_id"),
         coalesce(col("lab"), col("doc_id")).as("cluster"),
         (col("lab").isNull || col("doc_id") === col("canon_doc")).as("keep"),
