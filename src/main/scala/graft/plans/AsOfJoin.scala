@@ -33,12 +33,15 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
   */
 object AsOfJoin {
 
-  /** Logical node. `outAttr` is the appended result column. */
+  /** Logical node. `outAttr` is the appended result column; `toleranceUs`
+    * bounds match staleness (None = unbounded lookback).
+    */
   final case class AsOfJoinPlan(
       left: LogicalPlan, right: LogicalPlan,
       leftKey: Expression, rightKey: Expression,
       leftTime: Expression, rightTime: Expression,
-      rightValue: Expression, outAttr: AttributeReference)
+      rightValue: Expression, outAttr: AttributeReference,
+      toleranceUs: Option[Long])
       extends BinaryNode {
     override def output: Seq[Attribute] = left.output :+ outAttr
     // outAttr originates HERE, not from a child — without this,
@@ -55,7 +58,8 @@ object AsOfJoin {
     override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
       case j: AsOfJoinPlan =>
         AsOfJoinExec(j.leftKey, j.rightKey, j.leftTime, j.rightTime,
-          j.rightValue, j.outAttr, planLater(j.left), planLater(j.right)) :: Nil
+          j.rightValue, j.outAttr, j.toleranceUs,
+          planLater(j.left), planLater(j.right)) :: Nil
       case _ => Nil
     }
   }
@@ -69,6 +73,7 @@ object AsOfJoin {
       leftKey: Expression, rightKey: Expression,
       leftTime: Expression, rightTime: Expression,
       rightValue: Expression, outAttr: AttributeReference,
+      toleranceUs: Option[Long],
       left: SparkPlan, right: SparkPlan)
       extends BinaryExecNode {
 
@@ -114,7 +119,9 @@ object AsOfJoin {
         var curKey = 0L
         var hasKey = false
         var lastVal: Any = null
+        var lastTime = 0L
         var hasVal = false
+        val tol = toleranceUs
 
         lIter.map { l =>
           val key = lKeyEval.eval(l).asInstanceOf[Long]
@@ -130,10 +137,12 @@ object AsOfJoin {
               curKey = rKeyV; hasKey = true; hasVal = false
             }
             lastVal = rValEval.eval(rRow)
+            lastTime = rTimeEval.eval(rRow).asInstanceOf[Long]
             hasVal = true
             rRow = if (rIter.hasNext) rIter.next().copy() else null
           }
-          val matched = hasKey && curKey == key && hasVal
+          val matched = hasKey && curKey == key && hasVal &&
+            tol.forall(t => time - lastTime <= t)
           valRow.update(0, if (matched) lastVal else null)
           project(joined(l, valRow))
         }
@@ -150,12 +159,14 @@ object AsOfJoin {
 
   /** The user API: as-of join `left` to `right` by column NAMES (resolved
     * against each side), appending `right`'s `valueCol` at the latest
-    * strictly-prior `timeCol` as `as`.
+    * strictly-prior `timeCol` as `as`. `toleranceUs` excludes matches
+    * staler than the bound (the "no quotes older than X" production knob);
+    * None = unbounded lookback.
     */
   def joinPrior(
       left: DataFrame, right: DataFrame,
       keyCol: String, timeCol: String, valueCol: String,
-      as: String): DataFrame = {
+      as: String, toleranceUs: Option[Long] = None): DataFrame = {
     val spark = left.sparkSession
     install(spark)
     def resolve(plan: LogicalPlan, name: String): Attribute =
@@ -179,6 +190,6 @@ object AsOfJoin {
         lPlan, rPlan,
         resolve(lPlan, keyCol), resolve(rPlan, keyCol),
         resolve(lPlan, timeCol), resolve(rPlan, timeCol),
-        valExpr, outAttr))
+        valExpr, outAttr, toleranceUs))
   }
 }

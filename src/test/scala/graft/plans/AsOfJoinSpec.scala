@@ -35,6 +35,22 @@ class AsOfJoinSpec extends SparkTestBase {
       (103L, Some(10L)))) // the view AT 30 is not strictly before
   }
 
+  test("staleness tolerance excludes matches older than the bound") {
+    val purchases = Seq((100L, 1L, 50L), (101L, 1L, 41L))
+      .toDF("event_id", "user_id", "ts_us")
+    val views = Seq((1L, 40L)).toDF("user_id", "vt")
+      .select(col("user_id"), col("vt").as("ts_us"), col("vt").as("view_us"))
+    val got = AsOfJoin
+      .joinPrior(purchases, views, "user_id", "ts_us", "view_us", "prior",
+        toleranceUs = Some(5L))
+      .orderBy("event_id")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(3)) None else Some(r.getLong(3))))
+      .toSeq
+    // view at 40: within 5 of the purchase at 41, too stale for the one at 50
+    assert(got == Seq((100L, None), (101L, Some(40L))))
+  }
+
   test("plan contains AsOfJoinExec with Catalyst-planned exchanges and sorts") {
     val purchases = Seq((1L, 1L, 5L)).toDF("event_id", "user_id", "ts_us")
     val views = Seq((1L, 1L, 1L)).toDF("user_id", "ts_us", "view_us")
