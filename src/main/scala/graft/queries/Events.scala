@@ -561,8 +561,39 @@ object Events {
     FROM events e WHERE e.event_type = 'purchase'
     ORDER BY e.event_id"""
 
+  /** q162: the native as-of join's staleness-tolerance path, driver-checked
+    * — same lookup as q158 but views older than 30 minutes are too stale to
+    * count (the "no quotes older than X" production knob). The oracle adds
+    * the same bound to its correlated subquery, so BOTH code paths of
+    * [[graft.plans.AsOfJoin]]'s merge loop are hash-compared end-to-end.
+    */
+  private def q162(s: SparkSession, d: String): DataFrame = {
+    val tolUs = 1800000000L
+    val purchases = events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), tsUs.as("ts_us"))
+    val views = events(s, d)
+      .filter(col("event_type") === "view")
+      .select(col("user_id"), tsUs.as("ts_us"), tsUs.as("view_us"))
+    graft.plans.AsOfJoin
+      .joinPrior(purchases, views, "user_id", "ts_us", "view_us",
+        as = "prior_view_us", toleranceUs = Some(tolUs))
+      .orderBy(col("event_id"))
+  }
+
+  private val o162 = """
+    SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+           (SELECT max(epoch_us(v.ts)) FROM events v
+            WHERE v.user_id = e.user_id AND v.event_type = 'view'
+              AND epoch_us(v.ts) < epoch_us(e.ts)
+              AND epoch_us(e.ts) - epoch_us(v.ts) <= 1800000000)
+             AS prior_view_us
+    FROM events e WHERE e.event_type = 'purchase'
+    ORDER BY e.event_id"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q158_asof_native", q158, Some(o158)),
+    QueryDef("q162_asof_tolerance", q162, Some(o162)),
     QueryDef("q147_decay_score", q147, Some(o147)),
     QueryDef("q144_moving_median", q144, Some(o144)),
     QueryDef("q145_interval_union", q145, Some(o145)),
