@@ -914,7 +914,76 @@ object Dedup {
        LEFT JOIN canon ON canon.lab = cc.lab
        ORDER BY d.doc_id"""
 
+  /** q165: leakage-safe train/val/test split — q75's deterministic
+    * content-hash split, but bucketed by near-dup CLUSTER instead of by
+    * document: a near-duplicate pair straddling train and test is
+    * evaluation leakage, and splitting on the cluster id makes it
+    * impossible by construction. The output's `n_split_spanning_clusters`
+    * column PROVES the invariant (always 0) rather than asserting it in
+    * prose — the oracle recomputes it from the recursive-CTE closure.
+    * Composition: cluster labels LEFT-joined onto the corpus (docs outside
+    * any cluster are their own singleton), md5-bucketed at cluster grain.
+    */
+  private def q165(s: SparkSession, d: String): DataFrame = {
+    val labels = clusterLabels(s, d).localCheckpoint(true)
+    val assigned = documents(s, d).select(col("doc_id"))
+      .join(labels, col("doc_id") === col("doc"), "left")
+      .select(col("doc_id"), coalesce(col("lab"), col("doc_id")).as("cluster"))
+      .withColumn("split",
+        when(conv(substring(md5(col("cluster").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 10 < 8, "train")
+          .when(conv(substring(md5(col("cluster").cast("string")), 1, 4), 16, 10)
+            .cast("long") % 10 < 9, "val")
+          .otherwise("test"))
+    val spanning = assigned.groupBy(col("cluster"))
+      .agg(countDistinct(col("split")).as("n_splits"))
+      .agg(sum(when(col("n_splits") > 1, 1L).otherwise(0L)).cast("long")
+        .as("n_span"))
+      .withColumn("jk", pmod(col("n_span"), lit(1)))
+    assigned
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("cluster")).as("n_clusters"))
+      .withColumn("jk", pmod(col("n_docs"), lit(1)) * lit(0))
+      .join(broadcast(spanning), Seq("jk"))
+      .select(col("split"), col("n_docs"), col("n_clusters"),
+        col("n_span").as("n_split_spanning_clusters"))
+      .orderBy(col("split"))
+  }
+
+  private def o165: String =
+    s"""WITH RECURSIVE
+       pairs AS ($o38Body),
+       edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+                 UNION ALL
+                 SELECT doc_b, doc_a FROM pairs),
+       nodes AS (SELECT DISTINCT src AS doc FROM edges),
+       reach(doc, lab) AS (
+         SELECT doc, doc FROM nodes
+         UNION
+         SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc),
+       cc AS (SELECT doc, min(lab) AS lab FROM reach GROUP BY doc),
+       assigned AS (
+         SELECT d.doc_id, coalesce(cc.lab, d.doc_id) AS cluster,
+                CASE WHEN ('0x' || substr(md5(CAST(coalesce(cc.lab, d.doc_id)
+                       AS VARCHAR)), 1, 4))::BIGINT % 10 < 8 THEN 'train'
+                     WHEN ('0x' || substr(md5(CAST(coalesce(cc.lab, d.doc_id)
+                       AS VARCHAR)), 1, 4))::BIGINT % 10 < 9 THEN 'val'
+                     ELSE 'test' END AS split
+         FROM documents d LEFT JOIN cc ON cc.doc = d.doc_id),
+       spanning AS (
+         SELECT CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_span
+         FROM (SELECT cluster, count(DISTINCT split) AS n_splits
+               FROM assigned GROUP BY cluster))
+       SELECT split, count(*) AS n_docs,
+              count(DISTINCT cluster) AS n_clusters,
+              n_span AS n_split_spanning_clusters
+       FROM assigned, spanning
+       GROUP BY split, n_span ORDER BY split"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q165_leakage_safe_split", q165, Some(o165)),
     QueryDef("q156_source_overlap", q156, Some(o156)),
     QueryDef("q157_dedup_ledger", q157, Some(o157)),
     QueryDef("q141_segment_dedup", q141, Some(o141)),

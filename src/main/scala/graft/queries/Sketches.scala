@@ -359,7 +359,40 @@ object Sketches {
     FROM cells JOIN rt USING (seg) JOIN ct USING (pri), n
     ORDER BY seg, pri"""
 
+  /** q163: group-wise z-score screen — the parametric sibling of q125's IQR
+    * gate: per language, standardize document length against the group's
+    * mean/stddev and flag |z| > 2. Same scalable shape (one tiny per-group
+    * aggregate broadcast back onto the corpus, no window); the z value
+    * itself is rounded at 4 because mean/std accumulate in engine-specific
+    * order (q85's discipline), and the FLAG compares the raw z so rounding
+    * can't move a document across the gate... the gate threshold comparison
+    * uses the same raw doubles both engines computed from identical group
+    * sums, so the flag is deterministic too.
+    */
+  private def q163(s: SparkSession, d: String): DataFrame = {
+    val stats = documents(s, d).groupBy(col("lang"))
+      .agg(avg(col("n_chars")).as("m"), stddev_samp(col("n_chars")).as("sd"))
+    documents(s, d)
+      .join(broadcast(stats), Seq("lang"))
+      .withColumn("z", (col("n_chars") - col("m")) / col("sd"))
+      .filter(abs(col("z")) > 2)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        round(col("z"), 4).as("z"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val o163 = """
+    WITH stats AS (
+      SELECT lang, avg(n_chars) AS m, stddev_samp(n_chars) AS sd
+      FROM documents GROUP BY lang)
+    SELECT doc_id, d.lang, n_chars,
+           round((n_chars - m) / sd, 4) AS z
+    FROM documents d JOIN stats s ON d.lang = s.lang
+    WHERE abs((n_chars - m) / sd) > 2
+    ORDER BY doc_id"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q163_zscore_screen", q163, Some(o163)),
     QueryDef("q152_spearman_rank", q152, Some(o152)),
     QueryDef("q153_chi2_independence", q153, Some(o153)),
     QueryDef("q149_grouped_topk", q149, Some(o149)),

@@ -894,7 +894,59 @@ object Vec {
        FROM c0 JOIN c1 USING (label) ORDER BY label"""
   }
 
+  /** q164: reciprocal-rank fusion — combine two retrieval rankings (cosine
+    * similarity to two different query vectors, standing in for e.g. a
+    * lexical and a semantic ranker) by RRF: score(d) = Σ 1/(60 + rank_r(d))
+    * over rankers r that retrieved d in their top 20. The fusion step every
+    * hybrid-search stack runs. Each ranker is a TakeOrdered top-20 (no
+    * global sort); the rank window then runs over 20 survivors; the fused
+    * rollup sums ≤ 2 terms per doc (IEEE addition of two terms is
+    * commutative, so partial-merge order cannot change the double).
+    */
+  private def q164(s: SparkSession, d: String): DataFrame = {
+    def ranker(qid: Int): DataFrame = {
+      val e = embeddings(s, d)
+      val q = e.filter(col("vec_id") === qid)
+        .select(toD(col("embedding")).as("qv"),
+          pmod(col("vec_id"), lit(1)).as("jk"))
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy(col("cos_sim").desc, col("vec_id"))
+      e.filter(col("vec_id") > 1)
+        .withColumn("jk", pmod(col("vec_id"), lit(1)))
+        .join(broadcast(q), Seq("jk"))
+        .select(col("vec_id"),
+          cosine(toD(col("embedding")), col("qv")).as("cos_sim"))
+        .orderBy(col("cos_sim").desc, col("vec_id")).limit(20)
+        .withColumn("rnk", row_number().over(w))
+        .select(col("vec_id"), col("rnk"))
+    }
+    ranker(0).unionByName(ranker(1))
+      .groupBy(col("vec_id"))
+      .agg(round(sum(lit(1.0) / (lit(60) + col("rnk"))), 6).as("rrf_score"),
+        count(lit(1)).as("n_rankers"),
+        min(col("rnk")).as("best_rank"))
+      .orderBy(col("rrf_score").desc, col("vec_id"))
+      .limit(10)
+  }
+
+  private def o164: String = {
+    def ranked(qid: Int) =
+      s"""SELECT vec_id, CAST(row_number() OVER (
+            ORDER BY list_cosine_similarity(CAST(embedding AS DOUBLE[]),
+              (SELECT CAST(embedding AS DOUBLE[]) FROM embeddings
+               WHERE vec_id = $qid)) DESC, vec_id) AS INT) AS rnk
+          FROM embeddings WHERE vec_id > 1
+          ORDER BY rnk LIMIT 20"""
+    s"""WITH r0 AS (${ranked(0)}), r1 AS (${ranked(1)}),
+       u AS (SELECT * FROM r0 UNION ALL SELECT * FROM r1)
+       SELECT vec_id, round(sum(1.0 / (60 + rnk)), 6) AS rrf_score,
+              count(*) AS n_rankers, min(rnk) AS best_rank
+       FROM u GROUP BY vec_id
+       ORDER BY rrf_score DESC, vec_id LIMIT 10"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q164_rank_fusion", q164, Some(o164)),
     QueryDef("q159_centroid_drift", q159, Some(o159)),
     QueryDef("q150_matryoshka_audit", q150, Some(o150)),
     QueryDef("q140_ivf_partitioned_store", q140, Some(o140)),
