@@ -981,7 +981,57 @@ object Corpus {
     FROM (SELECT * FROM g UNION ALL SELECT * FROM b)
     ORDER BY strategy"""
 
+  /** q167: temperature-scaled mixture weights — the multilingual/multi-source
+    * sampling formula (w_s ∝ n_s^α, here α = 0.5): raw token-count
+    * proportions get flattened toward uniform so low-resource sources are
+    * up-sampled, and the output reports each source's raw share, its
+    * temperature-scaled sampling weight, and the implied epochs-per-source
+    * (weight/share — how many passes over that source one epoch of the
+    * mixture makes). One aggregation + one single-row broadcast; pow is
+    * per-GROUP (not per-row), and all reported numbers are rounded
+    * aggregates of transcendentals (module rule).
+    */
+  private def q167(s: SparkSession, d: String): DataFrame = {
+    val bySrc = documents(s, d)
+      .groupBy(col("source"))
+      .agg(sum(size(wsCol)).cast("long").as("n_tokens"))
+      .withColumn("scaled", pow(col("n_tokens").cast("double"), 0.5))
+    val tot = bySrc.agg(sum(col("n_tokens")).cast("long").as("tot_tokens"),
+        sum(col("scaled")).as("tot_scaled"))
+      .withColumn("jk", pmod(col("tot_tokens"), lit(1)))
+    bySrc
+      .withColumn("jk", pmod(col("n_tokens"), lit(1)) * lit(0))
+      .join(broadcast(tot), Seq("jk"))
+      .select(col("source"), col("n_tokens"),
+        round(col("n_tokens") / col("tot_tokens").cast("double"), 6)
+          .as("raw_share"),
+        round(col("scaled") / col("tot_scaled"), 6).as("sample_weight"),
+        round((col("scaled") / col("tot_scaled"))
+          / (col("n_tokens") / col("tot_tokens").cast("double")), 4)
+          .as("epochs_per_pass"))
+      .orderBy(col("source"))
+  }
+
+  private val o167 = """
+    WITH s AS (
+      SELECT source,
+             CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source),
+    sc AS (SELECT source, n_tokens,
+                  pow(CAST(n_tokens AS DOUBLE), 0.5) AS scaled FROM s),
+    tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS tot_tokens,
+                   sum(scaled) AS tot_scaled FROM sc)
+    SELECT source, n_tokens,
+           round(n_tokens / CAST(tot_tokens AS DOUBLE), 6) AS raw_share,
+           round(scaled / tot_scaled, 6) AS sample_weight,
+           round((scaled / tot_scaled)
+             / (n_tokens / CAST(tot_tokens AS DOUBLE)), 4)
+             AS epochs_per_pass
+    FROM sc, tot ORDER BY source"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q167_temperature_mix", q167, Some(o167)),
     QueryDef("q161_length_bucketing", q161, Some(o161)),
     QueryDef("q160_corpus_card", q160, Some(o160)),
     QueryDef("q151_vocab_coverage", q151, Some(o151)),

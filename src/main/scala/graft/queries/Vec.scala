@@ -945,7 +945,66 @@ object Vec {
        ORDER BY rrf_score DESC, vec_id LIMIT 10"""
   }
 
+  /** q166: hard-negative mining — for each anchor vector, the top-3 most
+    * similar vectors with a DIFFERENT label: the batch-construction step of
+    * contrastive embedding training (easy negatives teach nothing; the
+    * near-miss wrong-label neighbors carry the gradient). Anchors (a small
+    * probe set) broadcast against the corpus; per-anchor top-3 comes from
+    * the [[graft.functions.GroupedTopK]] heap Aggregator — map-side
+    * partials bound the shuffle at 3 rows per anchor per partition, the
+    * same reason q149 beats a window sort. At 100 TB the corpus side
+    * streams through one scan regardless of anchor count.
+    */
+  private def q166(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = embeddings(s, d)
+    val anchors = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("anchor"), toD(col("embedding")).as("av"),
+        col("label").as("alabel"),
+        pmod(col("vec_id"), lit(1)).cast("int").as("jk"))
+    val scored = e.filter(col("vec_id") >= 5)
+      .withColumn("jk", pmod(col("vec_id"), lit(1)).cast("int"))
+      .join(broadcast(anchors), Seq("jk"))
+      .filter(col("label") =!= col("alabel"))
+      .select(col("anchor"),
+        cosine(toD(col("embedding")), col("av")).as("cs"),
+        col("vec_id"))
+      .as[(Long, Double, Long)]
+    val tk = new graft.functions.GroupedTopK.TopK(3).toColumn
+    scored.groupByKey(_._1)
+      .mapValues(t => graft.functions.GroupedTopK.Entry(t._2, t._3))
+      .agg(tk.name("top"))
+      .toDF("anchor", "top")
+      .select(col("anchor"), posexplode(col("top")))
+      .select(col("anchor"), (col("pos") + 1).cast("int").as("rnk"),
+        col("col.key").as("vec_id"),
+        round(col("col.score"), 6).as("cos_sim"))
+      .orderBy(col("anchor"), col("rnk"))
+  }
+
+  private val o166 = """
+    WITH anchors AS (
+      SELECT vec_id AS anchor, CAST(embedding AS DOUBLE[]) AS av,
+             label AS alabel
+      FROM embeddings WHERE vec_id < 5),
+    scored AS (
+      SELECT a.anchor,
+             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), a.av)
+               AS cs,
+             e.vec_id
+      FROM embeddings e CROSS JOIN anchors a
+      WHERE e.vec_id >= 5 AND e.label <> a.alabel),
+    ranked AS (
+      SELECT anchor, cs, vec_id,
+             row_number() OVER (PARTITION BY anchor
+               ORDER BY cs DESC, vec_id) AS rnk
+      FROM scored)
+    SELECT anchor, CAST(rnk AS INT) AS rnk, vec_id,
+           round(cs, 6) AS cos_sim
+    FROM ranked WHERE rnk <= 3 ORDER BY anchor, rnk"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q166_hard_negatives", q166, Some(o166)),
     QueryDef("q164_rank_fusion", q164, Some(o164)),
     QueryDef("q159_centroid_drift", q159, Some(o159)),
     QueryDef("q150_matryoshka_audit", q150, Some(o150)),
