@@ -591,7 +591,45 @@ object Events {
     FROM events e WHERE e.event_type = 'purchase'
     ORDER BY e.event_id"""
 
+  /** q169: week-over-week growth — aggregate the event stream to a weekly
+    * (event_type, week) series, then lag within each type for the percent
+    * change: the standard KPI-trend query. The window runs over the
+    * AGGREGATED series (weeks × types — tiny at any corpus scale), never
+    * the raw stream; exact integer counts and value sums rounded at 2
+    * before the ratio so the printed growth can't wobble. First week per
+    * type has NULL growth (nothing to compare) — both engines agree on
+    * NULL propagation through the lag.
+    */
+  private def q169(s: SparkSession, d: String): DataFrame = {
+    val weekUs = 7L * 86400 * 1000000
+    val w = Window.partitionBy(col("event_type")).orderBy(col("week"))
+    events(s, d)
+      .groupBy(col("event_type"),
+        expr(s"ts DIV 1000 DIV $weekUs").as("week"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .withColumn("prev_n", lag(col("n_events"), 1).over(w))
+      .select(col("event_type"), col("week"), col("n_events"),
+        col("sum_value"),
+        round((col("n_events") - col("prev_n"))
+          / col("prev_n").cast("double") * 100, 4).as("wow_pct"))
+      .orderBy(col("event_type"), col("week"))
+  }
+
+  private val o169 = """
+    WITH weekly AS (
+      SELECT event_type, epoch_us(ts) // 604800000000 AS week,
+             count(*) AS n_events, round(sum(value), 2) AS sum_value
+      FROM events GROUP BY event_type, week)
+    SELECT event_type, week, n_events, sum_value,
+           round((n_events - lag(n_events) OVER w)
+             / CAST(lag(n_events) OVER w AS DOUBLE) * 100, 4) AS wow_pct
+    FROM weekly
+    WINDOW w AS (PARTITION BY event_type ORDER BY week)
+    ORDER BY event_type, week"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q169_wow_growth", q169, Some(o169)),
     QueryDef("q158_asof_native", q158, Some(o158)),
     QueryDef("q162_asof_tolerance", q162, Some(o162)),
     QueryDef("q147_decay_score", q147, Some(o147)),

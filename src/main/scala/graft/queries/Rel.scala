@@ -620,7 +620,49 @@ object Rel {
     FROM ofp o FULL OUTER JOIN nfp n ON o.k = n.k
     GROUP BY 1 ORDER BY status"""
 
+  /** q168: cascade-deletion audit — the compliance pass (GDPR erasure, ToS
+    * takedowns) that must know, BEFORE deleting, everything a subject-key
+    * purge touches: customers on the deletion list, their orders, those
+    * orders' lineitems, and their events. Each hop is a semi-join down the
+    * foreign-key chain (deletion list → orders → lineitems), so the plan is
+    * the same co-partitioned hash-join ladder the actual delete would run;
+    * per-table counts come back through single-row broadcasts.
+    */
+  private def q168(s: SparkSession, d: String): DataFrame = {
+    val del = customer(s, d).filter(col("c_custkey") % 10 === 7)
+      .select(col("c_custkey"))
+    val delOrders = orders(s, d)
+      .join(del, col("o_custkey") === col("c_custkey"), "left_semi")
+    val delLines = lineitem(s, d)
+      .join(delOrders.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+    val delEvents = events(s, d)
+      .join(del, col("user_id") === col("c_custkey"), "left_semi")
+    def one(df: DataFrame, name: String): DataFrame =
+      df.agg(count(lit(1)).as(name)).withColumn("jk", pmod(col(name), lit(1)))
+    one(del, "n_customers")
+      .join(broadcast(one(delOrders, "n_orders")), Seq("jk"))
+      .join(broadcast(one(delLines, "n_lineitems")), Seq("jk"))
+      .join(broadcast(one(delEvents, "n_events")), Seq("jk"))
+      .select(col("n_customers"), col("n_orders"), col("n_lineitems"),
+        col("n_events"))
+  }
+
+  private val o168 = """
+    WITH del AS (SELECT c_custkey FROM customer WHERE c_custkey % 10 = 7),
+    del_orders AS (SELECT * FROM orders
+                   WHERE o_custkey IN (SELECT c_custkey FROM del)),
+    del_lines AS (SELECT * FROM lineitem
+                  WHERE l_orderkey IN (SELECT o_orderkey FROM del_orders)),
+    del_events AS (SELECT * FROM events
+                   WHERE user_id IN (SELECT c_custkey FROM del))
+    SELECT (SELECT count(*) FROM del) AS n_customers,
+           (SELECT count(*) FROM del_orders) AS n_orders,
+           (SELECT count(*) FROM del_lines) AS n_lineitems,
+           (SELECT count(*) FROM del_events) AS n_events"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q168_cascade_delete_audit", q168, Some(o168)),
     QueryDef("q122_snapshot_diff", q122, Some(o122)),
     QueryDef("q98_upsert_merge", q98, Some(o98)),
     QueryDef("q88_bucketed_join", q88, Some(o88)),
