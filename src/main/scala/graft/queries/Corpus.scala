@@ -1030,7 +1030,39 @@ object Corpus {
              AS epochs_per_pass
     FROM sc, tot ORDER BY source"""
 
+  /** q170: stratified k-fold assignment — cross-validation folds that
+    * preserve each language's proportion: within every lang stratum,
+    * documents take folds round-robin in deterministic md5-rank order
+    * (q105's ranking trick), so every fold holds ⌈n_s/k⌉-or-⌊n_s/k⌋ docs of
+    * each stratum — balance BY CONSTRUCTION, and the output matrix proves
+    * it. The rank window partitions by lang (parallel across strata); at a
+    * corpus where single strata outgrow a partition, the same md5 rank
+    * comes from a distinct-value cumulative join (q152's construction) —
+    * the round-robin and the proof query are unchanged.
+    */
+  private def q170(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    documents(s, d)
+      .select(col("doc_id"), col("lang"))
+      .withColumn("fold", ((row_number().over(w) - 1) % 5).cast("int"))
+      .groupBy(col("lang"), col("fold"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"))
+      .orderBy(col("lang"), col("fold"))
+  }
+
+  private val o170 = """
+    SELECT lang, CAST((rn - 1) % 5 AS INT) AS fold, count(*) AS n_docs,
+           min(doc_id) AS min_doc
+    FROM (SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang
+                   ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+          FROM documents)
+    GROUP BY lang, fold ORDER BY lang, fold"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q170_stratified_kfold", q170, Some(o170)),
     QueryDef("q167_temperature_mix", q167, Some(o167)),
     QueryDef("q161_length_bucketing", q161, Some(o161)),
     QueryDef("q160_corpus_card", q160, Some(o160)),
