@@ -34,4 +34,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // A 334-execution Bench session generates thousands of whole-stage-codegen
+  // classes; the JDK default ReservedCodeCacheSize (240 MB) fills up, the JIT
+  // silently stops compiling, and late-suite queries run interpreted 4-8x
+  // slower (BENCH_r05 q55-q59 vs their isolated times). 512 MB plus code-cache
+  // flushing keeps the JIT alive for the whole session; G1 class unloading
+  // reclaims generated classes whose classloaders die between queries.
+  "-XX:ReservedCodeCacheSize=512m",
+  "-XX:+UseCodeCacheFlushing",
+  "-XX:+ClassUnloadingWithConcurrentMark",
 )

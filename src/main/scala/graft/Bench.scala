@@ -30,9 +30,9 @@ object Bench {
     // optional positional args restrict the run to the named queries (local
     // iteration aid; the driver invokes with no args = full catalog)
     val only = args.toSet
-    val results = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.isEmpty || only(name) }
-      .map { case (name, fn) =>
+    // one measurement = two timed runs of a query, best successful run kept;
+    // shared by the main suite pass and the end-of-suite drift re-check
+    def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
         val ok =
@@ -62,8 +62,13 @@ object Bench {
       // report the best successful run (flagging the mixed outcome), or the
       // -1 sentinel if no attempt succeeded
       val good = times.filter(_ >= 0)
-      val t = if (good.isEmpty) -1.0 else good.min
-      (name, t, good.nonEmpty && good.size < times.size)
+      (if (good.isEmpty) -1.0 else good.min, good.nonEmpty && good.size < times.size)
+    }
+    val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => only.isEmpty || only(name) }
+    val results = catalog.map { case (name, fn) =>
+      val (t, flaky) = measure(name, fn)
+      (name, t, flaky)
     }
     val failed = results.collect { case (k, v, _) if v < 0 => k }
     val flaky = results.collect { case (k, _, true) => k }
@@ -72,11 +77,22 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     def arr(xs: Seq[String]): String =
       xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    // Long-session drift monitor (round-5 VERDICT #1/#7): mid-suite times can
+    // be inflated by session-level JVM degradation (code-cache/GC), not by the
+    // query itself. Re-measure the 5 slowest queries at end of suite and
+    // report insuite-vs-rerun so a per-query delta can be attributed to the
+    // query or to the session before anyone reads it as a regression.
+    val byName = catalog.toMap
+    val drift = results.filter(_._2 >= 0).sortBy(-_._2).take(5).map {
+      case (name, insuite, _) =>
+        val (rerun, _) = measure(name, byName(name))
+        f""""$name":{"insuite":$insuite%.3f,"rerun":$rerun%.3f}"""
+    }.mkString("{", ",", "}")
     // The driver tail-captures stdout, so the per-query detail line (>4 KB at
     // ~100 queries) must come FIRST and the machine-read summary must be the
     // compact LAST line — three rounds of BENCH_r*.json "parsed": null came
     // from a single long line whose front (with "value") fell off the capture.
-    val detail = f"""{"metric":"detail","queries":$qs,"failed":${arr(failed)},"flaky":${arr(flaky)},"sf":"$sfDir"}"""
+    val detail = f"""{"metric":"detail","queries":$qs,"failed":${arr(failed)},"flaky":${arr(flaky)},"drift":$drift,"sf":"$sfDir"}"""
     println(detail)
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "/tmp/graft_bench_detail.json")
     try {

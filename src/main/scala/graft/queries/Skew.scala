@@ -82,10 +82,9 @@ object Skew {
   private def q154(s: SparkSession, d: String): DataFrame = {
     val counts = lineitem(s, d)
       .groupBy(col("l_partkey")).agg(count(lit(1)).as("cnt"))
-    // composite argmax key: larger cnt wins, then SMALLER partkey — encode
-    // partkey inverted so lexicographic max is (cnt DESC, key ASC)
-    val akey = "concat(lpad(cast(cnt as string), 12, '0'), " +
-      "lpad(cast(999999999999 - l_partkey as string), 12, '0'))"
+    // composite argmax key: larger cnt wins, then SMALLER partkey — the
+    // descending component inverts so lexicographic max is (cnt DESC, key ASC)
+    val akey = Keys.key(Keys.asc("cnt", 12), Keys.desc("l_partkey", 12))
     counts.agg(
       count(lit(1)).as("n_keys"),
       sum(col("cnt")).cast("long").as("total_rows"),
@@ -99,7 +98,7 @@ object Skew {
         col("skew_ratio"), col("hottest_key"))
   }
 
-  private val o154 = """
+  private val o154 = s"""
     WITH counts AS (
       SELECT l_partkey, count(*) AS cnt FROM lineitem GROUP BY l_partkey)
     SELECT count(*) AS n_keys,
@@ -108,9 +107,8 @@ object Skew {
            round(avg(cnt), 4) AS avg_cnt,
            round(quantile_cont(cnt, 0.99), 4) AS p99_cnt,
            round(max(cnt) / avg(cnt), 4) AS skew_ratio,
-           arg_max(l_partkey,
-             lpad(CAST(cnt AS VARCHAR), 12, '0') ||
-             lpad(CAST(999999999999 - l_partkey AS VARCHAR), 12, '0'))
+           arg_max(l_partkey, ${Keys.oKey(Keys.oAsc("cnt", 12),
+             Keys.oDesc("l_partkey", 12))})
              AS hottest_key
     FROM counts"""
 

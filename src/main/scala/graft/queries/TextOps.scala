@@ -228,8 +228,7 @@ object TextOps {
     * we train on" step that follows dedup grouping (q34).
     */
   private def q82(s: SparkSession, d: String): DataFrame = {
-    val key = "concat(lpad(cast(n_chars as string), 12, '0'), " +
-      "lpad(cast(1000000000000 - doc_id as string), 13, '0'))"
+    val key = Keys.key(Keys.asc("n_chars", 12), Keys.desc("doc_id", 13))
     documents(s, d)
       .withColumn("fp", md5(regexp_replace(lower(col("text")), "\\s+", " ")))
       .groupBy(col("fp"))
@@ -240,14 +239,14 @@ object TextOps {
       .orderBy(col("keep_id"))
   }
 
-  private val o82 = """
+  private val o82 = s"""
     SELECT fp,
-           arg_max(doc_id, lpad(CAST(n_chars AS VARCHAR), 12, '0')
-             || lpad(CAST(1000000000000 - doc_id AS VARCHAR), 13, '0'))
+           arg_max(doc_id, ${Keys.oKey(Keys.oAsc("n_chars", 12),
+             Keys.oDesc("doc_id", 13))})
              AS keep_id,
            max(n_chars) AS keep_chars, count(*) AS n_variants
     FROM (SELECT doc_id, n_chars,
-            md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+            md5(regexp_replace(lower(text), '\\s+', ' ', 'g')) AS fp
           FROM documents)
     GROUP BY fp ORDER BY keep_id"""
 

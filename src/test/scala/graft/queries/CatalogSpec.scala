@@ -259,6 +259,47 @@ class CatalogSpec extends SparkTestBase {
     }
   }
 
+  test("composite argmax keys are built only through Keys") {
+    // round-5 VERDICT #4: ad-hoc zero-padded composite keys carried silent
+    // width assumptions (doc_id < 1e10). Keys.asc/desc guard the declared
+    // width at runtime; this sweep pins that no query file re-grows its own
+    // `lpad(cast …` key outside that helper.
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Paths.get("src/main/scala/graft")
+    val offenders = Files.walk(root).iterator().asScala
+      .filter(p => p.toString.endsWith(".scala") &&
+        !p.getFileName.toString.equals("Keys.scala"))
+      .filter { p =>
+        val src = new String(Files.readAllBytes(p), "UTF-8").toLowerCase
+        src.contains("lpad(cast")
+      }
+      .map(_.toString).toSeq
+    assert(offenders.isEmpty,
+      s"ad-hoc lpad composite keys (use graft.queries.Keys): $offenders")
+  }
+
+  test("q142's corpus-wide span aggregate is keyed on xxhash64, not raw text") {
+    // round-5 VERDICT #3: the 30x-amplified shuffle must exchange 8-byte
+    // hash keys; raw span text may only appear in the post-filter recount.
+    // The first (upstream-most) aggregate over the exploded spans must
+    // therefore group on an xxhash64 key.
+    import org.apache.spark.sql.catalyst.expressions.{AttributeReference, XxHash64}
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    val plan = SparkEntry.queries("q142_dup_spans")(spark, sf())
+      .queryExecution.optimizedPlan
+    // the hash key survives optimization as an attribute named "h" computed
+    // by an XxHash64 expression somewhere below the aggregate
+    assert(plan.exists(_.expressions.exists(_.exists(_.isInstanceOf[XxHash64]))),
+      s"no xxhash64 anywhere in q142's plan:\n$plan")
+    val hashKeyedAgg = plan.collect { case a: Aggregate => a }.exists(
+      _.groupingExpressions.forall {
+        case ar: AttributeReference => ar.name == "h"
+        case _ => false
+      })
+    assert(hashKeyedAgg, s"pass-1 span aggregate not keyed on the hash:\n$plan")
+  }
+
   test("exact dedup keeps one row per distinct text") {
     val df = SparkEntry.queries("q35_exact_dedup")(spark, sf())
     val total = df.count()

@@ -39,6 +39,28 @@ class DedupSpec extends SparkTestBase {
       s"prefix filter diverged from brute force:\n got=$got\n want=$brute")
   }
 
+  test("q141's first-occurrence key survives documents with >= 1000 segments") {
+    // round-5 VERDICT #2: the old arithmetic key (doc_id*1000 + seg_idx)
+    // collided across documents once seg_idx reached 1000. Build a 1002-
+    // segment document whose LAST segment also opens a later document: the
+    // true first occurrence is (doc 1, seg 1001); the broken key ranked
+    // (doc 2, seg 0) = 2000 below (doc 1, seg 1001) = 2001 and kept the
+    // wrong copy. The struct key must keep all of doc 1 and dedup doc 2.
+    import spark.implicits._
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val doc1 = ((1 to 10010).map(i => s"a$i").mkString(" ")) + " " + shared
+    val doc2 = shared + " " + (1 to 10).map(i => s"b$i").mkString(" ")
+    val dir = java.nio.file.Files.createTempDirectory("graft_q141").toString
+    Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q141_segment_dedup")(spark, dir)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(got(1L) == (1002L, 1002L),
+      s"doc 1 (1002 segments, all first occurrences) must keep everything: $got")
+    assert(got(2L) == (2L, 1L),
+      s"doc 2's copy of the shared segment must be dropped: $got")
+  }
+
   test("neither q120 filter can drop a qualifying pair (pigeonhole + length)") {
     // the completeness argument, checked over EVERY brute-force pair >= tau
     // (28 at sf0.001, more than the query's top-15 output shows): the two
