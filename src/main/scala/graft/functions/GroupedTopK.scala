@@ -28,8 +28,15 @@ object GroupedTopK {
   /** Buffer: entries sorted by (score DESC, key ASC), size <= k. */
   final case class Buf(entries: Seq[Entry])
 
-  private def beats(a: Entry, b: Entry): Boolean =
-    a.score > b.score || (a.score == b.score && a.key < b.key)
+  // java.lang.Double.compare, not >/==: primitive comparisons make NaN
+  // neither beat nor lose, which breaks the sorted-buffer invariant and the
+  // claimed total order (round-5 ADVICE — a zero-norm embedding feeding a
+  // cosine score is enough to produce one). Double.compare totally orders
+  // NaN above +Infinity, so NaN-scored entries rank first, deterministically.
+  private def beats(a: Entry, b: Entry): Boolean = {
+    val c = java.lang.Double.compare(a.score, b.score)
+    c > 0 || (c == 0 && a.key < b.key)
+  }
 
   final class TopK(k: Int) extends Aggregator[Entry, Buf, Seq[Entry]] {
     require(k >= 1, s"k must be >= 1, got $k")

@@ -39,12 +39,32 @@ final class BertEncoder(model: NerModel) {
   private val nInter = hp.nIntermediate
   private val nLabels = hp.nLabels
 
+  /** HF row-major `[out, in]` -> `[in, out]` for the broadcast-FMA matmul
+    * kernel ([[DotKernel.matmulT]]): column access becomes unit-stride, so
+    * the linear layers run with zero horizontal reductions. Transposition
+    * happens once per loaded model; the original orientation is not kept.
+    */
+  private def transposed(w: Array[Float], out: Int, in: Int): Array[Float] = {
+    if (w.length != out * in) return new Array[Float](out * in)
+    val wt = new Array[Float](w.length)
+    var o = 0
+    while (o < out) {
+      var i = 0
+      while (i < in) { wt(i * out + o) = w(o * in + i); i += 1 }
+      o += 1
+    }
+    wt
+  }
+
+  private def reqT(name: String, out: Int, in: Int): Array[Float] =
+    transposed(req(name, out.toLong * in), out, in)
+
   private val wordEmb = req("embeddings.word_embeddings.weight", hp.nVocab.toLong * nEmbd)
   private val typeEmb = req("embeddings.token_type_embeddings.weight", 2L * nEmbd)
   private val posEmb = req("embeddings.position_embeddings.weight", hp.nMaxTokens.toLong * nEmbd)
   private val lnEw = req("embeddings.LayerNorm.weight", nEmbd)
   private val lnEb = req("embeddings.LayerNorm.bias", nEmbd)
-  private val clsW = req("classifier.weight", nLabels.toLong * nEmbd)
+  private val clsW = reqT("classifier.weight", nLabels, nEmbd)
   private val clsB = req("classifier.bias", nLabels)
 
   // plain class, not case class: it's a weight holder — the synthesized
@@ -64,41 +84,37 @@ final class BertEncoder(model: NerModel) {
   private val layers: Array[Layer] = Array.tabulate(hp.nLayer) { i =>
     val b = s"encoder.layer.$i."
     new Layer(
-      qw = req(b + "attention.self.query.weight", nEmbd.toLong * nEmbd),
+      qw = reqT(b + "attention.self.query.weight", nEmbd, nEmbd),
       qb = req(b + "attention.self.query.bias", nEmbd),
-      kw = req(b + "attention.self.key.weight", nEmbd.toLong * nEmbd),
+      kw = reqT(b + "attention.self.key.weight", nEmbd, nEmbd),
       kb = req(b + "attention.self.key.bias", nEmbd),
-      vw = req(b + "attention.self.value.weight", nEmbd.toLong * nEmbd),
+      vw = reqT(b + "attention.self.value.weight", nEmbd, nEmbd),
       vb = req(b + "attention.self.value.bias", nEmbd),
-      ow = req(b + "attention.output.dense.weight", nEmbd.toLong * nEmbd),
+      ow = reqT(b + "attention.output.dense.weight", nEmbd, nEmbd),
       ob = req(b + "attention.output.dense.bias", nEmbd),
       lnAw = req(b + "attention.output.LayerNorm.weight", nEmbd),
       lnAb = req(b + "attention.output.LayerNorm.bias", nEmbd),
-      fiW = req(b + "intermediate.dense.weight", nInter.toLong * nEmbd),
+      fiW = reqT(b + "intermediate.dense.weight", nInter, nEmbd),
       fiB = req(b + "intermediate.dense.bias", nInter),
-      foW = req(b + "output.dense.weight", nEmbd.toLong * nInter),
+      foW = reqT(b + "output.dense.weight", nEmbd, nInter),
       foB = req(b + "output.dense.bias", nEmbd),
       lnOw = req(b + "output.LayerNorm.weight", nEmbd),
       lnOb = req(b + "output.LayerNorm.bias", nEmbd)
     )
   }
 
-  /** y[n x out] = x[n x in] * W^T[out x in] + b, into a caller-provided
-    * buffer. The dot goes through [[Kernels.best]] — Vector-API SIMD when
-    * available, 4-way-unrolled f32 scalar otherwise (either way f32
-    * accumulation, like ggml's `ggml_vec_dot_f32`).
+  /** y[n x out] = x[n x in] * W^T + b, into a caller-provided buffer. `w`
+    * is the TRANSPOSED `[in, out]` layout built by [[reqT]]; each row goes
+    * through [[DotKernel.matmulT]] — broadcast-FMA over unit-stride weight
+    * lanes, no horizontal reductions (f32 fused accumulation either way,
+    * like ggml's `ggml_vec_dot_f32`).
     */
   private def linear(x: Array[Float], n: Int, in: Int, out: Int,
       w: Array[Float], b: Array[Float], y: Array[Float]): Array[Float] = {
     val kern = Kernels.best
     var r = 0
     while (r < n) {
-      val xo = r * in
-      var o = 0
-      while (o < out) {
-        y(r * out + o) = kern.dot(x, xo, w, o * in, in) + b(o)
-        o += 1
-      }
+      kern.matmulT(x, r * in, in, w, 0, out, out, b, y, r * out)
       r += 1
     }
     y
@@ -129,67 +145,91 @@ final class BertEncoder(model: NerModel) {
     }
   }
 
-  /** ggml_gelu: tanh approximation, computed in sigmoid form —
-    * 0.5x(1+tanh(y)) == x * sigma(2y) — so it costs one `exp` instead of a
-    * `tanh` (~2x cheaper on the JVM, same function up to fp rounding).
-    */
-  @inline private def gelu(x: Float): Float = {
-    val y2 = 2.0 * 0.7978845608028654 * (x + 0.044715 * x * x * x)
-    (x / (1.0 + math.exp(-y2))).toFloat
-  }
-
-  /** Per-thread scratch, sized once for nMaxTokens and reused across rows —
-    * the reference's per-chunk buffer reuse (`ner_extension.cpp:92-95`)
-    * adapted to shared-encoder / many-task execution (ThreadLocal because
-    * one Loaded encoder is shared by every task in the executor JVM).
+  /** Per-thread scratch, sized for a token-count capacity and grown on
+    * demand (power-of-two) — the reference's per-chunk buffer reuse
+    * (`ner_extension.cpp:92-95`) adapted to shared-encoder / many-task
+    * execution (ThreadLocal because one Loaded encoder is shared by every
+    * task in the executor JVM). Starts at one document (nMaxTokens) and
+    * grows to the batch budget the first time [[evalBatch]] sees one.
     *
     * Retention note (round-2 ADVICE): each pooled executor thread holds one
-    * Scratch per live encoder (~16 MB/thread at real BERT-base dims), and a
-    * replaced encoder's scratch lingers until the encoder itself is GC'd
-    * (the ThreadLocal is a field of this encoder, so it is unreachable as
-    * soon as the encoder is). Acceptable for the bert-tiny-class models
-    * this engine targets; a future large-model path should bucket scratch
-    * by actual token count instead of nMaxTokens.
+    * Scratch per live encoder, and a replaced encoder's scratch lingers
+    * until the encoder itself is GC'd (the ThreadLocal is a field of this
+    * encoder, so it is unreachable as soon as the encoder is).
     */
   private final class Scratch {
-    val h = new Array[Float](hp.nMaxTokens * nEmbd)
-    val q = new Array[Float](hp.nMaxTokens * nEmbd)
-    val k = new Array[Float](hp.nMaxTokens * nEmbd)
-    val v = new Array[Float](hp.nMaxTokens * nEmbd)
-    val att = new Array[Float](hp.nMaxTokens * nEmbd)
-    val t1 = new Array[Float](hp.nMaxTokens * nEmbd)
-    val inter = new Array[Float](hp.nMaxTokens * nInter)
-    val scores = new Array[Double](hp.nMaxTokens)
-    val probs = new Array[Float](hp.nMaxTokens)
+    var cap = 0
+    var h, q, k, v, kt, vt, att, t1, inter: Array[Float] = null
+    // per-segment attention rows never exceed one document's token cap
+    val scoresF = new Array[Float](hp.nMaxTokens)
+    // all-zero bias row for the score matmul (read-only)
+    val zeros = new Array[Float](hp.nMaxTokens)
+    def ensure(nTokens: Int): Unit = if (nTokens > cap) {
+      cap = Integer.highestOneBit(math.max(nTokens, hp.nMaxTokens) * 2 - 1)
+      h = new Array[Float](cap * nEmbd)
+      q = new Array[Float](cap * nEmbd)
+      k = new Array[Float](cap * nEmbd)
+      v = new Array[Float](cap * nEmbd)
+      kt = new Array[Float](cap * nEmbd)
+      vt = new Array[Float](cap * nEmbd)
+      att = new Array[Float](cap * nEmbd)
+      t1 = new Array[Float](cap * nEmbd)
+      inter = new Array[Float](cap * nInter)
+    }
   }
 
   private val scratch: ThreadLocal[Scratch] =
     ThreadLocal.withInitial(() => new Scratch)
 
-  /** Run the encoder; returns logits flattened token-major: logit(t, l) =
-    * result(t * nLabels + l), same layout the reference memcpy's out
-    * (`src/ner_model.cpp:423`).
+  /** Run the encoder on one document; returns logits flattened token-major:
+    * logit(t, l) = result(t * nLabels + l), same layout the reference
+    * memcpy's out (`src/ner_model.cpp:423`).
     */
-  def eval(tokens: Array[Int]): Array[Float] = {
-    val n = tokens.length
+  def eval(tokens: Array[Int]): Array[Float] = evalBatch(Array(tokens))(0)
+
+  /** Batched forward pass over a partition's worth of documents: all rows
+    * are packed into ONE [sumTokens x nEmbd] activation matrix, so every
+    * linear (QKV, attention out, both FFN matmuls, classifier) streams each
+    * weight panel through cache once per BATCH instead of once per document
+    * — the reference's per-chunk buffer reuse (`ner_extension.cpp:92-95`)
+    * taken to its batched conclusion. Self-attention is block-diagonal: the
+    * score/softmax/AV loops run per document segment, so results are
+    * bit-identical to per-document [[eval]] (no cross-document attention,
+    * no padding — ragged rows are simply concatenated).
+    */
+  def evalBatch(docs: Array[Array[Int]]): Array[Array[Float]] = {
+    val nDocs = docs.length
+    if (nDocs == 0) return Array.empty
+    val offs = new Array[Int](nDocs + 1)
+    var di = 0
+    while (di < nDocs) { offs(di + 1) = offs(di) + docs(di).length; di += 1 }
+    val n = offs(nDocs)
     val s = scratch.get()
+    s.ensure(n)
     val h = s.h
-    var t = 0
-    while (t < n) {
-      val tok = if (tokens(t) >= 0 && tokens(t) < hp.nVocab) tokens(t) else 0
-      val wOff = tok * nEmbd
-      val pOff = math.min(t, hp.nMaxTokens - 1) * nEmbd
-      val hOff = t * nEmbd
-      var i = 0
-      while (i < nEmbd) {
-        h(hOff + i) = wordEmb(wOff + i) + typeEmb(i) + posEmb(pOff + i)
-        i += 1
+    di = 0
+    while (di < nDocs) {
+      val tokens = docs(di)
+      val base = offs(di)
+      var t = 0
+      while (t < tokens.length) {
+        val tok = if (tokens(t) >= 0 && tokens(t) < hp.nVocab) tokens(t) else 0
+        val wOff = tok * nEmbd
+        // position embedding indexes within the DOCUMENT, not the batch
+        val pOff = math.min(t, hp.nMaxTokens - 1) * nEmbd
+        val hOff = (base + t) * nEmbd
+        var i = 0
+        while (i < nEmbd) {
+          h(hOff + i) = wordEmb(wOff + i) + typeEmb(i) + posEmb(pOff + i)
+          i += 1
+        }
+        t += 1
       }
-      t += 1
+      di += 1
     }
     layerNorm(h, n, nEmbd, lnEw, lnEb)
 
-    val scale = 1.0 / math.sqrt(dHead.toDouble)
+    val scale = (1.0 / math.sqrt(dHead.toDouble)).toFloat
     var li = 0
     while (li < layers.length) {
       val L = layers(li)
@@ -198,41 +238,55 @@ final class BertEncoder(model: NerModel) {
       val v = linear(h, n, nEmbd, nEmbd, L.vw, L.vb, s.v)
 
       val att = s.att
-      val scores = s.scores
-      val probs = s.probs
+      val scoresF = s.scoresF
       val kern = Kernels.best
-      var head = 0
-      while (head < nHead) {
-        val hOff = head * dHead
-        var qi = 0
-        while (qi < n) {
-          val qo = qi * nEmbd + hOff
-          var kj = 0
-          var maxS = Double.NegativeInfinity
-          while (kj < n) {
-            val sc = kern.dot(q, qo, k, kj * nEmbd + hOff, dHead) * scale
-            scores(kj) = sc
-            if (sc > maxS) maxS = sc
-            kj += 1
-          }
-          // softmax in double for stability, weights to float for the AV pass
-          var sum = 0.0
-          kj = 0
-          while (kj < n) { val e = math.exp(scores(kj) - maxS); scores(kj) = e; sum += e; kj += 1 }
-          val inv = (1.0 / sum).toFloat
-          kj = 0
-          while (kj < n) { probs(kj) = scores(kj).toFloat * inv; kj += 1 }
-          // AV as saxpy over the head slice (unit stride, vectorizable)
-          var d = 0
-          while (d < dHead) { att(qo + d) = 0f; d += 1 }
-          kj = 0
-          while (kj < n) {
-            kern.axpy(probs(kj), v, kj * nEmbd + hOff, att, qo, dHead)
-            kj += 1
-          }
-          qi += 1
+      // repack K and V token-major -> embd-major ([embd][token]): the score
+      // pass then reads one head's K block as an [dHead x n] unit-stride
+      // panel (a matmulT with ldw = n — broadcast-FMA, no reductions) and
+      // the AV pass reads one V lane as a contiguous n-row dot. The
+      // transpose is O(n*embd) — noise against the O(n^2*dHead) attention
+      // math it de-strides.
+      val kt = s.kt
+      val vt = s.vt
+      var tt = 0
+      while (tt < n) {
+        val ko = tt * nEmbd
+        var e = 0
+        while (e < nEmbd) {
+          kt(e * n + tt) = k(ko + e)
+          vt(e * n + tt) = v(ko + e)
+          e += 1
         }
-        head += 1
+        tt += 1
+      }
+      di = 0
+      while (di < nDocs) {
+        val base = offs(di)
+        val segN = offs(di + 1) - base
+        var head = 0
+        while (head < nHead) {
+          val hOff = head * dHead
+          var qi = 0
+          while (qi < segN) {
+            val qo = (base + qi) * nEmbd + hOff
+            // scores[t] = q_row . k_row_t as ONE matmulT over the head's
+            // transposed K panel; then scale+softmax in f32 through the
+            // vector-math kernel (ggml_soft_max semantics)
+            kern.matmulT(q, qo, dHead, kt, hOff * n + base, n, segN,
+              s.zeros, scoresF, 0)
+            kern.softmaxScale(scoresF, segN, scale)
+            // AV: one contiguous segN-length dot per head lane over V^T
+            var d = 0
+            while (d < dHead) {
+              att(qo + d) = kern.dot(scoresF, 0, vt, (hOff + d) * n + base,
+                segN)
+              d += 1
+            }
+            qi += 1
+          }
+          head += 1
+        }
+        di += 1
       }
 
       val attOut = linear(att, n, nEmbd, nEmbd, L.ow, L.ob, s.t1)
@@ -242,9 +296,7 @@ final class BertEncoder(model: NerModel) {
       layerNorm(attOut, n, nEmbd, L.lnAw, L.lnAb)
 
       val inter = linear(attOut, n, nEmbd, nInter, L.fiW, L.fiB, s.inter)
-      i = 0
-      val ni = n * nInter
-      while (i < ni) { inter(i) = gelu(inter(i)); i += 1 }
+      kern.gelu(inter, n * nInter)
       // FFN output overwrites h (not read again this layer), then residual
       val ffOut = linear(inter, n, nInter, nEmbd, L.foW, L.foB, h)
       i = 0
@@ -254,6 +306,11 @@ final class BertEncoder(model: NerModel) {
       li += 1
     }
 
-    linear(h, n, nEmbd, nLabels, clsW, clsB, new Array[Float](n * nLabels))
+    val logits = linear(h, n, nEmbd, nLabels, clsW, clsB,
+      new Array[Float](n * nLabels))
+    Array.tabulate(nDocs) { d =>
+      java.util.Arrays.copyOfRange(logits, offs(d) * nLabels,
+        offs(d + 1) * nLabels)
+    }
   }
 }

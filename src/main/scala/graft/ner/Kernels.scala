@@ -7,15 +7,94 @@ package graft.ner
   * forked runs); otherwise the 4-way-unrolled scalar versions. Chosen once
   * at class-init so the JIT devirtualizes the call sites.
   */
-private[ner] trait DotKernel {
+private[graft] trait DotKernel {
   /** sum_i x(xo+i) * w(wo+i) */
   def dot(x: Array[Float], xo: Int, w: Array[Float], wo: Int, len: Int): Float
   /** y(yo+i) += a * v(vo+i) */
   def axpy(a: Float, v: Array[Float], vo: Int, y: Array[Float], yo: Int,
       len: Int): Unit
+  /** One activation row through a TRANSPOSED-weight linear:
+    * y(yo+o) = b(o) + sum_i x(xo+i) * wt(wo + i*ldw + o)  for o in [0, out)
+    * — `ldw` is the leading dimension of the [in x ldw] transposed panel,
+    * `wo` the panel offset (so attention can address one head's K block
+    * inside a full [embd x tokens] transpose).
+    *
+    * The transposed layout turns the row-major dot (one horizontal
+    * `reduceLanes` per OUTPUT — the dominant overhead at 64-wide layers)
+    * into broadcast-FMA accumulation with no reduction at all. Every
+    * implementation MUST accumulate each output element in ascending-i
+    * order (one fused multiply-add per i), so scalar and SIMD paths are
+    * bit-identical — a stronger property than [[dot]], whose lane-wise
+    * reduce differs from the scalar order.
+    */
+  def matmulT(x: Array[Float], xo: Int, in: Int, wt: Array[Float], wo: Int,
+      ldw: Int, out: Int, b: Array[Float], y: Array[Float], yo: Int): Unit
+  /** In-place ggml_gelu (tanh approximation in sigmoid form) over
+    * x[0, len), computed in f32 like ggml's `ggml_gelu_f32` — the SIMD
+    * variant routes exp through the JDK's vector math intrinsics (jsvml),
+    * which is where two thirds of the encoder's scalar time went. Per-lane
+    * exp may differ from Math.exp in last ulps across kernels; like the
+    * cross-engine rule, only rounded aggregates of logits are comparable.
+    */
+  def gelu(x: Array[Float], len: Int): Unit
+  /** In-place softmax of (x * scale) over x[0, len) in f32 (max-subtracted,
+    * like `ggml_soft_max`): x := exp(x*scale - max) / sum. */
+  def softmaxScale(x: Array[Float], len: Int, scale: Float): Unit
 }
 
-private[ner] object ScalarKernel extends DotKernel {
+/** Deterministic f32 exp, Cephes-style (range reduction by log2(e),
+  * degree-5 polynomial, exponent reassembly from integer bits). Exists
+  * because `VectorOperators.EXP` is NOT reproducible: its interpreted Java
+  * fallback (Math.exp per lane) and its jsvml-intrinsified compiled form
+  * differ in last ulps, so results changed depending on when C2 compiled
+  * the loop (caught by BertEncoderBatchSpec's bit-identity check). This
+  * polynomial uses only IEEE-exact ops (fma/mul/add/floor/int bit moves),
+  * evaluated in the same per-element order by the scalar and SIMD kernels
+  * — bit-identical across kernels, JIT states, and machines. Accuracy is
+  * ~1 ulp over the clamped domain, the expf class ggml itself uses.
+  */
+private[graft] object ExpF {
+  val MinX = -87.33654f // exp underflows float below this
+  val MaxX = 88.72283f // exp overflows float above this
+  val Log2e = 1.44269504088896341f
+  // ln(2) split high/low so r = x - n*ln2 stays exact at f32
+  val C1 = 0.693359375f
+  val C2 = -2.12194440e-4f
+  val P0 = 1.9875691500e-4f
+  val P1 = 1.3981999507e-3f
+  val P2 = 8.3334519073e-3f
+  val P3 = 4.1665795894e-2f
+  val P4 = 1.6666665459e-1f
+  val P5 = 5.0000001201e-1f
+
+  /** 1.5 * 2^23: adding then subtracting it rounds a float in (-2^22, 2^22)
+    * to nearest-even, and the integer lands in the low mantissa bits of the
+    * intermediate — so the exponent reassembly needs NO float<->int value
+    * conversion, only bit views (the Vector API's convert() lowered to slow
+    * per-lane fallbacks; reinterpretation is free).
+    */
+  val Magic = 12582912f
+  val MagicBits = java.lang.Float.floatToRawIntBits(Magic)
+
+  def expf(x0: Float): Float = {
+    val x = math.max(MinX, math.min(MaxX, x0))
+    val u = x * Log2e + Magic
+    val nf = u - Magic
+    val ni = java.lang.Float.floatToRawIntBits(u) - MagicBits
+    var r = Math.fma(nf, -C1, x)
+    r = Math.fma(nf, -C2, r)
+    var y = P0
+    y = Math.fma(y, r, P1)
+    y = Math.fma(y, r, P2)
+    y = Math.fma(y, r, P3)
+    y = Math.fma(y, r, P4)
+    y = Math.fma(y, r, P5)
+    val z = Math.fma(y, r * r, r) + 1f
+    z * java.lang.Float.intBitsToFloat((ni + 127) << 23)
+  }
+}
+
+private[graft] object ScalarKernel extends DotKernel {
   // Math.fma matches the SIMD path's fused rounding (round-2 ADVICE: mixed
   // fused/unfused kernels gave environment-dependent last-ulp logits).
   // Accumulation *order* still differs from the lane-wise SIMD reduce — only
@@ -41,9 +120,55 @@ private[ner] object ScalarKernel extends DotKernel {
     var i = 0
     while (i < len) { y(yo + i) = Math.fma(a, v(vo + i), y(yo + i)); i += 1 }
   }
+
+  override def matmulT(x: Array[Float], xo: Int, in: Int, wt: Array[Float],
+      wo: Int, ldw: Int, out: Int, b: Array[Float], y: Array[Float],
+      yo: Int): Unit = {
+    // per-output ascending-i fma chain — the exact order the SIMD tile path
+    // produces lane-wise, so the two kernels agree bitwise
+    var o = 0
+    while (o < out) {
+      var acc = b(o)
+      var i = 0
+      while (i < in) {
+        acc = Math.fma(x(xo + i), wt(wo + i * ldw + o), acc); i += 1
+      }
+      y(yo + o) = acc
+      o += 1
+    }
+  }
+
+  override def gelu(x: Array[Float], len: Int): Unit = {
+    val c = (2.0 * 0.7978845608028654).toFloat
+    var i = 0
+    while (i < len) {
+      val v = x(i)
+      // same op sequence as the SIMD lanes: v3 = (v*v)*v, fused v3*g + v
+      val y2 = c * Math.fma(v * v * v, 0.044715f, v)
+      x(i) = v / (1f + ExpF.expf(-y2))
+      i += 1
+    }
+  }
+
+  override def softmaxScale(x: Array[Float], len: Int, scale: Float): Unit = {
+    var m = Float.NegativeInfinity
+    var i = 0
+    while (i < len) {
+      val v = x(i) * scale; x(i) = v; if (v > m) m = v; i += 1
+    }
+    var sum = 0f
+    i = 0
+    while (i < len) {
+      val e = ExpF.expf(x(i) - m); x(i) = e; sum += e
+      i += 1
+    }
+    val inv = 1f / sum
+    i = 0
+    while (i < len) { x(i) *= inv; i += 1 }
+  }
 }
 
-private[ner] object SimdKernel extends DotKernel {
+private[graft] object SimdKernel extends DotKernel {
   import jdk.incubator.vector.{FloatVector, VectorOperators}
   private val sp = FloatVector.SPECIES_PREFERRED
 
@@ -75,9 +200,156 @@ private[ner] object SimdKernel extends DotKernel {
     }
     while (i < len) { y(yo + i) += a * v(vo + i); i += 1 }
   }
+
+  override def matmulT(x: Array[Float], xo: Int, in: Int, wt: Array[Float],
+      wo: Int, ldw: Int, out: Int, b: Array[Float], y: Array[Float],
+      yo: Int): Unit = {
+    val vl = sp.length
+    var o = 0
+    // 4-vector output tile: the whole tile lives in registers across the i
+    // loop (one broadcast of x(i) feeds 4 FMAs on consecutive wt lanes), so
+    // nothing is re-loaded or reduced; each y element accumulates in
+    // ascending-i order, matching the scalar kernel bit-for-bit
+    while (o + 4 * vl <= out) {
+      var a0 = FloatVector.fromArray(sp, b, o)
+      var a1 = FloatVector.fromArray(sp, b, o + vl)
+      var a2 = FloatVector.fromArray(sp, b, o + 2 * vl)
+      var a3 = FloatVector.fromArray(sp, b, o + 3 * vl)
+      var i = 0
+      while (i < in) {
+        val xv = FloatVector.broadcast(sp, x(xo + i))
+        val w0 = wo + i * ldw + o
+        a0 = FloatVector.fromArray(sp, wt, w0).fma(xv, a0)
+        a1 = FloatVector.fromArray(sp, wt, w0 + vl).fma(xv, a1)
+        a2 = FloatVector.fromArray(sp, wt, w0 + 2 * vl).fma(xv, a2)
+        a3 = FloatVector.fromArray(sp, wt, w0 + 3 * vl).fma(xv, a3)
+        i += 1
+      }
+      a0.intoArray(y, yo + o)
+      a1.intoArray(y, yo + o + vl)
+      a2.intoArray(y, yo + o + 2 * vl)
+      a3.intoArray(y, yo + o + 3 * vl)
+      o += 4 * vl
+    }
+    while (o + vl <= out) {
+      var a0 = FloatVector.fromArray(sp, b, o)
+      var i = 0
+      while (i < in) {
+        a0 = FloatVector.fromArray(sp, wt, wo + i * ldw + o)
+          .fma(FloatVector.broadcast(sp, x(xo + i)), a0)
+        i += 1
+      }
+      a0.intoArray(y, yo + o)
+      o += vl
+    }
+    // scalar tail (out not a lane multiple): same ascending-i fma chain
+    while (o < out) {
+      var acc = b(o)
+      var i = 0
+      while (i < in) {
+        acc = Math.fma(x(xo + i), wt(wo + i * ldw + o), acc); i += 1
+      }
+      y(yo + o) = acc
+      o += 1
+    }
+  }
+
+  // vectorized ExpF.expf: the same fma/floor/bit-reassembly sequence per
+  // lane, so every element matches the scalar kernel bit-for-bit no matter
+  // how it was batched into vectors (and no matter what the JIT did)
+  private val vMinX = FloatVector.broadcast(sp, ExpF.MinX)
+  private val vMaxX = FloatVector.broadcast(sp, ExpF.MaxX)
+  private val vLog2e = FloatVector.broadcast(sp, ExpF.Log2e)
+  private val vHalf = FloatVector.broadcast(sp, 0.5f)
+  private val vNC1 = FloatVector.broadcast(sp, -ExpF.C1)
+  private val vNC2 = FloatVector.broadcast(sp, -ExpF.C2)
+  private val vMagic = FloatVector.broadcast(sp, ExpF.Magic)
+  private val vMagicBits = jdk.incubator.vector.IntVector.broadcast(
+    jdk.incubator.vector.IntVector.SPECIES_PREFERRED, ExpF.MagicBits)
+  private val vP0 = FloatVector.broadcast(sp, ExpF.P0)
+  private val vP1 = FloatVector.broadcast(sp, ExpF.P1)
+  private val vP2 = FloatVector.broadcast(sp, ExpF.P2)
+  private val vP3 = FloatVector.broadcast(sp, ExpF.P3)
+  private val vP4 = FloatVector.broadcast(sp, ExpF.P4)
+  private val vP5 = FloatVector.broadcast(sp, ExpF.P5)
+  private val vOne = FloatVector.broadcast(sp, 1f)
+
+  private def vexp(x0: FloatVector): FloatVector = {
+    val x = x0.max(vMinX).min(vMaxX)
+    // magic-number round-to-nearest: u's low mantissa bits ARE the integer
+    // n, so the 2^n reassembly is all bit views — no per-lane converts
+    val u = x.mul(vLog2e).add(vMagic)
+    val nf = u.sub(vMagic)
+    var r = nf.fma(vNC1, x)
+    r = nf.fma(vNC2, r)
+    var y = vP0
+    y = y.fma(r, vP1)
+    y = y.fma(r, vP2)
+    y = y.fma(r, vP3)
+    y = y.fma(r, vP4)
+    y = y.fma(r, vP5)
+    val z = y.fma(r.mul(r), r).add(vOne)
+    val pow2 = u.reinterpretAsInts().sub(vMagicBits).add(127)
+      .lanewise(VectorOperators.LSHL, 23)
+      .viewAsFloatingLanes().asInstanceOf[FloatVector]
+    z.mul(pow2)
+  }
+
+  override def gelu(x: Array[Float], len: Int): Unit = {
+    val c = (2.0 * 0.7978845608028654).toFloat
+    val cv = FloatVector.broadcast(sp, c)
+    val gv = FloatVector.broadcast(sp, 0.044715f)
+    val upper = sp.loopBound(len)
+    var i = 0
+    while (i < upper) {
+      val v = FloatVector.fromArray(sp, x, i)
+      val y2 = v.mul(v).mul(v).fma(gv, v).mul(cv)
+      val e = vexp(y2.neg())
+      v.div(e.add(vOne)).intoArray(x, i)
+      i += sp.length
+    }
+    while (i < len) {
+      val v = x(i)
+      val y2 = c * Math.fma(v * v * v, 0.044715f, v)
+      x(i) = v / (1f + ExpF.expf(-y2))
+      i += 1
+    }
+  }
+
+  override def softmaxScale(x: Array[Float], len: Int, scale: Float): Unit = {
+    // max and sum are computed SCALAR-ORDER (ascending i) even though the
+    // exp itself is vectorized: a lane-wise reduce would order-shift the
+    // f32 sum and break scalar/SIMD bit-identity. max is order-free, but
+    // the sum is not; len is a document's token count, so the scalar sum
+    // loop is noise next to the exp work it follows.
+    var m = Float.NegativeInfinity
+    var i = 0
+    while (i < len) {
+      val v = x(i) * scale; x(i) = v; if (v > m) m = v; i += 1
+    }
+    val mb = FloatVector.broadcast(sp, m)
+    val upper = sp.loopBound(len)
+    i = 0
+    while (i < upper) {
+      vexp(FloatVector.fromArray(sp, x, i).sub(mb)).intoArray(x, i)
+      i += sp.length
+    }
+    while (i < len) { x(i) = ExpF.expf(x(i) - m); i += 1 }
+    var sum = 0f
+    i = 0
+    while (i < len) { sum += x(i); i += 1 }
+    val inv = 1f / sum
+    val iv = FloatVector.broadcast(sp, inv)
+    i = 0
+    while (i < upper) {
+      FloatVector.fromArray(sp, x, i).mul(iv).intoArray(x, i)
+      i += sp.length
+    }
+    while (i < len) { x(i) *= inv; i += 1 }
+  }
 }
 
-private[ner] object Kernels {
+private[graft] object Kernels {
   /** SIMD when the incubator module is present on this runtime. */
   val best: DotKernel =
     try {
@@ -86,4 +358,8 @@ private[ner] object Kernels {
     } catch {
       case _: Throwable => ScalarKernel
     }
+
+  /** Every available kernel (profiling/parity checks). */
+  def all: Seq[DotKernel] =
+    if (best eq ScalarKernel) Seq(ScalarKernel) else Seq(ScalarKernel, SimdKernel)
 }

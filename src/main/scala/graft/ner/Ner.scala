@@ -101,20 +101,98 @@ object Ner {
           if (!truncate && tokens.length >= hp.nMaxTokens)
             throw new IllegalArgumentException(
               "Input string exceeds model token limit and truncate=false")
-          val logits = encoder.eval(tokens)
-          val labels = new Array[Int](tokens.length)
-          var t = 0
-          while (t < tokens.length) {
-            labels(t) = BioMerge.argmax(logits, t * hp.nLabels, hp.nLabels)
-            t += 1
+          entitiesOf(model, tokens, encoder.eval(tokens))
+        }
+    }
+
+  /** Entity extraction from already-computed logits — the shared tail of
+    * [[evalWith]] and [[evalBatchWith]] (argmax -> label collapse -> BIO
+    * merge, `src/ner_extension.cpp:117-167`).
+    */
+  private def entitiesOf(model: NerModel, tokens: Array[Int],
+      logits: Array[Float]): Array[NerEntity] = {
+    val nLabels = model.hparams.nLabels
+    val labels = new Array[Int](tokens.length)
+    var t = 0
+    while (t < tokens.length) {
+      labels(t) = BioMerge.argmax(logits, t * nLabels, nLabels)
+      t += 1
+    }
+    val tokenStrs = tokens.map(model.vocab.tokenOf)
+    BioMerge.merge(
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(tokenStrs),
+      scala.collection.immutable.ArraySeq.unsafeWrapArray(labels))
+      .map(e => NerEntity(e.entity, e.label)).toArray
+  }
+
+  /** Token budget per encoder batch. Batching trades activation-cache
+    * residency for weight-cache amortization, so the right size depends on
+    * the model (profiled on the synthetic model, ProfileNer): when a
+    * layer's weight panels fit in L2 (bert-tiny class), weights never
+    * leave cache and big batches only evict the activations — per-document
+    * batches win. When weights are L2-resident-impossible (bert-base
+    * class, ~7 MB/layer), streaming them once per multi-document batch is
+    * the win, bounded so scratch stays ~16 MB/thread.
+    */
+  private[graft] def batchTokenBudget(hp: NerHparams): Int = {
+    val layerWeightBytes =
+      4L * (4L * hp.nEmbd * hp.nEmbd + 2L * hp.nEmbd * hp.nIntermediate)
+    if (layerWeightBytes <= (1L << 20)) hp.nMaxTokens
+    else {
+      val perTokenFloats = hp.nIntermediate + 8 * hp.nEmbd
+      math.max(hp.nMaxTokens, (4 << 20) / math.max(perTokenFloats, 1))
+    }
+  }
+
+  /** Batched partition evaluation: tokenizes each row, packs rows into
+    * token-budgeted batches, and runs the encoder once per batch
+    * ([[BertEncoder.evalBatch]] — one matmul stream per batch instead of
+    * per document). Null/no-model semantics and the truncate guard are
+    * per-row, identical to [[evalWith]]; results stream lazily so a long
+    * partition never materializes beyond one batch of logits.
+    */
+  private[graft] def evalPartition[A](model: Option[Loaded],
+      rows: Iterator[(A, String)], truncate: Boolean)
+      : Iterator[(A, Array[NerEntity])] =
+    model match {
+      case None => rows.map { case (a, _) => (a, Array.empty[NerEntity]) }
+      case Some(Loaded(m, encoder)) =>
+        val hp = m.hparams
+        val budget = batchTokenBudget(hp)
+        val tokenized = rows.map { case (a, text) =>
+          if (text == null) (a, null: Array[Int])
+          else {
+            val tokens = WordPiece.tokenize(m.vocab, text, hp.nMaxTokens)
+            if (!truncate && tokens.length >= hp.nMaxTokens)
+              throw new IllegalArgumentException(
+                "Input string exceeds model token limit and truncate=false")
+            (a, tokens)
           }
-          val tokenStrs = tokens.map(model.vocab.tokenOf)
-          // non-copying array wrap (the implicit conversion would copy both
-          // arrays per document on the hot path)
-          BioMerge.merge(
-            scala.collection.immutable.ArraySeq.unsafeWrapArray(tokenStrs),
-            scala.collection.immutable.ArraySeq.unsafeWrapArray(labels))
-            .map(e => NerEntity(e.entity, e.label)).toArray
+        }
+        // group by token budget, preserving order (nulls ride along free)
+        val batches = new Iterator[Seq[(A, Array[Int])]] {
+          private val it = tokenized.buffered
+          def hasNext: Boolean = it.hasNext
+          def next(): Seq[(A, Array[Int])] = {
+            val buf = Seq.newBuilder[(A, Array[Int])]
+            var used = 0
+            var continue = true
+            while (continue && it.hasNext) {
+              val nTok = if (it.head._2 == null) 0 else it.head._2.length
+              if (used > 0 && used + nTok > budget) continue = false
+              else { buf += it.next(); used += nTok }
+            }
+            buf.result()
+          }
+        }
+        batches.flatMap { batch =>
+          val live = batch.collect { case (_, t) if t != null => t }.toArray
+          val logits = encoder.evalBatch(live)
+          var i = -1
+          batch.map { case (a, tokens) =>
+            if (tokens == null) (a, null: Array[NerEntity])
+            else { i += 1; (a, entitiesOf(m, tokens, logits(i))) }
+          }
         }
     }
 

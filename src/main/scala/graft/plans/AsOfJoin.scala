@@ -86,9 +86,15 @@ object AsOfJoin {
       ClusteredDistribution(Seq(leftKey)) ::
         ClusteredDistribution(Seq(rightKey)) :: Nil
 
+    // the right side additionally sorts on the VALUE: the merge pass keeps
+    // the last row it consumed per (key, time <= t), so without a tie-break
+    // two right rows at the same (key, time) would yield whichever happened
+    // to sort last (round-5 ADVICE). Value-ascending makes the winner the
+    // greatest value among tied times — deterministic under any schedule.
     override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
       Seq(SortOrder(leftKey, Ascending), SortOrder(leftTime, Ascending)),
-      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending)))
+      Seq(SortOrder(rightKey, Ascending), SortOrder(rightTime, Ascending),
+        SortOrder(rightValue, Ascending)))
 
     override protected def withNewChildrenInternal(
         newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =

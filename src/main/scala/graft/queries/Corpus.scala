@@ -140,12 +140,13 @@ object Corpus {
           (col("n").cast("double") / col("df").cast("double")))
     val w = Window.partitionBy(col("doc_id"))
       .orderBy(col("score").desc, col("term"))
-    scored
+    val out = scored
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") <= 3)
       .select(col("doc_id"), col("term"), col("tf"), col("df"), col("score"),
         col("rn"))
       .orderBy(col("doc_id"), col("rn"))
+    Cached.scopedTo(out, tf)
   }
 
   private val o72 = """
@@ -314,7 +315,7 @@ object Corpus {
     val corpusGrams = word3grams(
       parallelize(s, documents(s, d).filter(col("doc_id") >= 5))).persist()
     val sz = corpusGrams.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
-    corpusGrams
+    val out = corpusGrams
       .join(broadcast(benchGrams), "gram")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_hits"))
@@ -323,6 +324,7 @@ object Corpus {
         round(col("n_hits") / col("n_grams").cast("double"), 6)
           .as("contamination"))
       .orderBy(col("doc_id"))
+    Cached.scopedTo(out, corpusGrams)
   }
 
   private val o83 = """

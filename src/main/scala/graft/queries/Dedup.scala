@@ -161,7 +161,7 @@ object Dedup {
         col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("ni"))
-    inter
+    val out = inter
       .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
       .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
@@ -169,6 +169,7 @@ object Dedup {
           .as("jaccard"))
       .filter(col("jaccard") >= 0.25)
       .orderBy(col("doc_a"), col("doc_b"))
+    Cached.scopedTo(out, b, sh)
   }
 
   /** o38 body without the final ORDER BY, reusable as a subquery (q97). */
@@ -380,7 +381,7 @@ object Dedup {
         col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    cands
+    val out = cands
       .join(fps.as("a"), col("doc_a") === col("a.doc_id"))
       .join(fps.as("b"), col("doc_b") === col("b.doc_id"))
       .select(col("doc_a"), col("doc_b"),
@@ -388,6 +389,7 @@ object Dedup {
           .as("hamming"))
       .filter(col("hamming") <= 2)
       .orderBy(col("doc_a"), col("doc_b"))
+    Cached.scopedTo(out, fps)
   }
 
   private def o102: String =
@@ -426,7 +428,7 @@ object Dedup {
     val b = bands(s, d).persist()
     val inc = b.filter(col("doc_id") % 10 === 0)
     val ref = b.filter(col("doc_id") % 10 =!= 0)
-    inc.as("i")
+    val out = inc.as("i")
       .join(ref.as("r"),
         col("i.band_pos") === col("r.band_pos") &&
         col("i.bkey") === col("r.bkey"))
@@ -435,6 +437,7 @@ object Dedup {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_ref_cands"))
       .orderBy(col("doc_id"))
+    Cached.scopedTo(out, b)
   }
 
   private def o104: String =
@@ -506,7 +509,7 @@ object Dedup {
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
         col("a.n").as("na"), col("b.n").as("nb"))
       .distinct()
-    cand
+    val out = cand
       .join(sets.select(col("doc_id").as("da"), col("toks").as("ta")), Seq("da"))
       .join(sets.select(col("doc_id").as("db"), col("toks").as("tb")), Seq("db"))
       .withColumn("overlap",
@@ -518,6 +521,7 @@ object Dedup {
         col("nb"), col("overlap"), round(col("jac"), 6).as("jac"))
       .orderBy(col("jac").desc, col("doc_a"), col("doc_b"))
       .limit(15)
+    Cached.scopedTo(out, sets)
   }
 
   private val o120 = """
@@ -797,13 +801,14 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (col("ni") / (col("za.sz") + col("zb.sz") - col("ni")))
           .as("exact_jac"))
-    est.join(exact, Seq("doc_a", "doc_b"), "left")
+    val out = est.join(exact, Seq("doc_a", "doc_b"), "left")
       .select(col("doc_a"), col("doc_b"),
         round(col("est_jac"), 6).as("est_jac"),
         round(coalesce(col("exact_jac"), lit(0.0)), 6).as("exact_jac"),
         round(abs(col("est_jac") - coalesce(col("exact_jac"), lit(0.0))), 6)
           .as("abs_err"))
       .orderBy(col("doc_a"), col("doc_b"))
+    Cached.scopedTo(out, sig, sh)
   }
 
   private def o143: String =

@@ -56,10 +56,13 @@ object NerQueries {
       .select(col("doc_id"), col("text"))
       .as[(Long, String)]
       .mapPartitions { rows =>
+        // batched: the partition's rows are tokenized and packed into
+        // token-budgeted batches so the encoder streams its weights once
+        // per batch, not once per document (round-5 VERDICT #6)
         val loaded = Some(graft.ner.SyntheticModel.loaded)
-        rows.map { case (id, text) =>
-          val ents = Ner.evalWith(loaded, text, truncate = true)
-          (id, ents.length, if (ents.isEmpty) null else ents.head.label)
+        Ner.evalPartition(loaded, rows, truncate = true).map {
+          case (id, ents) =>
+            (id, ents.length, if (ents.isEmpty) null else ents.head.label)
         }
       }
       .toDF("doc_id", "n_entities", "first_label")

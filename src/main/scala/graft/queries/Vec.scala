@@ -265,13 +265,14 @@ object Vec {
         col("x.vec_id") < col("y.vec_id"))
       .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"))
       .distinct()
-    cands
+    val out = cands
       .join(sigs.as("a"), col("vec_a") === col("a.vec_id"))
       .join(sigs.as("b"), col("vec_b") === col("b.vec_id"))
       .select(col("vec_a"), col("vec_b"),
         round(cosine(col("a.ed"), col("b.ed")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= 0.3)
       .orderBy(col("vec_a"), col("vec_b"))
+    Cached.scopedTo(out, sigs)
   }
 
   private def o47: String = {
@@ -517,11 +518,12 @@ object Vec {
       .groupBy(col("x.cid").as("cid"))
       .agg(count(lit(1)).as("n_dup_pairs"),
         countDistinct(col("y.vec_id")).as("n_pruned"))
-    base.join(pairs, Seq("cid"), "left")
+    val out = base.join(pairs, Seq("cid"), "left")
       .select(col("cid"), col("n_vectors"),
         coalesce(col("n_dup_pairs"), lit(0L)).as("n_dup_pairs"),
         coalesce(col("n_pruned"), lit(0L)).as("n_pruned"))
       .orderBy(col("cid"))
+    Cached.scopedTo(out, a)
   }
 
   private def o130 = s"""

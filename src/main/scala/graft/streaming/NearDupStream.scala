@@ -110,6 +110,14 @@ object NearDupStream {
     import spark.implicits._
     val horizonUs = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(horizon))
+    // months have no fixed microsecond width, so a "1 month" horizon cannot
+    // be converted to the eviction duration — and silently treating it as 0
+    // would evict buckets the moment the watermark passes while the
+    // withWatermark below honors the full month (round-5 ADVICE). Reject it
+    // loudly; day-or-finer intervals convert exactly.
+    require(horizonUs.months == 0,
+      s"horizon must not contain month/year units (got '$horizon'): " +
+        "state eviction needs a fixed-width duration")
     val hUs = horizonUs.days * 86400000000L + horizonUs.microseconds
     bandFrame(docs)
       .withColumn("event_time", timestamp_micros(col("ts_us")))

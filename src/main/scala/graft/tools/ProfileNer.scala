@@ -37,6 +37,26 @@ object ProfileNer {
     time("full evalWith") {
       texts.foreach(t => Ner.evalWith(Some(loaded), t, truncate = true))
     }
+    val toks = texts.map(t => graft.ner.WordPiece.tokenize(
+      loaded.model.vocab, t, loaded.model.hparams.nMaxTokens))
+    time("encoder.eval only") {
+      toks.foreach(loaded.encoder.eval)
+    }
+    time("encoder.evalBatch(32)") {
+      toks.grouped(32).foreach(g => loaded.encoder.evalBatch(g.toArray))
+    }
+    // raw matmulT throughput at the model's FFN shape
+    val in = 64; val out = 256; val reps = 200000
+    val x = Array.fill(in)(0.1f); val wt = Array.fill(in * out)(0.01f)
+    val bias = new Array[Float](out); val y = new Array[Float](out)
+    for (k <- graft.ner.Kernels.all) {
+      val t0 = System.nanoTime()
+      var r = 0
+      while (r < reps) { k.matmulT(x, 0, in, wt, 0, out, out, bias, y, 0); r += 1 }
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"${k.getClass.getSimpleName} matmulT($in x $out): " +
+        f"${reps.toLong * in * out / sec / 1e9}%.2f GMAC/s")
+    }
     spark.stop()
   }
 }

@@ -67,6 +67,27 @@ class GroupedTopKSpec extends AnyFunSuite {
     }
   }
 
+  test("NaN scores keep a total order (rank first, key-tie-broken)") {
+    // java.lang.Double.compare orders NaN above +Infinity; the old primitive
+    // >/== comparison made NaN neither beat nor lose, corrupting the sorted
+    // buffer (round-5 ADVICE). Reference sort uses the same total order.
+    val k = 3
+    val agg = new TopK(k)
+    val xs = Seq(Entry(Double.NaN, 7L), Entry(5.0, 1L),
+      Entry(Double.NaN, 2L), Entry(Double.PositiveInfinity, 3L),
+      Entry(1.0, 4L))
+    val want = xs.sortWith { (a, b) =>
+      val c = java.lang.Double.compare(a.score, b.score)
+      c > 0 || (c == 0 && a.key < b.key)
+    }.take(k)
+    assert(want.map(_.key) == Seq(2L, 7L, 3L)) // NaN, NaN, +Inf
+    for (perm <- xs.permutations.take(24)) {
+      val got = agg.finish(perm.foldLeft(agg.zero)(agg.reduce))
+      assert(got == want, s"order-dependent result for $perm")
+      assert(got.head.score.isNaN && got.head.key == 2L)
+    }
+  }
+
   test("fast-reject path leaves the buffer object untouched") {
     val agg = new TopK(2)
     val warm = agg.reduce(agg.reduce(agg.zero,

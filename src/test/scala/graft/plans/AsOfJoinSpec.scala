@@ -51,6 +51,21 @@ class AsOfJoinSpec extends SparkTestBase {
     assert(got == Seq((100L, None), (101L, Some(40L))))
   }
 
+  test("right-side time ties resolve deterministically to the greatest value") {
+    // two right rows at the SAME (key, time): the declared right ordering
+    // includes the value as a tie-break (round-5 ADVICE), so the winner is
+    // the greatest value among tied times under any partition schedule
+    val purchases = Seq((100L, 1L, 50L)).toDF("event_id", "user_id", "ts_us")
+    val views = Seq((1L, 40L, 7L), (1L, 40L, 9L), (1L, 40L, 3L))
+      .toDF("user_id", "ts_us", "view_us")
+    for (_ <- 1 to 3) {
+      val got = AsOfJoin
+        .joinPrior(purchases, views, "user_id", "ts_us", "view_us", "prior")
+        .collect().map(_.getLong(3)).toSeq
+      assert(got == Seq(9L))
+    }
+  }
+
   test("plan contains AsOfJoinExec with Catalyst-planned exchanges and sorts") {
     val purchases = Seq((1L, 1L, 5L)).toDF("event_id", "user_id", "ts_us")
     val views = Seq((1L, 1L, 1L)).toDF("user_id", "ts_us", "view_us")

@@ -37,6 +37,21 @@ class NearDupStreamSpec extends SparkTestBase {
     } finally query.stop()
   }
 
+  test("month-bearing horizon is rejected, not silently truncated to zero") {
+    // months have no fixed microsecond width: the old conversion dropped
+    // them entirely, so a "1 month" horizon evicted buckets the moment the
+    // watermark passed while withWatermark honored the month (round-5
+    // ADVICE). The attach must fail fast instead.
+    import spark.implicits._
+    val docs = Seq((1L, b, textA)).toDF("doc_id", "ts", "text")
+    val e = intercept[IllegalArgumentException] {
+      NearDupStream.attach(docs, horizon = "1 month")
+    }
+    assert(e.getMessage.contains("month"))
+    // day-grain horizons still convert exactly
+    NearDupStream.attach(docs, horizon = "2 days 3 hours")
+  }
+
   test("near-dup collisions detected across batches, exact priors and min_ref") {
     val out = run() { (input, query) =>
       // batch 1: two identical docs (1, 2) and one distinct (10)
