@@ -718,11 +718,14 @@ object Dedup {
           sequence(lit(1), greatest(length(col("text")) - lit(SpanLen - 1),
             lit(1))),
           p => col("text").substr(p, lit(SpanLen)))).as("span"))
+    // ">= 2 distinct docs" at hash grain is exactly "min(doc) != max(doc)"
+    // — a plain map-side-combinable min/max instead of countDistinct's
+    // Expand + two-level aggregation over the 30x-amplified stream
     val hot = spans
       .select(xxhash64(col("span")).as("h"), col("doc_id"))
       .groupBy(col("h"))
-      .agg(countDistinct(col("doc_id")).as("nd"))
-      .filter(col("nd") >= 2)
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
       .select(col("h"))
     spans
       .withColumn("h", xxhash64(col("span")))
