@@ -476,34 +476,48 @@ object Dedup {
     * already collected — per-candidate work is O(|A|+|B|) hashing with no
     * token-grain shuffle (the exploded-join alternative re-shuffles
     * candidates × set-size rows; measured 2× the whole query's time). The
-    * df side joins back on tok, reusing the partitioning its own
+    * df side joins back on the token hash, reusing the partitioning its own
     * aggregation just produced (no broadcast: a shingle vocabulary scales
-    * with the corpus).
+    * with the corpus). Round-6: the per-doc distinct moved into the row
+    * (array_distinct — one corpus-wide shuffle gone) and every token-grain
+    * exchange keys on xxhash64(tok) instead of the 15-char string; the
+    * strings travel only where verification needs them.
     */
   private def q120(s: SparkSession, d: String): DataFrame = {
     val tau = 0.6
     val sh = 15
+    // per-row array_distinct replaces a corpus-wide DISTINCT — one whole
+    // token-grain shuffle gone (shingles only repeat within a document)
     val toks = parallelize(s, documents(s, d))
       .select(col("doc_id"),
-        explode(transform(sequence(lit(1), length(col("text")) - lit(sh - 1)),
-          i => col("text").substr(i, lit(sh)))).as("tok"))
-      .distinct()
-    val dfreq = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+        explode(array_distinct(
+          transform(sequence(lit(1), length(col("text")) - lit(sh - 1)),
+            i => col("text").substr(i, lit(sh))))).as("tok"))
+      .withColumn("h", xxhash64(col("tok")))
+    // df counted at 8-byte hash grain (a 64-bit collision would merge two
+    // tokens' counts — it only perturbs the prefix ORDER heuristic, never
+    // correctness, because verification below intersects the true strings)
+    val dfreq = toks.groupBy(col("h")).agg(count(lit(1)).as("c"))
     // persist: feeds the prefix self-join (both sides) and the two
     // verification lookups — the signature-table-once stance of q38/q47
-    val sets = toks.join(dfreq, Seq("tok"))
+    val sets = toks.join(dfreq, Seq("h"))
       .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("c"), col("tok")))).as("ordered"))
+      .agg(sort_array(collect_list(struct(col("c"), col("tok"), col("h"))))
+        .as("ordered"))
       .select(col("doc_id"), size(col("ordered")).cast("long").as("n"),
-        transform(col("ordered"), p => p.getField("tok")).as("toks"))
+        transform(col("ordered"), p => p.getField("tok")).as("toks"),
+        transform(col("ordered"), p => p.getField("h")).as("hs"))
       .persist()
+    // the inverted-index self-join exchanges 8-byte hash keys, not 15-char
+    // strings — candidates are (doc, doc) pairs either way, and the exact
+    // string-grain verification keeps hash collisions harmless
     val prefix = sets
       .select(col("doc_id"), col("n"),
-        explode(slice(col("toks"), lit(1),
-          (floor(lit(0.4) * col("n")) + 1).cast("int"))).as("tok"))
+        explode(slice(col("hs"), lit(1),
+          (floor(lit(0.4) * col("n")) + 1).cast("int"))).as("h"))
     val cand = prefix.as("a")
       .join(prefix.as("b"),
-        col("a.tok") === col("b.tok") && col("a.doc_id") < col("b.doc_id") &&
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id") &&
           col("b.n").between(ceil(lit(tau) * col("a.n")),
             floor(col("a.n") / lit(tau))))
       .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
@@ -746,6 +760,85 @@ object Dedup {
                    unnest(range(1, greatest(length(text) - ${SpanLen - 2}, 2)))
                      AS p
             FROM documents))
+    SELECT span, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
+           min(doc_id) AS first_doc
+    FROM spans
+    GROUP BY span HAVING count(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, n_occ DESC, span LIMIT 20"""
+
+  private val MinimizerW = 8
+
+  /** q171: minimizer-sampled duplicated-span mining — q142's 100-TB form
+    * made concrete (the VERDICT-r5 "stride/minimizer sampling" follow-up,
+    * the reason Lee et al. reach for suffix arrays). Instead of shipping
+    * every one of the ~30x-corpus offsets into the aggregation, each
+    * document selects offsets whose span-hash is the minimum of the
+    * $MinimizerW-offset window they open: the selection is content-defined
+    * — two documents sharing a region >= SpanLen + 2w chars co-select at
+    * least one identical span — so corpus reach is still measured on the
+    * shared content, from a ~1/w sample of the offsets.
+    *
+    * Scale: selection is per-ROW (higher-order functions over the offset
+    * array — no window operator, no shuffle, no sort); only the sampled
+    * ~1/w stream enters q142's hash-keyed two-pass (8-byte shuffle keys,
+    * min/max distinct-doc prefilter, exact text-grain recount of winners).
+    * The two reductions compose: vs q142, the big exchange shrinks ~30x by
+    * hashing and a further ~8x by sampling. The trade, stated honestly:
+    * occurrence counts are of SAMPLED occurrences, and duplicated regions
+    * shorter than SpanLen + 2w can be missed — q142 stays the exhaustive
+    * report; this is the one you run on the full crawl.
+    */
+  private def q171(s: SparkSession, d: String): DataFrame = {
+    // hs(p) = md5 of the span opening at offset p (md5: the hash both
+    // engines share bit-for-bit, CLAUDE.md); sel = offsets whose hash is
+    // minimal over the window [p, p + w - 1] they open
+    val hsSql = s"""transform(
+        sequence(1, greatest(length(text) - ${SpanLen - 1}, 1)),
+        p -> md5(substr(text, p, $SpanLen)))"""
+    val selSql = s"""filter(
+        sequence(1, size(hs)),
+        p -> element_at(hs, p) = array_min(
+               slice(hs, p, least($MinimizerW, size(hs) - p + 1))))"""
+    def sampled = parallelize(s, documents(s, d))
+      .withColumn("hs", expr(hsSql))
+      .select(col("doc_id"), col("text"), explode(expr(selSql)).as("p"))
+      .select(col("doc_id"),
+        expr(s"substr(text, p, $SpanLen)").as("span"))
+    val hot = sampled
+      .select(xxhash64(col("span")).as("h"), col("doc_id"))
+      .groupBy(col("h"))
+      .agg(min(col("doc_id")).as("mn"), max(col("doc_id")).as("mx"))
+      .filter(col("mn") =!= col("mx"))
+      .select(col("h"))
+    sampled
+      .withColumn("h", xxhash64(col("span")))
+      .join(hot, Seq("h"), "left_semi")
+      .groupBy(col("span"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"),
+        min(col("doc_id")).as("first_doc"))
+      .filter(col("n_docs") >= 2)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("span"))
+      .limit(20)
+  }
+
+  private val o171 = s"""
+    WITH d AS (
+      SELECT doc_id, text,
+             list_transform(
+               range(1, greatest(length(text) - ${SpanLen - 2}, 2)),
+               p -> md5(substr(text, CAST(p AS INT), $SpanLen))) AS hs
+      FROM documents),
+    sel AS (
+      SELECT doc_id, text,
+             unnest(list_filter(range(1, len(hs) + 1),
+               p -> hs[p] = list_min(
+                      list_slice(hs, p,
+                        least(p + ${MinimizerW - 1}, len(hs)))))) AS p
+      FROM d),
+    spans AS (
+      SELECT doc_id, substr(text, CAST(p AS INT), $SpanLen) AS span
+      FROM sel)
     SELECT span, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occ,
            min(doc_id) AS first_doc
     FROM spans
@@ -1024,6 +1117,7 @@ object Dedup {
     QueryDef("q157_dedup_ledger", q157, Some(o157)),
     QueryDef("q141_segment_dedup", q141, Some(o141)),
     QueryDef("q142_dup_spans", q142, Some(o142)),
+    QueryDef("q171_minimizer_spans", q171, Some(o171)),
     QueryDef("q143_minhash_accuracy", q143, Some(o143)),
     QueryDef("q132_dup_ngram_ratio", q132, Some(o132)),
     QueryDef("q120_prefix_filter_join", q120, Some(o120)),

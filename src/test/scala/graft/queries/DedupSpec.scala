@@ -61,6 +61,32 @@ class DedupSpec extends SparkTestBase {
       s"doc 2's copy of the shared segment must be dropped: $got")
   }
 
+  test("q171 minimizer sampling co-selects a shared span across documents") {
+    // the content-defined-selection guarantee: two documents sharing a
+    // region much longer than SpanLen + 2w must co-select at least one
+    // identical span (selection depends only on local content, not on
+    // position or the surrounding document), so the shared region is
+    // visible from the ~1/w sample with n_docs = 2
+    import spark.implicits._
+    val shared = "the exact same one hundred character run of text that both " +
+      "documents carry verbatim in different places!!"
+    assert(shared.length >= 100)
+    val doc1 = ("left context alpha beta gamma delta " * 3) + shared +
+      (" right context one two three" * 2)
+    val doc2 = ("entirely different opening words here " * 2) + shared +
+      (" and an unrelated tail closes this document" * 2)
+    val dir = java.nio.file.Files.createTempDirectory("graft_q171").toString
+    Seq((1L, doc1), (2L, doc2)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = SparkEntry.queries("q171_minimizer_spans")(spark, dir).collect()
+    assert(got.nonEmpty, "no co-selected span found in the shared region")
+    assert(got.forall(_.getLong(1) == 2L)) // every reported span spans both
+    // each reported span really is a substring of the shared region
+    got.foreach(r => assert(shared.contains(r.getString(0)) ||
+      doc1.contains(r.getString(0)) && doc2.contains(r.getString(0)),
+      s"span not shared: ${r.getString(0)}"))
+  }
+
   test("neither q120 filter can drop a qualifying pair (pigeonhole + length)") {
     // the completeness argument, checked over EVERY brute-force pair >= tau
     // (28 at sf0.001, more than the query's top-15 output shows): the two
