@@ -66,8 +66,19 @@ object Bench {
     }
     val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.isEmpty || only(name) }
+    var sinceGc = 0
     val results = catalog.map { case (name, fn) =>
       val (t, flaky) = measure(name, fn)
+      // Spark's ContextCleaner frees broadcast blocks and shuffle files only
+      // when the DRIVER GC collects their references — and a ~334-execution
+      // session on an 8 GB heap can go dozens of queries without a full GC,
+      // so state from long-dead queries piles up and inflates mid-suite
+      // times (round-5 finding #1's residue: q136 measured 2x its isolated
+      // cost mid-suite). A periodic explicit GC between measurements keeps
+      // the cleaner draining; outside the timed window, so it costs the
+      // suite wall-clock, never a query's reading.
+      sinceGc += 1
+      if (sinceGc >= 20) { System.gc(); sinceGc = 0 }
       (name, t, flaky)
     }
     val failed = results.collect { case (k, v, _) if v < 0 => k }
