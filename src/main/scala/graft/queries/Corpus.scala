@@ -1063,7 +1063,124 @@ object Corpus {
           FROM documents)
     GROUP BY lang, fold ORDER BY lang, fold"""
 
+  private val BpeRounds = 3
+
+  /** q172: BPE vocabulary induction — the tokenizer-training primitive
+    * (Sennrich et al.): start from characters, repeatedly merge the
+    * highest-frequency adjacent symbol pair, greedy leftmost within each
+    * word. Three merge rounds, each reported with its pair and weighted
+    * count.
+    *
+    * Scale shape: the ONLY corpus-scale stage is the word histogram (one
+    * hash aggregation, vocabulary-bounded output); every merge round runs
+    * on that vocabulary dimension — pair counting weighted by word count,
+    * a global top-1 (TakeOrdered, no window), and a per-word fold. At 10M+
+    * distinct words this stays a dimension-sized job per round, which is
+    * why production BPE trainers operate on the histogram, never the raw
+    * corpus.
+    *
+    * Cross-engine exactness: symbols live in a '|'-delimited string and
+    * the greedy merge is a fold where "merge" = append the bare symbol
+    * (extending the last element) and "append" = add a '|' separator —
+    * the same fold Spark's `aggregate` ('' init) and DuckDB's
+    * `list_reduce` (with a prepended '' sentinel) evaluate element-wise
+    * identically. Greedy-leftmost chain semantics come out of the fold
+    * for free: after a merge the tail symbol is the merged pair, which no
+    * longer equals the left half, so "a a a" -> "aa a" exactly like the
+    * reference algorithm.
+    */
+  private def q172(s: SparkSession, d: String): DataFrame = {
+    // corpus-scale histogram; persisted — all three rounds and the final
+    // union re-derive from it (scoped release after the consuming action)
+    val words = parallelize(s, documents(s, d))
+      .select(explode(wsCol).as("w"))
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+      .withColumn("syms", regexp_replace(col("w"), "(.)", "|$1"))
+      .select(col("wc"), col("syms"))
+      .persist()
+    val arrSql = "slice(split(syms, '\\\\|'), 2, size(split(syms, '\\\\|')))"
+    def pairsOf(df: DataFrame): DataFrame = df
+      .select(col("wc"), expr(arrSql).as("arr"))
+      .filter(size(col("arr")) >= 2)
+      .select(col("wc"), explode(expr(
+        """transform(sequence(1, size(arr) - 1),
+           i -> struct(element_at(arr, i) AS a, element_at(arr, i + 1) AS b))"""))
+        .as("p"))
+      .select(col("wc"), col("p.a").as("a"), col("p.b").as("b"))
+    def top1(df: DataFrame): DataFrame = pairsOf(df)
+      .groupBy(col("a"), col("b"))
+      .agg(sum(col("wc")).cast("long").as("pair_count"))
+      .orderBy(col("pair_count").desc, col("a"), col("b"))
+      .limit(1)
+    def mergeRound(df: DataFrame, top: DataFrame): DataFrame = df
+      // column-derived zero key so the 1-row top pair joins as a broadcast
+      // HASH join (same construction as q72's corpus-size join)
+      .withColumn("jk", pmod(col("wc"), col("wc")))
+      .join(broadcast(top.select(col("a"), col("b"),
+        pmod(col("pair_count"), col("pair_count")).as("jk"))), Seq("jk"))
+      .withColumn("syms", expr(
+        s"""aggregate($arrSql, '',
+            (acc, x) -> if(endswith(acc, concat('|', a)) and x = b,
+                           concat(acc, x), concat(acc, '|', x)))"""))
+      .select(col("wc"), col("syms"))
+    val t1 = top1(words)
+    val s1 = mergeRound(words, t1)
+    val t2 = top1(s1)
+    val s2 = mergeRound(s1, t2)
+    val t3 = top1(s2)
+    val out = Seq(t1, t2, t3).zipWithIndex.map { case (t, i) =>
+      t.select(lit(i + 1).as("merge_rank"), col("a").as("sym_a"),
+        col("b").as("sym_b"), concat(col("a"), col("b")).as("merged"),
+        col("pair_count"))
+    }.reduce(_ union _).orderBy(col("merge_rank"))
+    Cached.scopedTo(out, words)
+  }
+
+  private val o172: String = {
+    // one round of the unrolled oracle: pairs -> weighted top-1 -> fold
+    def round(src: String, k: Int): String =
+      s"""top$k AS (
+           SELECT a, b, CAST(sum(wc) AS BIGINT) AS pair_count
+           FROM (
+             SELECT wc, arr[CAST(i AS INT)] AS a,
+                    arr[CAST(i AS INT) + 1] AS b
+             FROM (
+               SELECT wc, arr, unnest(range(1, len(arr))) AS i
+               FROM (SELECT wc, list_slice(string_split(syms, '|'), 2,
+                              len(string_split(syms, '|'))) AS arr
+                     FROM $src)))
+           GROUP BY a, b ORDER BY pair_count DESC, a, b LIMIT 1),
+         s$k AS (
+           SELECT wc,
+                  list_reduce(
+                    list_prepend('', list_slice(string_split(syms, '|'), 2,
+                      len(string_split(syms, '|')))),
+                    (acc, x) -> CASE WHEN ends_with(acc, '|' || t.a)
+                                      AND x = t.b
+                                THEN acc || x ELSE acc || '|' || x END) AS syms
+           FROM $src, top$k t)"""
+    s"""WITH words AS (
+         SELECT w, count(*) AS wc
+         FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+               FROM documents)
+         GROUP BY w),
+       s0 AS (SELECT wc, regexp_replace(w, '(.)', '|\\1', 'g') AS syms
+              FROM words),
+       ${round("s0", 1)},
+       ${round("s1", 2)},
+       ${round("s2", 3)}
+       SELECT * FROM (
+         SELECT 1 AS merge_rank, a AS sym_a, b AS sym_b, a || b AS merged,
+                pair_count FROM top1
+         UNION ALL
+         SELECT 2, a, b, a || b, pair_count FROM top2
+         UNION ALL
+         SELECT 3, a, b, a || b, pair_count FROM top3)
+       ORDER BY merge_rank"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q172_bpe_merges", q172, Some(o172)),
     QueryDef("q170_stratified_kfold", q170, Some(o170)),
     QueryDef("q167_temperature_mix", q167, Some(o167)),
     QueryDef("q161_length_bucketing", q161, Some(o161)),
