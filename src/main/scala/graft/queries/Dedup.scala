@@ -643,20 +643,25 @@ object Dedup {
     * linear in total segments; nothing pairwise anywhere, so unlike the
     * jaccard family this runs over the full corpus at any scale.
     */
-  private def q141(s: SparkSession, d: String): DataFrame = {
-    val segs = parallelize(s, documents(s, d))
+  /** (doc_id, seg_idx, seg, okey) segment stream shared by q141's ledger
+    * and q173's rewrite. The composite occurrence key is a STRUCT, which
+    * compares lexicographically by field, so (doc_id, seg_idx) is a total
+    * order with no width assumption — a 10k-word document (1000+ segments)
+    * cannot collide into a neighboring doc_id the way the earlier
+    * doc_id*1000+seg_idx arithmetic key silently did (round-5 VERDICT #2).
+    */
+  private def segmentStream(s: SparkSession, d: String): DataFrame =
+    parallelize(s, documents(s, d))
       .withColumn("ws", split(trim(col("text")), "\\s+"))
       .select(col("doc_id"),
         posexplode(expr(
           s"""transform(sequence(0, CAST(ceil(size(ws) / $SegWords.0) AS INT) - 1),
               i -> concat_ws(' ', slice(ws, i * $SegWords + 1, $SegWords)))"""))
           .as(Seq("seg_idx", "seg")))
-      // composite occurrence key: a STRUCT compares lexicographically by
-      // field, so (doc_id, seg_idx) is a total order with no width
-      // assumption — a 10k-word document (1000+ segments) cannot collide
-      // into a neighboring doc_id the way the earlier doc_id*1000+seg_idx
-      // arithmetic key silently did (round-5 VERDICT finding #2)
       .withColumn("okey", struct(col("doc_id"), col("seg_idx")))
+
+  private def q141(s: SparkSession, d: String): DataFrame = {
+    val segs = segmentStream(s, d)
     val firsts = segs.groupBy(col("seg"))
       .agg(min(col("okey")).as("keep_key"))
     segs.join(firsts, Seq("seg"))
@@ -699,6 +704,61 @@ object Dedup {
            round(CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS DOUBLE)
              / count(*), 6) AS kept_ratio
     FROM marked
+    GROUP BY doc_id ORDER BY doc_id"""
+
+  /** q173: segment-dedup REWRITE — q141 reports the retention ledger; this
+    * produces the artifact the ledger exists for: the cleaned corpus, each
+    * document reassembled from only its kept (globally-first-occurrence)
+    * segments, in original order. Documents whose every segment first
+    * occurred elsewhere vanish entirely — that IS the dedup verdict for a
+    * fully-derivative document, and both engines omit the empty group
+    * identically.
+    *
+    * Scale: q141's two linear stages plus one more hash aggregation at
+    * document grain; the in-order reassembly is a sort_array over one
+    * document's kept segments (bounded by document size), never a global
+    * or window sort.
+    */
+  private def q173(s: SparkSession, d: String): DataFrame = {
+    val segs = segmentStream(s, d)
+    val firsts = segs.groupBy(col("seg"))
+      .agg(min(col("okey")).as("keep_key"))
+    segs.join(firsts, Seq("seg"))
+      .filter(col("okey") === col("keep_key"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept_segs"),
+        array_join(
+          expr("transform(sort_array(collect_list(struct(seg_idx, seg))), p -> p.seg)"),
+          " ").as("clean_text"))
+      .select(col("doc_id"), col("n_kept_segs"),
+        length(col("clean_text")).cast("long").as("clean_chars"),
+        col("clean_text"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val o173 = s"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents),
+    segs AS (
+      SELECT doc_id, CAST(i AS INT) AS seg_idx,
+             array_to_string(
+               list_slice(ws, i * $SegWords + 1, i * $SegWords + $SegWords),
+               ' ') AS seg
+      FROM (SELECT doc_id, ws,
+                   unnest(range(0, CAST(ceil(len(ws) / $SegWords.0) AS BIGINT)))
+                     AS i
+            FROM docs)),
+    marked AS (
+      SELECT doc_id, seg_idx, seg,
+             row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx)
+               AS rn
+      FROM segs)
+    SELECT doc_id, count(*) AS n_kept_segs,
+           CAST(length(string_agg(seg, ' ' ORDER BY seg_idx)) AS BIGINT)
+             AS clean_chars,
+           string_agg(seg, ' ' ORDER BY seg_idx) AS clean_text
+    FROM marked WHERE rn = 1
     GROUP BY doc_id ORDER BY doc_id"""
 
   private val SpanLen = 30
@@ -1116,6 +1176,7 @@ object Dedup {
     QueryDef("q156_source_overlap", q156, Some(o156)),
     QueryDef("q157_dedup_ledger", q157, Some(o157)),
     QueryDef("q141_segment_dedup", q141, Some(o141)),
+    QueryDef("q173_segment_rewrite", q173, Some(o173)),
     QueryDef("q142_dup_spans", q142, Some(o142)),
     QueryDef("q171_minimizer_spans", q171, Some(o171)),
     QueryDef("q143_minhash_accuracy", q143, Some(o143)),

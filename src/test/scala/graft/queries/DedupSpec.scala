@@ -59,6 +59,12 @@ class DedupSpec extends SparkTestBase {
       s"doc 1 (1002 segments, all first occurrences) must keep everything: $got")
     assert(got(2L) == (2L, 1L),
       s"doc 2's copy of the shared segment must be dropped: $got")
+    // the rewrite (q173) must agree with the ledger: doc 2's cleaned text
+    // is exactly its unique second segment, doc 1 survives verbatim
+    val clean = SparkEntry.queries("q173_segment_rewrite")(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getString(3)).toMap
+    assert(clean(1L) == doc1)
+    assert(clean(2L) == (1 to 10).map(i => s"b$i").mkString(" "))
   }
 
   test("q171 minimizer sampling co-selects a shared span across documents") {
