@@ -849,21 +849,17 @@ object Dedup {
     * report; this is the one you run on the full crawl.
     */
   private def q171(s: SparkSession, d: String): DataFrame = {
-    // hs(p) = md5 of the span opening at offset p (md5: the hash both
-    // engines share bit-for-bit, CLAUDE.md); sel = offsets whose hash is
-    // minimal over the window [p, p + w - 1] they open
-    val hsSql = s"""transform(
-        sequence(1, greatest(length(text) - ${SpanLen - 1}, 1)),
-        p -> md5(substr(text, p, $SpanLen)))"""
-    val selSql = s"""filter(
-        sequence(1, size(hs)),
-        p -> element_at(hs, p) = array_min(
-               slice(hs, p, least($MinimizerW, size(hs) - p + 1))))"""
+    // selection runs in the native rolling-hash kernel
+    // ([[graft.functions.MinimizerOffsetsExpression]], codegen'd, O(1) per
+    // offset); the oracle recomputes the same polynomial hash per offset
+    // as exact integer SQL — engine-independent selection with no
+    // md5-per-offset cost anywhere on the Spark side
     def sampled = parallelize(s, documents(s, d))
-      .withColumn("hs", expr(hsSql))
-      .select(col("doc_id"), col("text"), explode(expr(selSql)).as("p"))
+      .select(col("doc_id"), col("text"),
+        explode(graft.functions.MinimizerOffsetsExpression.offsets(
+          col("text"), SpanLen, MinimizerW)).as("p"))
       .select(col("doc_id"),
-        expr(s"substr(text, p, $SpanLen)").as("span"))
+        col("text").substr(col("p"), lit(SpanLen)).as("span"))
     val hot = sampled
       .select(xxhash64(col("span")).as("h"), col("doc_id"))
       .groupBy(col("h"))
@@ -887,7 +883,15 @@ object Dedup {
       SELECT doc_id, text,
              list_transform(
                range(1, greatest(length(text) - ${SpanLen - 2}, 2)),
-               p -> md5(substr(text, CAST(p AS INT), $SpanLen))) AS hs
+               p -> list_reduce(
+                      list_prepend(CAST(0 AS BIGINT),
+                        list_transform(
+                          range(CAST(p AS INT),
+                                CAST(p AS INT) + least($SpanLen,
+                                  length(text) - CAST(p AS INT) + 1)),
+                          i -> CAST(ascii(substr(text, CAST(i AS INT), 1))
+                                 AS BIGINT))),
+                      (a, b) -> (a * 31 + b) % 1000000007)) AS hs
       FROM documents),
     sel AS (
       SELECT doc_id, text,

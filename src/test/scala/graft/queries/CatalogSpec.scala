@@ -227,7 +227,7 @@ class CatalogSpec extends SparkTestBase {
     // results under spark.sql.codegen.factoryMode=NO_CODEGEN.
     val targets = Seq("q36_minhash_signatures", "q39_simhash_groups",
       "q42_ann_lsh_bucket", "q48_rolling_fingerprint", "q24_ner_flagship",
-      "q41_cosine_topk")
+      "q41_cosine_topk", "q171_minimizer_spans")
     val codegenOn = targets.map(q =>
       q -> SparkEntry.queries(q)(spark, sf()).collect().toSeq)
     val prev = spark.conf.get("spark.sql.codegen.factoryMode")
