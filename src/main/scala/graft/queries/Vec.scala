@@ -1005,7 +1005,78 @@ object Vec {
            round(cs, 6) AS cos_sim
     FROM ranked WHERE rnk <= 3 ORDER BY anchor, rnk"""
 
+  /** q174: per-label embedding outliers — the label-quality audit a
+    * classifier-training pipeline runs before trusting its labels: for each
+    * label, the 5 members least similar to their label's centroid (rounded
+    * cosine ascending, vec_id tie-break). Low similarity to own-label
+    * centroid is the standard mislabel/contamination screen.
+    *
+    * Composition over existing pieces: dimension-exploded centroid (one
+    * hash aggregation keyed (label, dim) — output bounded by labels x Dim,
+    * never a vector-sized shuffle), codegen'd dot/norm kernels for the
+    * scoring pass, and [[graft.functions.GroupedTopK]] for the per-label
+    * bottom-5 — map-side-partial hash aggregation, NO window sort over the
+    * scored corpus (q149's stance). Ranking uses the ROUNDED cosine so
+    * engine last-ulp drift cannot reorder; ties break on vec_id.
+    */
+  private def q174(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val e = parallelize(s, embeddings(s, d))
+      .select(col("vec_id"), col("label"), toD(col("embedding")).as("v"))
+    val cent = e
+      .select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i")).agg(avg(col("x")).as("c"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(i, c))), p -> p.c)")
+        .as("cv"))
+    val scored = e.join(cent, Seq("label"))
+      .select(col("label"), col("vec_id"),
+        round(dot(col("v"), col("cv")) / (norm(col("v")) * norm(col("cv"))),
+          6).as("cos_centroid"))
+    val tk = new graft.functions.GroupedTopK.TopK(5).toColumn
+    scored.as[(Int, Long, Double)]
+      .groupByKey(_._1)
+      // score = negated rounded cosine: TopK keeps the largest scores =
+      // the least-similar members, ties to the smallest vec_id
+      .mapValues(t => graft.functions.GroupedTopK.Entry(-t._3, t._2))
+      .agg(tk.name("top"))
+      .toDF("label", "top")
+      .select(col("label"), posexplode(col("top")))
+      .select(col("label"), (col("pos") + 1).cast("int").as("rnk"),
+        col("col.key").as("vec_id"),
+        // + 0.0 normalizes a potential -0.0 from the negation
+        (-col("col.score") + lit(0.0)).as("cos_centroid"))
+      .orderBy(col("label"), col("rnk"))
+  }
+
+  private def o174: String = s"""
+    WITH e AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings),
+    cent AS (
+      SELECT label, i, avg(v[CAST(i AS INT)]) AS c
+      FROM (SELECT label, v, unnest(range(1, ${Dim + 1})) AS i FROM e)
+      GROUP BY label, i),
+    cv AS (SELECT label, list(c ORDER BY i) AS cv FROM cent GROUP BY label),
+    scored AS (
+      SELECT e.label, e.vec_id,
+             round(
+               list_sum(list_transform(range(1, ${Dim + 1}),
+                 i -> v[i] * cv[i]))
+               / (sqrt(list_sum(list_transform(range(1, ${Dim + 1}),
+                    i -> v[i] * v[i])))
+                  * sqrt(list_sum(list_transform(range(1, ${Dim + 1}),
+                      i -> cv[i] * cv[i])))), 6) AS cos_centroid
+      FROM e JOIN cv USING (label))
+    SELECT label, CAST(rnk AS INT) AS rnk, vec_id, cos_centroid
+    FROM (SELECT label, vec_id, cos_centroid,
+                 row_number() OVER (PARTITION BY label
+                   ORDER BY cos_centroid, vec_id) AS rnk
+          FROM scored)
+    WHERE rnk <= 5 ORDER BY label, rnk"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q174_label_outliers", q174, Some(o174)),
     QueryDef("q166_hard_negatives", q166, Some(o166)),
     QueryDef("q164_rank_fusion", q164, Some(o164)),
     QueryDef("q159_centroid_drift", q159, Some(o159)),
