@@ -1089,45 +1089,60 @@ object Corpus {
     * longer equals the left half, so "a a a" -> "aa a" exactly like the
     * reference algorithm.
     */
-  private def q172(s: SparkSession, d: String): DataFrame = {
-    // corpus-scale histogram; persisted — all three rounds and the final
-    // union re-derive from it (scoped release after the consuming action)
-    val words = parallelize(s, documents(s, d))
+  // ---- shared BPE machinery (q172 induction, q175 compression curve) ----
+
+  private val bpeArrSql =
+    "slice(split(syms, '\\\\|'), 2, size(split(syms, '\\\\|')))"
+
+  /** Corpus word histogram with char-symbol strings — the one corpus-scale
+    * stage of the BPE family (callers persist + scope it). */
+  private def bpeWords(s: SparkSession, d: String): DataFrame =
+    parallelize(s, documents(s, d))
       .select(explode(wsCol).as("w"))
       .groupBy(col("w")).agg(count(lit(1)).as("wc"))
       .withColumn("syms", regexp_replace(col("w"), "(.)", "|$1"))
       .select(col("wc"), col("syms"))
-      .persist()
-    val arrSql = "slice(split(syms, '\\\\|'), 2, size(split(syms, '\\\\|')))"
-    def pairsOf(df: DataFrame): DataFrame = df
-      .select(col("wc"), expr(arrSql).as("arr"))
-      .filter(size(col("arr")) >= 2)
-      .select(col("wc"), explode(expr(
-        """transform(sequence(1, size(arr) - 1),
-           i -> struct(element_at(arr, i) AS a, element_at(arr, i + 1) AS b))"""))
-        .as("p"))
-      .select(col("wc"), col("p.a").as("a"), col("p.b").as("b"))
-    def top1(df: DataFrame): DataFrame = pairsOf(df)
-      .groupBy(col("a"), col("b"))
-      .agg(sum(col("wc")).cast("long").as("pair_count"))
-      .orderBy(col("pair_count").desc, col("a"), col("b"))
-      .limit(1)
-    def mergeRound(df: DataFrame, top: DataFrame): DataFrame = df
-      // column-derived zero key so the 1-row top pair joins as a broadcast
-      // HASH join (same construction as q72's corpus-size join)
-      .withColumn("jk", pmod(col("wc"), col("wc")))
-      .join(broadcast(top.select(col("a"), col("b"),
-        pmod(col("pair_count"), col("pair_count")).as("jk"))), Seq("jk"))
-      .withColumn("syms", expr(
-        s"""aggregate($arrSql, '',
-            (acc, x) -> if(endswith(acc, concat('|', a)) and x = b,
-                           concat(acc, x), concat(acc, '|', x)))"""))
-      .select(col("wc"), col("syms"))
-    val t1 = top1(words)
-    val s1 = mergeRound(words, t1)
-    val t2 = top1(s1)
-    val s2 = mergeRound(s1, t2)
-    val t3 = top1(s2)
+
+  private def bpePairs(df: DataFrame): DataFrame = df
+    .select(col("wc"), expr(bpeArrSql).as("arr"))
+    .filter(size(col("arr")) >= 2)
+    .select(col("wc"), explode(expr(
+      """transform(sequence(1, size(arr) - 1),
+         i -> struct(element_at(arr, i) AS a, element_at(arr, i + 1) AS b))"""))
+      .as("p"))
+    .select(col("wc"), col("p.a").as("a"), col("p.b").as("b"))
+
+  private def bpeTop1(df: DataFrame): DataFrame = bpePairs(df)
+    .groupBy(col("a"), col("b"))
+    .agg(sum(col("wc")).cast("long").as("pair_count"))
+    .orderBy(col("pair_count").desc, col("a"), col("b"))
+    .limit(1)
+
+  private def bpeMerge(df: DataFrame, top: DataFrame): DataFrame = df
+    // column-derived zero key so the 1-row top pair joins as a broadcast
+    // HASH join (same construction as q72's corpus-size join). LEFT join:
+    // a round with NO pairs left (top empty) must leave the corpus state
+    // unchanged, not empty — the null pair makes the fold's merge guard
+    // null => false, so every symbol is appended verbatim.
+    .withColumn("jk", pmod(col("wc"), col("wc")))
+    .join(broadcast(top.select(col("a"), col("b"),
+      pmod(col("pair_count"), col("pair_count")).as("jk"))), Seq("jk"),
+      "left")
+    .withColumn("syms", expr(
+      s"""aggregate($bpeArrSql, '',
+          (acc, x) -> if(endswith(acc, concat('|', a)) and x = b,
+                         concat(acc, x), concat(acc, '|', x)))"""))
+    .select(col("wc"), col("syms"))
+
+  private def q172(s: SparkSession, d: String): DataFrame = {
+    // corpus-scale histogram; persisted — all three rounds and the final
+    // union re-derive from it (scoped release after the consuming action)
+    val words = bpeWords(s, d).persist()
+    val t1 = bpeTop1(words)
+    val s1 = bpeMerge(words, t1)
+    val t2 = bpeTop1(s1)
+    val s2 = bpeMerge(s1, t2)
+    val t3 = bpeTop1(s2)
     val out = Seq(t1, t2, t3).zipWithIndex.map { case (t, i) =>
       t.select(lit(i + 1).as("merge_rank"), col("a").as("sym_a"),
         col("b").as("sym_b"), concat(col("a"), col("b")).as("merged"),
@@ -1136,9 +1151,9 @@ object Corpus {
     Cached.scopedTo(out, words)
   }
 
-  private val o172: String = {
-    // one round of the unrolled oracle: pairs -> weighted top-1 -> fold
-    def round(src: String, k: Int): String =
+  // one round of the unrolled BPE oracle: pairs -> weighted top-1 -> fold
+  // (shared by o172 and o175)
+  private def oBpeRound(src: String, k: Int): String =
       s"""top$k AS (
            SELECT a, b, CAST(sum(wc) AS BIGINT) AS pair_count
            FROM (
@@ -1158,7 +1173,10 @@ object Corpus {
                     (acc, x) -> CASE WHEN ends_with(acc, '|' || t.a)
                                       AND x = t.b
                                 THEN acc || x ELSE acc || '|' || x END) AS syms
-           FROM $src, top$k t)"""
+           FROM $src LEFT JOIN top$k t ON TRUE)"""
+
+  /** words + s0 + three unrolled merge rounds — the shared oracle prefix. */
+  private def oBpePrefix: String =
     s"""WITH words AS (
          SELECT w, count(*) AS wc
          FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
@@ -1166,9 +1184,12 @@ object Corpus {
          GROUP BY w),
        s0 AS (SELECT wc, regexp_replace(w, '(.)', '|\\1', 'g') AS syms
               FROM words),
-       ${round("s0", 1)},
-       ${round("s1", 2)},
-       ${round("s2", 3)}
+       ${oBpeRound("s0", 1)},
+       ${oBpeRound("s1", 2)},
+       ${oBpeRound("s2", 3)}"""
+
+  private val o172: String =
+    s"""$oBpePrefix
        SELECT * FROM (
          SELECT 1 AS merge_rank, a AS sym_a, b AS sym_b, a || b AS merged,
                 pair_count FROM top1
@@ -1177,10 +1198,51 @@ object Corpus {
          UNION ALL
          SELECT 3, a, b, a || b, pair_count FROM top3)
        ORDER BY merge_rank"""
+
+  /** q175: BPE compression curve — what the induced vocabulary (q172) buys:
+    * corpus token count and tokens-per-word after each of the first
+    * 0..$BpeRounds merges. The curve (how fast tokens/word falls) is the
+    * statistic a tokenizer-budget decision actually reads; producing it
+    * costs nothing beyond q172's vocabulary-dimension rounds plus one
+    * weighted aggregation per state.
+    */
+  private def q175(s: SparkSession, d: String): DataFrame = {
+    val words = bpeWords(s, d).persist()
+    val s1 = bpeMerge(words, bpeTop1(words))
+    val s2 = bpeMerge(s1, bpeTop1(s1))
+    val s3 = bpeMerge(s2, bpeTop1(s2))
+    val out = Seq(words, s1, s2, s3).zipWithIndex.map { case (st, k) =>
+      st.agg(
+        sum(col("wc") * (size(split(col("syms"), "\\|")) - 1)).cast("long")
+          .as("total_tokens"),
+        sum(col("wc")).cast("long").as("total_words"))
+        .select(lit(k).as("bpe_round"), col("total_tokens"),
+          round(col("total_tokens") / col("total_words").cast("double"), 6)
+            .as("tokens_per_word"))
+    }.reduce(_ union _).orderBy(col("bpe_round"))
+    Cached.scopedTo(out, words)
+  }
+
+  private val o175: String = {
+    def stat(src: String, k: Int): String =
+      s"""SELECT $k AS bpe_round,
+                 CAST(sum(wc * (len(string_split(syms, '|')) - 1)) AS BIGINT)
+                   AS total_tokens,
+                 round(sum(wc * (len(string_split(syms, '|')) - 1))
+                   / CAST(sum(wc) AS DOUBLE), 6) AS tokens_per_word
+          FROM $src"""
+    s"""$oBpePrefix
+       SELECT * FROM (
+         ${stat("s0", 0)}
+         UNION ALL ${stat("s1", 1)}
+         UNION ALL ${stat("s2", 2)}
+         UNION ALL ${stat("s3", 3)})
+       ORDER BY bpe_round"""
   }
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q172_bpe_merges", q172, Some(o172)),
+    QueryDef("q175_bpe_compression", q175, Some(o175)),
     QueryDef("q170_stratified_kfold", q170, Some(o170)),
     QueryDef("q167_temperature_mix", q167, Some(o167)),
     QueryDef("q161_length_bucketing", q161, Some(o161)),

@@ -29,6 +29,24 @@ class BpeSpec extends SparkTestBase {
       (2, "aa", "aa", "aaaa", 2L)))
   }
 
+  test("compression curve: round 0 = character count, each merge shrinks by pair_count") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graft_q175").toString
+    Seq((1L, "aaaa aaaa b")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val curve = SparkEntry.queries("q175_bpe_compression")(spark, dir)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    // 9 symbols total (a x8 + b). Applied merges per round are the GREEDY
+    // ones, not the pair COUNT: "aaaa" has 3 (a,a) pairs but only 2 merge
+    // (leftmost, non-overlapping), so round 1 removes 2 x 2 = 4 symbols.
+    assert(curve(0) == 9L)
+    assert(curve(1) == 5L) // aaaa -> [aa, aa] per word
+    assert(curve(2) == 3L) // [aa, aa] -> [aaaa] per word
+    // round 3 has no pairs anywhere: the state must carry over UNCHANGED
+    // (an empty top-1 must not wipe the corpus — left-join semantics)
+    assert(curve(3) == 3L)
+  }
+
   test("merged symbols compete as units in later rounds") {
     import spark.implicits._
     // after (a,b) merges, the pair ("ab", "c") must be counted as a unit —
