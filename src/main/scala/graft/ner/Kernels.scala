@@ -55,7 +55,10 @@ private[graft] trait DotKernel {
   */
 private[graft] object ExpF {
   val MinX = -87.33654f // exp underflows float below this
-  val MaxX = 88.72283f // exp overflows float above this
+  // exp(88) = 1.65e38 stays finite AND its exponent (127) stays
+  // representable through the integer bit reassembly — the float-max bound
+  // 88.72283 would reassemble exponent 128 = Inf bits
+  val MaxX = 88.0f
   val Log2e = 1.44269504088896341f
   // ln(2) split high/low so r = x - n*ln2 stays exact at f32
   val C1 = 0.693359375f
@@ -260,7 +263,6 @@ private[graft] object SimdKernel extends DotKernel {
   private val vMinX = FloatVector.broadcast(sp, ExpF.MinX)
   private val vMaxX = FloatVector.broadcast(sp, ExpF.MaxX)
   private val vLog2e = FloatVector.broadcast(sp, ExpF.Log2e)
-  private val vHalf = FloatVector.broadcast(sp, 0.5f)
   private val vNC1 = FloatVector.broadcast(sp, -ExpF.C1)
   private val vNC2 = FloatVector.broadcast(sp, -ExpF.C2)
   private val vMagic = FloatVector.broadcast(sp, ExpF.Magic)

@@ -80,6 +80,29 @@ class KernelPropertiesSpec extends AnyFunSuite {
     }
   }
 
+  test("deterministic expf tracks Math.exp within 2 ulp-ish relative error") {
+    // ExpF is the encoder's softmax/gelu basis: accuracy must stay in the
+    // expf class across the whole clamped domain, and the scalar kernel
+    // must agree with itself bitwise on repeated evaluation (determinism
+    // is the reason it exists — VectorOperators.EXP changed with JIT state)
+    holds("expf") {
+      Prop.forAll(Gen.choose(-87f, 88f)) { x =>
+        val got = ExpF.expf(x).toDouble
+        val want = math.exp(x.toDouble)
+        math.abs(got - want) / want <= 2e-7 &&
+          ExpF.expf(x) == ExpF.expf(x)
+      }
+    }
+  }
+
+  test("expf clamps instead of overflowing/underflowing") {
+    assert(ExpF.expf(1000f).isPosInfinity == false)
+    assert(ExpF.expf(1000f) == ExpF.expf(ExpF.MaxX))
+    assert(ExpF.expf(-1000f) == ExpF.expf(ExpF.MinX))
+    assert(ExpF.expf(-1000f) > 0f)
+    assert(ExpF.expf(0f) == 1f)
+  }
+
   test("f16 widening is strictly monotone on finite positive halves") {
     holds("f16") {
       Prop.forAll(Gen.choose(0x0000, 0x7bfe)) { bits =>

@@ -88,7 +88,9 @@ class CatalogSpec extends SparkTestBase {
           "q84_kmeans_iter", "q102_simhash_hamming", "q115_countmin_sketch",
           "q116_bloom_prune", "q119_pagerank_iter", "q120_prefix_filter_join",
           "q122_snapshot_diff", "q130_semantic_dedup", "q131_bm25_topk",
-          "q136_triangle_count", "q137_copurchase_similarity")) {
+          "q136_triangle_count", "q137_copurchase_similarity",
+          "q142_dup_spans", "q171_minimizer_spans", "q172_bpe_merges",
+          "q174_label_outliers")) {
         val plan = SparkEntry.queries(q)(spark, sf("sf0.1"))
           .queryExecution.executedPlan.toString
         assert(!plan.contains("CartesianProduct"), s"$q has CartesianProduct")
