@@ -1075,7 +1075,109 @@ object Vec {
           FROM scored)
     WHERE rnk <= 5 ORDER BY label, rnk"""
 
+  private val RecallQ = 8 // query vectors: vec_id < RecallQ
+  private val RecallK = 10
+
+  /** q176: ANN recall audit — the calibration loop for the IVF tier, the
+    * vector-space analogue of q143's MinHash accuracy audit: for each of
+    * $RecallQ query vectors, exact brute-force top-$RecallK (rounded
+    * cosine, vec_id tie-break) vs the single-probe IVF answer (candidates
+    * restricted to the query's own cell), reported as overlap and
+    * recall@k. This is the number an operator reads before choosing cell
+    * count / probe width on a new corpus — q129/q135/q140 give the scale
+    * paths, this measures what they cost in recall.
+    *
+    * Scale: ground truth is Q x corpus (honest, bounded by the tiny query
+    * panel — the only way to measure recall); everything rides the
+    * existing map-side IVF assignment, broadcast query panel with a
+    * column-derived equi key (no nested loop), and GroupedTopK partial
+    * aggregation — no window sort anywhere.
+    */
+  private def q176(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val a = assignNearest(s, d).select(col("vec_id"), col("cid"), col("v"))
+    val q = a.filter(col("vec_id") < RecallQ)
+      .select(col("vec_id").as("qid"), col("cid").as("qcid"),
+        col("v").as("qv"), pmod(col("vec_id"), lit(1)).as("jk"))
+    val scored = a.withColumn("jk", pmod(col("vec_id"), lit(1)))
+      .join(broadcast(q), Seq("jk"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qcid"), col("vec_id"), col("cid"),
+        round(cosine(col("v"), col("qv")), 6).as("cs"))
+    def topk(df: DataFrame): DataFrame = {
+      val tk = new graft.functions.GroupedTopK.TopK(RecallK).toColumn
+      df.select(col("qid"), col("cs"), col("vec_id"))
+        .as[(Long, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues(t => graft.functions.GroupedTopK.Entry(t._2, t._3))
+        .agg(tk.name("top"))
+        .toDF("qid", "top")
+        .select(col("qid"), explode(col("top")).as("e"))
+        .select(col("qid"), col("e.key").as("vec_id"))
+    }
+    val exact = topk(scored)
+    val probe = topk(scored.filter(col("cid") === col("qcid")))
+    val overlap = exact.join(probe, Seq("qid", "vec_id"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_overlap"))
+    q.select(col("qid").as("query_id"))
+      .join(overlap.withColumnRenamed("qid", "query_id"),
+        Seq("query_id"), "left")
+      .select(col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("n_overlap"), lit(0L)) / lit(RecallK.toDouble), 2)
+          .as("recall"))
+      .orderBy(col("query_id"))
+  }
+
+  private def o176: String = s"""
+    WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id < $NCells),
+    dists AS (
+      SELECT e.vec_id, c.cid, $oCd2 AS d2
+      FROM embeddings e CROSS JOIN c),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM dists) WHERE rn = 1),
+    ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT a.vec_id AS qid, a.cid AS qcid, ev.v AS qv
+          FROM assign a JOIN ev ON ev.vec_id = a.vec_id
+          WHERE a.vec_id < $RecallQ),
+    scored AS (
+      SELECT q.qid, q.qcid, ev.vec_id, a2.cid,
+             round(
+               list_sum(list_transform(range(1, ${Dim + 1}),
+                 i -> ev.v[i] * q.qv[i]))
+               / (sqrt(list_sum(list_transform(range(1, ${Dim + 1}),
+                    i -> ev.v[i] * ev.v[i])))
+                  * sqrt(list_sum(list_transform(range(1, ${Dim + 1}),
+                      i -> q.qv[i] * q.qv[i])))), 6) AS cs
+      FROM ev JOIN assign a2 ON a2.vec_id = ev.vec_id, q
+      WHERE ev.vec_id <> q.qid),
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY cs DESC, vec_id)
+                 AS rn
+        FROM scored) WHERE rn <= $RecallK),
+    probe AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY cs DESC, vec_id)
+                 AS rn
+        FROM scored WHERE cid = qcid) WHERE rn <= $RecallK)
+    SELECT q.qid AS query_id,
+           CAST(coalesce(o.n_overlap, 0) AS BIGINT) AS n_overlap,
+           round(coalesce(o.n_overlap, 0) / $RecallK.0, 2) AS recall
+    FROM q LEFT JOIN (
+      SELECT e.qid, count(*) AS n_overlap
+      FROM exact e JOIN probe p ON p.qid = e.qid AND p.vec_id = e.vec_id
+      GROUP BY e.qid) o ON o.qid = q.qid
+    ORDER BY query_id"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q176_ann_recall", q176, Some(o176)),
     QueryDef("q174_label_outliers", q174, Some(o174)),
     QueryDef("q166_hard_negatives", q166, Some(o166)),
     QueryDef("q164_rank_fusion", q164, Some(o164)),
