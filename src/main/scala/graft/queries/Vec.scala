@@ -1075,7 +1075,9 @@ object Vec {
           FROM scored)
     WHERE rnk <= 5 ORDER BY label, rnk"""
 
-  private val RecallQ = 8 // query vectors: vec_id < RecallQ
+  private val RecallQ = 8 // query panel size; panel starts at NCells so
+  // no query vector is also a codebook seed (a seed's own cell trivially
+  // contains its neighborhood and would flatter recall)
   private val RecallK = 10
 
   /** q176: ANN recall audit — the calibration loop for the IVF tier, the
@@ -1085,7 +1087,10 @@ object Vec {
     * restricted to the query's own cell), reported as overlap and
     * recall@k. This is the number an operator reads before choosing cell
     * count / probe width on a new corpus — q129/q135/q140 give the scale
-    * paths, this measures what they cost in recall.
+    * paths, this measures what they cost in recall. (On this corpus it
+    * reports 0.1-0.3: a 16-cell first-16-vectors codebook with one probe
+    * is NOT enough — precisely the conclusion that sends an operator to
+    * q129's multi-probe or q84's trained centroids.)
     *
     * Scale: ground truth is Q x corpus (honest, bounded by the tiny query
     * panel — the only way to measure recall); everything rides the
@@ -1096,7 +1101,8 @@ object Vec {
   private def q176(s: SparkSession, d: String): DataFrame = {
     import s.implicits._
     val a = assignNearest(s, d).select(col("vec_id"), col("cid"), col("v"))
-    val q = a.filter(col("vec_id") < RecallQ)
+    val q = a.filter(col("vec_id") >= NCells &&
+        col("vec_id") < NCells + RecallQ)
       .select(col("vec_id").as("qid"), col("cid").as("qcid"),
         col("v").as("qv"), pmod(col("vec_id"), lit(1)).as("jk"))
     val scored = a.withColumn("jk", pmod(col("vec_id"), lit(1)))
@@ -1143,7 +1149,7 @@ object Vec {
     ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     q AS (SELECT a.vec_id AS qid, a.cid AS qcid, ev.v AS qv
           FROM assign a JOIN ev ON ev.vec_id = a.vec_id
-          WHERE a.vec_id < $RecallQ),
+          WHERE a.vec_id >= $NCells AND a.vec_id < $NCells + $RecallQ),
     scored AS (
       SELECT q.qid, q.qcid, ev.vec_id, a2.cid,
              round(
