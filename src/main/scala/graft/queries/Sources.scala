@@ -176,7 +176,59 @@ object Sources {
            CAST(sum(length(text)) AS BIGINT) AS total_chars
     FROM merged GROUP BY lang ORDER BY lang"""
 
+  /** q177: malformed-record ingestion — the robustness contract a crawl
+    * loader actually needs: a JSONL source mixing the valid corpus with 6
+    * deliberately-broken lines is read in PERMISSIVE mode with an explicit
+    * corrupt-record column, and the result accounts for EVERY line — valid
+    * rows aggregate per-lang exactly as the lossless round trip (q95),
+    * broken lines land in a '_corrupt_' bucket with their count. A reader
+    * that silently dropped corrupt lines, or mis-flagged a valid one,
+    * breaks the oracle (which predicts both partitions from the original
+    * parquet + the known corrupt set). FAILFAST/DROPMALFORMED are the
+    * other two contracts; PERMISSIVE-with-accounting is the one a lossy
+    * 100-TB crawl ingest wants, because it quantifies what it lost.
+    */
+  private def q177(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val good = sinkDir(s, "graft_json_good")
+    val bad = sinkDir(s, "graft_json_bad")
+    documents(s, d).select(col("doc_id"), col("text"), col("lang"))
+      .write.mode("overwrite").json(good)
+    Seq(
+      """{"doc_id": 1, "text": "unterminated""",
+      """not json at all""",
+      """{"doc_id": }""",
+      """[1, 2, 3""",
+      """{{""",
+      """}""")
+      .toDF("value").write.mode("overwrite").text(bad)
+    val schema = StructType.fromDDL(
+      "doc_id LONG, text STRING, lang STRING, _bad STRING")
+    s.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_bad")
+      .json(good, bad)
+      .groupBy(coalesce(col("lang"), lit("_corrupt_")).as("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        coalesce(sum(length(col("text"))), lit(0L)).cast("long")
+          .as("total_chars"),
+        coalesce(min(col("doc_id")), lit(-1L)).as("min_doc"),
+        coalesce(max(col("doc_id")), lit(-1L)).as("max_doc"))
+      .orderBy(col("lang"))
+  }
+
+  private val o177 = """
+    SELECT lang, count(*) AS n_docs,
+           CAST(sum(length(text)) AS BIGINT) AS total_chars,
+           min(doc_id) AS min_doc, max(doc_id) AS max_doc
+    FROM documents GROUP BY lang
+    UNION ALL
+    SELECT '_corrupt_', CAST(6 AS BIGINT), CAST(0 AS BIGINT),
+           CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
+    ORDER BY lang"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q177_corrupt_records", q177, Some(o177)),
     QueryDef("q146_schema_merge", q146, Some(o146)),
     QueryDef("q95_json_roundtrip", q95, Some(oAgg)),
     QueryDef("q96_csv_roundtrip", q96, Some(oAgg)),
