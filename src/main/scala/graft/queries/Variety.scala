@@ -341,6 +341,53 @@ object Variety {
     WHERE c.c_custkey < 100
     ORDER BY c_custkey, o_totalprice DESC, o_orderkey"""
 
+  /** q178: NOT IN three-valued logic — the classic correctness trap, pinned
+    * across both engines: a NULL anywhere in the IN-list makes `x NOT IN
+    * (...)` UNKNOWN for every non-matching x, so the naive rewrite returns
+    * ZERO rows; the null-filtered form and `NOT EXISTS` return the intended
+    * counts (and agree). One row, three counts, any divergence between the
+    * semantics (or the engines) breaks the hash.
+    *
+    * Scale note, the reason the distinction matters beyond semantics:
+    * Spark plans the null-aware NOT IN as a single-column null-aware ANTI
+    * join that can only broadcast (the build side must be scanned whole
+    * per row once a NULL exists), while NOT EXISTS plans as an ordinary
+    * shuffleable left-anti join — at 100 TB the NOT EXISTS form is the
+    * only one that runs. Write NOT EXISTS; this query is the receipt.
+    */
+  private def q178(s: SparkSession, d: String): DataFrame = {
+    customer(s, d).createOrReplaceTempView("graft_ni_customer")
+    orders(s, d).createOrReplaceTempView("graft_ni_orders")
+    s.sql("""
+      WITH probe AS (
+        SELECT CASE WHEN o_orderkey % 997 = 0 THEN NULL ELSE o_custkey END
+                 AS k
+        FROM graft_ni_orders WHERE o_custkey < 800)
+      SELECT
+        (SELECT count(*) FROM graft_ni_customer
+         WHERE c_custkey NOT IN (SELECT k FROM probe)) AS n_not_in,
+        (SELECT count(*) FROM graft_ni_customer
+         WHERE c_custkey NOT IN (SELECT k FROM probe WHERE k IS NOT NULL))
+          AS n_not_in_filtered,
+        (SELECT count(*) FROM graft_ni_customer c
+         WHERE NOT EXISTS (SELECT 1 FROM probe p WHERE p.k = c.c_custkey))
+          AS n_not_exists""")
+  }
+
+  private val o178 = """
+    WITH probe AS (
+      SELECT CASE WHEN o_orderkey % 997 = 0 THEN NULL ELSE o_custkey END AS k
+      FROM orders WHERE o_custkey < 800)
+    SELECT
+      (SELECT count(*) FROM customer
+       WHERE c_custkey NOT IN (SELECT k FROM probe)) AS n_not_in,
+      (SELECT count(*) FROM customer
+       WHERE c_custkey NOT IN (SELECT k FROM probe WHERE k IS NOT NULL))
+        AS n_not_in_filtered,
+      (SELECT count(*) FROM customer c
+       WHERE NOT EXISTS (SELECT 1 FROM probe p WHERE p.k = c.c_custkey))
+        AS n_not_exists"""
+
   /** q80: ordered string aggregation (listagg): collect_list is
     * order-nondeterministic in a distributed agg, so sort before joining —
     * equivalent to DuckDB's `string_agg(… ORDER BY …)`.
@@ -560,6 +607,7 @@ object Variety {
     GROUP BY digit ORDER BY digit"""
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q178_not_in_semantics", q178, Some(o178)),
     QueryDef("q148_benford_digits", q148, Some(o148)),
     QueryDef("q114_pagination", q114, Some(o114)),
     QueryDef("q100_recursive_cte", q100, Some(recursiveSql("nation"))),
