@@ -43,7 +43,12 @@ object GroupedTopK {
 
     override def zero: Buf = Buf(Vector.empty)
 
-    override def reduce(b: Buf, e: Entry): Buf = {
+    override def reduce(b: Buf, e0: Entry): Buf = {
+      // Normalize -0.0 to 0.0 on entry: Double.compare ranks 0.0 above -0.0,
+      // but the SQL oracles' ORDER BY treats them equal and falls through to
+      // the key tie-break — a rounded -0.0 at the k-boundary must not order
+      // differently than DuckDB's row_number (round-6 ADVICE).
+      val e = if (e0.score == 0.0d) Entry(0.0d, e0.key) else e0
       val es = b.entries
       // fast reject: buffer full and e does not beat the current k-th
       if (es.size >= k && !beats(e, es.last)) b

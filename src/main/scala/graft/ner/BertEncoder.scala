@@ -26,11 +26,24 @@ final class BertEncoder(model: NerModel) {
     * legal sizes within Int range; anything outside falls back to empty).
     */
   private def req(name: String, expected: Long): Array[Float] = {
-    val t = model.tensors.get(name).map(_.data).getOrElse(Array.emptyFloatArray)
-    if (t.length.toLong == expected) t
-    else if (expected >= 0 && expected <= Int.MaxValue)
-      new Array[Float](expected.toInt) // missing/mismatched stays zero, like ggml's zero-init arena
-    else Array.emptyFloatArray
+    require(expected >= 0 && expected <= Int.MaxValue,
+      s"tensor $name: illegal expected size $expected (hparams out of range)")
+    model.tensors.get(name).map(_.data) match {
+      case Some(t) =>
+        // A present-but-mis-shaped tensor is a loader or dimension-ordering
+        // bug: silently substituting zeros here produced plausible-but-wrong
+        // logits (round-6 ADVICE) — fail loudly instead.
+        require(t.length.toLong == expected,
+          s"tensor $name: expected $expected floats, loaded ${t.length}")
+        t
+      case None =>
+        // absent tensor keeps ggml's zero-init-arena semantics (an optional
+        // tensor simply contributes nothing), but say so once per load so a
+        // truncated model can't pass unnoticed
+        System.err.println(
+          s"[graft.ner] warning: tensor $name absent — using zeros ($expected floats)")
+        new Array[Float](expected.toInt)
+    }
   }
 
   private val nEmbd = hp.nEmbd
@@ -45,7 +58,8 @@ final class BertEncoder(model: NerModel) {
     * happens once per loaded model; the original orientation is not kept.
     */
   private def transposed(w: Array[Float], out: Int, in: Int): Array[Float] = {
-    if (w.length != out * in) return new Array[Float](out * in)
+    require(w.length == out * in,
+      s"transposed: weight length ${w.length} != $out x $in")
     val wt = new Array[Float](w.length)
     var o = 0
     while (o < out) {

@@ -15,13 +15,21 @@ import org.apache.spark.sql.util.QueryExecutionListener
   * blocks stayed pinned until session end (round-5 VERDICT #8).
   *
   * [[scopedTo]] registers a one-shot [[QueryExecutionListener]] that
-  * unpersists the intermediates (and unregisters itself) after the next
-  * completed action on the session — which, for the contract's
-  * build-then-write usage, is the action that consumed the cache. Because
-  * these are persist()s (lineage intact), an early release by an unrelated
-  * interleaved action can only cost recomputation, never correctness; and
-  * within the consuming action itself the cache is already materialized
-  * block-by-block, so release-after-completion never races the run.
+  * unpersists the intermediates (and unregisters itself) after the completed
+  * action that actually CONSUMED the scoped result — identified by the
+  * executed plan containing a subtree `sameResult` to the result's analyzed
+  * plan (a collect runs the plan itself; a write wraps it in a command whose
+  * child is it). Releasing on the first action of ANY query (the round-5
+  * form) was defeated by exactly the interactive path it was added for: an
+  * unrelated interleaved action — including eager builders like
+  * localCheckpoint inside another catalog query — dropped the blocks before
+  * the scoped result ran (round-6 ADVICE). A bounded miss counter still
+  * releases after [[MaxUnrelatedActions]] unmatched actions so an
+  * abandoned result cannot pin blocks or leak the listener forever. Because
+  * these are persist()s (lineage intact), an early release can only cost
+  * recomputation, never correctness; and within the consuming action itself
+  * the cache is already materialized block-by-block, so
+  * release-after-completion never races the run.
   *
   * localCheckpoint frames are deliberately NOT scoped: their lineage is
   * truncated, so unpersisting them would break a second action on the same
@@ -29,10 +37,15 @@ import org.apache.spark.sql.util.QueryExecutionListener
   */
 object Cached {
 
+  /** Unmatched-action budget before an abandoned scope is force-released. */
+  private val MaxUnrelatedActions = 16
+
   def scopedTo(result: DataFrame, intermediates: DataFrame*): DataFrame = {
     val session = result.sparkSession
     val done = new AtomicBoolean(false)
+    val misses = new java.util.concurrent.atomic.AtomicInteger(0)
     val frames = intermediates.toIndexedSeq
+    val target = result.queryExecution.analyzed
     object listener extends QueryExecutionListener {
       private def release(): Unit = if (done.compareAndSet(false, true)) {
         frames.foreach { f =>
@@ -40,10 +53,19 @@ object Cached {
         }
         session.listenerManager.unregister(this)
       }
+      // Did this completed action run the scoped result (or a plan wrapping
+      // it, e.g. a write command)? On any comparison error fail open —
+      // releasing early is recompute-only.
+      private def ranResult(qe: QueryExecution): Boolean =
+        try qe.analyzed.exists(_.sameResult(target))
+        catch { case _: Throwable => true }
+      private def onDone(qe: QueryExecution): Unit =
+        if (ranResult(qe) || misses.incrementAndGet() >= MaxUnrelatedActions)
+          release()
       override def onSuccess(funcName: String, qe: QueryExecution,
-          durationNs: Long): Unit = release()
+          durationNs: Long): Unit = onDone(qe)
       override def onFailure(funcName: String, qe: QueryExecution,
-          exception: Exception): Unit = release()
+          exception: Exception): Unit = onDone(qe)
     }
     session.listenerManager.register(listener)
     result

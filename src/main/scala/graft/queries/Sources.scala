@@ -204,11 +204,24 @@ object Sources {
       .toDF("value").write.mode("overwrite").text(bad)
     val schema = StructType.fromDDL(
       "doc_id LONG, text STRING, lang STRING, _bad STRING")
+    // Corruption is decided by the PERMISSIVE contract's own signal (_bad
+    // set), NOT by lang nullability — a valid line with a null/absent lang
+    // must stay in its lang group (round-6 ADVICE). Fields partially
+    // salvaged from a corrupt line are nulled before aggregating: a row the
+    // parser flagged is untrustworthy wholesale, and the accounting must
+    // not depend on how far the parser got before failing.
+    val corrupt = col("_bad").isNotNull
     s.read.schema(schema)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_bad")
       .json(good, bad)
-      .groupBy(coalesce(col("lang"), lit("_corrupt_")).as("lang"))
+      .select(
+        when(corrupt, lit("_corrupt_")).otherwise(col("lang")).as("lang"),
+        when(corrupt, lit(null).cast("string")).otherwise(col("text"))
+          .as("text"),
+        when(corrupt, lit(null).cast("long")).otherwise(col("doc_id"))
+          .as("doc_id"))
+      .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         coalesce(sum(length(col("text"))), lit(0L)).cast("long")
           .as("total_chars"),

@@ -148,14 +148,53 @@ object Vec {
     * ran `row_number()` over a vec_id window — a full shuffle AND sort of
     * the expanded corpus, flagged as the scale-killer.)
     */
-  private def assignNearest(s: SparkSession, d: String): DataFrame = {
-    val e = embeddings(s, d)
-    val cb = e.filter(col("vec_id") < NCells)
+  /** The 16-entry codebook as one broadcastable row: a cid-sorted
+    * `ARRAY<STRUCT<cid, cv>>` plus a column-derived `jk` equi-key (pmod == 0
+    * always) so consumers get a BroadcastHashJoin, never a nested loop.
+    * Shared by [[assignNearest]] (corpus-side assignment) and q179
+    * (query-side cell ranking for multi-probe).
+    */
+  private def codebookRow(s: SparkSession, d: String): DataFrame =
+    embeddings(s, d).filter(col("vec_id") < NCells)
       .agg(array_sort(collect_list(struct(col("vec_id").as("cid"),
         toD(col("embedding")).as("cv")))).as("cb"))
-      // join key derived from a column (pmod == 0 always) so Catalyst keeps
-      // a hash-join key instead of folding a literal into a nested loop
       .withColumn("jk", pmod(size(col("cb")), size(col("cb"))))
+
+  private def assignNearest(s: SparkSession, d: String): DataFrame =
+    assignAgainst(s, d, codebookRow(s, d))
+
+  /** One Lloyd refinement of a codebook row (q84's iteration, composable):
+    * assign the corpus against `cb` with the same broadcast fold, recompute
+    * per-cell means with the single-pass centroid Aggregator, ROUND each
+    * mean to 6 decimals (the rounding is what makes the refined codebook
+    * bit-identical across engines — q84 proves round(avg, 6) agreement, and
+    * every later distance fold over identical inputs is then itself
+    * identical), and keep the previous centroid for any emptied cell so the
+    * codebook never shrinks. At 100 TB training runs on a sample and the
+    * codebook persists; here each step is one corpus pass + a 16 x 64
+    * aggregate, all inside the lazy plan.
+    */
+  private def lloydStep(s: SparkSession, d: String, cb: DataFrame): DataFrame = {
+    import s.implicits._
+    val cent = new graft.functions.VecCentroid.Centroid(Dim).toColumn
+    val means = assignAgainst(s, d, cb)
+      .select(col("cid"), col("v")).as[(Long, Seq[Double])]
+      .groupByKey(_._1)
+      .mapValues(_._2)
+      .agg(cent.name("c"))
+      .toDF("cid", "mcv")
+      .select(col("cid"), transform(col("mcv"), x => round(x, 6)).as("mcv"))
+    cb.select(explode(col("cb")).as("e"))
+      .select(col("e.cid").as("cid"), col("e.cv").as("pcv"))
+      .join(means, Seq("cid"), "left")
+      .select(col("cid"), coalesce(col("mcv"), col("pcv")).as("cv"))
+      .agg(array_sort(collect_list(struct(col("cid"), col("cv")))).as("cb"))
+      .withColumn("jk", pmod(size(col("cb")), size(col("cb"))))
+  }
+
+  private def assignAgainst(s: SparkSession, d: String,
+      cb: DataFrame): DataFrame = {
+    val e = embeddings(s, d)
     // Comparison key layout: (key, cid, d2) with key = d2 null-coalesced to
     // +Infinity and the nullable raw d2 LAST, after the tie-breaking cid, so
     // a NULL never participates in the struct comparison. A malformed
@@ -1182,7 +1221,232 @@ object Vec {
       GROUP BY e.qid) o ON o.qid = q.qid
     ORDER BY query_id"""
 
+  /** nprobe ladder the audit sweeps — powers of two up to half the
+    * codebook, the range an operator actually tunes over.
+    */
+  private val Nprobes = Seq(1, 2, 4, 8)
+
+  /** Codebook training depth for q179: 3 Lloyd refinements of the first-16
+    * seed lift recall@10 at nprobe=8 from 0.73 (untrained, q176's finding)
+    * to ~0.85 on the sf0.01 panel while scanning the same ~half of the
+    * corpus — measured offline before pinning; more iterations plateau.
+    */
+  private val LloydIters = 3
+
+  /** q179: multi-probe IVF search + recall audit — the recall lever q176
+    * showed the single-probe tier is missing (recall@10 = 0.1-0.3 there).
+    * The codebook is TRAINED first ($LloydIters composed [[lloydStep]]
+    * refinements of the first-16 seed — q84's iteration, actually looped);
+    * each query then ranks ALL $NCells trained centroids by the same
+    * bit-identical squared-distance fold as the corpus assignment and
+    * probes its P nearest cells for P in {1, 2, 4, 8}; per nprobe the audit
+    * reports recall@$RecallK against the exact brute-force answer AND the
+    * scanned fraction of the corpus — the two axes of the IVF trade-off, on
+    * one table. (Untrained + multi-probe alone measured 0.73@8 probes;
+    * training is what clears 0.8 — the audit's own point.)
+    *
+    * Scale stance: the corpus is touched exactly as in q176 (map-side IVF
+    * assignment, broadcast query panel on a column-derived equi key, rounded
+    * cosine, GroupedTopK partial aggregation — no window over corpus rows);
+    * the multi-probe expansion happens on the CANDIDATE side only, by
+    * exploding each candidate row into the nprobe tiers whose probe set
+    * contains its cell (`filter(array(1,2,4,8), p -> p >= cell_rank)` — a
+    * per-row array op, not a join, so no inequality-join nested loop). The
+    * only windows run over Q x $NCells = 128 cell-ranking rows, bounded by
+    * the audit panel by construction. At 100 TB this is the same plan with
+    * a bigger corpus side: probing P of C cells scans ~P/C of the data,
+    * which is exactly what avg_scanned_frac certifies.
+    */
+  private def q179(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    // trained codebook: LloydIters refinements of the first-16 seed (each a
+    // corpus pass; persisted so the two consumers below compute it once)
+    val cb = (1 to LloydIters)
+      .foldLeft(codebookRow(s, d))((c, _) => lloydStep(s, d, c))
+      .persist()
+    // the trained assignment feeds 4 branches (panel, scoring, populations,
+    // corpus count) — materialize it once, like the persisted store q140 is
+    val a = assignAgainst(s, d, cb).select(col("vec_id"), col("cid"), col("v"))
+      .persist()
+    val q0 = a.filter(col("vec_id") >= NCells &&
+        col("vec_id") < NCells + RecallQ)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        pmod(col("vec_id"), lit(1)).as("jk"))
+    // query-side cell ranking: Q x NCells rows, same d2 fold as the corpus
+    // assignment so near-tie cell orderings agree with the oracle
+    val qcells = q0.join(broadcast(cb), Seq("jk"))
+      .select(col("qid"), col("qv"), posexplode(col("cb")).as(Seq("pos", "cc")))
+      .select(col("qid"), col("cc.cid").as("cid"),
+        aggregate(zip_with(col("qv"), col("cc.cv"),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x).as("d2c"))
+      .withColumn("cell_rank", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(coalesce(col("d2c"), lit(Double.PositiveInfinity)),
+          col("cid"))))
+      .select(col("qid"), col("cid"), col("cell_rank"))
+    val scored = a.withColumn("jk", pmod(col("vec_id"), lit(1)))
+      .join(broadcast(q0), Seq("jk"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("cid"),
+        round(cosine(col("v"), col("qv")), 6).as("cs"))
+    def topk(df: DataFrame, keyCol: Column): DataFrame = {
+      val tk = new graft.functions.GroupedTopK.TopK(RecallK).toColumn
+      df.select(keyCol.as("gk"), col("cs"), col("vec_id"))
+        .as[(Long, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues(t => graft.functions.GroupedTopK.Entry(t._2, t._3))
+        .agg(tk.name("top"))
+        .toDF("gk", "top")
+        .select(col("gk"), explode(col("top")).as("e"))
+        .select(col("gk"), col("e.key").as("vec_id"))
+    }
+    val exact = topk(scored, col("qid")).withColumnRenamed("gk", "qid")
+    // candidate-side tier explosion: a row in a rank-r cell belongs to every
+    // nprobe tier with P >= r; rows outside the top-8 cells vanish here
+    val nprobeArr = array(Nprobes.map(lit): _*)
+    val probeTop = topk(
+      scored.join(qcells, Seq("qid", "cid"))
+        .withColumn("nprobe",
+          explode(filter(nprobeArr, p => p >= col("cell_rank")))),
+      col("qid") * 16 + col("nprobe"))
+      .select(expr("gk % 16").cast("int").as("nprobe"),
+        expr("gk div 16").as("qid"), col("vec_id"))
+    val overlap = probeTop.join(exact, Seq("qid", "vec_id"), "left_semi")
+      .groupBy(col("nprobe"), col("qid"))
+      .agg(count(lit(1)).as("n_overlap"))
+    // scanned fraction: sum of probed-cell populations over the corpus size
+    val pops = a.groupBy(col("cid")).agg(count(lit(1)).as("pop"))
+    val tot = a.agg(count(lit(1)).as("n_total"))
+      .withColumn("jk", pmod(col("n_total"), lit(1)))
+    val scan = qcells
+      .withColumn("nprobe",
+        explode(filter(nprobeArr, p => p >= col("cell_rank"))))
+      .join(broadcast(pops), Seq("cid"))
+      .groupBy(col("nprobe"), col("qid"))
+      .agg(sum(col("pop")).as("scanned"))
+      .withColumn("jk", pmod(col("scanned"), lit(1)))
+      .join(broadcast(tot), Seq("jk"))
+      .select(col("nprobe"), col("qid"),
+        (col("scanned") / col("n_total")).as("frac"))
+    val universe = q0.select(col("qid"))
+      .withColumn("nprobe", explode(nprobeArr))
+    universe
+      .join(overlap, Seq("nprobe", "qid"), "left")
+      .join(scan, Seq("nprobe", "qid"))
+      .groupBy(col("nprobe"))
+      .agg(
+        round(sum(coalesce(col("n_overlap"), lit(0L)))
+          / lit((RecallQ * RecallK).toDouble), 4).as("avg_recall"),
+        round(min(coalesce(col("n_overlap"), lit(0L))
+          / lit(RecallK.toDouble)), 2).as("min_recall"),
+        round(avg(col("frac")), 4).as("avg_scanned_frac"))
+      .orderBy(col("nprobe"))
+      // release the trained-codebook + assignment caches once consumed
+      .transform(Cached.scopedTo(_, cb, a))
+  }
+
+  /** Mirrors [[lloydStep]] k times in SQL: d/a = assign against the previous
+    * codebook, m = per-cell per-dim means rounded to 6, c = refined codebook
+    * with emptied cells keeping their previous centroid.
+    */
+  private def oLloydCtes(iters: Int): String = (1 to iters).map { k =>
+    s"""
+    d$k AS (
+      SELECT e.vec_id, c.cid, $oCd2 AS d2
+      FROM embeddings e CROSS JOIN c${k - 1} c),
+    a$k AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM d$k) WHERE rn = 1),
+    m$k AS (
+      SELECT cid, list(round(m, 6) ORDER BY i) AS cv FROM (
+        SELECT a.cid, ex.i, avg(ex.v) AS m
+        FROM a$k a JOIN ex ON ex.vec_id = a.vec_id
+        GROUP BY a.cid, ex.i)
+      GROUP BY cid),
+    c$k AS (
+      SELECT p.cid, coalesce(m.cv, p.cv) AS cv
+      FROM c${k - 1} p LEFT JOIN m$k m USING (cid))"""
+  }.mkString(",")
+
+  private def o179: String = s"""
+    WITH c0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id < $NCells),
+    ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                  CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM embeddings),
+    ${oLloydCtes(LloydIters)},
+    dists AS (
+      SELECT e.vec_id, c.cid, $oCd2 AS d2
+      FROM embeddings e CROSS JOIN c$LloydIters c),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM dists) WHERE rn = 1),
+    ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    q AS (SELECT vec_id AS qid, v AS qv FROM ev
+          WHERE vec_id >= $NCells AND vec_id < $NCells + $RecallQ),
+    qcells AS (
+      SELECT vec_id AS qid, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid)
+               AS cell_rank
+      FROM dists WHERE vec_id >= $NCells AND vec_id < $NCells + $RecallQ),
+    nprobes AS (SELECT unnest([${Nprobes.mkString(", ")}]) AS nprobe),
+    scored AS (
+      SELECT q.qid, ev.vec_id, a2.cid,
+             round(
+               list_sum(list_transform(range(1, ${Dim + 1}),
+                 i -> ev.v[i] * q.qv[i]))
+               / (sqrt(list_sum(list_transform(range(1, ${Dim + 1}),
+                    i -> ev.v[i] * ev.v[i])))
+                  * sqrt(list_sum(list_transform(range(1, ${Dim + 1}),
+                      i -> q.qv[i] * q.qv[i])))), 6) AS cs
+      FROM ev JOIN assign a2 ON a2.vec_id = ev.vec_id, q
+      WHERE ev.vec_id <> q.qid),
+    exact AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY cs DESC, vec_id)
+                 AS rn
+        FROM scored) WHERE rn <= $RecallK),
+    probe AS (
+      SELECT nprobe, qid, vec_id FROM (
+        SELECT np.nprobe, s.qid, s.vec_id,
+               row_number() OVER (PARTITION BY np.nprobe, s.qid
+                 ORDER BY s.cs DESC, s.vec_id) AS rn
+        FROM scored s
+        JOIN qcells qc ON qc.qid = s.qid AND qc.cid = s.cid
+        JOIN nprobes np ON qc.cell_rank <= np.nprobe) WHERE rn <= $RecallK),
+    ov AS (
+      SELECT np.nprobe, q.qid, coalesce(o.n, 0) AS n_overlap
+      FROM q CROSS JOIN nprobes np
+      LEFT JOIN (
+        SELECT p.nprobe, p.qid, count(*) AS n
+        FROM probe p JOIN exact e ON e.qid = p.qid AND e.vec_id = p.vec_id
+        GROUP BY p.nprobe, p.qid) o
+        ON o.nprobe = np.nprobe AND o.qid = q.qid),
+    pops AS (SELECT cid, count(*) AS pop FROM assign GROUP BY cid),
+    tot AS (SELECT count(*) AS n FROM embeddings),
+    scan AS (
+      SELECT np.nprobe, qc.qid, sum(p.pop) AS scanned
+      FROM qcells qc
+      JOIN pops p USING (cid)
+      JOIN nprobes np ON qc.cell_rank <= np.nprobe
+      GROUP BY np.nprobe, qc.qid)
+    SELECT ov.nprobe,
+           round(sum(ov.n_overlap) / ${RecallQ * RecallK}.0, 4) AS avg_recall,
+           round(min(ov.n_overlap / $RecallK.0), 2) AS min_recall,
+           round(avg(sc.scanned / tot.n), 4) AS avg_scanned_frac
+    FROM ov
+    JOIN scan sc ON sc.nprobe = ov.nprobe AND sc.qid = ov.qid
+    CROSS JOIN tot
+    GROUP BY ov.nprobe ORDER BY ov.nprobe"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q179_multiprobe_ivf", q179, Some(o179)),
     QueryDef("q176_ann_recall", q176, Some(o176)),
     QueryDef("q174_label_outliers", q174, Some(o174)),
     QueryDef("q166_hard_negatives", q166, Some(o166)),
