@@ -90,12 +90,20 @@ object Bench {
       xs.map("\"" + _ + "\"").mkString("[", ",", "]")
     // Long-session drift monitor (round-5 VERDICT #1/#7): mid-suite times can
     // be inflated by session-level JVM degradation (code-cache/GC), not by the
-    // query itself. Re-measure the 5 slowest queries at end of suite and
+    // query itself. Re-measure the 10 slowest queries at end of suite and
     // report insuite-vs-rerun so a per-query delta can be attributed to the
     // query or to the session before anyone reads it as a regression.
+    // Round-over-round comparisons should quote the RERUN numbers (BASELINE.md
+    // policy): the in-suite tail still carries 1.1-1.5x JIT-profile jitter.
     val byName = catalog.toMap
-    val drift = results.filter(_._2 >= 0).sortBy(-_._2).take(5).map {
+    val drift = results.filter(_._2 >= 0).sortBy(-_._2).take(10).map {
       case (name, insuite, _) =>
+        // GC before each rerun, outside the timed window: the slowest-query
+        // reruns land back-to-back (the dedup arc among them), and without a
+        // drain the ContextCleaner backlog from rerun N lands on rerun N+1's
+        // reading — that, not the query, was round-6's q120 "7.09 s"
+        // inversion (isolated fresh-JVM truth: 3.7-3.9 s).
+        System.gc()
         val (rerun, _) = measure(name, byName(name))
         f""""$name":{"insuite":$insuite%.3f,"rerun":$rerun%.3f}"""
     }.mkString("{", ",", "}")

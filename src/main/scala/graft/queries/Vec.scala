@@ -165,29 +165,28 @@ object Vec {
 
   /** One Lloyd refinement of a codebook row (q84's iteration, composable):
     * assign the corpus against `cb` with the same broadcast fold, recompute
-    * per-cell means with the single-pass centroid Aggregator, ROUND each
-    * mean to 6 decimals (the rounding is what makes the refined codebook
-    * bit-identical across engines — q84 proves round(avg, 6) agreement, and
-    * every later distance fold over identical inputs is then itself
-    * identical), and keep the previous centroid for any emptied cell so the
-    * codebook never shrinks. At 100 TB training runs on a sample and the
-    * codebook persists; here each step is one corpus pass + a 16 x 64
-    * aggregate, all inside the lazy plan.
+    * per-cell means with the single-pass centroid Aggregator, and ROUND
+    * each mean to 6 decimals — the rounding is what makes the refined
+    * codebook bit-identical across engines (q84 proves round(avg, 6)
+    * agreement), and every later distance fold over identical inputs is
+    * then itself identical. An emptied cell is DROPPED (both engines drop
+    * it identically — standard k-means empty-cluster handling), which
+    * keeps each step a single-consumer linear chain over its input: one
+    * corpus pass + a 16 x 64 aggregate per step, no cache barriers. (A
+    * keep-previous-centroid fallback would consume `cb` twice and double
+    * the chain's plan references per step.) At 100 TB training runs on a
+    * sample and the codebook persists.
     */
   private def lloydStep(s: SparkSession, d: String, cb: DataFrame): DataFrame = {
     import s.implicits._
     val cent = new graft.functions.VecCentroid.Centroid(Dim).toColumn
-    val means = assignAgainst(s, d, cb)
+    assignAgainst(s, d, cb)
       .select(col("cid"), col("v")).as[(Long, Seq[Double])]
       .groupByKey(_._1)
       .mapValues(_._2)
       .agg(cent.name("c"))
       .toDF("cid", "mcv")
-      .select(col("cid"), transform(col("mcv"), x => round(x, 6)).as("mcv"))
-    cb.select(explode(col("cb")).as("e"))
-      .select(col("e.cid").as("cid"), col("e.cv").as("pcv"))
-      .join(means, Seq("cid"), "left")
-      .select(col("cid"), coalesce(col("mcv"), col("pcv")).as("cv"))
+      .select(col("cid"), transform(col("mcv"), x => round(x, 6)).as("cv"))
       .agg(array_sort(collect_list(struct(col("cid"), col("cv")))).as("cb"))
       .withColumn("jk", pmod(size(col("cb")), size(col("cb"))))
   }
@@ -1260,8 +1259,11 @@ object Vec {
   private def q179(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
-    // trained codebook: LloydIters refinements of the first-16 seed (each a
-    // corpus pass; persisted so the two consumers below compute it once)
+    // trained codebook: LloydIters refinements of the first-16 seed — a
+    // linear lazy chain (each step consumes its input once), one corpus
+    // pass per step. Only the FINAL codebook is persisted: the two
+    // consumers below (corpus assignment, query cell-ranking) must not
+    // re-run the training chain.
     val cb = (1 to LloydIters)
       .foldLeft(codebookRow(s, d))((c, _) => lloydStep(s, d, c))
       .persist()
@@ -1301,17 +1303,24 @@ object Vec {
         .select(col("gk"), explode(col("top")).as("e"))
         .select(col("gk"), col("e.key").as("vec_id"))
     }
-    val exact = topk(scored, col("qid")).withColumnRenamed("gk", "qid")
-    // candidate-side tier explosion: a row in a rank-r cell belongs to every
-    // nprobe tier with P >= r; rows outside the top-8 cells vanish here
+    // candidate-side tier explosion: tier 0 = the exact baseline (every
+    // candidate), tier P = the nprobe-P probe set (cells ranked <= P; rows
+    // outside the top-8 cells join only tier 0). One explode + ONE
+    // GroupedTopK pass ranks all five tiers over a single evaluation of
+    // `scored` — two separate top-k pipelines would scan the corpus twice.
     val nprobeArr = array(Nprobes.map(lit): _*)
-    val probeTop = topk(
+    val tops = topk(
       scored.join(qcells, Seq("qid", "cid"))
-        .withColumn("nprobe",
-          explode(filter(nprobeArr, p => p >= col("cell_rank")))),
-      col("qid") * 16 + col("nprobe"))
-      .select(expr("gk % 16").cast("int").as("nprobe"),
+        .withColumn("tier", explode(concat(array(lit(0)),
+          filter(nprobeArr, p => p >= col("cell_rank"))))),
+      col("qid") * 16 + col("tier"))
+      .select(expr("gk % 16").cast("int").as("tier"),
         expr("gk div 16").as("qid"), col("vec_id"))
+      .persist() // 5 tiers x Q x k rows; feeds both sides of the overlap
+    val exact = tops.filter(col("tier") === 0)
+      .select(col("qid"), col("vec_id"))
+    val probeTop = tops.filter(col("tier") =!= 0)
+      .withColumnRenamed("tier", "nprobe")
     val overlap = probeTop.join(exact, Seq("qid", "vec_id"), "left_semi")
       .groupBy(col("nprobe"), col("qid"))
       .agg(count(lit(1)).as("n_overlap"))
@@ -1342,13 +1351,13 @@ object Vec {
           / lit(RecallK.toDouble)), 2).as("min_recall"),
         round(avg(col("frac")), 4).as("avg_scanned_frac"))
       .orderBy(col("nprobe"))
-      // release the trained-codebook + assignment caches once consumed
-      .transform(Cached.scopedTo(_, cb, a))
+      // release the codebook-chain + assignment + tier caches once consumed
+      .transform(Cached.scopedTo(_, cb, a, tops))
   }
 
   /** Mirrors [[lloydStep]] k times in SQL: d/a = assign against the previous
-    * codebook, m = per-cell per-dim means rounded to 6, c = refined codebook
-    * with emptied cells keeping their previous centroid.
+    * codebook, c = per-cell per-dim means rounded to 6 (emptied cells drop
+    * out of the GROUP BY on both engines identically).
     */
   private def oLloydCtes(iters: Int): String = (1 to iters).map { k =>
     s"""
@@ -1360,15 +1369,12 @@ object Vec {
         SELECT vec_id, cid,
                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
         FROM d$k) WHERE rn = 1),
-    m$k AS (
+    c$k AS (
       SELECT cid, list(round(m, 6) ORDER BY i) AS cv FROM (
         SELECT a.cid, ex.i, avg(ex.v) AS m
         FROM a$k a JOIN ex ON ex.vec_id = a.vec_id
         GROUP BY a.cid, ex.i)
-      GROUP BY cid),
-    c$k AS (
-      SELECT p.cid, coalesce(m.cv, p.cv) AS cv
-      FROM c${k - 1} p LEFT JOIN m$k m USING (cid))"""
+      GROUP BY cid)"""
   }.mkString(",")
 
   private def o179: String = s"""
