@@ -28,10 +28,6 @@ object Dedup {
   private val ShingleLen = 5
   private val NumHashes = 8
 
-  /** char-5-gram shingles of the raw text, as a Column over `text`. */
-  private def shingleArr(t: Column): Column =
-    transform(sequence(lit(1), length(t) - lit(ShingleLen - 1)),
-      i => t.substr(i, lit(ShingleLen)))
 
   /** The 8 "permutations" come from 2 md5 calls per shingle, not 8: an md5
     * digest is 32 independent hex chars, so its four 8-hex windows are four
@@ -153,7 +149,8 @@ object Dedup {
     val sh = parallelize(s, documents(s, d))
       .join(candDocs, Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
-        explode(array_distinct(shingleArr(col("text")))).as("sh")).persist()
+        explode(graft.functions.DistinctShinglesExpression
+          .distinctShingles(col("text"))).as("sh")).persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val inter = cands
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
@@ -948,7 +945,8 @@ object Dedup {
     val sh = parallelize(s, documents(s, d))
       .join(candDocs, Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
-        explode(array_distinct(shingleArr(col("text")))).as("sh")).persist()
+        explode(graft.functions.DistinctShinglesExpression
+          .distinctShingles(col("text"))).as("sh")).persist()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
     val exact = cands
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
