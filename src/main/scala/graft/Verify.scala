@@ -24,6 +24,23 @@ object Verify {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // q171's minimizer kernel hashes UTF-16 code units while its DuckDB
+    // oracle hashes codepoints via ascii() — the parity holds only for an
+    // ASCII corpus (round-6 ADVICE). Assert that precondition here, where
+    // the oracle comparison actually runs, so a testdata refresh with
+    // non-ASCII text fails loudly instead of silently diverging in span
+    // SELECTION. One cheap scan of one table; skipped under a query filter
+    // that excludes the affected queries.
+    if (only.forall(n => n.contains("q171_minimizer_spans"))) {
+      import org.apache.spark.sql.functions.{col, max, length, octet_length}
+      val nonAscii = spark.read.parquet(s"$sfDir/documents.parquet")
+        .select(max(octet_length(col("text")) - length(col("text")))
+          .as("d"))
+        .head.getAs[Any]("d")
+      require(nonAscii == null || nonAscii.asInstanceOf[Number].longValue == 0L,
+        s"documents.text in $sfDir contains non-ASCII characters: q171's " +
+          "UTF-16-unit/codepoint hash parity assumption no longer holds")
+    }
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries
       .filter { case (name, _) => only.forall(_.contains(name)) }

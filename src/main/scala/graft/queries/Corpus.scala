@@ -1103,7 +1103,10 @@ object Corpus {
       .withColumn("syms", regexp_replace(col("w"), "(.)", "|$1"))
       .select(col("wc"), col("syms"))
 
-  private def bpePairs(df: DataFrame): DataFrame = df
+  // bpePairs/bpeTop1/bpeMerge are private[graft] so BpeSpec can drive the
+  // exact production fold over generated histograms (property-based pin of
+  // the greedy-leftmost merge semantics; see BpeSpec)
+  private[graft] def bpePairs(df: DataFrame): DataFrame = df
     .select(col("wc"), expr(bpeArrSql).as("arr"))
     .filter(size(col("arr")) >= 2)
     .select(col("wc"), explode(expr(
@@ -1112,13 +1115,13 @@ object Corpus {
       .as("p"))
     .select(col("wc"), col("p.a").as("a"), col("p.b").as("b"))
 
-  private def bpeTop1(df: DataFrame): DataFrame = bpePairs(df)
+  private[graft] def bpeTop1(df: DataFrame): DataFrame = bpePairs(df)
     .groupBy(col("a"), col("b"))
     .agg(sum(col("wc")).cast("long").as("pair_count"))
     .orderBy(col("pair_count").desc, col("a"), col("b"))
     .limit(1)
 
-  private def bpeMerge(df: DataFrame, top: DataFrame): DataFrame = df
+  private[graft] def bpeMerge(df: DataFrame, top: DataFrame): DataFrame = df
     // column-derived zero key so the 1-row top pair joins as a broadcast
     // HASH join (same construction as q72's corpus-size join). LEFT join:
     // a round with NO pairs left (top empty) must leave the corpus state

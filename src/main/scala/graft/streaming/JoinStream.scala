@@ -29,7 +29,25 @@ object JoinStream {
     * @return one row per (view, click-within-10-min) pair:
     *         user_id, view_id, click_id, view_time, click_time
     */
-  def viewClickAttribution(views: DataFrame, clicks: DataFrame): DataFrame = {
+  def viewClickAttribution(views: DataFrame, clicks: DataFrame): DataFrame =
+    attribution(views, clicks, "inner")
+
+  /** Left-outer form of the same attribution: every view is emitted, with a
+    * NULL click when no click landed in its 10-minute window. In streaming,
+    * the unmatched-view row cannot be emitted eagerly — a matching click may
+    * still arrive — so Spark holds the view in state and emits the NULL row
+    * only once the watermark passes the end of its match window (view_time
+    * + 10 min + the 30-min watermark delay), i.e. once no in-order click
+    * could possibly still match. Same state bound and user_id exchange as
+    * the inner form; the outer semantics add no retained state, only a
+    * deferred emission at eviction time.
+    */
+  def viewClickAttributionLeftOuter(views: DataFrame,
+                                    clicks: DataFrame): DataFrame =
+    attribution(views, clicks, "leftOuter")
+
+  private def attribution(views: DataFrame, clicks: DataFrame,
+                          joinType: String): DataFrame = {
     val v = views
       .withColumn("view_time", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("view_time", "30 minutes")
@@ -42,7 +60,8 @@ object JoinStream {
     v.join(c,
       col("user_id") === col("c_user") &&
       col("click_time") >= col("view_time") &&
-      col("click_time") <= col("view_time") + expr("INTERVAL 10 MINUTES"))
+      col("click_time") <= col("view_time") + expr("INTERVAL 10 MINUTES"),
+      joinType)
       .select(col("user_id"), col("view_id"), col("click_id"),
         col("view_time"), col("click_time"))
   }

@@ -1,6 +1,6 @@
 package graft.streaming
 
-import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
@@ -108,6 +108,18 @@ object NearDupStream {
   def attach(docs: DataFrame, horizon: String = "1 hour", capacity: Int = 64): Dataset[Hit] = {
     val spark = docs.sparkSession
     import spark.implicits._
+    val hUs = horizonMicros(horizon)
+    bandFrame(docs)
+      .withColumn("event_time", timestamp_micros(col("ts_us")))
+      .withWatermark("event_time", horizon)
+      .as[BandRow]
+      .groupByKey(r => (r.band_pos, r.bkey))
+      .flatMapGroupsWithState[BucketState, Hit](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
+        update(capacity, hUs))
+  }
+
+  private def horizonMicros(horizon: String): Long = {
     val horizonUs = org.apache.spark.sql.catalyst.util.IntervalUtils
       .stringToInterval(org.apache.spark.unsafe.types.UTF8String.fromString(horizon))
     // months have no fixed microsecond width, so a "1 month" horizon cannot
@@ -118,14 +130,123 @@ object NearDupStream {
     require(horizonUs.months == 0,
       s"horizon must not contain month/year units (got '$horizon'): " +
         "state eviction needs a fixed-width duration")
-    val hUs = horizonUs.days * 86400000000L + horizonUs.microseconds
-    bandFrame(docs)
+    horizonUs.days * 86400000000L + horizonUs.microseconds
+  }
+
+  // ---------------------------------------------------------------------
+  // Multi-probe SimHash tier
+  // ---------------------------------------------------------------------
+
+  /** One row of the SimHash screen's keyed traffic: `probe = false` is the
+    * doc's own fingerprint (screens AND inserts), `probe = true` a
+    * hamming-1 flip of it (screens only — never touches state).
+    */
+  final case class SimRow(bkey: Int, probe: Boolean, doc_id: Long,
+      ts_us: Long, event_time: java.sql.Timestamp)
+
+  /** `probe_dist` 0 = exact-fingerprint collision, 1 = caught only by a
+    * bit-flip probe (the stored doc's fingerprint differs in one bit).
+    */
+  final case class SimHit(doc_id: Long, probe_dist: Int, n_prior: Int,
+      min_ref: Option[Long], saturated: Boolean)
+
+  /** The MULTI-PROBE tier of the screen (round-6 verdict #7): q129 probes
+    * every bucket within hamming distance 1 of the query's signature;
+    * the same trade ported to streaming lookup. It cannot live on the
+    * MinHash bands above — their keys are md5 digests, which have no
+    * enumerable bit-neighborhood (and a signature differing in ONE MinHash
+    * component is already caught exactly by the other band, pigeonhole).
+    * So the probeable tier keys state by the 16-bit SimHash fingerprint
+    * itself (q39/q102's construction, same codegen'd expression) and each
+    * arriving doc looks up 17 buckets: its own fingerprint plus all 16
+    * one-bit flips — ×(bits+1) probe WORK, ×1 state, exactly q129's trade.
+    *
+    * Probes are lookup-only by construction: a probe row never inserts,
+    * never re-arms a bucket's eviction timer, and never creates state for
+    * an empty bucket — so state size, per-bucket capacity, and the
+    * watermark-horizon eviction bound are IDENTICAL to a probe-less run
+    * (spec-pinned). A doc still inserts under its own fingerprint only.
+    */
+  def simhashProbeFrame(docs: DataFrame): DataFrame = {
+    val variants: Column = array((0 to 16).map { j =>
+      if (j == 0) struct(col("fp").as("bkey"), lit(false).as("probe"))
+      else struct(col("fp").bitwiseXOR(lit(1 << (j - 1))).as("bkey"),
+        lit(true).as("probe"))
+    }: _*)
+    docs
+      .withColumn("fp", graft.functions.SimHashExpression.simhash(col("text")))
+      .filter(col("fp").isNotNull)
+      .select(col("doc_id"), expr("ts DIV 1000").as("ts_us"),
+        explode(variants).as("p"))
+      .select(col("p.bkey").as("bkey"), col("p.probe").as("probe"),
+        col("doc_id"), col("ts_us"))
+  }
+
+  private def updateSim(capacity: Int, horizonUs: Long)(
+      key: Int,
+      rows: Iterator[SimRow],
+      state: GroupState[BucketState]): Iterator[SimHit] = {
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      var refs = state.getOption.map(_.docIds).getOrElse(Seq.empty)
+      var maxUs = state.getOption.map(_.maxSeenUs).getOrElse(Long.MinValue)
+      var inserted = false
+      // probes sort after the same-instant insert: a doc that both inserts
+      // into and probes the same bucket in one batch (fp == flip collision
+      // cannot happen — a flip differs in exactly one bit — but two docs'
+      // rows interleave) sees a deterministic order regardless
+      val hits = rows.toSeq.sortBy(r => (r.ts_us, r.doc_id, r.probe))
+        .flatMap { r =>
+          if (r.probe) {
+            // lookup-only: emit a hit if the bucket has references, touch
+            // nothing — notably not the timer, so probing a bucket cannot
+            // extend its lifetime past its own ingest horizon
+            if (refs.nonEmpty)
+              Some(SimHit(r.doc_id, 1, refs.size, refs.headOption,
+                saturated = refs.size >= capacity))
+            else None
+          } else {
+            maxUs = math.max(maxUs, r.ts_us)
+            inserted = true
+            if (refs.contains(r.doc_id)) None // exact re-arrival
+            else {
+              val h = SimHit(r.doc_id, 0, refs.size, refs.headOption,
+                saturated = refs.size >= capacity)
+              refs = (refs :+ r.doc_id).sorted.take(capacity)
+              Some(h)
+            }
+          }
+        }
+      // state is written ONLY on insert; a probe-only visit to a missing
+      // bucket leaves no state behind (16 probes/doc would otherwise mint
+      // 16 empty buckets each) and to an existing bucket leaves its timer
+      // untouched
+      if (inserted) {
+        state.update(BucketState(refs, maxUs))
+        state.setTimeoutTimestamp(math.max(maxUs / 1000 + horizonUs / 1000,
+          state.getCurrentWatermarkMs() + 1))
+      }
+      hits.iterator
+    }
+  }
+
+  /** Wire a raw streaming document frame into the multi-probe SimHash
+    * screen. Same contract as [[attach]]; hits carry `probe_dist`.
+    */
+  def attachSimHash(docs: DataFrame, horizon: String = "1 hour",
+      capacity: Int = 64): Dataset[SimHit] = {
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val hUs = horizonMicros(horizon)
+    simhashProbeFrame(docs)
       .withColumn("event_time", timestamp_micros(col("ts_us")))
       .withWatermark("event_time", horizon)
-      .as[BandRow]
-      .groupByKey(r => (r.band_pos, r.bkey))
-      .flatMapGroupsWithState[BucketState, Hit](
+      .as[SimRow]
+      .groupByKey(r => r.bkey)
+      .flatMapGroupsWithState[BucketState, SimHit](
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(
-        update(capacity, hUs))
+        updateSim(capacity, hUs))
   }
 }

@@ -1,64 +1,113 @@
 package graft.queries
 
-import org.apache.spark.sql.functions._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
 
-import graft.{SparkEntry, SparkTestBase}
+import graft.SparkTestBase
 
-/** Pins q172's BPE semantics where the oracle can't distinguish a wrong
-  * algorithm that happens to agree on the real corpus: greedy-LEFTMOST
-  * merging inside repeated-symbol chains ("aaaa" with pair (a,a) becomes
-  * "aa aa", never "a aa a"), weighted pair counting, and the emptying
-  * tail (a round with no pairs left reports nothing rather than failing).
+/** Property pin for the BPE merge fold (q172/q175, `Corpus.bpeMerge`).
+  *
+  * The production merge is a delimiter-string fold (`aggregate` over
+  * '|'-joined symbols) chosen because Spark's `aggregate` and DuckDB's
+  * `list_reduce` evaluate it element-wise identically — but the oracle hash
+  * only proves that identity FOR THIS CORPUS. This spec pins the fold's
+  * semantics against corpus drift: over random word histograms and ≥3 merge
+  * rounds, the fold must equal an independent plain-Scala greedy-leftmost
+  * merge (the textbook BPE step, Sennrich et al.) applied with the same
+  * top pair, and the top-pair selection must equal independent weighted
+  * pair counting. Anything the fold could get wrong — the `endswith`
+  * last-symbol test firing on a symbol SUFFIX rather than the whole symbol,
+  * chain overlaps ("a a a" must give "aa a"), merged symbols participating
+  * in later rounds, a no-pairs-left round leaving state untouched — is a
+  * histogram this generator can produce.
   */
 class BpeSpec extends SparkTestBase {
 
-  test("greedy leftmost chain merging and weighted counts on a crafted corpus") {
-    import spark.implicits._
-    // "aaaa" x2: round 1 must count (a,a) 3 times per word (6 weighted) and
-    // fold each word to [aa, aa]; round 2 merges (aa, aa) into "aaaa";
-    // round 3 has no adjacent pair anywhere (all words single-symbol) and
-    // must simply produce no row
-    val dir = java.nio.file.Files.createTempDirectory("graft_q172").toString
-    Seq((1L, "aaaa aaaa b")).toDF("doc_id", "text")
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val got = SparkEntry.queries("q172_bpe_merges")(spark, dir)
-      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
-        r.getString(3), r.getLong(4))).toSeq
-    assert(got == Seq(
-      (1, "a", "a", "aa", 6L),
-      (2, "aa", "aa", "aaaa", 2L)))
+  /** Textbook greedy-leftmost non-overlapping merge of (a,b) in one word. */
+  private def refMerge(syms: List[String], a: String, b: String)
+      : List[String] = syms match {
+    case x :: y :: rest if x == a && y == b => (a + b) :: refMerge(rest, a, b)
+    case x :: rest => x :: refMerge(rest, a, b)
+    case Nil => Nil
   }
 
-  test("compression curve: round 0 = character count, each merge shrinks by pair_count") {
-    import spark.implicits._
-    val dir = java.nio.file.Files.createTempDirectory("graft_q175").toString
-    Seq((1L, "aaaa aaaa b")).toDF("doc_id", "text")
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val curve = SparkEntry.queries("q175_bpe_compression")(spark, dir)
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
-    // 9 symbols total (a x8 + b). Applied merges per round are the GREEDY
-    // ones, not the pair COUNT: "aaaa" has 3 (a,a) pairs but only 2 merge
-    // (leftmost, non-overlapping), so round 1 removes 2 x 2 = 4 symbols.
-    assert(curve(0) == 9L)
-    assert(curve(1) == 5L) // aaaa -> [aa, aa] per word
-    assert(curve(2) == 3L) // [aa, aa] -> [aaaa] per word
-    // round 3 has no pairs anywhere: the state must carry over UNCHANGED
-    // (an empty top-1 must not wipe the corpus — left-join semantics)
-    assert(curve(3) == 3L)
+  /** Independent top-1: weighted pair counts, ties broken like the SQL
+    * ORDER BY pair_count DESC, a, b. */
+  private def refTop1(hist: Map[List[String], Long])
+      : Option[(String, String, Long)] = {
+    val counts = hist.toSeq.flatMap { case (syms, wc) =>
+      syms.zip(syms.drop(1)).map(p => (p, wc))
+    }.groupBy(_._1).view.mapValues(_.map(_._2).sum).toSeq
+    if (counts.isEmpty) None
+    else {
+      val ((a, b), c) = counts.minBy { case ((a, b), c) => (-c, a, b) }
+      Some((a, b, c))
+    }
   }
 
-  test("merged symbols compete as units in later rounds") {
+  private def enc(syms: List[String]): String = syms.map("|" + _).mkString
+  private def dec(syms: String): List[String] =
+    syms.split("\\|").toList.drop(1)
+
+  // words over a tiny alphabet so pair collisions (and chains like "aaa")
+  // are dense; lengths include 1 so zero-pair words exercise the filter
+  private val genWord: Gen[String] = for {
+    n <- Gen.chooseNum(1, 8)
+    cs <- Gen.listOfN(n, Gen.oneOf('a', 'b', 'c'))
+  } yield cs.mkString
+
+  private val genHist: Gen[Map[String, Long]] = for {
+    words <- Gen.nonEmptyListOf(genWord)
+    counts <- Gen.listOfN(words.size, Gen.chooseNum(1L, 5L))
+  } yield words.zip(counts).groupBy(_._1).view
+    .mapValues(_.map(_._2).sum).toMap
+
+  test("3 production merge rounds equal the plain-Scala greedy reference " +
+    "over random histograms") {
     import spark.implicits._
-    // after (a,b) merges, the pair ("ab", "c") must be counted as a unit —
-    // a wrong implementation that re-splits to characters would report
-    // (b, c) instead
-    val dir = java.nio.file.Files.createTempDirectory("graft_q172b").toString
-    Seq((1L, "abc abc abc ab ab")).toDF("doc_id", "text")
-      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
-    val got = SparkEntry.queries("q172_bpe_merges")(spark, dir)
-      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2)))
-      .toSeq
-    assert(got.head == (1, "a", "b")) // (a,b): 5 vs (b,c): 3
-    assert(got(1) == (2, "ab", "c")) // the merged unit pairs with c
+    val prop = Prop.forAll(genHist) { hist0 =>
+      var df = hist0.toSeq.map { case (w, wc) =>
+        (wc, enc(w.toList.map(_.toString)))
+      }.toDF("wc", "syms")
+      var ref: Map[List[String], Long] =
+        hist0.map { case (w, wc) => (w.toList.map(_.toString), wc) }
+      var ok = true
+      for (_ <- 1 to 3 if ok) {
+        val top = Corpus.bpeTop1(df)
+        val topRow = top.collect()
+        val expTop = refTop1(ref)
+        ok = (topRow.toList, expTop) match {
+          case (Nil, None) => true
+          case (r :: Nil, Some((a, b, c))) =>
+            r.getString(0) == a && r.getString(1) == b && r.getLong(2) == c
+          case _ => false
+        }
+        if (ok) {
+          df = Corpus.bpeMerge(df, top)
+          ref = expTop match {
+            case Some((a, b, _)) =>
+              ref.groupBy { case (k, _) => refMerge(k, a, b) }.view
+                .mapValues(_.values.sum).toMap
+            case None => ref
+          }
+          val got = df.collect()
+            .map(r => (dec(r.getString(1)), r.getLong(0))).toMap
+          ok = got == ref
+        }
+      }
+      ok
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, s"bpe fold property: ${res.status}")
+  }
+
+  test("a round with no pairs left leaves the histogram unchanged") {
+    import spark.implicits._
+    // all single-char words -> bpePairs empty -> top1 empty -> LEFT join
+    // null pair -> fold appends every symbol verbatim
+    val df = Seq((3L, "|a"), (2L, "|b")).toDF("wc", "syms")
+    val merged = Corpus.bpeMerge(df, Corpus.bpeTop1(df))
+    assert(merged.collect().map(r => (r.getLong(0), r.getString(1))).toSet ==
+      Set((3L, "|a"), (2L, "|b")))
   }
 }

@@ -127,6 +127,111 @@ class NearDupStreamSpec extends SparkTestBase {
     assert(byDoc(60L).forall(h => h.n_prior == 0 && h.min_ref.isEmpty))
   }
 
+  // ---- multi-probe SimHash tier ----
+
+  /** Two texts whose 16-bit SimHash fingerprints differ in EXACTLY one bit,
+    * found deterministically over a fixed candidate pool (the pool is large
+    * enough that some pair is at distance 1 in a 16-bit space; `require`
+    * fails loudly if the expression ever changes enough to break that).
+    */
+  private lazy val (textH0, textH1): (String, String) = {
+    val cands = (0 until 250).map(i =>
+      s"document variant number $i about streaming near duplicates " * 3)
+    val fps = cands.map(t => graft.functions.SimHashExpression.compute(
+      org.apache.spark.unsafe.types.UTF8String.fromString(t)))
+    val pair = (for {
+      i <- cands.indices.iterator
+      j <- (i + 1 until cands.size).iterator
+      if Integer.bitCount(fps(i) ^ fps(j)) == 1
+    } yield (cands(i), cands(j))).buffered
+    require(pair.hasNext, "no hamming-1 fingerprint pair in candidate pool")
+    pair.head
+  }
+
+  private def runSim(capacity: Int = 64)(
+      feed: (MemoryStream[(Long, Long, String)],
+        org.apache.spark.sql.streaming.StreamingQuery) => Unit)
+      : Seq[NearDupStream.SimHit] = {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, Long, String)]
+    val hits = NearDupStream.attachSimHash(
+      input.toDS().toDF("doc_id", "ts", "text"), "1 hour", capacity)
+    val name = s"simdup_${System.nanoTime()}"
+    val query = hits.writeStream.format("memory").queryName(name)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      feed(input, query)
+      spark.table(name).as[NearDupStream.SimHit].collect().toSeq
+    } finally query.stop()
+  }
+
+  test("simhash tier: a hamming-1 variant is caught by the bit-flip probe") {
+    val out = runSim() { (input, query) =>
+      input.addData((1L, b, textH0))
+      query.processAllAvailable()
+      // doc 2's fingerprint differs from doc 1's in exactly one bit: an
+      // exact-key lookup misses, the flipped-bit probe must not
+      input.addData((2L, b + 1000000000L, textH1))
+      query.processAllAvailable()
+      // doc 3 is doc 1's exact twin: caught at probe_dist 0
+      input.addData((3L, b + 2000000000L, textH0))
+      query.processAllAvailable()
+    }
+    val byDoc = out.groupBy(_.doc_id)
+    assert(byDoc(1L).forall(h => h.probe_dist == 0 && h.n_prior == 0))
+    val probeHits = byDoc(2L).filter(_.probe_dist == 1)
+    assert(probeHits.size == 1)
+    assert(probeHits.forall(h => h.n_prior == 1 && h.min_ref.contains(1L)))
+    // doc 2's own insert seeded its (distinct) bucket
+    assert(byDoc(2L).filter(_.probe_dist == 0)
+      .forall(h => h.n_prior == 0 && h.min_ref.isEmpty))
+    // the exact twin reports distance 0 against doc 1's bucket — and ALSO
+    // probe-hits doc 2's neighboring bucket
+    assert(byDoc(3L).exists(h =>
+      h.probe_dist == 0 && h.n_prior == 1 && h.min_ref.contains(1L)))
+    assert(byDoc(3L).exists(h =>
+      h.probe_dist == 1 && h.min_ref.contains(2L)))
+  }
+
+  test("simhash tier: probes are lookup-only — no state created or " +
+    "mutated, capacity bound unchanged") {
+    val out = runSim(capacity = 1) { (input, query) =>
+      // doc 2 arrives FIRST: its 16 probes visit doc 1's future bucket
+      // (among others) while empty — if a probe minted state, doc 1's
+      // insert below would see a phantom prior
+      input.addData((2L, b, textH1))
+      query.processAllAvailable()
+      input.addData((1L, b + 1000000000L, textH0))
+      query.processAllAvailable()
+      // saturate doc 1's bucket at capacity 1 with an exact twin, then a
+      // hamming-1 arrival: the probe must report the bucket as-is
+      // (saturated, lowest id kept) and must not evict or extend it
+      input.addData((5L, b + 2000000000L, textH0))
+      query.processAllAvailable()
+      input.addData((9L, b + 3000000000L, textH1))
+      query.processAllAvailable()
+    }
+    val byDoc = out.groupBy(_.doc_id)
+    // doc 2's probes found nothing (no emission), its insert seeded cleanly
+    assert(byDoc(2L).size == 1)
+    assert(byDoc(2L).forall(h => h.probe_dist == 0 && h.n_prior == 0))
+    // doc 1's insert: n_prior 0 proves doc 2's earlier probe created no
+    // state under doc 1's fingerprint; its probe finds doc 2
+    assert(byDoc(1L).exists(h => h.probe_dist == 0 && h.n_prior == 0))
+    assert(byDoc(1L).exists(h =>
+      h.probe_dist == 1 && h.n_prior == 1 && h.min_ref.contains(2L)))
+    // doc 5 saturates doc 1's bucket (capacity 1, lowest id 1 kept)
+    assert(byDoc(5L).exists(h =>
+      h.probe_dist == 0 && h.n_prior == 1 && h.saturated &&
+        h.min_ref.contains(1L)))
+    // doc 9's probe sees the saturated bucket exactly as the inserts left
+    // it: capacity bound untouched by the probing path
+    assert(byDoc(9L).exists(h =>
+      h.probe_dist == 1 && h.n_prior == 1 && h.saturated &&
+        h.min_ref.contains(1L)))
+  }
+
   test("band derivation is the batch construction (stream/batch parity)") {
     import spark.implicits._
     // the SAME documents through bandFrame (batch) vs the streamed screen:
