@@ -291,71 +291,61 @@ object Dedup {
     * pairs: (doc, lab) with lab = smallest doc_id in the component. Shared
     * by q97 (cluster rollup) and q157 (keep/drop ledger).
     *
-    * Algorithm: alternating large-star / small-star contraction (Kiveris et
-    * al., "Connected Components in MapReduce and Beyond", SoCC'14) over the
-    * edge set itself, replacing round-6's plain min-label propagation.
-    * Large-star hangs every node's LARGER neighbors off its neighborhood
-    * minimum; small-star re-points each node's SMALLER neighbors (and
-    * itself) at that minimum. Alternating the two converges to a union of
-    * stars centered at each component's global minimum in O(log²) rounds —
-    * a long path that cost min-label propagation diameter-many rounds now
-    * collapses exponentially, which is the at-100-TB difference between a
-    * dozen shuffles and hundreds. Per-node minima are computed with
-    * groupBy-min + join-back (never collect_set), so a million-member dup
-    * cluster's hub never materializes its neighborhood as one array row.
+    * Algorithm choice, measured not guessed (round 7): an alternating
+    * large-star/small-star contraction (Kiveris et al., SoCC'14) was built,
+    * verified output-identical at sf0.1, and benchmarked against this
+    * min-label propagation — the arc (q97/q157/q165) ran ~20 s combined
+    * under contraction vs ~14 s here, a ~2s/query REGRESSION, so it was
+    * reverted. Why: contraction's O(log² n) round bound beats propagation's
+    * O(diameter) only on long-path graphs, but a VERIFIED near-dup graph
+    * (Jaccard-thresholded pairs) is a union of near-cliques — diameter 2-3
+    * — so both converge in ~3 rounds and contraction just pays ~2x the
+    * shuffles per round (two groupBy-min + join-backs + a distinct vs one
+    * join + one aggregation). That argument holds at 100 TB: component
+    * diameter is set by the similarity threshold, not the corpus size, so
+    * propagation's round count stays ~3 while its per-round cost is the
+    * smaller one. If this engine ever clusters a path-like relation (e.g.
+    * citation chains), the contraction variant in git history (5666682) is
+    * the right tool — for near-dup dedup it is not.
     */
   private def clusterLabels(s: SparkSession, d: String): DataFrame = {
     // localCheckpoint (eager) truncates lineage at the tiny pair set: the
-    // iterative transforms below must not chain plans back through q38's
-    // whole signature/verification DAG — once cache blocks get evicted
-    // under a long session's memory pressure, that lineage recomputes per
-    // iteration and OOMs. Same per-iteration: edges stay a depth-1 plan.
-    // q38 emits doc_a < doc_b, so (hi, lo) = (doc_b, doc_a) is already the
-    // larger-endpoint-first orientation both star ops preserve.
-    var edges = q38(s, d)
-      .select(col("doc_b").as("hi"), col("doc_a").as("lo"))
-      .distinct().localCheckpoint(true)
-    var converged = false
+    // iterative joins below must not chain plans back through q38's whole
+    // signature/verification DAG — once cache blocks get evicted under a
+    // long session's memory pressure, that lineage recomputes per
+    // iteration and OOMs. Same per-iteration: labels stay a depth-1 plan.
+    val pairs = q38(s, d).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint(true)
+    val edges = pairs.union(
+      pairs.select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b")))
+    var labels = edges.select(col("doc_a").as("doc")).distinct()
+      .withColumn("lab", col("doc")).localCheckpoint(true)
+    var changed = 1L
     var iter = 0
-    while (!converged && iter < 12) {
-      // large-star: symmetric view; node u links each neighbor v > u to
-      // m = min(N(u) ∪ {u}). Emitted (v, m) keeps v > m.
-      val sym = edges.select(col("hi").as("u"), col("lo").as("v"))
-        .union(edges.select(col("lo").as("u"), col("hi").as("v")))
-      val mins = sym.groupBy(col("u")).agg(min(col("v")).as("mn"))
-      val ls = sym.join(mins, "u")
-        .filter(col("v") > col("u"))
-        .select(col("v").as("hi"), least(col("u"), col("mn")).as("lo"))
-        .filter(col("hi") =!= col("lo"))
-      // small-star: group by the larger endpoint u; link u and all its
-      // smaller neighbors to m = min of those neighbors. (u, m) has u > m
-      // by orientation; (v, m) survives the v ≠ m filter with v > m.
-      val minsS = ls.groupBy(col("hi")).agg(min(col("lo")).as("m"))
-      val next = ls.join(minsS, "hi")
-        .select(col("lo").as("hi2"), col("m"))
-        .union(minsS.select(col("hi").as("hi2"), col("m")))
-        .filter(col("hi2") =!= col("m"))
-        .select(col("hi2").as("hi"), col("m").as("lo"))
-        .distinct().localCheckpoint(true)
-      // fixpoint ⇔ the (distinct) edge set is unchanged: equal counts plus
-      // no edge leaving the old set. The anti-join only runs once counts
-      // agree, so progress rounds pay one materialize + one cheap count.
-      converged = next.count() == edges.count() &&
-        next.join(edges, Seq("hi", "lo"), "left_anti").isEmpty
-      edges = next
+    while (changed > 0 && iter < 20) {
+      val prop = edges.join(labels, col("doc_a") === col("doc"))
+        .select(col("doc_b").as("doc"), col("lab"), lit(false).as("own"))
+      // convergence check rides the same aggregation instead of a separate
+      // next-vs-old join+count job: each doc's own (pre-round) label is the
+      // unique `own = true` row in the union, so `min(lab) < own_lab` marks
+      // a change — one localCheckpoint job + one count on the materialized
+      // result per round, halving the per-iteration job cost
+      val next = labels.withColumn("own", lit(true)).union(prop)
+        .groupBy(col("doc"))
+        .agg(min(col("lab")).as("lab"),
+          min(when(col("own"), col("lab"))).as("own_lab"))
+        .localCheckpoint(true)
+      changed = next.filter(col("lab") < col("own_lab")).count()
+      labels = next.select(col("doc"), col("lab"))
       iter += 1
     }
-    // fail loudly if a pathological graph exceeded the iteration cap:
+    // fail loudly if a pathological long chain exceeded the iteration cap:
     // silently returning split clusters would be a wrong answer with no
     // oracle to catch it at production scale
-    require(converged,
-      s"star contraction did not converge in $iter rounds " +
-        "(raise the cap for this corpus)")
-    // at fixpoint every edge is (leaf, component-min): leaves label from
-    // their edge, each center labels itself
-    edges.select(col("hi").as("doc"), col("lo").as("lab"))
-      .union(edges.select(col("lo")).distinct()
-        .select(col("lo").as("doc"), col("lo").as("lab")))
+    require(changed == 0,
+      s"label propagation did not converge in $iter iterations " +
+        "(component diameter exceeds cap) — raise the cap for this corpus")
+    labels
   }
 
   private def o97: String =

@@ -194,29 +194,19 @@ object Vec {
   private def assignAgainst(s: SparkSession, d: String,
       cb: DataFrame): DataFrame = {
     val e = embeddings(s, d)
-    // Comparison key layout: (key, cid, d2) with key = d2 null-coalesced to
-    // +Infinity and the nullable raw d2 LAST, after the tie-breaking cid, so
-    // a NULL never participates in the struct comparison. A malformed
-    // embedding (null element / wrong length) nulls every dot product: all
-    // keys tie at +Infinity and the lowest cid wins — exactly the oracle's
-    // `ORDER BY d2, cid` under its all-NULL tie — while the preserved NULL
-    // d2 keeps sqrt/avg null-skipping behavior identical on both engines.
-    // (A bare (d2, cid) struct with a MaxValue sentinel would strand such
-    // rows on the sentinel cid and poison avg_dist with sqrt(MaxValue).)
-    val best = aggregate(col("cb"),
-      struct(lit(Double.PositiveInfinity).as("key"),
-        lit(Long.MaxValue).as("cid"),
-        lit(null).cast("double").as("d2")),
-      (acc, c) => {
-        val d2 = aggregate(
-          zip_with(toD(col("embedding")), c.getField("cv"),
-            (x, y) => (x - y) * (x - y)),
-          lit(0.0), (a2, x) => a2 + x)
-        val cand = struct(
-          coalesce(d2, lit(Double.PositiveInfinity)).as("key"),
-          c.getField("cid").as("cid"), d2.as("d2"))
-        when(cand < acc, cand).otherwise(acc)
-      })
+    // The assignment itself is the codegen'd
+    // [[graft.functions.NearestCentroidExpression]] kernel — the previous
+    // interpreted `aggregate(cb, (∞, MAXV, null), min-of-(key, cid))` fold
+    // re-entered the HOF evaluator NCells times per row with a Dim-element
+    // zip_with inside each step, and profiled as the vector tier's hottest
+    // chain (it runs once per Lloyd step plus once per final assignment in
+    // q43/q84/q130/q150/q159/q176/q179/q180). Null/tie semantics are
+    // bit-for-bit the fold's — malformed embeddings tie every centroid at
+    // +Infinity and take the lowest cid with a preserved NULL d2, exactly
+    // the oracle's `ORDER BY d2, cid` under its all-NULL tie — see the
+    // expression's scaladoc.
+    val best = graft.functions.NearestCentroidExpression.nearest(
+      toD(col("embedding")), col("cb"))
     e.withColumn("jk", pmod(col("vec_id"), lit(1)))
       .join(broadcast(cb), Seq("jk"))
       .withColumn("best", best)
@@ -1451,7 +1441,190 @@ object Vec {
     CROSS JOIN tot
     GROUP BY ov.nprobe ORDER BY ov.nprobe"""
 
+  /** IVFADC probe width: scan the query's 4 nearest of the 16 cells. */
+  private val AdcProbe = 4
+
+  /** q180: IVFADC — the composition of the two index halves this catalog
+    * already proves separately: IVF cell pruning (q42/q43/q140/q179 — probe
+    * P of C cells, scan ~P/C of the corpus) and product quantization
+    * (q135 — store 4 sub-codebook ids instead of 64 floats). This is the
+    * canonical disk-scale ANN layout (Jégou et al., "Product Quantization
+    * for Nearest Neighbor Search", TPAMI 2011): PQ encodes each vector's
+    * RESIDUAL against its cell centroid — residuals concentrate near the
+    * origin, so one 8-entry sub-codebook per subspace covers all cells —
+    * and the search ranks candidates by asymmetric distance: the query's
+    * own residual against the PROBED cell vs the candidate's code words.
+    *
+    * Plan shape: building the index is ONE corpus pass (map-side
+    * assignment fold + residual zip, persisted — the batch twin of the
+    * partitioned store q140 would write, PARTITIONED BY cid); the search
+    * touches only probed-cell rows via a broadcast equi-join on cid (the
+    * IVF prune — no literal cell id, so the same plan partition-prunes at
+    * scale), encodes and scores them with per-row broadcast folds (no
+    * per-query shuffle, no LUT materialization needed — the fold IS the
+    * lookup table evaluated in place), and ends in a TakeOrdered. Est vs
+    * true distance on the same output row is the built-in accuracy audit.
+    */
+  private def q180(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cb = codebookRow(s, d)
+    // index build: assignment + residual vs own cell centroid, one corpus
+    // pass, persisted (consumed by the sub-codebook seed extraction and the
+    // probed-cell candidate scan). cids are 0..NCells-1 = positions in the
+    // cid-sorted codebook array, so the centroid re-attach is an index, not
+    // a join.
+    val withRes = assignAgainst(s, d, cb)
+      .withColumn("jk", pmod(col("vec_id"), lit(1)))
+      .join(broadcast(cb), Seq("jk"))
+      .select(col("vec_id"), col("cid"), col("v"),
+        zip_with(col("v"),
+          element_at(col("cb"), col("cid").cast("int") + 1).getField("cv"),
+          (x, y) => x - y).as("r"))
+      .persist()
+    // sub-codebooks: the residuals of the 8 seed vectors just past the
+    // coarse seeds — deterministic and oracle-expressible, like q135's
+    // first-PqK raw-vector codebook but in residual space
+    val scb = withRes
+      .filter(col("vec_id") >= NCells && col("vec_id") < NCells + PqK)
+      .agg(array_sort(collect_list(struct((col("vec_id") - NCells).as("scid"),
+        col("r").as("rv")))).as("scb"))
+      .withColumn("jk", pmod(size(col("scb")), size(col("scb"))))
+    val q0 = embeddings(s, d).filter(col("vec_id") === 0)
+      .select(toD(col("embedding")).as("qv"),
+        pmod(col("vec_id"), lit(1)).as("jk"))
+    // query-side cell ranking over the 16-row broadcast codebook; the
+    // window is bounded at NCells rows by construction (single query)
+    val qcells = q0.join(broadcast(cb), Seq("jk"))
+      .select(col("qv"), posexplode(col("cb")).as(Seq("pos", "cc")))
+      .select(col("qv"), col("cc.cid").as("cid"), col("cc.cv").as("ccv"),
+        aggregate(zip_with(col("qv"), col("cc.cv"),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x).as("d2c"))
+      .withColumn("cell_rank", row_number().over(Window.partitionBy(lit(0))
+        .orderBy(col("d2c"), col("cid"))))
+      .filter(col("cell_rank") <= AdcProbe)
+      .select(col("cid"), col("cell_rank"),
+        zip_with(col("qv"), col("ccv"), (x, y) => x - y).as("qr"), col("qv"))
+    def subD2(a: Column, b: Column, m: Int): Column =
+      aggregate(
+        zip_with(slice(a, m * PqSub + 1, PqSub),
+          slice(b, m * PqSub + 1, PqSub), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    // nearest sub-centroid of subspace m IN RESIDUAL SPACE — q135's fold,
+    // ties toward the lower scid like the oracle's ORDER BY d2, scid
+    def bestM(m: Int): Column = aggregate(col("scb"),
+      struct(lit(Double.PositiveInfinity).as("d2"),
+        lit(Long.MaxValue).as("scid"),
+        lit(null).cast("array<double>").as("rv")),
+      (acc, c) => {
+        val cand = struct(subD2(col("r"), c.getField("rv"), m).as("d2"),
+          c.getField("scid").as("scid"), c.getField("rv").as("rv"))
+        when(struct(cand.getField("d2"), cand.getField("scid")) <
+          struct(acc.getField("d2"), acc.getField("scid")), cand)
+          .otherwise(acc)
+      })
+    // the IVF prune: candidates = probed-cell rows only (broadcast
+    // equi-join on cid), then encode + ADC-score map-side
+    val out = withRes.join(broadcast(qcells), Seq("cid"))
+      .filter(col("vec_id") =!= 0)
+      .withColumn("jk", pmod(col("vec_id"), lit(1)))
+      .join(broadcast(scb), Seq("jk"))
+      .withColumn("best", array((0 until PqM).map(bestM): _*))
+      .select(
+        col("vec_id"), col("cid"), col("cell_rank"),
+        concat_ws("-", (0 until PqM).map(m =>
+          element_at(col("best"), m + 1).getField("scid").cast("string")): _*)
+          .as("code"),
+        round((0 until PqM).map(m =>
+            subD2(col("qr"), element_at(col("best"), m + 1).getField("rv"), m))
+          .reduce(_ + _), 6).as("est_d2"),
+        round(aggregate(zip_with(col("v"), col("qv"),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x), 6).as("true_d2"))
+      .orderBy(col("est_d2"), col("vec_id"))
+      .limit(20)
+    Cached.scopedTo(out, withRes)
+  }
+
+  private def o180: String = {
+    def oSub(a: String, b: String, m: String): String =
+      s"""list_sum(list_transform(range(1, ${PqSub + 1}),
+          i -> ($a[$m * $PqSub + i] - $b[$m * $PqSub + i])
+             * ($a[$m * $PqSub + i] - $b[$m * $PqSub + i])))"""
+    s"""
+    WITH cb AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                FROM embeddings WHERE vec_id < $NCells),
+    ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dists AS (
+      SELECT e.vec_id, c.cid,
+             list_sum(list_transform(range(1, ${Dim + 1}),
+               i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS d2
+      FROM ev e CROSS JOIN cb c),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM dists) WHERE rn = 1),
+    res AS (
+      SELECT a.vec_id, a.cid,
+             list_transform(range(1, ${Dim + 1}),
+               i -> e.v[i] - c.cv[i]) AS r
+      FROM assign a JOIN ev e ON e.vec_id = a.vec_id
+      JOIN cb c ON c.cid = a.cid),
+    scb AS (SELECT vec_id - $NCells AS scid, r AS rv FROM res
+            WHERE vec_id >= $NCells AND vec_id < ${NCells + PqK}),
+    q AS (SELECT v AS qv FROM ev WHERE vec_id = 0),
+    qcells AS (
+      SELECT cid, cv, cell_rank FROM (
+        SELECT c.cid, c.cv,
+               row_number() OVER (ORDER BY
+                 list_sum(list_transform(range(1, ${Dim + 1}),
+                   i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))), c.cid)
+                 AS cell_rank
+        FROM cb c, q) WHERE cell_rank <= $AdcProbe),
+    qres AS (
+      SELECT qc.cid, qc.cell_rank,
+             list_transform(range(1, ${Dim + 1}), i -> q.qv[i] - qc.cv[i])
+               AS qr
+      FROM qcells qc, q),
+    cand AS (
+      SELECT r.vec_id, r.cid, r.r FROM res r JOIN qcells USING (cid)
+      WHERE r.vec_id <> 0),
+    ms AS (SELECT unnest(range(0, $PqM)) AS m),
+    sub AS (
+      SELECT c.vec_id, m.m, s.scid, ${oSub("c.r", "s.rv", "m.m")} AS d2
+      FROM cand c CROSS JOIN scb s CROSS JOIN ms m),
+    best AS (
+      SELECT vec_id, m, scid FROM (
+        SELECT vec_id, m, scid,
+               row_number() OVER (PARTITION BY vec_id, m
+                 ORDER BY d2, scid) AS rn
+        FROM sub) WHERE rn = 1),
+    est AS (
+      SELECT b.vec_id,
+             array_to_string(list(CAST(b.scid AS VARCHAR) ORDER BY b.m), '-')
+               AS code,
+             round(list_sum(list(${oSub("qr.qr", "s.rv", "b.m")}
+               ORDER BY b.m)), 6) AS est_d2
+      FROM best b
+      JOIN cand c ON c.vec_id = b.vec_id
+      JOIN qres qr ON qr.cid = c.cid
+      JOIN scb s ON s.scid = b.scid
+      GROUP BY b.vec_id),
+    troo AS (
+      SELECT c.vec_id, c.cid, qr.cell_rank,
+             round(list_sum(list_transform(range(1, ${Dim + 1}),
+               i -> (e.v[i] - q.qv[i]) * (e.v[i] - q.qv[i]))), 6) AS true_d2
+      FROM cand c JOIN ev e ON e.vec_id = c.vec_id
+      JOIN qres qr ON qr.cid = c.cid, q)
+    SELECT t.vec_id, t.cid, CAST(t.cell_rank AS INT) AS cell_rank,
+           est.code, est.est_d2, t.true_d2
+    FROM est JOIN troo t ON t.vec_id = est.vec_id
+    ORDER BY est.est_d2, t.vec_id LIMIT 20"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q180_ivfadc", q180, Some(o180)),
     QueryDef("q179_multiprobe_ivf", q179, Some(o179)),
     QueryDef("q176_ann_recall", q176, Some(o176)),
     QueryDef("q174_label_outliers", q174, Some(o174)),
