@@ -1190,7 +1190,108 @@ object Dedup {
        FROM assigned, spanning
        GROUP BY split, n_span ORDER BY split"""
 
+  // ---- q181: edit-distance similarity join (ED-Join) ----
+
+  private val EdK = 2 // edit-distance threshold
+  private val EdQ = 2 // q-gram width
+
+  /** q181: edit-distance similarity join over the part-name vocabulary —
+    * the fuzzy-string dedup modality the catalog's other joins don't
+    * cover (q120 is token-set Jaccard, q38 shingle-set Jaccard, q102
+    * hamming): pairs of DISTINCT names within Levenshtein distance
+    * $EdK, each with its instance count, i.e. the fuzzy-key
+    * consolidation step of entity resolution.
+    *
+    * Scale design (ED-Join, Xiao et al., VLDB'08, simplified): the ONLY
+    * corpus-scale stage is the vocabulary extraction (one hash
+    * aggregation; at 100 TB "names" are URLs/titles and the vocabulary is
+    * millions, not the corpus). The quadratic stage is then pruned
+    * LOSSLESSLY: each name contributes only its q*k+1 globally-rarest
+    * q-grams (prefix filter: <= k edits destroy <= q*k grams, so two
+    * names within distance k MUST share a gram among those prefixes);
+    * candidates come from an equi-join on those prefix grams plus the
+    * length filter |len(a)-len(b)| <= k, and only candidates pay the
+    * O(len^2) verify. Names too short to own q*k+1 grams (where the
+    * prefix lemma is vacuous) are handled by an exact all-pairs branch
+    * over that bounded sub-vocabulary (strings shorter than q*(k+1)
+    * chars — a set bounded by the alphabet, empty on this corpus).
+    * The pruning is NOT mirrored in the oracle: DuckDB verifies the full
+    * quadratic all-pairs, which is exactly what makes the oracle a
+    * false-negative check on the filter.
+    */
+  private def q181(s: SparkSession, d: String): DataFrame = {
+    // vocabulary with support counts: the corpus-scale stage, persisted —
+    // feeds gram extraction and both count join-backs
+    val names = parallelize(s, part(s, d))
+      .groupBy(col("p_name").as("name")).agg(count(lit(1)).as("n_rows"))
+      .persist()
+    val minLong = EdQ * (EdK + 1) // shortest length owning q*k+1 grams
+    val longs = names.filter(length(col("name")) >= minLong)
+    val shorts = names.filter(length(col("name")) < minLong)
+    // q-grams with multiplicity and position (position only as the
+    // deterministic final sort key of the prefix selection)
+    val grams = longs.select(col("name"),
+      posexplode(expr(
+        s"""transform(sequence(1, length(name) - ${EdQ - 1}),
+            i -> substring(name, i, $EdQ))""")).as(Seq("pos", "g")))
+    val freq = grams.groupBy(col("g")).agg(count(lit(1)).as("f"))
+    // rare-first prefix: the q*k+1 grams least likely to collide, so
+    // candidate fanout concentrates where buckets are small (the same
+    // rare-token stance as q120's PPJoin prefix)
+    val prefixes = grams.join(broadcast(freq), Seq("g"))
+      .groupBy(col("name"))
+      .agg(slice(array_sort(collect_list(
+        struct(col("f"), col("g"), col("pos")))), 1, EdQ * EdK + 1)
+        .as("pre"))
+      .select(col("name"), explode(col("pre")).as("p"))
+      .select(col("name"), col("p.g").as("g"))
+    val longCands = prefixes.as("a").join(prefixes.as("b"),
+        col("a.g") === col("b.g") && col("a.name") < col("b.name"))
+      .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+      .distinct()
+    // short names: the prefix lemma is vacuous below q*k+1 grams; their
+    // sub-vocabulary is alphabet-bounded, so exact length-block pairing is
+    // the honest fallback — each short name probes the length buckets its
+    // matches could live in (an INT equi-join, broadcast hash, never a
+    // cartesian; `greatest` guards Spark 4's descending `sequence` when
+    // len-k < 1)
+    val probe = shorts.select(col("name").as("name_b"),
+      explode(sequence(greatest(length(col("name")) - EdK, lit(1)),
+        length(col("name")) + EdK)).as("lk"))
+    val shortCands = names
+      .select(col("name").as("name_a"), length(col("name_a")).as("lk"))
+      .join(broadcast(probe), Seq("lk"))
+      .filter(col("name_a") =!= col("name_b"))
+      .select(least(col("name_a"), col("name_b")).as("na"),
+        greatest(col("name_a"), col("name_b")).as("nb"))
+      .select(col("na").as("name_a"), col("nb").as("name_b"))
+    val out = longCands.union(shortCands).distinct()
+      .filter(abs(length(col("name_a")) - length(col("name_b"))) <= EdK)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+      .filter(col("dist") <= EdK)
+      .join(names.select(col("name").as("name_a"), col("n_rows").as("n_a")),
+        Seq("name_a"))
+      .join(names.select(col("name").as("name_b"), col("n_rows").as("n_b")),
+        Seq("name_b"))
+      .select(col("name_a"), col("name_b"), col("dist"),
+        col("n_a"), col("n_b"))
+      .orderBy(col("name_a"), col("name_b"))
+    Cached.scopedTo(out, names)
+  }
+
+  private def o181: String =
+    s"""WITH n AS (SELECT p_name AS name, count(*) AS n_rows FROM part
+                   GROUP BY p_name)
+       SELECT a.name AS name_a, b.name AS name_b,
+              CAST(levenshtein(a.name, b.name) AS INT) AS dist,
+              CAST(a.n_rows AS BIGINT) AS n_a, CAST(b.n_rows AS BIGINT) AS n_b
+       FROM n a JOIN n b ON a.name < b.name
+       WHERE levenshtein(a.name, b.name) <= $EdK
+         AND abs(length(a.name) - length(b.name)) <= $EdK
+       ORDER BY name_a, name_b"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q181_editdist_join", q181, Some(o181)),
     QueryDef("q165_leakage_safe_split", q165, Some(o165)),
     QueryDef("q156_source_overlap", q156, Some(o156)),
     QueryDef("q157_dedup_ledger", q157, Some(o157)),
