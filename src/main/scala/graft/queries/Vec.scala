@@ -692,25 +692,26 @@ object Vec {
         zip_with(slice(a, m * PqSub + 1, PqSub), slice(b, m * PqSub + 1, PqSub),
           (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, x) => acc + x)
-    // nearest sub-centroid of subspace m: fold over the broadcast codebook
-    // keeping the lexicographic min of (d2, cid) — ties (impossible with
-    // distinct centroids) would break toward the lower cid, matching the
-    // oracle's ORDER BY d2, cid
-    def bestM(m: Int): Column = aggregate(col("cb"),
-      struct(lit(Double.PositiveInfinity).as("d2"),
-        lit(Long.MaxValue).as("cid"), lit(null).cast("array<double>").as("cv")),
-      (acc, c) => {
-        val cand = struct(
-          subD2(toD(col("embedding")), c.getField("cv"), m).as("d2"),
-          c.getField("cid").as("cid"), c.getField("cv").as("cv"))
-        when(struct(cand.getField("d2"), cand.getField("cid")) <
-          struct(acc.getField("d2"), acc.getField("cid")), cand).otherwise(acc)
-      })
+    // nearest sub-centroid of subspace m: the codegen'd
+    // NearestCentroidExpression kernel over the m-th slices (ties toward
+    // the lower cid — the kernel's contract, matching the oracle's
+    // ORDER BY d2, cid); the winner's vector is recovered by POSITION
+    // (cids 0..PqK-1 = indices in the cid-sorted codebook array), so the
+    // interpreted 8-way min-fold disappears from the per-row hot path
+    def bestM(m: Int): Column =
+      graft.functions.NearestCentroidExpression.nearest(
+        slice(toD(col("embedding")), m * PqSub + 1, PqSub),
+        transform(col("cb"), c => struct(c.getField("cid"),
+          slice(c.getField("cv"), m * PqSub + 1, PqSub))))
+    def winCv(m: Int): Column = element_at(col("cb"),
+      element_at(col("best"), m + 1).getField("cid").cast("int") + 1)
+      .getField("cv")
     val enc = e.filter(col("vec_id") =!= 0)
       .withColumn("jk", pmod(col("vec_id"), lit(1)))
       .join(broadcast(cb), Seq("jk"))
       .join(broadcast(q), Seq("jk"))
       .select(col("vec_id"), col("qv"), toD(col("embedding")).as("v"),
+        col("cb"),
         array((0 until PqM).map(bestM): _*).as("best"))
     enc.select(
       col("vec_id"),
@@ -718,7 +719,7 @@ object Vec {
         element_at(col("best"), m + 1).getField("cid").cast("string")): _*)
         .as("code"),
       round((0 until PqM).map(m =>
-          subD2(col("qv"), element_at(col("best"), m + 1).getField("cv"), m))
+          subD2(col("qv"), winCv(m), m))
         .reduce(_ + _), 6).as("est_d2"),
       round(aggregate(zip_with(col("v"), col("qv"),
           (x, y) => (x - y) * (x - y)),
@@ -1510,19 +1511,20 @@ object Vec {
         zip_with(slice(a, m * PqSub + 1, PqSub),
           slice(b, m * PqSub + 1, PqSub), (x, y) => (x - y) * (x - y)),
         lit(0.0), (acc, x) => acc + x)
-    // nearest sub-centroid of subspace m IN RESIDUAL SPACE — q135's fold,
-    // ties toward the lower scid like the oracle's ORDER BY d2, scid
-    def bestM(m: Int): Column = aggregate(col("scb"),
-      struct(lit(Double.PositiveInfinity).as("d2"),
-        lit(Long.MaxValue).as("scid"),
-        lit(null).cast("array<double>").as("rv")),
-      (acc, c) => {
-        val cand = struct(subD2(col("r"), c.getField("rv"), m).as("d2"),
-          c.getField("scid").as("scid"), c.getField("rv").as("rv"))
-        when(struct(cand.getField("d2"), cand.getField("scid")) <
-          struct(acc.getField("d2"), acc.getField("scid")), cand)
-          .otherwise(acc)
-      })
+    // nearest sub-centroid of subspace m IN RESIDUAL SPACE — the codegen'd
+    // NearestCentroidExpression kernel over the m-th slice of the residual
+    // and sub-codebook (ties toward the lower scid like the oracle's
+    // ORDER BY d2, scid — the kernel's contract); the winner's residual
+    // vector is recovered by POSITION (scids 0..PqK-1 = indices in the
+    // scid-sorted array), so the interpreted 8-way min-fold disappears
+    def bestM(m: Int): Column =
+      graft.functions.NearestCentroidExpression.nearest(
+        slice(col("r"), m * PqSub + 1, PqSub),
+        transform(col("scb"), c => struct(c.getField("scid"),
+          slice(c.getField("rv"), m * PqSub + 1, PqSub))))
+    def winRv(m: Int): Column = element_at(col("scb"),
+      element_at(col("best"), m + 1).getField("cid").cast("int") + 1)
+      .getField("rv")
     // the IVF prune: candidates = probed-cell rows only (broadcast
     // equi-join on cid), then encode + ADC-score map-side
     val out = withRes.join(broadcast(qcells), Seq("cid"))
@@ -1533,10 +1535,10 @@ object Vec {
       .select(
         col("vec_id"), col("cid"), col("cell_rank"),
         concat_ws("-", (0 until PqM).map(m =>
-          element_at(col("best"), m + 1).getField("scid").cast("string")): _*)
+          element_at(col("best"), m + 1).getField("cid").cast("string")): _*)
           .as("code"),
         round((0 until PqM).map(m =>
-            subD2(col("qr"), element_at(col("best"), m + 1).getField("rv"), m))
+            subD2(col("qr"), winRv(m), m))
           .reduce(_ + _), 6).as("est_d2"),
         round(aggregate(zip_with(col("v"), col("qv"),
             (x, y) => (x - y) * (x - y)),
