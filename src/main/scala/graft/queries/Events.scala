@@ -591,6 +591,80 @@ object Events {
     FROM events e WHERE e.event_type = 'purchase'
     ORDER BY e.event_id"""
 
+  /** q182: point-in-time feature enrichment + leakage audit — the
+    * feature-store join: every purchase is enriched with the profile value
+    * (the user's latest 'signup' event) AS OF the purchase time, via the
+    * native [[graft.plans.AsOfJoin]] operator carrying a NON-TIME payload
+    * (q158/q162 carry the prior timestamp; this is the operator's general
+    * form). Beside it, the NAIVE enrichment every leaky pipeline ships —
+    * join the user's latest profile OVERALL — and a `leaked` flag marking
+    * purchases where the two differ: exactly the rows whose training
+    * features would contain information from the future (train-serve skew).
+    *
+    * Scale shape: the as-of side is the operator's two co-partitioned
+    * exchanges + sorts and an O(1)-state merge; the naive side is one
+    * argmax aggregation (tie-free struct max) on the profile stream and an
+    * equi-join — both corpus-linear, no windows over the fact stream.
+    */
+  private def q182(s: SparkSession, d: String): DataFrame = {
+    val purchases = events(s, d)
+      .filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), tsUs.as("ts_us"))
+    val profiles = events(s, d)
+      .filter(col("event_type") === "signup")
+      .select(col("user_id"), tsUs.as("ts_us"),
+        col("value").as("profile_value"))
+    // naive "current profile" per user: argmax by (time, value) — the same
+    // (time asc, value asc) tie order the as-of merge keeps, so the leak
+    // flag can never fire on a tie-ordering artifact
+    val latest = profiles
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("ts_us"), col("profile_value")))
+        .getField("profile_value").as("latest_profile"))
+    graft.plans.AsOfJoin
+      .joinPrior(purchases, profiles, "user_id", "ts_us", "profile_value",
+        as = "profile_at_purchase")
+      .join(latest, Seq("user_id"), "left")
+      .select(col("event_id"), col("user_id"), col("ts_us"),
+        col("profile_at_purchase"), col("latest_profile"),
+        (!(col("profile_at_purchase") <=> col("latest_profile")))
+          .as("leaked"))
+      .orderBy(col("event_id"))
+  }
+
+  private val o182 = """
+    SELECT e.event_id, e.user_id, epoch_us(e.ts) AS ts_us,
+           (SELECT max(s.value) FROM events s
+            WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+              AND epoch_us(s.ts) < epoch_us(e.ts)
+              AND epoch_us(s.ts) =
+                (SELECT max(epoch_us(s2.ts)) FROM events s2
+                 WHERE s2.user_id = e.user_id AND s2.event_type = 'signup'
+                   AND epoch_us(s2.ts) < epoch_us(e.ts)))
+             AS profile_at_purchase,
+           (SELECT max(s.value) FROM events s
+            WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+              AND epoch_us(s.ts) =
+                (SELECT max(epoch_us(s2.ts)) FROM events s2
+                 WHERE s2.user_id = e.user_id AND s2.event_type = 'signup'))
+             AS latest_profile,
+           (SELECT max(s.value) FROM events s
+            WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+              AND epoch_us(s.ts) < epoch_us(e.ts)
+              AND epoch_us(s.ts) =
+                (SELECT max(epoch_us(s2.ts)) FROM events s2
+                 WHERE s2.user_id = e.user_id AND s2.event_type = 'signup'
+                   AND epoch_us(s2.ts) < epoch_us(e.ts)))
+             IS DISTINCT FROM
+           (SELECT max(s.value) FROM events s
+            WHERE s.user_id = e.user_id AND s.event_type = 'signup'
+              AND epoch_us(s.ts) =
+                (SELECT max(epoch_us(s2.ts)) FROM events s2
+                 WHERE s2.user_id = e.user_id AND s2.event_type = 'signup'))
+             AS leaked
+    FROM events e WHERE e.event_type = 'purchase'
+    ORDER BY e.event_id"""
+
   /** q169: week-over-week growth — aggregate the event stream to a weekly
     * (event_type, week) series, then lag within each type for the percent
     * change: the standard KPI-trend query. The window runs over the
@@ -631,6 +705,7 @@ object Events {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q169_wow_growth", q169, Some(o169)),
     QueryDef("q158_asof_native", q158, Some(o158)),
+    QueryDef("q182_pit_enrich", q182, Some(o182)),
     QueryDef("q162_asof_tolerance", q162, Some(o162)),
     QueryDef("q147_decay_score", q147, Some(o147)),
     QueryDef("q144_moving_median", q144, Some(o144)),
