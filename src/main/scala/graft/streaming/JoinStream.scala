@@ -46,6 +46,16 @@ object JoinStream {
                                     clicks: DataFrame): DataFrame =
     attribution(views, clicks, "leftOuter")
 
+  /** Full-outer form — completes the operator's join-mode matrix: every
+    * view AND every click is emitted, the unmatched side NULL. Both
+    * directions of null emission are watermark-deferred (a lone click may
+    * still match a late view and vice versa), with the same per-side state
+    * bounds as the inner join.
+    */
+  def viewClickAttributionFullOuter(views: DataFrame,
+                                    clicks: DataFrame): DataFrame =
+    attribution(views, clicks, "fullOuter")
+
   private def attribution(views: DataFrame, clicks: DataFrame,
                           joinType: String): DataFrame = {
     val v = views
@@ -62,7 +72,10 @@ object JoinStream {
       col("click_time") >= col("view_time") &&
       col("click_time") <= col("view_time") + expr("INTERVAL 10 MINUTES"),
       joinType)
-      .select(col("user_id"), col("view_id"), col("click_id"),
+      // coalesce surfaces the click-side key on click-only rows (full
+      // outer); for inner/left rows the two sides agree by the equi-key
+      .select(coalesce(col("user_id"), col("c_user")).as("user_id"),
+        col("view_id"), col("click_id"),
         col("view_time"), col("click_time"))
   }
 }

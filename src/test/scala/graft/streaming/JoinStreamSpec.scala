@@ -130,4 +130,55 @@ class JoinStreamSpec extends SparkTestBase {
       (3L, 103L, -1L))  // user 3 never clicked
     )
   }
+
+  test("full-outer join null-emits BOTH unmatched sides at watermark " +
+    "expiry, and equals the batch full-outer join") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val vIn = MemoryStream[(Long, Long, Long)]
+    val cIn = MemoryStream[(Long, Long, Long)]
+    val joined = JoinStream.viewClickAttributionFullOuter(
+      vIn.toDF().toDF("ts", "user_id", "event_id"),
+      cIn.toDF().toDF("ts", "user_id", "event_id"))
+    val query = joined.writeStream
+      .format("memory").queryName("attr_full_join_test")
+      .outputMode(OutputMode.Append())
+      .start()
+    def opt(r: org.apache.spark.sql.Row, i: Int): Long =
+      if (r.isNullAt(i)) -1L else r.getLong(i)
+    val streamed =
+      try {
+        vIn.addData(viewRows: _*)
+        cIn.addData(clickRows: _*)
+        query.processAllAvailable()
+        vIn.addData((1000 * minNs, 98L, 900L))
+        cIn.addData((1000 * minNs, 99L, 901L))
+        query.processAllAvailable()
+        vIn.addData((1001 * minNs, 98L, 902L))
+        cIn.addData((1001 * minNs, 99L, 903L))
+        query.processAllAvailable()
+        spark.table("attr_full_join_test")
+          .filter("user_id <= 3")
+          .select("user_id", "view_id", "click_id")
+          .collect().map(r => (r.getLong(0), opt(r, 1), opt(r, 2))).toSet
+      } finally query.stop()
+
+    val batch = JoinStream.viewClickAttributionFullOuter(
+      viewRows.toDF("ts", "user_id", "event_id"),
+      clickRows.toDF("ts", "user_id", "event_id"))
+      .select("user_id", "view_id", "click_id")
+      .collect().map(r => (r.getLong(0), opt(r, 1), opt(r, 2))).toSet
+
+    assert(streamed == batch)
+    assert(streamed == Set(
+      (1L, 100L, 200L),
+      (1L, 100L, 201L),
+      (2L, 101L, 204L),
+      (1L, 102L, -1L),  // unmatched views, as in left-outer
+      (3L, 103L, -1L),
+      (2L, -1L, 202L),  // click BEFORE user 2's view: view side NULL
+      (2L, -1L, 203L))  // click past the window: view side NULL
+    )
+  }
 }
