@@ -661,7 +661,52 @@ object Rel {
            (SELECT count(*) FROM del_lines) AS n_lineitems,
            (SELECT count(*) FROM del_events) AS n_events"""
 
+  /** q183: skyline (Pareto frontier) — parts where no other part is at
+    * once cheaper-or-equal AND smaller-or-equal with at least one strict
+    * (the classic dominance operator; "Integration of Skyline Queries into
+    * Spark SQL", EDBT'23, is the Spark-native treatment — PAPERS.md).
+    *
+    * Scale shape, deliberately NOT the quadratic NOT-EXISTS the oracle
+    * runs: for a 2-D skyline, a point survives iff it has the minimum size
+    * within its own price group AND every strictly-cheaper group's minimum
+    * size is larger. So: one corpus-scale hash aggregation (per-price min
+    * size — output bounded by the distinct-price grid, not the corpus), a
+    * running-min window over that DIMENSION table only, and a broadcast
+    * join back. No corpus-wide window, no self-join, no n² dominance test
+    * — the oracle's NOT EXISTS is exactly the false-negative check on
+    * this reformulation. (For continuous x at 100 TB, bucket the price
+    * grid first; for d > 2 dims the standard move is local-skyline per
+    * partition then skyline-of-union, since skyline(S) =
+    * skyline(∪ local skylines).)
+    */
+  private def q183(s: SparkSession, d: String): DataFrame = {
+    val p = part(s, d).select(col("p_partkey"),
+      col("p_retailprice").as("price"), col("p_size").as("size"))
+    val mins = p.groupBy(col("price")).agg(min(col("size")).as("min_size"))
+    // dimension-size window (one row per distinct price): rows strictly
+    // before = prices strictly cheaper, because mins is price-unique
+    val w = Window.orderBy(col("price"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = mins
+      .withColumn("prev_min", min(col("min_size")).over(w))
+    p.join(broadcast(frontier), Seq("price"))
+      .filter(col("size") === col("min_size") &&
+        (col("prev_min").isNull || col("prev_min") > col("size")))
+      .select(col("p_partkey"), col("price"), col("size"))
+      .orderBy(col("price"), col("p_partkey"))
+  }
+
+  private val o183 = """
+    SELECT p.p_partkey, p.p_retailprice AS price, p.p_size AS size
+    FROM part p
+    WHERE NOT EXISTS (
+      SELECT 1 FROM part q
+      WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
+        AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size))
+    ORDER BY price, p_partkey"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q183_skyline", q183, Some(o183)),
     QueryDef("q168_cascade_delete_audit", q168, Some(o168)),
     QueryDef("q122_snapshot_diff", q122, Some(o122)),
     QueryDef("q98_upsert_merge", q98, Some(o98)),
