@@ -665,6 +665,54 @@ object Events {
     FROM events e WHERE e.event_type = 'purchase'
     ORDER BY e.event_id"""
 
+  /** q184: temporal split with embargo — the TIME-dimension leakage-safe
+    * split (q165 handles the similarity-graph dimension): train = events in
+    * the first 70% of the observed time span, test = after a 5%-of-span
+    * embargo gap, and everything inside the gap is QUARANTINED — the
+    * financial-ML purging discipline that stops a model trained through
+    * time T from being evaluated on samples whose features overlap
+    * [T, T+gap). Cut points derive from the observed min/max by integer
+    * arithmetic (DIV), so both engines compute identical boundaries.
+    *
+    * Scale shape: one min/max aggregation, broadcast of the single bounds
+    * row on a column-derived key, then a map-side bucketing and a 3-group
+    * rollup — corpus-linear, no sort, no window.
+    */
+  private def q184(s: SparkSession, d: String): DataFrame = {
+    val bounds = events(s, d)
+      .agg(min(tsUs).as("lo"), max(tsUs).as("hi"))
+      .withColumn("jk", pmod(col("lo"), lit(1)))
+    val cut = col("lo") + expr("(hi - lo) * 7 DIV 10")
+    val gapEnd = cut + expr("(hi - lo) DIV 20")
+    events(s, d)
+      .withColumn("jk", pmod(col("event_id"), lit(1)))
+      .join(broadcast(bounds), Seq("jk"))
+      .select(tsUs.as("us"), cut.as("cut"), gapEnd.as("gap_end"))
+      .select(
+        when(col("us") <= col("cut"), "train")
+          .when(col("us") <= col("gap_end"), "embargo")
+          .otherwise("test").as("split"),
+        col("us"))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("us")).as("lo_us"), max(col("us")).as("hi_us"))
+      .orderBy(col("split"))
+  }
+
+  private val o184 = """
+    WITH b AS (SELECT min(epoch_us(ts)) AS lo, max(epoch_us(ts)) AS hi
+               FROM events),
+    marks AS (SELECT lo + (hi - lo) * 7 // 10 AS cut,
+                     lo + (hi - lo) * 7 // 10 + (hi - lo) // 20 AS gap_end
+              FROM b)
+    SELECT CASE WHEN epoch_us(ts) <= cut THEN 'train'
+                WHEN epoch_us(ts) <= gap_end THEN 'embargo'
+                ELSE 'test' END AS split,
+           count(*) AS n_events,
+           min(epoch_us(ts)) AS lo_us, max(epoch_us(ts)) AS hi_us
+    FROM events, marks
+    GROUP BY split ORDER BY split"""
+
   /** q169: week-over-week growth — aggregate the event stream to a weekly
     * (event_type, week) series, then lag within each type for the percent
     * change: the standard KPI-trend query. The window runs over the
@@ -706,6 +754,7 @@ object Events {
     QueryDef("q169_wow_growth", q169, Some(o169)),
     QueryDef("q158_asof_native", q158, Some(o158)),
     QueryDef("q182_pit_enrich", q182, Some(o182)),
+    QueryDef("q184_temporal_split", q184, Some(o184)),
     QueryDef("q162_asof_tolerance", q162, Some(o162)),
     QueryDef("q147_decay_score", q147, Some(o147)),
     QueryDef("q144_moving_median", q144, Some(o144)),
