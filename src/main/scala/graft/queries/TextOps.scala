@@ -79,7 +79,9 @@ object TextOps {
     * word soup, so classes are domain-flavored rather than natural-language —
     * the operator shape is the point.)
     */
-  private def q32(s: SparkSession, d: String): DataFrame =
+  /** Scored + argmax'd language-ID frame, shared by q32 (per-doc listing)
+    * and q185 (confusion matrix). */
+  private def langPred(s: SparkSession, d: String): DataFrame =
     withT2(documents(s, d))
       .select(
         col("doc_id"), col("lang"),
@@ -90,7 +92,9 @@ object TextOps {
         when(col("s_en") >= col("s_db") && col("s_en") >= col("s_etl"), "en")
           .when(col("s_db") >= col("s_etl"), "db")
           .otherwise("etl"))
-      .orderBy(col("doc_id"))
+
+  private def q32(s: SparkSession, d: String): DataFrame =
+    langPred(s, d).orderBy(col("doc_id"))
 
   private val o32 = """
     SELECT doc_id, lang, s_en, s_db, s_etl,
@@ -112,6 +116,53 @@ object TextOps {
           AS s_etl
       FROM (SELECT doc_id, lang, ' ' || text || ' ' AS t2 FROM documents))
     ORDER BY doc_id"""
+
+  /** q185: classifier confusion matrix — q32's language-ID predictions
+    * against the `lang` ground-truth column: per (actual, predicted) cell,
+    * the count and the row-normalized fraction (the per-class recall on
+    * the diagonal). The evaluation primitive every pipeline classifier
+    * (lang-ID, quality gates, PII flags) needs before its threshold is
+    * trusted at corpus scale; one scoring pass + a cells×classes rollup,
+    * both corpus-linear.
+    */
+  private def q185(s: SparkSession, d: String): DataFrame = {
+    val pred = langPred(s, d)
+    val totals = pred.groupBy(col("lang")).agg(count(lit(1)).as("n_actual"))
+    pred.groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).as("n"))
+      .join(broadcast(totals), Seq("lang"))
+      .select(col("lang"), col("lang_pred"), col("n"),
+        round(col("n") / col("n_actual").cast("double"), 6)
+          .as("frac_of_actual"))
+      .orderBy(col("lang"), col("lang_pred"))
+  }
+
+  private val o185 = """
+    WITH scored AS (
+      SELECT doc_id, lang,
+             CASE WHEN s_en >= s_db AND s_en >= s_etl THEN 'en'
+                  WHEN s_db >= s_etl THEN 'db' ELSE 'etl' END AS lang_pred
+      FROM (
+        SELECT doc_id, lang,
+          CAST((length(t2) - length(replace(t2, ' the ', ''))) / 5 AS INT)
+            + CAST((length(t2) - length(replace(t2, ' a ', ''))) / 3 AS INT)
+            + CAST((length(t2) - length(replace(t2, ' is ', ''))) / 4 AS INT)
+            AS s_en,
+          CAST((length(t2) - length(replace(t2, ' table ', ''))) / 7 AS INT)
+            + CAST((length(t2) - length(replace(t2, ' query ', ''))) / 7 AS INT)
+            + CAST((length(t2) - length(replace(t2, ' join ', ''))) / 6 AS INT)
+            AS s_db,
+          CAST((length(t2) - length(replace(t2, ' batch ', ''))) / 7 AS INT)
+            + CAST((length(t2) - length(replace(t2, ' stream ', ''))) / 8 AS INT)
+            + CAST((length(t2) - length(replace(t2, ' window ', ''))) / 8 AS INT)
+            AS s_etl
+        FROM (SELECT doc_id, lang, ' ' || text || ' ' AS t2 FROM documents))),
+    tot AS (SELECT lang, count(*) AS n_actual FROM scored GROUP BY lang)
+    SELECT s.lang, s.lang_pred, count(*) AS n,
+           round(count(*) / CAST(t.n_actual AS DOUBLE), 6) AS frac_of_actual
+    FROM scored s JOIN tot t ON t.lang = s.lang
+    GROUP BY s.lang, s.lang_pred, t.n_actual
+    ORDER BY s.lang, s.lang_pred"""
 
   /** Quality scoring: length/punctuation/stopword signals combined into one
     * deterministic score (exact integer inputs -> identical doubles).
@@ -345,6 +396,7 @@ object TextOps {
     ORDER BY frac DESC, h.source, h.seg LIMIT 50"""
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q185_confusion_matrix", q185, Some(o185)),
     QueryDef("q155_boilerplate", q155, Some(o155)),
     QueryDef("q124_lang_mix_kl", q124, Some(klSql("documents"))),
     QueryDef("q82_canonical_select", q82, Some(o82)),
