@@ -395,7 +395,73 @@ object TextOps {
     WHERE h.n_with / CAST(s.n_docs AS DOUBLE) >= 0.05
     ORDER BY frac DESC, h.source, h.seg LIMIT 50"""
 
+  /** q186: Cohen's kappa for the language-ID predictor — chance-corrected
+    * agreement between q32's predictions and the ground truth: kappa =
+    * (po - pe) / (1 - pe), with po the raw accuracy and pe the expected
+    * agreement from the actual x predicted marginals. The one-number
+    * follow-up to q185's matrix (raw accuracy flatters a classifier on a
+    * skewed class mix; kappa doesn't). Shape: the scoring pass plus two
+    * class-marginal aggregations joined on class (classes missing on
+    * either side contribute zero by the inner join) — all dimension-sized
+    * after the single corpus pass.
+    */
+  private def q186(s: SparkSession, d: String): DataFrame = {
+    val pred = langPred(s, d).select(col("lang"), col("lang_pred"))
+    val ma = pred.groupBy(col("lang").as("cls"))
+      .agg(count(lit(1)).as("na"))
+    val mp = pred.groupBy(col("lang_pred").as("cls"))
+      .agg(count(lit(1)).as("np"))
+    val pe = ma.join(mp, Seq("cls"))
+      .agg(sum(col("na") * col("np")).cast("long").as("sumprod"))
+      .withColumn("jk", pmod(col("sumprod"), col("sumprod")))
+    val st = pred.agg(count(lit(1)).as("n"),
+        avg(when(col("lang") === col("lang_pred"), 1.0).otherwise(0.0))
+          .as("po_raw"))
+      .withColumn("jk", pmod(col("n"), col("n")))
+    val peCol = col("sumprod") / (col("n").cast("double") * col("n"))
+    st.join(broadcast(pe), Seq("jk"))
+      .select(col("n"), round(col("po_raw"), 6).as("po"),
+        round(peCol, 6).as("pe"),
+        round((col("po_raw") - peCol) / (lit(1.0) - peCol), 6).as("kappa"))
+  }
+
+  private val o186 = """
+    WITH scored AS (
+      SELECT lang,
+             CASE WHEN s_en >= s_db AND s_en >= s_etl THEN 'en'
+                  WHEN s_db >= s_etl THEN 'db' ELSE 'etl' END AS lang_pred
+      FROM (
+        SELECT lang,
+          CAST((length(t2) - length(replace(t2, ' the ', ''))) / 5 AS INT)
+            + CAST((length(t2) - length(replace(t2, ' a ', ''))) / 3 AS INT)
+            + CAST((length(t2) - length(replace(t2, ' is ', ''))) / 4 AS INT)
+            AS s_en,
+          CAST((length(t2) - length(replace(t2, ' table ', ''))) / 7 AS INT)
+            + CAST((length(t2) - length(replace(t2, ' query ', ''))) / 7 AS INT)
+            + CAST((length(t2) - length(replace(t2, ' join ', ''))) / 6 AS INT)
+            AS s_db,
+          CAST((length(t2) - length(replace(t2, ' batch ', ''))) / 7 AS INT)
+            + CAST((length(t2) - length(replace(t2, ' stream ', ''))) / 8 AS INT)
+            + CAST((length(t2) - length(replace(t2, ' window ', ''))) / 8 AS INT)
+            AS s_etl
+        FROM (SELECT lang, ' ' || text || ' ' AS t2 FROM documents))),
+    ma AS (SELECT lang AS cls, count(*) AS na FROM scored GROUP BY 1),
+    mp AS (SELECT lang_pred AS cls, count(*) AS np FROM scored GROUP BY 1),
+    st AS (SELECT count(*) AS n,
+                  avg(CASE WHEN lang = lang_pred THEN 1.0 ELSE 0.0 END)
+                    AS po_raw
+           FROM scored),
+    agree AS (SELECT CAST(sum(na * np) AS BIGINT) AS sumprod
+              FROM ma JOIN mp USING (cls))
+    SELECT CAST(st.n AS BIGINT) AS n, round(st.po_raw, 6) AS po,
+           round(sumprod / (CAST(st.n AS DOUBLE) * st.n), 6) AS pe,
+           round((st.po_raw - sumprod / (CAST(st.n AS DOUBLE) * st.n))
+                 / (1 - sumprod / (CAST(st.n AS DOUBLE) * st.n)), 6)
+             AS kappa
+    FROM st, agree"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q186_cohens_kappa", q186, Some(o186)),
     QueryDef("q185_confusion_matrix", q185, Some(o185)),
     QueryDef("q155_boilerplate", q155, Some(o155)),
     QueryDef("q124_lang_mix_kl", q124, Some(klSql("documents"))),
