@@ -713,6 +713,74 @@ object Events {
     FROM events, marks
     GROUP BY split ORDER BY split"""
 
+  /** q187: A/B experiment readout — users assigned to arms by a
+    * content-hash coin (first md5 hex digit, the q75 split convention),
+    * conversion = "has a purchase event above the value cutoff" (a
+    * selective metric — near-universal conversion would zero the pooled
+    * variance), and the two-proportion
+    * pooled z-statistic between the arms. The experimentation primitive on
+    * top of the event stream; the z is what a launch decision actually
+    * reads.
+    *
+    * Shape: one user-grain aggregation (corpus-scale), then ONE
+    * conditional-aggregation pass producing every count, rate, and the
+    * statistic — no joins at all. Cross-engine exactness: every double
+    * derives from integer counts by identical arithmetic, sqrt is
+    * IEEE-exact (unlike ln/exp), so round(z, 6) is safe.
+    */
+  private def q187(s: SparkSession, d: String): DataFrame = {
+    val users = events(s, d)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 150,
+        1).otherwise(0)).as("converted"))
+      .withColumn("arm",
+        when(substring(md5(col("user_id").cast("string")), 1, 1) < "8", "A")
+          .otherwise("B"))
+    val agg = users.agg(
+      sum(when(col("arm") === "A", 1L).otherwise(0L)).cast("long").as("n_a"),
+      sum(when(col("arm") === "B", 1L).otherwise(0L)).cast("long").as("n_b"),
+      sum(when(col("arm") === "A", col("converted")).otherwise(0L))
+        .cast("long").as("conv_a"),
+      sum(when(col("arm") === "B", col("converted")).otherwise(0L))
+        .cast("long").as("conv_b"))
+    val crA = col("conv_a") / col("n_a").cast("double")
+    val crB = col("conv_b") / col("n_b").cast("double")
+    val pool = (col("conv_a") + col("conv_b")) /
+      (col("n_a") + col("n_b")).cast("double")
+    agg.select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+      round(crA, 6).as("cr_a"), round(crB, 6).as("cr_b"),
+      round((crA - crB) /
+        sqrt(pool * (lit(1.0) - pool) *
+          (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6).as("z"))
+  }
+
+  private val o187 = """
+    WITH u AS (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'purchase' AND value > 150
+                      THEN 1 ELSE 0 END) AS converted,
+             CASE WHEN substr(md5(CAST(max(user_id) AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS arm
+      FROM events GROUP BY user_id),
+    a AS (
+      SELECT CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b,
+             CAST(sum(CASE WHEN arm = 'A' THEN converted ELSE 0 END)
+               AS BIGINT) AS conv_a,
+             CAST(sum(CASE WHEN arm = 'B' THEN converted ELSE 0 END)
+               AS BIGINT) AS conv_b
+      FROM u)
+    SELECT n_a, n_b, conv_a, conv_b,
+           round(conv_a / CAST(n_a AS DOUBLE), 6) AS cr_a,
+           round(conv_b / CAST(n_b AS DOUBLE), 6) AS cr_b,
+           round((conv_a / CAST(n_a AS DOUBLE) - conv_b / CAST(n_b AS DOUBLE))
+                 / sqrt(((conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                        * (1 - (conv_a + conv_b) / CAST(n_a + n_b AS DOUBLE))
+                        * (1.0 / n_a + 1.0 / n_b)), 6) AS z
+    FROM a"""
+
   /** q169: week-over-week growth — aggregate the event stream to a weekly
     * (event_type, week) series, then lag within each type for the percent
     * change: the standard KPI-trend query. The window runs over the
@@ -755,6 +823,7 @@ object Events {
     QueryDef("q158_asof_native", q158, Some(o158)),
     QueryDef("q182_pit_enrich", q182, Some(o182)),
     QueryDef("q184_temporal_split", q184, Some(o184)),
+    QueryDef("q187_ab_test", q187, Some(o187)),
     QueryDef("q162_asof_tolerance", q162, Some(o162)),
     QueryDef("q147_decay_score", q147, Some(o147)),
     QueryDef("q144_moving_median", q144, Some(o144)),
