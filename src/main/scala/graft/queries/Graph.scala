@@ -178,7 +178,78 @@ object Graph {
     JOIN sizes zb ON zb.c = c2, dropped
     ORDER BY n_shared DESC, c1, c2 LIMIT 20"""
 
+  private val RuleMinSupp = 3
+
+  /** q188: association rules (market-basket support / confidence / lift) —
+    * the Apriori 2-itemset readout over order baskets: for part pairs
+    * co-occurring in >= $RuleMinSupp orders, both directed rules with
+    * conf(a→b) = supp(ab)/supp(a) and the symmetric lift
+    * supp(ab)·N / (supp(a)·supp(b)).
+    *
+    * Scale shape: pair generation self-joins on the BASKET key, so fanout
+    * per basket row is C(basket size, 2) — bounded by order width, never
+    * by item popularity (the safe join direction; an item-keyed pairing
+    * would hub-explode on bestsellers, which is exactly what q137's
+    * popularity cap exists to contain in the customer-grain graph). The
+    * support filter runs BEFORE the rule expansion and the single-item
+    * support join, so the expensive stages see only surviving pairs.
+    */
+  private def q188(s: SparkSession, d: String): DataFrame = {
+    val inc = lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val nb = inc.select(col("o")).distinct()
+      .agg(count(lit(1)).as("n_baskets"))
+      .withColumn("jk", pmod(col("n_baskets"), lit(1)))
+    val isup = inc.groupBy(col("p")).agg(count(lit(1)).as("s_item"))
+    val psup = inc.as("x")
+      .join(inc.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("p1"), col("y.p").as("p2"))
+      .agg(count(lit(1)).as("supp"))
+      .filter(col("supp") >= RuleMinSupp)
+    val rules = psup.select(col("p1").as("ante"), col("p2").as("cons"),
+        col("supp"))
+      .union(psup.select(col("p2").as("ante"), col("p1").as("cons"),
+        col("supp")))
+    rules
+      .join(broadcast(isup.select(col("p").as("ante"),
+        col("s_item").as("s_ante"))), Seq("ante"))
+      .join(broadcast(isup.select(col("p").as("cons"),
+        col("s_item").as("s_cons"))), Seq("cons"))
+      .withColumn("jk", pmod(col("supp"), col("supp")))
+      .join(broadcast(nb), Seq("jk"))
+      .select(col("ante"), col("cons"), col("supp"),
+        round(col("supp") / col("s_ante").cast("double"), 6)
+          .as("confidence"),
+        round(col("supp").cast("double") * col("n_baskets")
+          / (col("s_ante").cast("double") * col("s_cons")), 6).as("lift"))
+      .orderBy(col("supp").desc, col("ante"), col("cons"))
+  }
+
+  private val o188 = s"""
+    WITH inc AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+                 FROM lineitem),
+    nb AS (SELECT count(DISTINCT o) AS n_baskets FROM inc),
+    isup AS (SELECT p, count(*) AS s_item FROM inc GROUP BY p),
+    psup AS (
+      SELECT x.p AS p1, y.p AS p2, count(*) AS supp
+      FROM inc x JOIN inc y ON x.o = y.o AND x.p < y.p
+      GROUP BY x.p, y.p HAVING count(*) >= $RuleMinSupp),
+    rules AS (
+      SELECT p1 AS ante, p2 AS cons, supp FROM psup
+      UNION ALL
+      SELECT p2, p1, supp FROM psup)
+    SELECT r.ante, r.cons, r.supp,
+           round(r.supp / CAST(a.s_item AS DOUBLE), 6) AS confidence,
+           round(CAST(r.supp AS DOUBLE) * nb.n_baskets
+                 / (CAST(a.s_item AS DOUBLE) * c.s_item), 6) AS lift
+    FROM rules r
+    JOIN isup a ON a.p = r.ante
+    JOIN isup c ON c.p = r.cons, nb
+    ORDER BY r.supp DESC, r.ante, r.cons"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q136_triangle_count", q136, Some(o136)),
-    QueryDef("q137_copurchase_similarity", q137, Some(o137)))
+    QueryDef("q137_copurchase_similarity", q137, Some(o137)),
+    QueryDef("q188_assoc_rules", q188, Some(o188)))
 }
