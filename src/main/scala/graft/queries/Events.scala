@@ -781,6 +781,46 @@ object Events {
                         * (1.0 / n_a + 1.0 / n_b)), 6) AS z
     FROM a"""
 
+  /** q189: first-order Markov transition matrix over each user's event
+    * sequence — P(next = b | current = a) with counts, the behavioral
+    * sequence-model estimate (and the input to next-event prediction,
+    * anomaly scoring of impossible transitions, and simulation). One lag
+    * window per user partition (the q50 sessionize shuffle) feeding a
+    * states² rollup; the probability normalization joins the row totals
+    * back broadcast — states² is tiny at any corpus scale.
+    */
+  private def q189(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(tsUs, col("event_id"))
+    val pairs = events(s, d)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("cur"), col("next_type").as("nxt"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("cur")).agg(sum(col("n")).cast("long")
+      .as("n_cur"))
+    pairs.join(broadcast(totals), Seq("cur"))
+      .select(col("cur"), col("nxt"), col("n"),
+        round(col("n") / col("n_cur").cast("double"), 6).as("p"))
+      .orderBy(col("cur"), col("nxt"))
+  }
+
+  private val o189 = """
+    WITH pairs AS (
+      SELECT event_type AS cur, next_type AS nxt, count(*) AS n
+      FROM (
+        SELECT event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) AS next_type
+        FROM events)
+      WHERE next_type IS NOT NULL
+      GROUP BY cur, nxt),
+    tot AS (SELECT cur, CAST(sum(n) AS BIGINT) AS n_cur FROM pairs
+            GROUP BY cur)
+    SELECT p.cur, p.nxt, p.n,
+           round(p.n / CAST(t.n_cur AS DOUBLE), 6) AS p
+    FROM pairs p JOIN tot t ON t.cur = p.cur
+    ORDER BY p.cur, p.nxt"""
+
   /** q169: week-over-week growth — aggregate the event stream to a weekly
     * (event_type, week) series, then lag within each type for the percent
     * change: the standard KPI-trend query. The window runs over the
@@ -824,6 +864,7 @@ object Events {
     QueryDef("q182_pit_enrich", q182, Some(o182)),
     QueryDef("q184_temporal_split", q184, Some(o184)),
     QueryDef("q187_ab_test", q187, Some(o187)),
+    QueryDef("q189_markov_transitions", q189, Some(o189)),
     QueryDef("q162_asof_tolerance", q162, Some(o162)),
     QueryDef("q147_decay_score", q147, Some(o147)),
     QueryDef("q144_moving_median", q144, Some(o144)),
