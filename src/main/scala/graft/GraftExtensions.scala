@@ -27,9 +27,11 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         new ExpressionInfo(classOf[Ner.type].getName, name),
         (children: Seq[Expression]) => Ner.expressionBuilder(name)(children)))
     }
-    // the custom whole-operator tier: plans the native as-of join
-    // (graft.plans.AsOfJoin) for sessions built with the extension;
-    // AsOfJoin.install covers ad-hoc sessions via experimental strategies
+    // the custom whole-operator tier: plans the native as-of and interval
+    // joins (graft.plans.AsOfJoin / IntervalJoin) for sessions built with
+    // the extension; each operator's install covers ad-hoc sessions via
+    // experimental strategies
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoin.Strategy)
+    ext.injectPlannerStrategy(_ => graft.plans.IntervalJoin.Strategy)
   }
 }

@@ -781,6 +781,37 @@ object Events {
                         * (1.0 / n_a + 1.0 / n_b)), 6) AS z
     FROM a"""
 
+  /** q190: the NATIVE interval join — q07's "events within 5 minutes"
+    * pairing computed by the custom physical operator
+    * [[graft.plans.IntervalJoin]] (logical node + strategy + sweep exec
+    * with a density-bounded sliding buffer) instead of q07's
+    * bucket-explosion reformulation. Same oracle SQL as q07's, so the
+    * driver hash-compare proves the custom operator end-to-end — the same
+    * q51/q158 relationship, now for the interval-join shape. Scale: two
+    * co-partitioned exchanges + sorts (what the equi-join part costs
+    * anyway), then one forward sweep; no 2x row expansion, no duplicate
+    * candidate work, state = per-window event density.
+    */
+  private def q190(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val bucketNs = 300000000000L // 5 minutes in ns
+    graft.plans.IntervalJoin.joinWithin(
+        e.select(col("user_id").as("u"), col("ts").as("ts_a")),
+        e.select(col("user_id").as("u2"), col("ts").as("ts_b")),
+        "u", "u2", "ts_a", "ts_b", bucketNs)
+      .groupBy(col("u"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("u").as("user_id"), col("n_pairs"))
+      .orderBy(col("user_id"))
+  }
+
+  private val o190 = """
+    SELECT a.user_id AS user_id, count(*) AS n_pairs
+    FROM events a JOIN events b
+      ON a.user_id = b.user_id AND b.ts > a.ts
+     AND b.ts <= a.ts + INTERVAL 5 MINUTE
+    GROUP BY a.user_id ORDER BY user_id"""
+
   /** q189: first-order Markov transition matrix over each user's event
     * sequence — P(next = b | current = a) with counts, the behavioral
     * sequence-model estimate (and the input to next-event prediction,
@@ -865,6 +896,7 @@ object Events {
     QueryDef("q184_temporal_split", q184, Some(o184)),
     QueryDef("q187_ab_test", q187, Some(o187)),
     QueryDef("q189_markov_transitions", q189, Some(o189)),
+    QueryDef("q190_interval_native", q190, Some(o190)),
     QueryDef("q162_asof_tolerance", q162, Some(o162)),
     QueryDef("q147_decay_score", q147, Some(o147)),
     QueryDef("q144_moving_median", q144, Some(o144)),
