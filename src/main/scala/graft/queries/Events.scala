@@ -781,6 +781,55 @@ object Events {
                         * (1.0 / n_a + 1.0 / n_b)), 6) AS z
     FROM a"""
 
+  /** q191: funnel latency percentiles — the distribution behind q107's
+    * single mean: per converting user, the view→purchase latency in
+    * minutes, summarized as p50/p90/p99 (exact interpolated percentiles,
+    * q127's aggregation — the mean alone hides the slow-tail conversions
+    * a re-engagement flow targets). One extra aggregation over q107's
+    * user-grain frame; latencies are integer-µs diffs scaled by one
+    * division, so the interpolated cut points are identical IEEE doubles
+    * in both engines.
+    */
+  private def q191(s: SparkSession, d: String): DataFrame = {
+    val e = events(s, d)
+    val v = e.filter(col("event_type") === "view")
+      .groupBy(col("user_id")).agg(min(tsUs).as("t_view"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, Seq("user_id"))
+      .filter(tsUs > col("t_view"))
+      .groupBy(col("user_id")).agg(min(tsUs).as("t_click"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, Seq("user_id"))
+      .filter(tsUs > col("t_click"))
+      .groupBy(col("user_id")).agg(min(tsUs).as("t_purchase"))
+    v.join(p, Seq("user_id"))
+      .select(((col("t_purchase") - col("t_view")) / lit(60000000.0))
+        .as("lat_min"))
+      .agg(count(lit(1)).as("n_converted"),
+        round(expr("percentile(lat_min, 0.5D)"), 4).as("p50_min"),
+        round(expr("percentile(lat_min, 0.9D)"), 4).as("p90_min"),
+        round(expr("percentile(lat_min, 0.99D)"), 4).as("p99_min"))
+  }
+
+  private val o191 = """
+    WITH v AS (SELECT user_id, min(epoch_us(ts)) AS t_view
+               FROM events WHERE event_type = 'view' GROUP BY user_id),
+    c AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t_click
+          FROM events e JOIN v ON e.user_id = v.user_id
+          WHERE e.event_type = 'click' AND epoch_us(e.ts) > v.t_view
+          GROUP BY e.user_id),
+    p AS (SELECT e.user_id, min(epoch_us(e.ts)) AS t_purchase
+          FROM events e JOIN c ON e.user_id = c.user_id
+          WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_click
+          GROUP BY e.user_id),
+    lat AS (SELECT (p.t_purchase - v.t_view) / 60000000.0 AS lat_min
+            FROM v JOIN p ON p.user_id = v.user_id)
+    SELECT count(*) AS n_converted,
+           round(quantile_cont(lat_min, 0.5), 4) AS p50_min,
+           round(quantile_cont(lat_min, 0.9), 4) AS p90_min,
+           round(quantile_cont(lat_min, 0.99), 4) AS p99_min
+    FROM lat"""
+
   /** q190: the NATIVE interval join — q07's "events within 5 minutes"
     * pairing computed by the custom physical operator
     * [[graft.plans.IntervalJoin]] (logical node + strategy + sweep exec
@@ -897,6 +946,7 @@ object Events {
     QueryDef("q187_ab_test", q187, Some(o187)),
     QueryDef("q189_markov_transitions", q189, Some(o189)),
     QueryDef("q190_interval_native", q190, Some(o190)),
+    QueryDef("q191_funnel_latency", q191, Some(o191)),
     QueryDef("q162_asof_tolerance", q162, Some(o162)),
     QueryDef("q147_decay_score", q147, Some(o147)),
     QueryDef("q144_moving_median", q144, Some(o144)),
