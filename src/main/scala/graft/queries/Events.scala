@@ -781,6 +781,38 @@ object Events {
                         * (1.0 / n_a + 1.0 / n_b)), 6) AS z
     FROM a"""
 
+  /** q192: calendar intensity heatmap — events per (ISO weekday, hour)
+    * cell with the share of total traffic: the load-shaping rollup behind
+    * capacity planning and anomaly baselines. Calendar parts come from
+    * the µs-truncated timestamp in the UTC session; Spark's `weekday`
+    * (0 = Monday) equals DuckDB's `isodow - 1`, pinned here so the cell
+    * keys agree across engines.
+    */
+  private def q192(s: SparkSession, d: String): DataFrame = {
+    val t = timestamp_micros(expr("ts DIV 1000"))
+    val cells = events(s, d)
+      .groupBy(expr("weekday(timestamp_micros(ts DIV 1000))")
+        .cast("int").as("dow"),
+        hour(t).cast("int").as("hr"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cells.agg(sum(col("n")).cast("long").as("n_total"))
+      .withColumn("jk", pmod(col("n_total"), col("n_total")))
+    cells.withColumn("jk", pmod(col("n"), col("n")))
+      .join(broadcast(tot), Seq("jk"))
+      .select(col("dow"), col("hr"), col("n"),
+        round(col("n") / col("n_total").cast("double"), 6).as("share"))
+      .orderBy(col("dow"), col("hr"))
+  }
+
+  private val o192 = """
+    WITH cells AS (
+      SELECT CAST(isodow(ts) - 1 AS INT) AS dow,
+             CAST(hour(ts) AS INT) AS hr, count(*) AS n
+      FROM events GROUP BY dow, hr),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS n_total FROM cells)
+    SELECT dow, hr, n, round(n / CAST(n_total AS DOUBLE), 6) AS share
+    FROM cells, tot ORDER BY dow, hr"""
+
   /** q191: funnel latency percentiles — the distribution behind q107's
     * single mean: per converting user, the view→purchase latency in
     * minutes, summarized as p50/p90/p99 (exact interpolated percentiles,
@@ -947,6 +979,7 @@ object Events {
     QueryDef("q189_markov_transitions", q189, Some(o189)),
     QueryDef("q190_interval_native", q190, Some(o190)),
     QueryDef("q191_funnel_latency", q191, Some(o191)),
+    QueryDef("q192_calendar_heatmap", q192, Some(o192)),
     QueryDef("q162_asof_tolerance", q162, Some(o162)),
     QueryDef("q147_decay_score", q147, Some(o147)),
     QueryDef("q144_moving_median", q144, Some(o144)),

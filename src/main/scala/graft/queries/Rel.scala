@@ -705,7 +705,53 @@ object Rel {
         AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size))
     ORDER BY price, p_partkey"""
 
+  /** q193: Pareto concentration (the 80/20 readout) — how many parts carry
+    * 80% of extended-price revenue, plus the top-part share. One
+    * corpus-scale revenue aggregation; the cumulative-share window and the
+    * threshold count run over the PART dimension only (the q127/q183
+    * stance: windows over dimensions, never the fact stream). Revenue sums
+    * are rounded at 2 BEFORE the window so the running sum is
+    * digit-identical across engines; the unique (revenue desc, partkey)
+    * order makes the cut row engine-independent.
+    */
+  private def q193(s: SparkSession, d: String): DataFrame = {
+    val rev = lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("rev"))
+    val w = Window.orderBy(col("rev").desc, col("l_partkey"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = rev.agg(round(sum(col("rev")), 2).as("total"))
+      .withColumn("jk", pmod(col("total"), col("total")).cast("long"))
+    rev.withColumn("cum", round(sum(col("rev")).over(w), 2))
+      .withColumn("jk", pmod(col("l_partkey"), lit(1)))
+      .join(broadcast(tot), Seq("jk"))
+      .agg(
+        count(lit(1)).as("n_parts"),
+        sum(when(col("cum") / col("total") < 0.8, 1L).otherwise(0L))
+          .cast("long").as("n_parts_before_80pct"),
+        round(max(when(col("cum") === col("rev"), col("rev")))
+          / max(col("total")), 6).as("top_part_share"))
+  }
+
+  private val o193 = """
+    WITH rev AS (
+      SELECT l_partkey, round(sum(l_extendedprice), 2) AS rev
+      FROM lineitem GROUP BY l_partkey),
+    tot AS (SELECT round(sum(rev), 2) AS total FROM rev),
+    c AS (
+      SELECT l_partkey, rev,
+             round(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cum
+      FROM rev)
+    SELECT count(*) AS n_parts,
+           CAST(sum(CASE WHEN cum / total < 0.8 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_parts_before_80pct,
+           round(max(CASE WHEN cum = rev THEN rev END) / max(total), 6)
+             AS top_part_share
+    FROM c, tot"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q193_pareto_concentration", q193, Some(o193)),
     QueryDef("q183_skyline", q183, Some(o183)),
     QueryDef("q168_cascade_delete_audit", q168, Some(o168)),
     QueryDef("q122_snapshot_diff", q122, Some(o122)),
