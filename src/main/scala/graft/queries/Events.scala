@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -781,6 +781,68 @@ object Events {
                         * (1.0 / n_a + 1.0 / n_b)), 6) AS z
     FROM a"""
 
+  /** q194: RFM segmentation — per-user recency / frequency / monetary
+    * quintile scores and the resulting segment histogram (the classic
+    * customer-value grid). Scale stance: scores come from COMPARING each
+    * user against four interpolated quintile cut points per metric (one
+    * percentile aggregation over the user-grain frame, q127's shape) —
+    * never `ntile() OVER ()`, whose global sort of the user dimension is
+    * the scale hazard. Cut points interpolate over integers/2-decimal
+    * sums, identically IEEE in both engines, and identical comparisons
+    * bucket identically.
+    */
+  private def q194(s: SparkSession, d: String): DataFrame = {
+    val u = events(s, d)
+      .groupBy(col("user_id"))
+      .agg(max(tsUs).as("rec"), count(lit(1)).as("freq"),
+        round(sum(col("value")), 2).as("mon"))
+    val qs = "array(0.2D, 0.4D, 0.6D, 0.8D)"
+    val cuts = u.agg(
+        expr(s"percentile(rec, $qs)").as("rc"),
+        expr(s"percentile(freq, $qs)").as("fc"),
+        expr(s"percentile(mon, $qs)").as("mc"))
+      .withColumn("jk", pmod(size(col("rc")), size(col("rc"))).cast("long"))
+    def score(metric: Column, cutsCol: String): Column =
+      (1 to 4).map(j =>
+        when(metric > element_at(col(cutsCol), j), 1).otherwise(0))
+        .reduce(_ + _) + lit(1)
+    u.withColumn("jk", pmod(col("freq"), col("freq")))
+      .join(broadcast(cuts), Seq("jk"))
+      .select(score(col("rec"), "rc").as("r_score"),
+        score(col("freq"), "fc").as("f_score"),
+        score(col("mon"), "mc").as("m_score"))
+      .groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  private val o194 = """
+    WITH u AS (
+      SELECT user_id, max(epoch_us(ts)) AS rec, count(*) AS freq,
+             round(sum(value), 2) AS mon
+      FROM events GROUP BY user_id),
+    c AS (SELECT quantile_cont(rec, [0.2, 0.4, 0.6, 0.8]) AS rc,
+                 quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS fc,
+                 quantile_cont(mon, [0.2, 0.4, 0.6, 0.8]) AS mc
+          FROM u),
+    s AS (
+      SELECT 1 + (CASE WHEN rec > rc[1] THEN 1 ELSE 0 END)
+               + (CASE WHEN rec > rc[2] THEN 1 ELSE 0 END)
+               + (CASE WHEN rec > rc[3] THEN 1 ELSE 0 END)
+               + (CASE WHEN rec > rc[4] THEN 1 ELSE 0 END) AS r_score,
+             1 + (CASE WHEN freq > fc[1] THEN 1 ELSE 0 END)
+               + (CASE WHEN freq > fc[2] THEN 1 ELSE 0 END)
+               + (CASE WHEN freq > fc[3] THEN 1 ELSE 0 END)
+               + (CASE WHEN freq > fc[4] THEN 1 ELSE 0 END) AS f_score,
+             1 + (CASE WHEN mon > mc[1] THEN 1 ELSE 0 END)
+               + (CASE WHEN mon > mc[2] THEN 1 ELSE 0 END)
+               + (CASE WHEN mon > mc[3] THEN 1 ELSE 0 END)
+               + (CASE WHEN mon > mc[4] THEN 1 ELSE 0 END) AS m_score
+      FROM u, c)
+    SELECT r_score, f_score, m_score, count(*) AS n_users
+    FROM s GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score"""
+
   /** q192: calendar intensity heatmap — events per (ISO weekday, hour)
     * cell with the share of total traffic: the load-shaping rollup behind
     * capacity planning and anomaly baselines. Calendar parts come from
@@ -980,6 +1042,7 @@ object Events {
     QueryDef("q190_interval_native", q190, Some(o190)),
     QueryDef("q191_funnel_latency", q191, Some(o191)),
     QueryDef("q192_calendar_heatmap", q192, Some(o192)),
+    QueryDef("q194_rfm_segments", q194, Some(o194)),
     QueryDef("q162_asof_tolerance", q162, Some(o162)),
     QueryDef("q147_decay_score", q147, Some(o147)),
     QueryDef("q144_moving_median", q144, Some(o144)),
