@@ -750,7 +750,40 @@ object Rel {
              AS top_part_share
     FROM c, tot"""
 
+  /** q195: Gini coefficient of per-part revenue — the single-number
+    * inequality summary beside q193's 80/20 cut: G = 2·Σ(i·xᵢ)/(n·Σx)
+    * − (n+1)/n over ascending-sorted values. The rank window runs over
+    * the PART dimension (q193's stance); revenue is rounded at 2 before
+    * ranking so rank order and the weighted sum are digit-identical
+    * across engines, and the (rev, partkey) order makes ranks unique.
+    */
+  private def q195(s: SparkSession, d: String): DataFrame = {
+    val rev = lineitem(s, d)
+      .groupBy(col("l_partkey"))
+      .agg(round(sum(col("l_extendedprice")), 2).as("rev"))
+    val w = Window.orderBy(col("rev"), col("l_partkey"))
+    rev.withColumn("i", row_number().over(w).cast("long"))
+      .agg(count(lit(1)).as("n_parts"),
+        round((lit(2.0) * sum(col("i") * col("rev")))
+            / (count(lit(1)) * sum(col("rev")))
+          - (count(lit(1)) + lit(1)).cast("double") / count(lit(1)), 6)
+          .as("gini"))
+  }
+
+  private val o195 = """
+    WITH rev AS (
+      SELECT l_partkey, round(sum(l_extendedprice), 2) AS rev
+      FROM lineitem GROUP BY l_partkey),
+    r AS (SELECT rev, CAST(row_number() OVER (ORDER BY rev, l_partkey)
+                          AS BIGINT) AS i
+          FROM rev)
+    SELECT count(*) AS n_parts,
+           round(2.0 * sum(i * rev) / (count(*) * sum(rev))
+                 - CAST(count(*) + 1 AS DOUBLE) / count(*), 6) AS gini
+    FROM r"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q195_gini", q195, Some(o195)),
     QueryDef("q193_pareto_concentration", q193, Some(o193)),
     QueryDef("q183_skyline", q183, Some(o183)),
     QueryDef("q168_cascade_delete_audit", q168, Some(o168)),
