@@ -1625,7 +1625,75 @@ object Vec {
     ORDER BY est.est_d2, t.vec_id LIMIT 20"""
   }
 
+  /** q196: nearest-centroid classifier accuracy — train per-LABEL
+    * centroids on the even-vec_id half, classify the odd half by nearest
+    * centroid (the same codegen'd [[graft.functions.NearestCentroidExpression]]
+    * kernel as the IVF tier, with labels as cell ids), and report
+    * per-label holdout accuracy. The centroid classifier is the
+    * embedding-quality smoke test a labeling pipeline runs before
+    * anything fancier — if labels aren't linearly separated by their own
+    * class means, the embedding or the labels are the problem.
+    * Per-dim centroid means are rounded at 6 (q84's trick) so the trained
+    * codebook, every distance fold, and the argmin are bit-identical
+    * across engines.
+    */
+  private def q196(s: SparkSession, d: String): DataFrame = {
+    val e = parallelize(s, embeddings(s, d))
+      .select(col("vec_id"), col("label"), toD(col("embedding")).as("v"))
+    val train = e.filter(pmod(col("vec_id"), lit(2)) === 0)
+    val test = e.filter(pmod(col("vec_id"), lit(2)) === 1)
+    val cb = train
+      .select(col("label"), posexplode(col("v")).as(Seq("i", "x")))
+      .groupBy(col("label"), col("i"))
+      .agg(round(avg(col("x")), 6).as("c"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(i, c))), p -> p.c)")
+        .as("cv"))
+      .agg(array_sort(collect_list(struct(col("label").cast("long").as("cid"),
+        col("cv")))).as("cb"))
+      .withColumn("jk", pmod(size(col("cb")), size(col("cb"))))
+    val best = graft.functions.NearestCentroidExpression.nearest(
+      col("v"), col("cb"))
+    test.withColumn("jk", pmod(col("vec_id"), lit(1)))
+      .join(broadcast(cb), Seq("jk"))
+      .withColumn("pred", best.getField("cid"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("pred") === col("label").cast("long"), 1L).otherwise(0L))
+          .cast("long").as("n_correct"),
+        round(avg(when(col("pred") === col("label").cast("long"), 1.0)
+          .otherwise(0.0)), 6).as("acc"))
+      .orderBy(col("label"))
+  }
+
+  private def o196: String = s"""
+    WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings),
+    tr AS (SELECT * FROM e WHERE vec_id % 2 = 0),
+    te AS (SELECT * FROM e WHERE vec_id % 2 = 1),
+    ex AS (SELECT label, generate_subscripts(v, 1) AS i, unnest(v) AS x
+           FROM tr),
+    c AS (SELECT label AS clab, list(round(m, 6) ORDER BY i) AS cv
+          FROM (SELECT label, i, avg(x) AS m FROM ex GROUP BY label, i)
+          GROUP BY label),
+    d AS (SELECT te.vec_id, te.label, c.clab,
+                 list_sum(list_transform(range(1, ${Dim + 1}),
+                   i -> (te.v[i] - c.cv[i]) * (te.v[i] - c.cv[i]))) AS d2
+          FROM te CROSS JOIN c),
+    p AS (SELECT vec_id, label, clab AS pred FROM (
+            SELECT vec_id, label, clab,
+                   row_number() OVER (PARTITION BY vec_id
+                     ORDER BY d2, clab) AS rn
+            FROM d) WHERE rn = 1)
+    SELECT label, count(*) AS n_test,
+           CAST(sum(CASE WHEN pred = label THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           round(avg(CASE WHEN pred = label THEN 1.0 ELSE 0.0 END), 6)
+             AS acc
+    FROM p GROUP BY label ORDER BY label"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q196_centroid_classifier", q196, Some(o196)),
     QueryDef("q180_ivfadc", q180, Some(o180)),
     QueryDef("q179_multiprobe_ivf", q179, Some(o179)),
     QueryDef("q176_ann_recall", q176, Some(o176)),
