@@ -782,7 +782,74 @@ object Rel {
                  - CAST(count(*) + 1 AS DOUBLE) / count(*), 6) AS gini
     FROM r"""
 
+  /** q198: referential-integrity audit — orphan counts for every foreign-key
+    * edge of the star schema (lineitem→orders, lineitem→part,
+    * orders→customer, customer→nation, supplier→nation): the data-quality
+    * gate an ingestion pipeline runs before trusting joins downstream.
+    * Each edge is one LEFT-ANTI join (child keys missing from the parent)
+    * plus a child count — the anti-join shuffles on the key like the
+    * equi-join it guards, and parents small enough broadcast. All-zero
+    * orphans on this corpus is the expected PASS row set, which is exactly
+    * what makes the query a regression trip-wire on refreshed data.
+    */
+  private def q198(s: SparkSession, d: String): DataFrame = {
+    def edge(name: String, child: DataFrame, ck: String,
+        parent: DataFrame, pk: String): DataFrame = {
+      val c = child.select(col(ck).as("k"))
+      val orphans = c.join(parent.select(col(pk).as("k")), Seq("k"),
+        "left_anti")
+      c.agg(count(lit(1)).as("n_child"))
+        .withColumn("jk", pmod(col("n_child"), col("n_child")))
+        .join(orphans.agg(count(lit(1)).as("n_orphans"))
+          .withColumn("jk", pmod(col("n_orphans") + 1,
+            col("n_orphans") + 1)), Seq("jk"))
+        .select(lit(name).as("fk_edge"), col("n_child"), col("n_orphans"))
+    }
+    Seq(
+      edge("lineitem->orders", lineitem(s, d), "l_orderkey",
+        orders(s, d), "o_orderkey"),
+      edge("lineitem->part", lineitem(s, d), "l_partkey",
+        part(s, d), "p_partkey"),
+      edge("orders->customer", orders(s, d), "o_custkey",
+        customer(s, d), "c_custkey"),
+      edge("customer->nation", customer(s, d), "c_nationkey",
+        nation(s, d), "n_nationkey"),
+      edge("supplier->nation", supplier(s, d), "s_nationkey",
+        nation(s, d), "n_nationkey"))
+      .reduce(_ union _)
+      .orderBy(col("fk_edge"))
+  }
+
+  private val o198 = """
+    SELECT 'lineitem->orders' AS fk_edge, count(*) AS n_child,
+           (SELECT count(*) FROM lineitem l LEFT JOIN orders o
+             ON l.l_orderkey = o.o_orderkey WHERE o.o_orderkey IS NULL)
+             AS n_orphans
+    FROM lineitem
+    UNION ALL
+    SELECT 'lineitem->part', count(*),
+           (SELECT count(*) FROM lineitem l LEFT JOIN part p
+             ON l.l_partkey = p.p_partkey WHERE p.p_partkey IS NULL)
+    FROM lineitem
+    UNION ALL
+    SELECT 'orders->customer', count(*),
+           (SELECT count(*) FROM orders o LEFT JOIN customer c
+             ON o.o_custkey = c.c_custkey WHERE c.c_custkey IS NULL)
+    FROM orders
+    UNION ALL
+    SELECT 'customer->nation', count(*),
+           (SELECT count(*) FROM customer c LEFT JOIN nation n
+             ON c.c_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL)
+    FROM customer
+    UNION ALL
+    SELECT 'supplier->nation', count(*),
+           (SELECT count(*) FROM supplier s LEFT JOIN nation n
+             ON s.s_nationkey = n.n_nationkey WHERE n.n_nationkey IS NULL)
+    FROM supplier
+    ORDER BY fk_edge"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q198_fk_integrity", q198, Some(o198)),
     QueryDef("q195_gini", q195, Some(o195)),
     QueryDef("q193_pareto_concentration", q193, Some(o193)),
     QueryDef("q183_skyline", q183, Some(o183)),

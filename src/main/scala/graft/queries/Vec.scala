@@ -1692,7 +1692,46 @@ object Vec {
              AS acc
     FROM p GROUP BY label ORDER BY label"""
 
+  /** q197: embedding-geometry health — the distribution of pairwise cosine
+    * over DETERMINISTIC adjacent-id pairs (vec_id, vec_id+1), bucketed at
+    * 0.1 grain with per-bucket means. A healthy embedding space puts
+    * random-pair cosine near 0 with spread; anisotropy/collapse (the
+    * classic representation-degeneration failure) shows up as mass piling
+    * into high-cosine buckets — the one-query smoke test before any
+    * cosine-threshold op (q47/q130) is trusted. Adjacent-id pairing keeps
+    * the audit corpus-LINEAR (a co-partitioned self-join on vec_id+1,
+    * no sampling RNG, no quadratic pair space); buckets floor a rounded
+    * cosine (q129's banding trick) so no pair sits on an ulp boundary.
+    */
+  private def q197(s: SparkSession, d: String): DataFrame = {
+    val e = parallelize(s, embeddings(s, d))
+      .select(col("vec_id"), toD(col("embedding")).as("v"))
+    e.as("a")
+      .join(e.as("b"),
+        col("b.vec_id") === col("a.vec_id") + 1)
+      .select(round(cosine(col("a.v"), col("b.v")), 6).as("cs"))
+      .select(floor(col("cs") * 10).cast("int").as("bucket"), col("cs"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(avg(col("cs")), 6).as("avg_cos"),
+        round(min(col("cs")), 6).as("min_cos"),
+        round(max(col("cs")), 6).as("max_cos"))
+      .orderBy(col("bucket"))
+  }
+
+  private def o197: String = s"""
+    WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings),
+    pairs AS (
+      SELECT round(list_cosine_similarity(a.v, b.v), 6) AS cs
+      FROM ev a JOIN ev b ON b.vec_id = a.vec_id + 1)
+    SELECT CAST(floor(cs * 10) AS INT) AS bucket, count(*) AS n_pairs,
+           round(avg(cs), 6) AS avg_cos,
+           round(min(cs), 6) AS min_cos, round(max(cs), 6) AS max_cos
+    FROM pairs GROUP BY bucket ORDER BY bucket"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q197_embedding_geometry", q197, Some(o197)),
     QueryDef("q196_centroid_classifier", q196, Some(o196)),
     QueryDef("q180_ivfadc", q180, Some(o180)),
     QueryDef("q179_multiprobe_ivf", q179, Some(o179)),
