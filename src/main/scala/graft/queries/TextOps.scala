@@ -460,7 +460,53 @@ object TextOps {
              AS kappa
     FROM st, agree"""
 
+  /** q199: dedup ROI by source — per source feed, documents and
+    * whitespace tokens before vs after exact (md5-fingerprint) dedup, and
+    * the token-savings fraction: the billing-grade readout that says which
+    * feed is worth deduping (and is paid for twice today). One fingerprint
+    * aggregation at (source, fp) grain then a source rollup — corpus-
+    * linear; tokens within a fingerprint group are identical by
+    * construction (identical text), so `max` is a degenerate, deterministic
+    * pick.
+    */
+  private def q199(s: SparkSession, d: String): DataFrame = {
+    val g = parallelize(s, documents(s, d))
+      .select(col("source"), md5(col("text")).as("fp"),
+        size(wsTokens).cast("long").as("toks"))
+      .groupBy(col("source"), col("fp"))
+      .agg(count(lit(1)).as("n_copies"), max(col("toks")).as("toks_fp"))
+    g.groupBy(col("source"))
+      .agg(
+        sum(col("n_copies")).cast("long").as("n_docs"),
+        sum(col("n_copies") * col("toks_fp")).cast("long").as("n_tokens"),
+        count(lit(1)).as("n_docs_dedup"),
+        sum(col("toks_fp")).cast("long").as("n_tokens_dedup"),
+        round(lit(1.0) - sum(col("toks_fp"))
+          / sum(col("n_copies") * col("toks_fp")).cast("double"), 6)
+          .as("token_savings"))
+      .orderBy(col("source"))
+  }
+
+  private val o199 = """
+    WITH t AS (
+      SELECT source, md5(text) AS fp,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS toks
+      FROM documents),
+    g AS (SELECT source, fp, count(*) AS n_copies, max(toks) AS toks_fp
+          FROM t GROUP BY source, fp)
+    SELECT source,
+           CAST(sum(n_copies) AS BIGINT) AS n_docs,
+           CAST(sum(n_copies * toks_fp) AS BIGINT) AS n_tokens,
+           count(*) AS n_docs_dedup,
+           CAST(sum(toks_fp) AS BIGINT) AS n_tokens_dedup,
+           round(1.0 - sum(toks_fp)
+                 / CAST(sum(n_copies * toks_fp) AS DOUBLE), 6)
+             AS token_savings
+    FROM g GROUP BY source ORDER BY source"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q199_dedup_roi", q199, Some(o199)),
     QueryDef("q186_cohens_kappa", q186, Some(o186)),
     QueryDef("q185_confusion_matrix", q185, Some(o185)),
     QueryDef("q155_boilerplate", q155, Some(o155)),
