@@ -601,7 +601,10 @@ object Corpus {
   private val Bm25B = 0.75
   private val Bm25Terms = Seq("spark", "hash", "merge")
 
-  private def q131(s: SparkSession, d: String): DataFrame = {
+  /** BM25-scored frame (doc_id, bm25, n_terms_hit) — shared by q131 (the
+    * top-k listing) and q200 (the candidate-generation stage of hybrid
+    * retrieval). */
+  private def bm25Scored(s: SparkSession, d: String): DataFrame = {
     val docs = parallelize(s, documents(s, d)).withColumn("ws", wsCol)
     val stats = docs
       .agg(count(lit(1)).as("n_docs"), avg(size(col("ws"))).as("avgdl"))
@@ -626,9 +629,96 @@ object Corpus {
       .groupBy(col("doc_id"))
       .agg(round(sum(col("w")), 5).as("bm25"),
         count(lit(1)).as("n_terms_hit"))
+  }
+
+  private def q131(s: SparkSession, d: String): DataFrame =
+    bm25Scored(s, d)
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(20)
+
+  /** q200: hybrid two-stage retrieval — the production retrieval
+    * architecture: a CHEAP ranker (BM25, inverted-index-shaped work) prunes
+    * the corpus to 20 candidates, and the EXPENSIVE ranker (embedding
+    * cosine against the query vector) re-ranks only those. Differs from
+    * q164 (RRF), which fuses two FULL rankings — here the semantic stage
+    * never touches a non-candidate row, which is the at-scale point: stage
+    * 2's cost is O(candidates), independent of corpus size. Output: the
+    * semantic top-10 with both ranks side by side (the rank_bm25 column is
+    * the re-ranking's visible effect).
+    */
+  private def q200(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    def dotc(a: Column, b: Column): Column =
+      graft.functions.DotProductExpression.dotProduct(a, b)
+    def toD(a: Column): Column = transform(a, x => x.cast("double"))
+    val cand = bm25Scored(s, d)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(20)
+    val ev = embeddings(s, d)
+      .select(col("vec_id").as("doc_id"), toD(col("embedding")).as("v"))
+    val qv = embeddings(s, d).filter(col("vec_id") === 0)
+      .select(toD(col("embedding")).as("qv"),
+        pmod(col("vec_id"), lit(1)).as("jk"))
+    val scored = cand.filter(col("doc_id") =!= 0)
+      .join(ev, Seq("doc_id"))
+      .withColumn("jk", pmod(col("doc_id"), lit(1)))
+      .join(broadcast(qv), Seq("jk"))
+      .select(col("doc_id"), col("bm25"),
+        round(dotc(col("v"), col("qv")) /
+          (sqrt(dotc(col("v"), col("v"))) * sqrt(dotc(col("qv"), col("qv")))),
+          6).as("cos_q"))
+    // both rank windows run over the 20-row candidate set only
+    val wB = Window.orderBy(col("bm25").desc, col("doc_id"))
+    val wC = Window.orderBy(col("cos_q").desc, col("doc_id"))
+    scored
+      .withColumn("rank_bm25", row_number().over(wB).cast("int"))
+      .withColumn("rank_sem", row_number().over(wC).cast("int"))
+      .filter(col("rank_sem") <= 10)
+      .select(col("rank_sem"), col("doc_id"), col("bm25"), col("cos_q"),
+        col("rank_bm25"))
+      .orderBy(col("rank_sem"))
   }
+
+  private val o200 = s"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents),
+    stats AS (SELECT count(*) AS n_docs, avg(len(ws)) AS avgdl FROM docs),
+    toks AS (
+      SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, unnest(ws) AS term
+      FROM docs),
+    tf AS (
+      SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+      FROM toks WHERE term IN (${Bm25Terms.map(t => s"'$t'").mkString(", ")})
+      GROUP BY doc_id, term),
+    dfr AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+    scoreall AS (
+      SELECT doc_id,
+             round(sum(
+               ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                 * tf * ${Bm25K1 + 1.0}
+                 / (tf + $Bm25K1 * (${1.0 - Bm25B} + $Bm25B * dl / avgdl))
+             ), 5) AS bm25
+      FROM tf JOIN dfr USING (term), stats GROUP BY doc_id),
+    cand AS (SELECT doc_id, bm25 FROM scoreall
+             ORDER BY bm25 DESC, doc_id LIMIT 20),
+    ev AS (SELECT vec_id AS doc_id, CAST(embedding AS DOUBLE[]) AS v
+           FROM embeddings),
+    q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings
+          WHERE vec_id = 0),
+    sc AS (
+      SELECT c.doc_id, c.bm25,
+             round(list_cosine_similarity(ev.v, q.qv), 6) AS cos_q
+      FROM cand c JOIN ev ON ev.doc_id = c.doc_id, q
+      WHERE c.doc_id <> 0),
+    r AS (
+      SELECT doc_id, bm25, cos_q,
+             CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+               AS rank_bm25,
+             CAST(row_number() OVER (ORDER BY cos_q DESC, doc_id) AS INT)
+               AS rank_sem
+      FROM sc)
+    SELECT rank_sem, doc_id, bm25, cos_q, rank_bm25
+    FROM r WHERE rank_sem <= 10 ORDER BY rank_sem"""
 
   private val o131 = s"""
     WITH docs AS (
@@ -1254,6 +1344,7 @@ object Corpus {
     QueryDef("q138_weighted_sample", q138, Some(o138)),
     QueryDef("q139_sorted_neighborhood", q139, Some(o139)),
     QueryDef("q131_bm25_topk", q131, Some(o131)),
+    QueryDef("q200_hybrid_retrieval", q200, Some(o200)),
     QueryDef("q133_bigram_perplexity", q133, Some(o133)),
     QueryDef("q126_cooccur_pmi", q126, Some(o126)),
     QueryDef("q112_pipeline_compose", q112, Some(o112)),
