@@ -843,6 +843,64 @@ object Events {
     FROM s GROUP BY r_score, f_score, m_score
     ORDER BY r_score, f_score, m_score"""
 
+  /** q201: session conversion by entry type — q50's gap sessions, each
+    * labeled by its ENTRY event (which landing event type starts sessions
+    * that convert?), with per-entry-type session counts and purchase
+    * conversion rate. The entry event needs no extra window: the row that
+    * OPENS a session is exactly the `new_sess = 1` row the sessionizer
+    * already marks, so the label is a conditional max inside the session
+    * rollup. Same one-shuffle-per-user shape as q50.
+    */
+  private def q201(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(tsUs, col("event_id"))
+    val gapUs = 1800000000L
+    events(s, d)
+      .withColumn("prev_us", lag(tsUs, 1).over(w))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          tsUs - col("prev_us") > gapUs, 1).otherwise(0))
+      .withColumn("sess_id", sum(col("new_sess"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)).cast("int"))
+      .groupBy(col("user_id"), col("sess_id"))
+      .agg(max(when(col("new_sess") === 1, col("event_type")))
+          .as("entry_type"),
+        max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("converted"))
+      .groupBy(col("entry_type"))
+      .agg(count(lit(1)).as("n_sessions"),
+        sum(col("converted")).cast("long").as("n_converted"),
+        round(avg(col("converted")), 6).as("conversion_rate"))
+      .orderBy(col("entry_type"))
+  }
+
+  private val o201 = """
+    WITH marked AS (
+      SELECT user_id, event_id, event_type, ts,
+             CASE WHEN lag(ts) OVER (PARTITION BY user_id
+                    ORDER BY ts, event_id) IS NULL
+                    OR epoch_us(ts) - epoch_us(lag(ts) OVER (
+                      PARTITION BY user_id ORDER BY ts, event_id))
+                       > 1800000000
+                  THEN 1 ELSE 0 END AS new_sess
+      FROM events),
+    sess AS (
+      SELECT user_id, event_type, new_sess,
+             CAST(sum(new_sess) OVER (PARTITION BY user_id
+               ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS INT)
+               AS sess_id
+      FROM marked),
+    rolled AS (
+      SELECT user_id, sess_id,
+             max(CASE WHEN new_sess = 1 THEN event_type END) AS entry_type,
+             max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS converted
+      FROM sess GROUP BY user_id, sess_id)
+    SELECT entry_type, count(*) AS n_sessions,
+           CAST(sum(converted) AS BIGINT) AS n_converted,
+           round(avg(converted), 6) AS conversion_rate
+    FROM rolled GROUP BY entry_type ORDER BY entry_type"""
+
   /** q192: calendar intensity heatmap — events per (ISO weekday, hour)
     * cell with the share of total traffic: the load-shaping rollup behind
     * capacity planning and anomaly baselines. Calendar parts come from
@@ -1043,6 +1101,7 @@ object Events {
     QueryDef("q191_funnel_latency", q191, Some(o191)),
     QueryDef("q192_calendar_heatmap", q192, Some(o192)),
     QueryDef("q194_rfm_segments", q194, Some(o194)),
+    QueryDef("q201_entry_conversion", q201, Some(o201)),
     QueryDef("q162_asof_tolerance", q162, Some(o162)),
     QueryDef("q147_decay_score", q147, Some(o147)),
     QueryDef("q144_moving_median", q144, Some(o144)),

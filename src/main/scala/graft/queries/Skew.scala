@@ -112,7 +112,58 @@ object Skew {
              AS hottest_key
     FROM counts"""
 
+  /** q202: join-key skew report — the diagnostic you run BEFORE choosing a
+    * skew mitigation (q110's salting, AQE skew-join): the o_custkey
+    * frequency distribution of the orders side of the q03 join, as key
+    * count, max/median/p99 per-key frequencies, the max:median ratio, and
+    * the heaviest key's row share. One corpus-scale key-frequency
+    * aggregation; percentiles and the argmax run over the KEY dimension.
+    * The max-frequency key is picked tie-free via struct max (freq, key).
+    */
+  private def q202(s: SparkSession, d: String): DataFrame = {
+    val freq = orders(s, d)
+      .groupBy(col("o_custkey")).agg(count(lit(1)).as("f"))
+    val tot = orders(s, d).agg(count(lit(1)).as("n_rows"))
+      .withColumn("jk", pmod(col("n_rows"), col("n_rows")))
+    freq.agg(
+        count(lit(1)).as("n_keys"),
+        max(col("f")).cast("long").as("max_freq"),
+        expr("percentile(f, 0.5D)").as("p50_freq"),
+        expr("percentile(f, 0.99D)").as("p99_freq"),
+        max(struct(col("f"), col("o_custkey"))).getField("o_custkey")
+          .as("top_key"))
+      .withColumn("jk", pmod(col("n_keys"), col("n_keys")))
+      .join(broadcast(tot), Seq("jk"))
+      .select(col("n_keys"), col("max_freq"),
+        round(col("p50_freq"), 4).as("p50_freq"),
+        round(col("p99_freq"), 4).as("p99_freq"),
+        round(col("max_freq") / col("p50_freq"), 4).as("skew_ratio"),
+        col("top_key"),
+        round(col("max_freq") / col("n_rows").cast("double"), 6)
+          .as("top_key_share"))
+  }
+
+  private val o202 = """
+    WITH freq AS (SELECT o_custkey, count(*) AS f FROM orders
+                  GROUP BY o_custkey),
+    tot AS (SELECT count(*) AS n_rows FROM orders),
+    agg AS (
+      SELECT count(*) AS n_keys,
+             CAST(max(f) AS BIGINT) AS max_freq,
+             quantile_cont(f, 0.5) AS p50_freq,
+             quantile_cont(f, 0.99) AS p99_freq,
+             arg_max(o_custkey, lpad(CAST(f AS VARCHAR), 12, '0')
+               || lpad(CAST(o_custkey AS VARCHAR), 12, '0')) AS top_key
+      FROM freq)
+    SELECT n_keys, max_freq,
+           round(p50_freq, 4) AS p50_freq, round(p99_freq, 4) AS p99_freq,
+           round(max_freq / p50_freq, 4) AS skew_ratio,
+           top_key,
+           round(max_freq / CAST(n_rows AS DOUBLE), 6) AS top_key_share
+    FROM agg, tot"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q202_skew_report", q202, Some(o202)),
     QueryDef("q110_salted_join", q110, Some(o110)),
     QueryDef("q154_skew_audit", q154, Some(o154)))
 }
