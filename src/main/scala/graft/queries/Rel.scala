@@ -848,7 +848,71 @@ object Rel {
     FROM supplier
     ORDER BY fk_edge"""
 
+  /** q203: corpus release gate — ONE row of named boolean checks plus the
+    * overall verdict, the CI primitive a data release runs last: FK
+    * integrity (no lineitem orphans), no empty documents, every language
+    * above a minimum document count, exact-duplicate fraction under 50%,
+    * and event timestamps inside sane epoch bounds. Each check is a tiny
+    * aggregate over its table; the gate composes them with AND — the
+    * queryable form of "did every audit in this catalog pass?". A FALSE
+    * anywhere names the failing dimension directly.
+    */
+  private def q203(s: SparkSession, d: String): DataFrame = {
+    // jk derived from a result column (bool -> 0), never a literal: a
+    // literal=literal key folds the joins into BroadcastNestedLoopJoin
+    def jk(c: Column): Column = pmod(c.cast("long") + 1, lit(1))
+    val docs = documents(s, d).agg(
+        (sum(when(length(trim(col("text"))) === 0, 1L).otherwise(0L))
+          === 0).as("no_empty_docs"),
+        ((count(lit(1)) - countDistinct(md5(col("text"))))
+          / count(lit(1)).cast("double") <= 0.5).as("dup_frac_ok"))
+      .withColumn("jk", jk(col("no_empty_docs")))
+    val langs = documents(s, d).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .agg((min(col("n")) >= 10).as("langs_covered"))
+      .withColumn("jk", jk(col("langs_covered")))
+    val fk = lineitem(s, d).select(col("l_orderkey").as("k"))
+      .join(orders(s, d).select(col("o_orderkey").as("k")), Seq("k"),
+        "left_anti")
+      .agg((count(lit(1)) === 0).as("fk_intact"))
+      .withColumn("jk", jk(col("fk_intact")))
+    val ev = events(s, d).agg(
+        (min(expr("ts DIV 1000")) >= 1577836800000000L &&
+          max(expr("ts DIV 1000")) < 1893456000000000L).as("event_ts_sane"))
+      .withColumn("jk", jk(col("event_ts_sane")))
+    docs.join(langs, Seq("jk")).join(fk, Seq("jk")).join(ev, Seq("jk"))
+      .select(col("no_empty_docs"), col("dup_frac_ok"), col("langs_covered"),
+        col("fk_intact"), col("event_ts_sane"),
+        (col("no_empty_docs") && col("dup_frac_ok") && col("langs_covered")
+          && col("fk_intact") && col("event_ts_sane")).as("release_ok"))
+  }
+
+  private val o203 = """
+    WITH docs AS (
+      SELECT sum(CASE WHEN length(trim(text)) = 0 THEN 1 ELSE 0 END) = 0
+               AS no_empty_docs,
+             (count(*) - count(DISTINCT md5(text)))
+               / CAST(count(*) AS DOUBLE) <= 0.5 AS dup_frac_ok
+      FROM documents),
+    langs AS (
+      SELECT min(n) >= 10 AS langs_covered
+      FROM (SELECT lang, count(*) AS n FROM documents GROUP BY lang)),
+    fk AS (
+      SELECT count(*) = 0 AS fk_intact
+      FROM lineitem l LEFT JOIN orders o ON l.l_orderkey = o.o_orderkey
+      WHERE o.o_orderkey IS NULL),
+    ev AS (
+      SELECT min(epoch_us(ts)) >= 1577836800000000
+               AND max(epoch_us(ts)) < 1893456000000000 AS event_ts_sane
+      FROM events)
+    SELECT no_empty_docs, dup_frac_ok, langs_covered, fk_intact,
+           event_ts_sane,
+           no_empty_docs AND dup_frac_ok AND langs_covered AND fk_intact
+             AND event_ts_sane AS release_ok
+    FROM docs, langs, fk, ev"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q203_release_gate", q203, Some(o203)),
     QueryDef("q198_fk_integrity", q198, Some(o198)),
     QueryDef("q195_gini", q195, Some(o195)),
     QueryDef("q193_pareto_concentration", q193, Some(o193)),
