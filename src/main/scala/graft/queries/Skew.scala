@@ -143,7 +143,7 @@ object Skew {
           .as("top_key_share"))
   }
 
-  private val o202 = """
+  private val o202 = s"""
     WITH freq AS (SELECT o_custkey, count(*) AS f FROM orders
                   GROUP BY o_custkey),
     tot AS (SELECT count(*) AS n_rows FROM orders),
@@ -152,8 +152,8 @@ object Skew {
              CAST(max(f) AS BIGINT) AS max_freq,
              quantile_cont(f, 0.5) AS p50_freq,
              quantile_cont(f, 0.99) AS p99_freq,
-             arg_max(o_custkey, lpad(CAST(f AS VARCHAR), 12, '0')
-               || lpad(CAST(o_custkey AS VARCHAR), 12, '0')) AS top_key
+             arg_max(o_custkey, ${Keys.oKey(Keys.oAsc("f", 12),
+               Keys.oAsc("o_custkey", 12))}) AS top_key
       FROM freq)
     SELECT n_keys, max_freq,
            round(p50_freq, 4) AS p50_freq, round(p99_freq, 4) AS p99_freq,
