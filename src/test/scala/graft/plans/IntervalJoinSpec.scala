@@ -51,6 +51,41 @@ class IntervalJoinSpec extends SparkTestBase {
     assert(e.getMessage.contains("rename"))
   }
 
+  test("property: operator equals the brute-force pair set on random " +
+    "multi-key data") {
+    // the sweep's subtle invariants — buffer admission at l'+w still valid
+    // at later l, strict-lower eviction, key-change reset, right rows
+    // consumed exactly once across keys — all fall out of comparing
+    // against the O(n^2) definition on adversarially small random data
+    // (dense key collisions, duplicate times, empty keys on either side)
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val genRows: Gen[List[(Long, Long, Long)]] = for {
+      n <- Gen.chooseNum(0, 25)
+      rows <- Gen.listOfN(n, for {
+        k <- Gen.chooseNum(1L, 4L)
+        t <- Gen.chooseNum(0L, 60L)
+      } yield (k, t))
+    } yield rows.zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) }
+    val w = 10L
+    val prop = Prop.forAll(genRows, genRows) { (ls, rs) =>
+      val expected = (for {
+        (lk, lt, lid) <- ls
+        (rk, rt, rid) <- rs
+        if lk == rk && rt > lt && rt <= lt + w
+      } yield (lid, rid)).toSet
+      val got = IntervalJoin.joinWithin(
+          ls.toDF("u", "ta", "aid"), rs.toDF("u2", "tb", "bid"),
+          "u", "u2", "ta", "tb", w)
+        .select("aid", "bid").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got == expected
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(12), prop)
+    assert(res.passed, s"interval-join property: ${res.status}")
+  }
+
   test("parity with the bucket-explosion reformulation on real events") {
     val e = spark.read.parquet(s"${sf()}/events.parquet")
       .select(col("event_id"), col("ts"), col("user_id"))
