@@ -97,6 +97,39 @@ class VecScreenStreamSpec extends SparkTestBase {
     assert(h12.head.n_checked == 1 && h12.head.best_ref.contains(10L))
   }
 
+  test("property: best/second cell assignment equals a plain 2-NN over " +
+    "the codebook on random vectors") {
+    import org.scalacheck.{Gen, Prop, Test => SCTest}
+    import spark.implicits._
+    val dim = 4
+    val genVec: Gen[Seq[Double]] =
+      Gen.listOfN(dim, Gen.chooseNum(-1.0, 1.0)).map(_.toSeq)
+    val prop = Prop.forAll(
+      Gen.listOfN(4, genVec), Gen.nonEmptyListOf(genVec).map(_.take(6))) {
+      (cents, vecs) =>
+        val cb = cents.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+        def d2(a: Seq[Double], b: Seq[Double]): Double =
+          a.zip(b).map { case (x, y) => (x - y) * (x - y) }.sum
+        val rows = vecs.zipWithIndex.map { case (v, i) => (i.toLong, 0L, v) }
+        val got = VecScreenStream.assignFrame(
+            rows.toDF("vec_id", "ts", "embedding"),
+            cb.toDF("cid", "cv"))
+          .select("vec_id", "cid", "probe").collect()
+          .map(r => (r.getLong(0), r.getLong(1), r.getBoolean(2)))
+          .groupBy(_._1)
+        vecs.zipWithIndex.forall { case (v, i) =>
+          // reference 2-NN: sort by (d2, cid) — the kernel's tie order
+          val ranked = cb.map { case (cid, c) => (d2(v, c), cid) }.sorted
+          val mine = got(i.toLong)
+          mine.exists(t => !t._3 && t._2 == ranked.head._2) &&
+            mine.exists(t => t._3 && t._2 == ranked(1)._2)
+        }
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, s"assignFrame 2-NN property: ${res.status}")
+  }
+
   test("capacity bound keeps the lowest ids and reports saturation") {
     val out = run(capacity = 1) { (input, query) =>
       input.addData((5L, sec(0), vecA))
