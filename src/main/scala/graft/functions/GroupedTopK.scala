@@ -28,13 +28,13 @@ object GroupedTopK {
   /** Buffer: entries sorted by (score DESC, key ASC), size <= k. */
   final case class Buf(entries: Seq[Entry])
 
-  // java.lang.Double.compare, not >/==: primitive comparisons make NaN
-  // neither beat nor lose, which breaks the sorted-buffer invariant and the
-  // claimed total order (round-5 ADVICE — a zero-norm embedding feeding a
-  // cosine score is enough to produce one). Double.compare totally orders
-  // NaN above +Infinity, so NaN-scored entries rank first, deterministically.
+  // Keys.scoreCompare, not raw Double.compare or >/==: primitive comparisons
+  // make NaN neither beat nor lose (breaking the sorted-buffer invariant,
+  // round-5 ADVICE), and raw Double.compare ranks 0.0 above -0.0 where the
+  // SQL oracles treat them equal. The centralized helper totally orders NaN
+  // above +Infinity and collapses signed zeros (round-7 VERDICT #7).
   private def beats(a: Entry, b: Entry): Boolean = {
-    val c = java.lang.Double.compare(a.score, b.score)
+    val c = graft.queries.Keys.scoreCompare(a.score, b.score)
     c > 0 || (c == 0 && a.key < b.key)
   }
 
@@ -44,11 +44,15 @@ object GroupedTopK {
     override def zero: Buf = Buf(Vector.empty)
 
     override def reduce(b: Buf, e0: Entry): Buf = {
-      // Normalize -0.0 to 0.0 on entry: Double.compare ranks 0.0 above -0.0,
-      // but the SQL oracles' ORDER BY treats them equal and falls through to
-      // the key tie-break — a rounded -0.0 at the k-boundary must not order
-      // differently than DuckDB's row_number (round-6 ADVICE).
-      val e = if (e0.score == 0.0d) Entry(0.0d, e0.key) else e0
+      // Normalize -0.0 to 0.0 on entry (Keys.normalizeScore): a rounded -0.0
+      // at the k-boundary must not order differently than DuckDB's
+      // row_number (round-6 ADVICE; rule centralized per round-7 VERDICT #7).
+      // (bit-compare, not ==: primitive 0.0 == -0.0 would skip the rewrite)
+      val ns = graft.queries.Keys.normalizeScore(e0.score)
+      val e =
+        if (java.lang.Double.doubleToRawLongBits(ns) ==
+            java.lang.Double.doubleToRawLongBits(e0.score)) e0
+        else Entry(ns, e0.key)
       val es = b.entries
       // fast reject: buffer full and e does not beat the current k-th
       if (es.size >= k && !beats(e, es.last)) b

@@ -58,4 +58,29 @@ object Keys {
 
   /** DuckDB (oracle) dialect of [[key]]. */
   def oKey(parts: String*): String = parts.mkString(" || ")
+
+  // ---------------------------------------------------------------------
+  // Scala-side score ordering (round-7 VERDICT #7): any operator that ranks
+  // rows by a Double score and tie-breaks on a key MUST order scores through
+  // these two helpers, not raw comparison operators:
+  //   - primitive >/== make NaN neither beat nor lose, silently breaking the
+  //     total order (round-5: a zero-norm embedding feeding cosine is enough
+  //     to produce one);
+  //   - java.lang.Double.compare fixes NaN (ranks it above +Infinity,
+  //     deterministically) but ranks 0.0 above -0.0, while the SQL oracles'
+  //     ORDER BY treats them equal and falls through to the key tie-break —
+  //     a rounded -0.0 at a rank boundary then orders differently than
+  //     DuckDB's row_number (round-6 ADVICE, first hit in GroupedTopK).
+  // normalizeScore collapses the signed-zero pair; scoreCompare composes it
+  // with Double.compare into the cross-engine-stable total order.
+
+  /** Collapse -0.0 to 0.0 so signed zeros compare equal (and defer to the
+    * caller's key tie-break), matching SQL ORDER BY semantics. */
+  def normalizeScore(s: Double): Double = if (s == 0.0d) 0.0d else s
+
+  /** Total order on scores: NaN above +Infinity (deterministic), signed
+    * zeros equal. Use instead of raw `Double.compare` or `>` in any
+    * score-ordered operator. */
+  def scoreCompare(a: Double, b: Double): Int =
+    java.lang.Double.compare(normalizeScore(a), normalizeScore(b))
 }

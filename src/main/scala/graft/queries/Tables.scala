@@ -14,17 +14,23 @@ final case class QueryDef(
 
 /** Readers for the shared testdata tables (`TESTDATA.md`).
   *
-  * `events.parquet` stores its `ts` column as parquet TIMESTAMP(NANOS), which
-  * Spark's vectorized reader rejects unless
-  * `spark.sql.legacy.parquet.nanosAsLong=true`; with the flag the column reads
-  * as BIGINT nanoseconds-since-epoch. All event queries therefore do time
-  * arithmetic on the raw long (exact, and cheaper than timestamps anyway) and
-  * only convert to a timestamp for presentation. DuckDB reads the same column
-  * as microsecond TIMESTAMP (truncating), so oracle comparisons convert via
-  * `ts div 1000` microseconds, which matches DuckDB's truncation.
+  * `events.ts` is normalized to BIGINT nanoseconds-since-epoch by [[events]]
+  * whatever the file's physical type, because the generator has shipped two:
+  *   - TIMESTAMP(NANOS) (rounds 1-7): Spark's vectorized reader rejects it
+  *     unless `spark.sql.legacy.parquet.nanosAsLong=true`, with which it
+  *     reads as BIGINT ns directly;
+  *   - TIMESTAMP(MICROS) (round 8+): reads as TIMESTAMP_NTZ; [[events]]
+  *     converts via `unix_micros(cast(ts as timestamp)) * 1000` (exact —
+  *     sessions run UTC, so the NTZ->TZ cast is value-identity).
+  * All event queries therefore do time arithmetic on the raw long (exact,
+  * and cheaper than timestamps anyway) and only convert to a timestamp for
+  * presentation. DuckDB reads either file as microsecond TIMESTAMP, so
+  * oracle comparisons go through `epoch_us(ts)` vs Spark's `ts DIV 1000` —
+  * identical under both physical types.
   */
 object Tables {
-  /** Nanoseconds semantics knob — see class doc. Safe to set repeatedly. */
+  /** Nanoseconds semantics knob — see class doc. A no-op for MICROS files.
+    * Safe to set repeatedly. */
   def configure(spark: SparkSession): Unit =
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
 
@@ -89,7 +95,19 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame = table(s, d, "events")
+  /** Events with `ts` normalized to BIGINT ns — see class doc. The
+    * conversion is a scan-local projection (no shuffle); time-range filters
+    * in the catalog are all post-arithmetic (DIV-bucketed) and never pushed
+    * to parquet under either physical type, so nothing is lost at scale. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    val df = table(s, d, "events")
+    df.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType => df // legacy NANOS file
+      case _ =>
+        df.withColumn("ts",
+          unix_micros(col("ts").cast("timestamp")) * lit(1000L))
+    }
+  }
   def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame =
     table(s, d, "embeddings")

@@ -79,7 +79,7 @@ class AsOfJoinSpec extends SparkTestBase {
   }
 
   test("agrees with an independent window formulation on real events") {
-    val ev = spark.read.parquet(s"${sf()}/events.parquet")
+    val ev = graft.queries.Tables.events(spark, sf())
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id"), col("user_id"),
         expr("ts DIV 1000").as("ts_us"))

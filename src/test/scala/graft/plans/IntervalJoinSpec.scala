@@ -87,7 +87,7 @@ class IntervalJoinSpec extends SparkTestBase {
   }
 
   test("parity with the bucket-explosion reformulation on real events") {
-    val e = spark.read.parquet(s"${sf()}/events.parquet")
+    val e = graft.queries.Tables.events(spark, sf())
       .select(col("event_id"), col("ts"), col("user_id"))
     val bucketNs = 300000000000L
     val native = IntervalJoin.joinWithin(

@@ -73,6 +73,47 @@ class KeysSpec extends SparkTestBase {
     assert(eval(Keys.desc("$X", 3), 0L) == "999")
   }
 
+  test("scoreCompare: signed zeros equal, NaN totally ordered above +Inf") {
+    // the round-6 boundary: a rounded -0.0 must compare EQUAL to 0.0 so the
+    // caller's key tie-break decides — raw Double.compare ranks 0.0 above
+    // -0.0 and diverges from the SQL oracles' ORDER BY (round-7 VERDICT #7)
+    assert(Keys.scoreCompare(-0.0d, 0.0d) == 0)
+    assert(Keys.scoreCompare(0.0d, -0.0d) == 0)
+    assert(java.lang.Double.doubleToRawLongBits(Keys.normalizeScore(-0.0d)) ==
+      java.lang.Double.doubleToRawLongBits(0.0d))
+    // NaN: deterministic total order above everything, including +Inf
+    assert(Keys.scoreCompare(Double.NaN, Double.PositiveInfinity) > 0)
+    assert(Keys.scoreCompare(Double.NegativeInfinity, Double.NaN) < 0)
+    assert(Keys.scoreCompare(Double.NaN, Double.NaN) == 0)
+    // plain values unchanged
+    assert(Keys.scoreCompare(1.5d, 2.5d) < 0)
+    assert(Keys.scoreCompare(2.5d, 1.5d) > 0)
+    assert(Keys.normalizeScore(-3.25d) == -3.25d)
+  }
+
+  test("-0.0 at the top-k boundary resolves by key through the Keys rule") {
+    // end-to-end through GroupedTopK: two zero-scored entries, one of them
+    // -0.0, at a k=1 boundary — the winner must be the SMALLER key (the SQL
+    // tie-break), not whichever zero Double.compare happens to rank higher
+    import graft.functions.GroupedTopK._
+    val agg = new TopK(1)
+    // -0.0 arrives first with the LARGER key; 0.0 second with the smaller:
+    // raw Double.compare would keep replacing -0.0 (ranked lower) regardless
+    // of key, which coincides here — so also run the inverted arrival order
+    // where unnormalized compare would WRONGLY keep key=9 (0.0 beats -0.0)
+    val r1 = agg.finish(agg.reduce(agg.reduce(agg.zero, Entry(-0.0d, 9L)),
+      Entry(0.0d, 3L)))
+    assert(r1 == Seq(Entry(0.0d, 3L)))
+    val r2 = agg.finish(agg.reduce(agg.reduce(agg.zero, Entry(0.0d, 9L)),
+      Entry(-0.0d, 3L)))
+    assert(r2 == Seq(Entry(0.0d, 3L)))
+    // and across a partition merge boundary
+    val a = agg.reduce(agg.zero, Entry(0.0d, 9L))
+    val b = agg.reduce(agg.zero, Entry(-0.0d, 3L))
+    assert(agg.finish(agg.merge(a, b)) == Seq(Entry(0.0d, 3L)))
+    assert(agg.finish(agg.merge(b, a)) == Seq(Entry(0.0d, 3L)))
+  }
+
   test("oracle dialect orders identically to the Spark dialect") {
     // same inputs through both dialects (DuckDB side emulated: the oracle
     // form is plain lpad of the value / its inversion — evaluate the

@@ -50,7 +50,7 @@ class SessionizeStreamSpec extends SparkTestBase {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
 
-    val rows = spark.read.parquet(s"${sf()}/events.parquet")
+    val rows = graft.queries.Tables.events(spark, sf())
       .select("ts", "user_id", "value")
       .collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
