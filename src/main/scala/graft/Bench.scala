@@ -6,9 +6,189 @@ import org.apache.spark.sql.SparkSession
   * one JSON line. Each query is forced through a `noop`-format write so the
   * full plan executes (a bare `count()` would let Catalyst prune projections
   * and benchmark only the scan — VERDICT.md round 1, "What's wrong" #1).
+  *
+  * == Process isolation (round-7 VERDICT #1/#2) ==
+  * A single-JVM ~420-execution session accrues degraded state that inflates
+  * the suite tail 3-10x (BENCH_r07: q120 28.9 s in-suite vs 4.49 s fresh-JVM;
+  * q126 7.3 s vs 0.99 s) — and the end-of-suite drift rerun inherits the same
+  * degraded JVM, so it cannot correct the record. The published artifact is
+  * therefore now produced by an ORCHESTRATOR (no CLI args — the driver's
+  * invocation): it forks each ~50-query shard as a fresh JVM subprocess
+  * (same classpath/JVM flags as this process), merges the shard detail
+  * JSONs, and re-measures the 10 slowest queries in one final fresh-JVM
+  * "drift" child. Session-state can then never span more than one shard, and
+  * the drift rerun is a true fresh-JVM number by construction.
+  *
+  * == Calibration (round-7 VERDICT #6) ==
+  * Each shard child re-times a fixed probe (q01, the pricing summary) at
+  * shard start / middle / end, reported under "calibration". The artifact
+  * thus carries its own environment-drift normalizer: a cross-round
+  * per-query comparison should be read against the calibration ratio of the
+  * two artifacts instead of reconstructing machine drift forensically.
+  *
+  * CLI: no args = orchestrator (fork shards). With query names = measure
+  * those in-process (the child/local-iteration mode). Flags (child use):
+  * `--calibrate` emits the probe triple; `--no-drift` skips the in-process
+  * drift rerun (the orchestrator does it in a separate child instead).
   */
 object Bench {
+
+  /** Fixed-cost calibration probe: must exist in every catalog, cheap, and
+    * exercise scan+agg+shuffle (so it tracks the same degradation the suite
+    * sees). */
+  private val CalibrationQuery = "q01_pricing_summary"
+
   def main(args: Array[String]): Unit = {
+    val (flags, names) = args.partition(_.startsWith("--"))
+    if (names.isEmpty && flags.isEmpty) orchestrate()
+    else runInProcess(names, calibrate = flags.contains("--calibrate"),
+      drift = !flags.contains("--no-drift"))
+  }
+
+  // -------------------------------------------------------------------
+  // Orchestrator: fresh-JVM shard subprocesses + fresh-JVM drift child
+  // -------------------------------------------------------------------
+
+  private def orchestrate(): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val shardSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_SHARD", "50").toInt
+    val allNames = SparkEntry.queries.keys.toSeq.sorted
+    val shards = allNames.grouped(shardSize).toSeq
+    val t0 = System.nanoTime()
+
+    val shardResults = shards.zipWithIndex.map { case (shard, i) =>
+      System.err.println(
+        s"[bench] shard $i/${shards.size}: ${shard.size} queries, fresh JVM")
+      runChild(s"shard$i", "--calibrate" :: "--no-drift" :: shard.toList)
+    }
+    val queries = shardResults.flatMap(_.queries)
+    val failed = shardResults.flatMap(_.failed)
+    val flaky = shardResults.flatMap(_.flaky)
+    val calib = shardResults.zipWithIndex.map { case (r, i) =>
+      s""""shard$i":${r.calibration.getOrElse("{}")}"""
+    }.mkString("{", ",", "}")
+
+    // Drift check, now meaningful by construction: the rerun child is a
+    // fresh JVM, so insuite-vs-rerun measures what single-shard session
+    // state cost the in-suite number — not (as through r7) one degraded
+    // JVM measured against a differently-degraded one.
+    val slowest = queries.filter(_._2 >= 0).sortBy(-_._2).take(10).map(_._1)
+    val rerun: Map[String, Double] =
+      if (slowest.isEmpty) Map.empty
+      else {
+        System.err.println(
+          s"[bench] drift rerun child: ${slowest.size} queries, fresh JVM")
+        runChild("drift", "--no-drift" :: slowest.toList).queries.toMap
+      }
+    val qmap = queries.toMap
+    val drift = slowest.map { n =>
+      f""""$n":{"insuite":${qmap(n)}%.3f,"rerun":${rerun.getOrElse(n, -1.0)}%.3f}"""
+    }.mkString("{", ",", "}")
+
+    val qs = queries.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
+      .mkString("{", ",", "}")
+    def arr(xs: Seq[String]): String =
+      xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val total = queries.map(_._2).filter(_ >= 0).sum
+    val wall = (System.nanoTime() - t0) / 1e9
+    // The driver tail-captures stdout, so the per-query detail line (>4 KB at
+    // ~200 queries) must come FIRST and the machine-read summary must be the
+    // compact LAST line — three rounds of BENCH_r*.json "parsed": null came
+    // from a single long line whose front (with "value") fell off the capture.
+    val detail = f"""{"metric":"detail","queries":$qs,"failed":${arr(failed)},"flaky":${arr(flaky)},"drift":$drift,"calibration":$calib,"shards":${shards.size},"wall":$wall%.1f,"sf":"$sfDir"}"""
+    println(detail)
+    val detailPath =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "/tmp/graft_bench_detail.json")
+    writeFile(detailPath, detail + "\n")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${queries.size},"failed":${failed.size},"flaky":${flaky.size},"sf":"$sfDir"}""")
+  }
+
+  private final case class ChildResult(
+      queries: Seq[(String, Double)],
+      failed: Seq[String],
+      flaky: Seq[String],
+      calibration: Option[String])
+
+  /** Fork a fresh JVM running this main with `args`, inheriting classpath,
+    * JVM flags, and environment. The child's detail JSON comes back via a
+    * per-child temp file; its stdout/stderr go to a log file so the
+    * orchestrator's stdout stays a clean two-line protocol. */
+  private def runChild(tag: String, args: List[String]): ChildResult = {
+    import scala.jdk.CollectionConverters._
+    val javaBin = new java.io.File(
+      new java.io.File(System.getProperty("java.home"), "bin"), "java").getPath
+    // Re-use this JVM's own flags (add-opens, vector module, heap, code
+    // cache): they came from build.sbt's javaOptions and are exactly what a
+    // correct child needs. Drop agent/debug flags a wrapper might inject.
+    val jvmFlags = java.lang.management.ManagementFactory.getRuntimeMXBean
+      .getInputArguments.asScala.toList
+      .filterNot(f => f.startsWith("-agentlib") || f.startsWith("-javaagent"))
+    val detailFile = java.io.File.createTempFile(s"graft_bench_$tag", ".json")
+    val logFile = new java.io.File(
+      System.getProperty("java.io.tmpdir"), s"graft_bench_$tag.log")
+    val cmd = (javaBin :: jvmFlags) ++
+      List("-cp", System.getProperty("java.class.path"), "graft.Bench") ++ args
+    val pb = new ProcessBuilder(cmd.asJava)
+    pb.environment().put("SPARK_GRAFT_BENCH_DETAIL", detailFile.getPath)
+    pb.redirectOutput(logFile)
+    pb.redirectErrorStream(false)
+    pb.redirectError(ProcessBuilder.Redirect.appendTo(logFile))
+    val exit = pb.start().waitFor()
+    val detail =
+      try new String(java.nio.file.Files.readAllBytes(detailFile.toPath), "UTF-8")
+      catch { case _: Throwable => "" }
+    detailFile.delete()
+    if (exit != 0 || detail.isEmpty) {
+      // a dead shard must be visible, never silently absent: every query it
+      // owned is reported failed (time -1 is excluded from totals anyway)
+      System.err.println(s"[bench] child $tag failed (exit $exit, " +
+        s"detail ${if (detail.isEmpty) "missing" else "present"}); " +
+        s"log: ${logFile.getPath}")
+      val qnames = args.filterNot(_.startsWith("--"))
+      ChildResult(qnames.map(_ -> -1.0), qnames, Nil, None)
+    } else parseDetail(detail)
+  }
+
+  /** Minimal parser for the fixed child-detail format (no JSON dep in main:
+    * the format is machine-generated two objects + two string arrays). */
+  private def parseDetail(s: String): ChildResult = {
+    def obj(key: String): Option[String] = {
+      // `"key":{` — the opening brace sits at offset key.length + 3
+      val at = s.indexOf("\"" + key + "\":{")
+      if (at < 0) None
+      else {
+        val start = at + key.length + 3
+        val end = s.indexOf('}', start)
+        Some(s.substring(start, end + 1))
+      }
+    }
+    def strArr(key: String): Seq[String] = {
+      val at = s.indexOf("\"" + key + "\":[")
+      if (at < 0) Nil
+      else {
+        val start = at + key.length + 4
+        val body = s.substring(start, s.indexOf(']', start))
+        "\"([^\"]+)\"".r.findAllMatchIn(body).map(_.group(1)).toSeq
+      }
+    }
+    val pair = "\"([^\"]+)\":(-?[0-9.]+)".r
+    val queries = obj("queries").toSeq.flatMap(o =>
+      pair.findAllMatchIn(o).map(m => m.group(1) -> m.group(2).toDouble))
+    ChildResult(queries, strArr("failed"), strArr("flaky"), obj("calibration"))
+  }
+
+  private def writeFile(path: String, content: String): Unit =
+    try java.nio.file.Files.write(java.nio.file.Paths.get(path),
+      content.getBytes("UTF-8"))
+    catch { case e: Throwable =>
+      System.err.println(s"[bench] write $path failed: ${e.getMessage}") }
+
+  // -------------------------------------------------------------------
+  // In-process measurement (shard child / drift child / local iteration)
+  // -------------------------------------------------------------------
+
+  private def runInProcess(names: Seq[String], calibrate: Boolean,
+      drift: Boolean): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
@@ -26,12 +206,8 @@ object Bench {
       .write.format("noop").mode("overwrite").save()
     // two timed runs per query, report the min: the first run pays one-off
     // whole-stage-codegen compilation (hundreds of ms to seconds for
-    // expression-heavy queries), which is amortized noise in steady state
-    // optional positional args restrict the run to the named queries (local
-    // iteration aid; the driver invokes with no args = full catalog)
-    val only = args.toSet
-    // one measurement = two timed runs of a query, best successful run kept;
-    // shared by the main suite pass and the end-of-suite drift re-check
+    // expression-heavy queries), which is amortized noise in steady state.
+    // one measurement = two timed runs of a query, best successful run kept
     def measure(name: String, fn: (SparkSession, String) => org.apache.spark.sql.DataFrame): (Double, Boolean) = {
       val times = (1 to 2).map { _ =>
         val t0 = System.nanoTime()
@@ -48,12 +224,12 @@ object Bench {
         // drop persist()ed intermediates (q38/q47/q72/q83) after every run:
         // Spark's CacheManager dedups by logical plan, so without this the
         // second timed run silently reuses the first run's cache (flattering
-        // the min) AND cached blocks pile up across the ~100-query session
+        // the min) AND cached blocks pile up across the shard session
         spark.catalog.clearCache()
         // clearCache only covers CacheManager-tracked DataFrames; q97's
         // per-iteration localCheckpoints live as raw persistent RDD blocks
         // and otherwise accumulate until GC, inflating later queries'
-        // memory pressure (q120 measured 2x slower in-suite than alone)
+        // memory pressure
         spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(false))
         if (ok) elapsed else -1.0
       }
@@ -64,23 +240,60 @@ object Bench {
       val good = times.filter(_ >= 0)
       (if (good.isEmpty) -1.0 else good.min, good.nonEmpty && good.size < times.size)
     }
+    // empty names (e.g. `--in-proc` alone) = full catalog, single JVM — the
+    // pre-round-8 behavior, kept for degradation experiments
     val catalog = SparkEntry.queries.toSeq.sortBy(_._1)
-      .filter { case (name, _) => only.isEmpty || only(name) }
+      .filter { case (name, _) => names.isEmpty || names.contains(name) }
+    require(names.isEmpty || catalog.size == names.distinct.size,
+      s"unknown query names: ${names.toSet -- catalog.map(_._1)}")
+    // Degradation forensics (round-7 VERDICT #2): with
+    // SPARK_GRAFT_BENCH_PROBE_JVM set to a path, append one TSV line of JVM
+    // state per measured query — code cache / metaspace / loaded classes /
+    // cumulative GC time / heap — so a long single-JVM run (`--in-proc`)
+    // localizes WHICH resource grows with the suite tail's inflation.
+    val probeJvmPath = sys.env.get("SPARK_GRAFT_BENCH_PROBE_JVM")
+    def jvmLine(name: String, t: Double): Unit = probeJvmPath.foreach { p =>
+      import scala.jdk.CollectionConverters._
+      import java.lang.management.{ManagementFactory => mf}
+      def pool(frag: String): Long = mf.getMemoryPoolMXBeans.asScala
+        .filter(_.getName.contains(frag)).map(_.getUsage.getUsed).sum
+      val gcMs = mf.getGarbageCollectorMXBeans.asScala
+        .map(_.getCollectionTime).sum
+      val cl = mf.getClassLoadingMXBean
+      val heap = mf.getMemoryMXBean.getHeapMemoryUsage.getUsed
+      val line = f"$name\t$t%.3f\t${pool("CodeHeap")}\t${pool("Metaspace")}\t" +
+        f"${cl.getLoadedClassCount}\t${cl.getTotalLoadedClassCount}\t$gcMs\t$heap%n"
+      try java.nio.file.Files.write(java.nio.file.Paths.get(p),
+        line.getBytes("UTF-8"),
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+      catch { case _: Throwable => () }
+    }
+    val calibFn = SparkEntry.queries(CalibrationQuery)
+    def probe(): Double = if (calibrate) measure(CalibrationQuery, calibFn)._1 else -1.0
+    val mid = catalog.size / 2
+    val calibStart = probe()
+    var calibMid = -1.0
     var sinceGc = 0
-    val results = catalog.map { case (name, fn) =>
+    val results = catalog.zipWithIndex.map { case ((name, fn), i) =>
+      if (calibrate && i == mid) calibMid = probe()
       val (t, flaky) = measure(name, fn)
+      jvmLine(name, t)
       // Spark's ContextCleaner frees broadcast blocks and shuffle files only
-      // when the DRIVER GC collects their references — and a ~334-execution
-      // session on an 8 GB heap can go dozens of queries without a full GC,
-      // so state from long-dead queries piles up and inflates mid-suite
-      // times (round-5 finding #1's residue: q136 measured 2x its isolated
-      // cost mid-suite). A periodic explicit GC between measurements keeps
-      // the cleaner draining; outside the timed window, so it costs the
-      // suite wall-clock, never a query's reading.
+      // when the DRIVER GC collects their references — and a shard session
+      // can go many queries without a full GC, so state from dead queries
+      // piles up and inflates later times. A periodic explicit GC between
+      // measurements keeps the cleaner draining; outside the timed window,
+      // so it costs the suite wall-clock, never a query's reading.
       sinceGc += 1
       if (sinceGc >= 20) { System.gc(); sinceGc = 0 }
       (name, t, flaky)
     }
+    val calibEnd = probe()
+    val calib =
+      if (calibrate)
+        f"""{"start":$calibStart%.3f,"mid":$calibMid%.3f,"end":$calibEnd%.3f}"""
+      else "{}"
     val failed = results.collect { case (k, v, _) if v < 0 => k }
     val flaky = results.collect { case (k, _, true) => k }
     val qs = results.map { case (k, v, _) => "\"" + k + f"""":$v%.3f""" }
@@ -88,36 +301,24 @@ object Bench {
     val total = results.map(_._2).filter(_ >= 0).sum
     def arr(xs: Seq[String]): String =
       xs.map("\"" + _ + "\"").mkString("[", ",", "]")
-    // Long-session drift monitor (round-5 VERDICT #1/#7): mid-suite times can
-    // be inflated by session-level JVM degradation (code-cache/GC), not by the
-    // query itself. Re-measure the 10 slowest queries at end of suite and
-    // report insuite-vs-rerun so a per-query delta can be attributed to the
-    // query or to the session before anyone reads it as a regression.
-    // Round-over-round comparisons should quote the RERUN numbers (BASELINE.md
-    // policy): the in-suite tail still carries 1.1-1.5x JIT-profile jitter.
+    // Local-iteration drift loop (pre-round-8 behavior, retained for
+    // filtered runs without --no-drift; the orchestrator's artifact uses a
+    // fresh-JVM child instead).
     val byName = catalog.toMap
-    val drift = results.filter(_._2 >= 0).sortBy(-_._2).take(10).map {
-      case (name, insuite, _) =>
-        // GC before each rerun, outside the timed window: the slowest-query
-        // reruns land back-to-back (the dedup arc among them), and without a
-        // drain the ContextCleaner backlog from rerun N lands on rerun N+1's
-        // reading — that, not the query, was round-6's q120 "7.09 s"
-        // inversion (isolated fresh-JVM truth: 3.7-3.9 s).
-        System.gc()
-        val (rerun, _) = measure(name, byName(name))
-        f""""$name":{"insuite":$insuite%.3f,"rerun":$rerun%.3f}"""
-    }.mkString("{", ",", "}")
-    // The driver tail-captures stdout, so the per-query detail line (>4 KB at
-    // ~100 queries) must come FIRST and the machine-read summary must be the
-    // compact LAST line — three rounds of BENCH_r*.json "parsed": null came
-    // from a single long line whose front (with "value") fell off the capture.
-    val detail = f"""{"metric":"detail","queries":$qs,"failed":${arr(failed)},"flaky":${arr(flaky)},"drift":$drift,"sf":"$sfDir"}"""
+    val driftJson =
+      if (!drift) "{}"
+      else results.filter(_._2 >= 0).sortBy(-_._2).take(10).map {
+        case (name, insuite, _) =>
+          // GC before each rerun, outside the timed window, so rerun N's
+          // ContextCleaner backlog never lands on rerun N+1's reading
+          System.gc()
+          val (rerun, _) = measure(name, byName(name))
+          f""""$name":{"insuite":$insuite%.3f,"rerun":$rerun%.3f}"""
+      }.mkString("{", ",", "}")
+    val detail = f"""{"metric":"detail","queries":$qs,"failed":${arr(failed)},"flaky":${arr(flaky)},"drift":$driftJson,"calibration":$calib,"sf":"$sfDir"}"""
     println(detail)
     val detailPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "/tmp/graft_bench_detail.json")
-    try {
-      java.nio.file.Files.write(java.nio.file.Paths.get(detailPath),
-        (detail + "\n").getBytes("UTF-8"))
-    } catch { case e: Throwable => System.err.println(s"[bench] detail write failed: ${e.getMessage}") }
+    writeFile(detailPath, detail + "\n")
     println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${results.size},"failed":${failed.size},"flaky":${flaky.size},"sf":"$sfDir"}""")
     spark.stop()
   }
