@@ -73,44 +73,67 @@ final class BertEncoder(model: NerModel) {
   private def reqT(name: String, out: Int, in: Int): Array[Float] =
     transposed(req(name, out.toLong * in), out, in)
 
+  /** A linear layer's weight in evaluation form: either the transposed F32
+    * panel ([[reqT]]) or, for a Q4_0-stored tensor, the raw ggml blocks in
+    * their on-disk row-major layout, evaluated natively by
+    * [[DotKernel.matmulQ4]] without ever materializing (or transposing) the
+    * F32 matrix — the reference's own treatment of quantized weights
+    * (`src/ner_model.cpp:194`; round-7 VERDICT #3).
+    */
+  // plain classes, not case classes: weight holders (same warning rationale
+  // as Layer below — the synthesized equals trips the outer-reference check)
+  private sealed trait LinW
+  private final class DenseW(val wt: Array[Float]) extends LinW
+  private final class Q4W(val raw: Array[Byte]) extends LinW
+
+  private def reqLin(name: String, out: Int, in: Int): LinW =
+    model.tensors.get(name) match {
+      case Some(t) if t.isQ4 && in % 32 == 0 =>
+        require(t.numel == out.toLong * in,
+          s"tensor $name: expected ${out.toLong * in} values, " +
+            s"loaded ${t.numel} (Q4_0)")
+        new Q4W(t.q4)
+      case _ => new DenseW(reqT(name, out, in))
+    }
+
   private val wordEmb = req("embeddings.word_embeddings.weight", hp.nVocab.toLong * nEmbd)
   private val typeEmb = req("embeddings.token_type_embeddings.weight", 2L * nEmbd)
   private val posEmb = req("embeddings.position_embeddings.weight", hp.nMaxTokens.toLong * nEmbd)
   private val lnEw = req("embeddings.LayerNorm.weight", nEmbd)
   private val lnEb = req("embeddings.LayerNorm.bias", nEmbd)
-  private val clsW = reqT("classifier.weight", nLabels, nEmbd)
+  private val clsW = reqLin("classifier.weight", nLabels, nEmbd)
   private val clsB = req("classifier.bias", nLabels)
 
   // plain class, not case class: it's a weight holder — the synthesized
   // case-class equals on a nested class also trips the unchecked
   // outer-reference warning
   private final class Layer(
-      val qw: Array[Float], val qb: Array[Float],
-      val kw: Array[Float], val kb: Array[Float],
-      val vw: Array[Float], val vb: Array[Float],
-      val ow: Array[Float], val ob: Array[Float],
+      val qw: LinW, val qb: Array[Float],
+      val kw: LinW, val kb: Array[Float],
+      val vw: LinW, val vb: Array[Float],
+      val ow: LinW, val ob: Array[Float],
       val lnAw: Array[Float], val lnAb: Array[Float],
-      val fiW: Array[Float], val fiB: Array[Float],
-      val foW: Array[Float], val foB: Array[Float],
+      val fiW: LinW, val fiB: Array[Float],
+      val foW: LinW, val foB: Array[Float],
       val lnOw: Array[Float], val lnOb: Array[Float]
   )
 
   private val layers: Array[Layer] = Array.tabulate(hp.nLayer) { i =>
     val b = s"encoder.layer.$i."
     new Layer(
-      qw = reqT(b + "attention.self.query.weight", nEmbd, nEmbd),
+      qw = reqLin(b + "attention.self.query.weight", nEmbd, nEmbd),
       qb = req(b + "attention.self.query.bias", nEmbd),
-      kw = reqT(b + "attention.self.key.weight", nEmbd, nEmbd),
+      kw = reqLin(b + "attention.self.key.weight", nEmbd, nEmbd),
       kb = req(b + "attention.self.key.bias", nEmbd),
-      vw = reqT(b + "attention.self.value.weight", nEmbd, nEmbd),
+      vw = reqLin(b + "attention.self.value.weight", nEmbd, nEmbd),
       vb = req(b + "attention.self.value.bias", nEmbd),
-      ow = reqT(b + "attention.output.dense.weight", nEmbd, nEmbd),
+      ow = reqLin(b + "attention.output.dense.weight", nEmbd, nEmbd),
       ob = req(b + "attention.output.dense.bias", nEmbd),
       lnAw = req(b + "attention.output.LayerNorm.weight", nEmbd),
       lnAb = req(b + "attention.output.LayerNorm.bias", nEmbd),
-      fiW = reqT(b + "intermediate.dense.weight", nInter, nEmbd),
+      fiW = reqLin(b + "intermediate.dense.weight", nInter, nEmbd),
       fiB = req(b + "intermediate.dense.bias", nInter),
-      foW = reqT(b + "output.dense.weight", nEmbd, nInter),
+      foW = reqLin(b + "output.dense.weight", nEmbd, nInter),
       foB = req(b + "output.dense.bias", nEmbd),
       lnOw = req(b + "output.LayerNorm.weight", nEmbd),
       lnOb = req(b + "output.LayerNorm.bias", nEmbd)
@@ -124,12 +147,20 @@ final class BertEncoder(model: NerModel) {
     * like ggml's `ggml_vec_dot_f32`).
     */
   private def linear(x: Array[Float], n: Int, in: Int, out: Int,
-      w: Array[Float], b: Array[Float], y: Array[Float]): Array[Float] = {
+      w: LinW, b: Array[Float], y: Array[Float]): Array[Float] = {
     val kern = Kernels.best
     var r = 0
-    while (r < n) {
-      kern.matmulT(x, r * in, in, w, 0, out, out, b, y, r * out)
-      r += 1
+    w match {
+      case dw: DenseW =>
+        while (r < n) {
+          kern.matmulT(x, r * in, in, dw.wt, 0, out, out, b, y, r * out)
+          r += 1
+        }
+      case qw: Q4W =>
+        while (r < n) {
+          kern.matmulQ4(x, r * in, in, qw.raw, out, b, y, r * out)
+          r += 1
+        }
     }
     y
   }

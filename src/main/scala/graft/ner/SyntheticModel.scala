@@ -77,4 +77,24 @@ object SyntheticModel {
       NerVocab(main.result(), sub.result(), id2.result()), t.result())
     Ner.Loaded(model, new BertEncoder(model))
   }
+
+  /** Q4_0-quantized twin of [[loaded]]: every linear weight re-quantized to
+    * raw ggml blocks (all shapes here are %32-compatible: embd 64,
+    * intermediate 256), so the encoder takes the quantized-native matmul
+    * path ([[DotKernel.matmulQ4]]) end-to-end — the profile counterpart for
+    * the F32 session (numbers in BASELINE.md). Entities differ slightly
+    * from [[loaded]]'s (quantization moves logits), which is fine: this
+    * variant exists for kernel exercise and profiling, while q26's
+    * oracle-facing output stays pinned to the F32 model.
+    */
+  lazy val loadedQ4: Ner.Loaded = {
+    val base = loaded.model
+    val tensors = base.tensors.map { case (name, t) =>
+      if (ModelFormat.isLinearWeight(name) && t.numel % 32 == 0)
+        name -> NerTensor(t.dims, null, ModelFormat.quantizeQ4(t.data))
+      else name -> t
+    }
+    val model = base.copy(tensors = tensors)
+    Ner.Loaded(model, new BertEncoder(model))
+  }
 }

@@ -1625,6 +1625,306 @@ object Vec {
     ORDER BY est.est_d2, t.vec_id LIMIT 20"""
   }
 
+  /** ADC re-rank depth: refine the ADC top-(RefineMult * RecallK) by exact
+    * distance (the standard IVFADC+R k' = 4k). */
+  private val RefineMult = 4
+
+  /** q204: IVFADC+R — the refine stage over q180's index (Jégou et al.
+    * TPAMI 2011 §V: re-rank the ADC shortlist by exact distance), audited
+    * the way q179 audits nprobe tiers. Three rankers share ONE probed-cell
+    * candidate set (cells ranked <= $AdcProbe of $NCells — the fixed
+    * scanned fraction) and are each scored by recall@$RecallK against the
+    * exact brute-force truth over the whole corpus:
+    *   - `adc`: rank candidates by the asymmetric PQ estimate alone;
+    *   - `adc_refine`: take the ADC top-k' (k' = $RefineMult * k), FETCH
+    *     those k' exact vectors by id, re-rank by true distance — the
+    *     shortlist fetch is the "+R" disk read a production index pays per
+    *     query, O(k') rows regardless of corpus size;
+    *   - `cand_ceiling`: rank candidates by true distance — the recall
+    *     ceiling the probe set admits; the refine lift is bounded by it,
+    *     and (ceiling - adc) is exactly the quantization loss +R recovers.
+    *
+    * Plan shape: index build + candidate scoring are q180's (one persisted
+    * corpus pass; broadcast equi-joins; per-row broadcast folds). All three
+    * rankings come out of ONE GroupedTopK pass at k' over tier-exploded
+    * candidate rows (q179's trick — truth, ceiling, and adc tiers in the
+    * same partial aggregation; rank-k prefixes taken from the returned
+    * sorted buffer, no window over corpus rows). The refine re-rank then
+    * joins the k' x Q shortlist ids (broadcast) back to the PERSISTED index
+    * frame — a semi-join fetch of O(k' * Q) rows, never a rescan. Scores are
+    * rounded at 6 before ranking (q180's convention) so every rank boundary
+    * is bit-identical across engines.
+    */
+  private def q204(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val cb = codebookRow(s, d)
+    // q180's index build: assignment + residual vs own cell centroid, one
+    // corpus pass, persisted (feeds sub-codebook seeds, candidate scoring,
+    // AND the refine fetch)
+    val withRes = assignAgainst(s, d, cb)
+      .withColumn("jk", pmod(col("vec_id"), lit(1)))
+      .join(broadcast(cb), Seq("jk"))
+      .select(col("vec_id"), col("cid"), col("v"),
+        zip_with(col("v"),
+          element_at(col("cb"), col("cid").cast("int") + 1).getField("cv"),
+          (x, y) => x - y).as("r"))
+      .persist()
+    val scb = withRes
+      .filter(col("vec_id") >= NCells && col("vec_id") < NCells + PqK)
+      .agg(array_sort(collect_list(struct((col("vec_id") - NCells).as("scid"),
+        col("r").as("rv")))).as("scb"))
+      .withColumn("jk", pmod(size(col("scb")), size(col("scb"))))
+    // q179's audit panel; qv rides along for true-distance folds
+    val q0 = withRes.filter(col("vec_id") >= NCells &&
+        col("vec_id") < NCells + RecallQ)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        pmod(col("vec_id"), lit(1)).as("jk"))
+    // query-side cell ranking (Q x NCells rows); probed cells keep the
+    // query's residual against their centroid for the ADC folds
+    val qcells = q0.join(broadcast(cb), Seq("jk"))
+      .select(col("qid"), col("qv"),
+        posexplode(col("cb")).as(Seq("pos", "cc")))
+      .select(col("qid"), col("cc.cid").as("cid"), col("cc.cv").as("ccv"),
+        aggregate(zip_with(col("qv"), col("cc.cv"),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x).as("d2c"), col("qv"))
+      .withColumn("cell_rank", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("d2c"), col("cid"))))
+      .filter(col("cell_rank") <= AdcProbe)
+      .select(col("qid"), col("cid"),
+        zip_with(col("qv"), col("ccv"), (x, y) => x - y).as("qr"))
+    // corpus x panel with the exact distance — the truth tier's domain
+    val allScored = withRes
+      .withColumn("jk", pmod(col("vec_id"), lit(1)))
+      .join(broadcast(q0), Seq("jk"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("cid"), col("r"),
+        round(aggregate(zip_with(col("v"), col("qv"),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x), 6).as("true_d2"))
+    def subD2(a: Column, b: Column, m: Int): Column =
+      aggregate(
+        zip_with(slice(a, m * PqSub + 1, PqSub),
+          slice(b, m * PqSub + 1, PqSub), (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    def bestM(m: Int): Column =
+      graft.functions.NearestCentroidExpression.nearest(
+        slice(col("r"), m * PqSub + 1, PqSub),
+        transform(col("scb"), c => struct(c.getField("scid"),
+          slice(c.getField("rv"), m * PqSub + 1, PqSub))))
+    def winRv(m: Int): Column = element_at(col("scb"),
+      element_at(col("best"), m + 1).getField("cid").cast("int") + 1)
+      .getField("rv")
+    // candidates = probed-cell rows only, with both scores on the row
+    val cand = allScored.join(broadcast(qcells), Seq("qid", "cid"))
+      .withColumn("jk", pmod(col("vec_id"), lit(1)))
+      .join(broadcast(scb), Seq("jk"))
+      .withColumn("best", array((0 until PqM).map(bestM): _*))
+      .select(col("qid"), col("vec_id"), col("true_d2"),
+        round((0 until PqM).map(m => subD2(col("qr"), winRv(m), m))
+          .reduce(_ + _), 6).as("est_d2"))
+    // ONE GroupedTopK pass at k' over three tiers: 0 = truth (all rows,
+    // exact), 1 = ceiling (candidates, exact), 2 = adc (candidates,
+    // estimate). GroupedTopK orders (score DESC, key ASC), so -d2 gives
+    // (d2 ASC, vec_id ASC) — the oracle's ORDER BY d2, vec_id.
+    val kPrime = RefineMult * RecallK
+    val tiered = allScored
+      .select(col("qid"), col("vec_id"), lit(0).as("tier"),
+        (-col("true_d2")).as("score"))
+      .unionAll(cand.select(col("qid"), col("vec_id"), lit(1).as("tier"),
+        (-col("true_d2")).as("score")))
+      .unionAll(cand.select(col("qid"), col("vec_id"), lit(2).as("tier"),
+        (-col("est_d2")).as("score")))
+    val tk = new graft.functions.GroupedTopK.TopK(kPrime).toColumn
+    val tops = tiered
+      .select((col("qid") * 4 + col("tier")).as("gk"), col("score"),
+        col("vec_id"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => graft.functions.GroupedTopK.Entry(t._2, t._3))
+      .agg(tk.name("top"))
+      .toDF("gk", "top")
+      .select(col("gk"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(expr("gk div 4").as("qid"), expr("gk % 4").cast("int").as("tier"),
+        col("pos"), col("e.key").as("vec_id"))
+      .persist() // consumed by truth, two prefix rankers, and the shortlist
+    val truth = tops.filter(col("tier") === 0 && col("pos") < RecallK)
+      .select(col("qid"), col("vec_id"))
+    val byMethod = Seq(
+      ("cand_ceiling", tops.filter(col("tier") === 1 && col("pos") < RecallK)
+        .select(col("qid"), col("vec_id"))),
+      ("adc", tops.filter(col("tier") === 2 && col("pos") < RecallK)
+        .select(col("qid"), col("vec_id"))))
+    // the +R stage: fetch the ADC top-k' exact vectors BY ID from the
+    // persisted index (broadcast the k' x Q id list into the fetch join —
+    // O(k' * Q) output rows), re-rank by exact distance
+    val shortlist = tops.filter(col("tier") === 2)
+      .select(col("qid"), col("vec_id"))
+    val refetched = withRes.select(col("vec_id"), col("v"))
+      .join(broadcast(shortlist), Seq("vec_id"))
+      .withColumn("jk", pmod(col("vec_id"), lit(1)))
+      .join(broadcast(q0.select(col("qid"), col("qv"), col("jk"))),
+        Seq("jk", "qid"))
+      .select(col("qid"), col("vec_id"),
+        round(aggregate(zip_with(col("v"), col("qv"),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x), 6).as("true_d2"))
+    val refineTk = new graft.functions.GroupedTopK.TopK(RecallK).toColumn
+    val refined = refetched
+      .select(col("qid"), (-col("true_d2")).as("score"), col("vec_id"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => graft.functions.GroupedTopK.Entry(t._2, t._3))
+      .agg(refineTk.name("top"))
+      .toDF("qid", "top")
+      .select(col("qid"), explode(col("top")).as("e"))
+      .select(col("qid"), col("e.key").as("vec_id"))
+    // scanned fraction (identical for all three rankers — the point):
+    // probed-cell populations over the corpus size
+    val pops = withRes.groupBy(col("cid")).agg(count(lit(1)).as("pop"))
+    val tot = withRes.agg(count(lit(1)).as("n_total"))
+      .withColumn("jk", pmod(col("n_total"), lit(1)))
+    val scan = qcells.select(col("qid"), col("cid"))
+      .join(broadcast(pops), Seq("cid"))
+      .groupBy(col("qid")).agg(sum(col("pop")).as("scanned"))
+      .withColumn("jk", pmod(col("scanned"), lit(1)))
+      .join(broadcast(tot), Seq("jk"))
+      .select(col("qid"), (col("scanned") / col("n_total")).as("frac"))
+    val universe = q0.select(col("qid"))
+    def audit(method: String, top: DataFrame): DataFrame = universe
+      .join(top.join(truth, Seq("qid", "vec_id"), "left_semi")
+          .groupBy(col("qid")).agg(count(lit(1)).as("n_overlap")),
+        Seq("qid"), "left")
+      .join(scan, Seq("qid"))
+      .agg(
+        round(sum(coalesce(col("n_overlap"), lit(0L)))
+          / lit((RecallQ * RecallK).toDouble), 4).as("avg_recall"),
+        round(min(coalesce(col("n_overlap"), lit(0L))
+          / lit(RecallK.toDouble)), 2).as("min_recall"),
+        round(avg(col("frac")), 4).as("avg_scanned_frac"))
+      .select(lit(method).as("method"), col("avg_recall"),
+        col("min_recall"), col("avg_scanned_frac"))
+    val out = (byMethod :+ ("adc_refine", refined))
+      .map { case (m, t) => audit(m, t) }
+      .reduce(_ unionAll _)
+      .orderBy(col("method"))
+    Cached.scopedTo(out, withRes, tops)
+  }
+
+  private def o204: String = {
+    def oSub(a: String, b: String, m: String): String =
+      s"""list_sum(list_transform(range(1, ${PqSub + 1}),
+          i -> ($a[$m * $PqSub + i] - $b[$m * $PqSub + i])
+             * ($a[$m * $PqSub + i] - $b[$m * $PqSub + i])))"""
+    def oD2(a: String, b: String): String =
+      s"""round(list_sum(list_transform(range(1, ${Dim + 1}),
+          i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), 6)"""
+    val kPrime = RefineMult * RecallK
+    s"""
+    WITH cb AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                FROM embeddings WHERE vec_id < $NCells),
+    ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dists AS (
+      SELECT e.vec_id, c.cid,
+             list_sum(list_transform(range(1, ${Dim + 1}),
+               i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS d2
+      FROM ev e CROSS JOIN cb c),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM dists) WHERE rn = 1),
+    res AS (
+      SELECT a.vec_id, a.cid,
+             list_transform(range(1, ${Dim + 1}),
+               i -> e.v[i] - c.cv[i]) AS r
+      FROM assign a JOIN ev e ON e.vec_id = a.vec_id
+      JOIN cb c ON c.cid = a.cid),
+    scb AS (SELECT vec_id - $NCells AS scid, r AS rv FROM res
+            WHERE vec_id >= $NCells AND vec_id < ${NCells + PqK}),
+    q AS (SELECT vec_id AS qid, v AS qv FROM ev
+          WHERE vec_id >= $NCells AND vec_id < ${NCells + RecallQ}),
+    qcells AS (
+      SELECT qid, cid, qr FROM (
+        SELECT q.qid, c.cid,
+               row_number() OVER (PARTITION BY q.qid ORDER BY
+                 list_sum(list_transform(range(1, ${Dim + 1}),
+                   i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))), c.cid)
+                 AS cell_rank,
+               list_transform(range(1, ${Dim + 1}), i -> q.qv[i] - c.cv[i])
+                 AS qr
+        FROM q CROSS JOIN cb c) WHERE cell_rank <= $AdcProbe),
+    allsc AS (
+      SELECT q.qid, r.vec_id, r.cid, r.r,
+             ${oD2("e.v", "q.qv")} AS true_d2
+      FROM res r JOIN ev e ON e.vec_id = r.vec_id CROSS JOIN q
+      WHERE r.vec_id <> q.qid),
+    ms AS (SELECT unnest(range(0, $PqM)) AS m),
+    candrows AS (
+      SELECT a.qid, a.vec_id, a.r, a.true_d2, qc.qr
+      FROM allsc a JOIN qcells qc ON qc.qid = a.qid AND qc.cid = a.cid),
+    sub AS (
+      SELECT c.qid, c.vec_id, m.m, s.scid, ${oSub("c.r", "s.rv", "m.m")} AS d2
+      FROM candrows c CROSS JOIN scb s CROSS JOIN ms m),
+    best AS (
+      SELECT qid, vec_id, m, scid FROM (
+        SELECT qid, vec_id, m, scid,
+               row_number() OVER (PARTITION BY qid, vec_id, m
+                 ORDER BY d2, scid) AS rn
+        FROM sub) WHERE rn = 1),
+    cand AS (
+      SELECT c.qid, c.vec_id, any_value(c.true_d2) AS true_d2,
+             round(list_sum(list(${oSub("c.qr", "s.rv", "b.m")}
+               ORDER BY b.m)), 6) AS est_d2
+      FROM best b
+      JOIN candrows c ON c.qid = b.qid AND c.vec_id = b.vec_id
+      JOIN scb s ON s.scid = b.scid
+      GROUP BY c.qid, c.vec_id),
+    truth AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+          ORDER BY true_d2, vec_id) AS rn FROM allsc) WHERE rn <= $RecallK),
+    ceil_top AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+          ORDER BY true_d2, vec_id) AS rn FROM cand) WHERE rn <= $RecallK),
+    adc_ranked AS (
+      SELECT qid, vec_id, true_d2, row_number() OVER (PARTITION BY qid
+        ORDER BY est_d2, vec_id) AS rn FROM cand),
+    adc_top AS (SELECT qid, vec_id FROM adc_ranked WHERE rn <= $RecallK),
+    refine_top AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+          ORDER BY true_d2, vec_id) AS rn2
+        FROM adc_ranked WHERE rn <= $kPrime) WHERE rn2 <= $RecallK),
+    pops AS (SELECT cid, count(*) AS pop FROM assign GROUP BY cid),
+    tot AS (SELECT count(*) AS n FROM embeddings),
+    scan AS (
+      SELECT qc.qid, sum(p.pop) / any_value(tot.n) AS frac
+      FROM qcells qc JOIN pops p USING (cid) CROSS JOIN tot
+      GROUP BY qc.qid),
+    methods AS (
+      SELECT 'cand_ceiling' AS method, qid, vec_id FROM ceil_top
+      UNION ALL SELECT 'adc', qid, vec_id FROM adc_top
+      UNION ALL SELECT 'adc_refine', qid, vec_id FROM refine_top),
+    ov AS (
+      SELECT mm.method, q.qid, coalesce(o.n, 0) AS n_overlap
+      FROM q CROSS JOIN (SELECT DISTINCT method FROM methods) mm
+      LEFT JOIN (
+        SELECT m.method, m.qid, count(*) AS n
+        FROM methods m JOIN truth t
+          ON t.qid = m.qid AND t.vec_id = m.vec_id
+        GROUP BY m.method, m.qid) o
+        ON o.method = mm.method AND o.qid = q.qid)
+    SELECT ov.method,
+           round(sum(ov.n_overlap) / ${RecallQ * RecallK}.0, 4) AS avg_recall,
+           round(min(ov.n_overlap / $RecallK.0), 2) AS min_recall,
+           round(avg(sc.frac), 4) AS avg_scanned_frac
+    FROM ov JOIN scan sc ON sc.qid = ov.qid
+    GROUP BY ov.method ORDER BY ov.method"""
+  }
+
   /** q196: nearest-centroid classifier accuracy — train per-LABEL
     * centroids on the even-vec_id half, classify the odd half by nearest
     * centroid (the same codegen'd [[graft.functions.NearestCentroidExpression]]
@@ -1731,6 +2031,7 @@ object Vec {
     FROM pairs GROUP BY bucket ORDER BY bucket"""
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q204_ivfadc_refine", q204, Some(o204)),
     QueryDef("q197_embedding_geometry", q197, Some(o197)),
     QueryDef("q196_centroid_classifier", q196, Some(o196)),
     QueryDef("q180_ivfadc", q180, Some(o180)),

@@ -45,6 +45,16 @@ object ProfileNer {
     time("encoder.evalBatch(32)") {
       toks.grouped(32).foreach(g => loaded.encoder.evalBatch(g.toArray))
     }
+    // Q4_0-native path on the quantized twin (round-7 VERDICT #3): same
+    // docs, same batching, linears evaluated from raw ggml blocks
+    val loadedQ4 = SyntheticModel.loadedQ4
+    texts.take(200).foreach(t => Ner.evalWith(Some(loadedQ4), t, truncate = true))
+    time("full evalWith (Q4_0-native)") {
+      texts.foreach(t => Ner.evalWith(Some(loadedQ4), t, truncate = true))
+    }
+    time("encoder.evalBatch(32) (Q4_0-native)") {
+      toks.grouped(32).foreach(g => loadedQ4.encoder.evalBatch(g.toArray))
+    }
     // raw matmulT throughput at the model's FFN shape
     val in = 64; val out = 256; val reps = 200000
     val x = Array.fill(in)(0.1f); val wt = Array.fill(in * out)(0.01f)
@@ -55,6 +65,16 @@ object ProfileNer {
       while (r < reps) { k.matmulT(x, 0, in, wt, 0, out, out, bias, y, 0); r += 1 }
       val sec = (System.nanoTime() - t0) / 1e9
       println(f"${k.getClass.getSimpleName} matmulT($in x $out): " +
+        f"${reps.toLong * in * out / sec / 1e9}%.2f GMAC/s")
+    }
+    // and the same shape through the Q4_0-native kernel
+    val wq = graft.ner.ModelFormat.quantizeQ4(Array.fill(in * out)(0.01f))
+    for (k <- graft.ner.Kernels.all) {
+      val t0 = System.nanoTime()
+      var r = 0
+      while (r < reps) { k.matmulQ4(x, 0, in, wq, out, bias, y, 0); r += 1 }
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"${k.getClass.getSimpleName} matmulQ4($in x $out): " +
         f"${reps.toLong * in * out / sec / 1e9}%.2f GMAC/s")
     }
     spark.stop()

@@ -26,8 +26,29 @@ object TestModels {
       data.foreach(f32)
       this
     }
+    def tensorQ4(name: String, dimsInnermostFirst: Array[Int], raw: Array[Byte]): Writer = {
+      val nameBytes = name.getBytes(StandardCharsets.UTF_8)
+      i32(dimsInnermostFirst.length); i32(nameBytes.length); i32(2) // ftype Q4_0
+      dimsInnermostFirst.foreach(i32)
+      bytes(nameBytes)
+      bytes(raw)
+      this
+    }
     def close(): Unit = out.close()
   }
+
+  /** ggml Q4_0 quantizer — delegated to the main-scope implementation
+    * ([[ModelFormat.quantizeQ4]]), kept as an alias so fixtures read
+    * naturally. */
+  def quantizeQ4(data: Array[Float]): Array[Byte] =
+    ModelFormat.quantizeQ4(data)
+
+  /** The effective weights a Q4_0-written tensor represents after the
+    * stored f16 scale round-trip — quantize then dequantize through the
+    * loader's own block decoder, so a comparison F32 model can carry
+    * BIT-IDENTICAL effective values. */
+  def q4Effective(data: Array[Float]): Array[Float] =
+    ModelFormat.dequantQ4(quantizeQ4(data), data.length)
 
   val DefaultVocab: Seq[String] = Seq(
     "[PAD]", "[CLS]", "[SEP]", "duck", "##db", "is", "great", "new", "york",
@@ -49,17 +70,25 @@ object TestModels {
       nLabels: Int = 9,
       classifierBias: Array[Float] = null,
       weightGen: (String, Int) => Array[Float] = zeros,
-      extraTensor: Boolean = false
+      extraTensor: Boolean = false,
+      q4Linears: Boolean = false
   ): Unit = {
     val w = new Writer(path)
     w.i32(ModelFormat.Magic)
     w.i32(vocab.length).i32(nMaxTokens).i32(nEmbd).i32(nIntermediate)
-    w.i32(nHead).i32(nLayer).i32(0 /* f16 */).i32(nLabels)
+    w.i32(nHead).i32(nLayer).i32(if (q4Linears) 2 else 0 /* f16 flag */)
+    w.i32(nLabels)
     vocab.foreach(w.str)
 
     def t(name: String, dims: Array[Int]): Unit = {
       val n = dims.product
-      w.tensor(name, dims, weightGen(name, n))
+      val data = weightGen(name, n)
+      // q4Linears: the matmul weights ship as ggml Q4_0 blocks (the
+      // reference's quantized-model case, ner_model.cpp:194); everything
+      // else stays F32 like the converter's mixed-precision output
+      if (q4Linears && isLinearWeight(name) && n % 32 == 0)
+        w.tensorQ4(name, dims, quantizeQ4(data))
+      else w.tensor(name, dims, data)
     }
     t("embeddings.word_embeddings.weight", Array(nEmbd, vocab.length))
     t("embeddings.token_type_embeddings.weight", Array(nEmbd, 2))
@@ -94,6 +123,11 @@ object TestModels {
     } else t("classifier.bias", Array(nLabels))
     w.close()
   }
+
+  /** The tensor names [[BertEncoder]] evaluates as linear matmuls (and so
+    * may consume Q4_0-natively). */
+  def isLinearWeight(name: String): Boolean =
+    ModelFormat.isLinearWeight(name)
 
   def zeros(name: String, n: Int): Array[Float] = new Array[Float](n)
 
