@@ -103,6 +103,43 @@ class KernelPropertiesSpec extends AnyFunSuite {
     assert(ExpF.expf(0f) == 1f)
   }
 
+  test("matmulQ4: every kernel matches the dequantized-F32 definition") {
+    // property: for random Q4_0 weights and activations, each kernel's
+    // quantized-native output equals the plain dot of the DEQUANTIZED
+    // weights within accumulation-order tolerance — scalar and SIMD decode
+    // the same blocks, so a nibble/scale/lane bug shows up as a gross
+    // mismatch, not a rounding one
+    val genCase = for {
+      blocks <- Gen.choose(1, 4)
+      out <- Gen.choose(1, 7)
+      seed <- Gen.choose(0L, Long.MaxValue)
+    } yield (blocks, out, seed)
+    holds("matmulQ4 vs dequantized reference")(Prop.forAll(genCase) {
+      case (blocks, out, seed) =>
+        val in = blocks * 32
+        val r = new scala.util.Random(seed)
+        val w = Array.fill(out * in)((r.nextFloat() - 0.5f) * 0.4f)
+        val wq = ModelFormat.quantizeQ4(w)
+        val eff = ModelFormat.dequantQ4(wq, w.length)
+        val x = Array.fill(in)((r.nextFloat() - 0.5f) * 2f)
+        val b = Array.fill(out)((r.nextFloat() - 0.5f))
+        val expect = Array.tabulate(out) { o =>
+          var acc = b(o).toDouble
+          var i = 0
+          while (i < in) { acc += eff(o * in + i).toDouble * x(i); i += 1 }
+          acc
+        }
+        Kernels.all.forall { k =>
+          val y = new Array[Float](out)
+          k.matmulQ4(x, 0, in, wq, out, b, y, 0)
+          (0 until out).forall { o =>
+            val tol = 1e-4 * math.max(1.0, math.abs(expect(o)))
+            math.abs(y(o) - expect(o)) <= tol
+          }
+        }
+    })
+  }
+
   test("f16 widening is strictly monotone on finite positive halves") {
     holds("f16") {
       Prop.forAll(Gen.choose(0x0000, 0x7bfe)) { bits =>
