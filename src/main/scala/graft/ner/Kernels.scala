@@ -405,12 +405,22 @@ private[graft] object SimdKernel extends DotKernel {
   }
 
   // --- Q4_0-native matmul: in-register nibble decode (round-7 VERDICT #3).
-  // Shapes are FIXED (Byte128 -> Float256 x 4) rather than
-  // SPECIES_PREFERRED: one ggml block is exactly one 16-byte vector, and
-  // the four 8-lane float quarters it decodes to are the block's natural
-  // partition; on narrower hardware the API degrades gracefully.
+  // The float math MUST run on the SAME species as every other kernel
+  // (SPECIES_PREFERRED): an earlier fixed-SPECIES_256 version made
+  // Float256Vector and Float512Vector hot simultaneously on AVX-512
+  // machines, which polluted the shared FloatVector template call-site
+  // profiles badly enough that C2 recompiled matmulT/gelu WITHOUT vector
+  // intrinsics — the whole F32 encoder ran 5-10x slower via the Java
+  // fallback (lanewiseTemplate/stOp frames in stack samples) for the rest
+  // of the JVM's life. One block's 16 nibble bytes stay a Byte128 vector
+  // (no float-side profile impact: matmulT never touches ByteVector);
+  // they widen B2F into 16/sp.length float parts per nibble half.
   private val b128 = jdk.incubator.vector.ByteVector.SPECIES_128
-  private val f256 = FloatVector.SPECIES_256
+  // preferred species, capped at 16 lanes (one nibble half) — equals sp on
+  // every real machine (max 512-bit = 16 float lanes today)
+  private val qsp =
+    if (sp.length >= 16) FloatVector.SPECIES_512 else sp
+  private val qParts = 16 / qsp.length
   private val vEight = jdk.incubator.vector.ByteVector.broadcast(b128, 8.toByte)
   private val vNibble = jdk.incubator.vector.ByteVector.broadcast(b128, 0x0f.toByte)
   // all 65536 half-precision values widened once (256 KB): the per-block
@@ -425,7 +435,7 @@ private[graft] object SimdKernel extends DotKernel {
     var o = 0
     while (o < out) {
       val rowOff = o * blocksPerRow * 18
-      var vacc = FloatVector.zero(f256)
+      var vacc = FloatVector.zero(qsp)
       var blk = 0
       while (blk < blocksPerRow) {
         val off = rowOff + blk * 18
@@ -433,24 +443,24 @@ private[graft] object SimdKernel extends DotKernel {
         val bv = jdk.incubator.vector.ByteVector.fromArray(b128, wq, off + 2)
         // low nibbles = values 0..15 of the block, high nibbles = 16..31;
         // (q & 0xf) - 8 and (q >>> 4) - 8 stay in byte lanes, then widen
-        // byte -> float in 8-lane quarters
+        // byte -> float in qsp-lane parts per nibble half
         val lo = bv.and(vNibble).sub(vEight)
         val hi = bv.lanewise(VectorOperators.LSHR, 4).sub(vEight)
-        val w0 = lo.convertShape(VectorOperators.B2F, f256, 0)
-          .asInstanceOf[FloatVector]
-        val w1 = lo.convertShape(VectorOperators.B2F, f256, 1)
-          .asInstanceOf[FloatVector]
-        val w2 = hi.convertShape(VectorOperators.B2F, f256, 0)
-          .asInstanceOf[FloatVector]
-        val w3 = hi.convertShape(VectorOperators.B2F, f256, 1)
-          .asInstanceOf[FloatVector]
         val xb = xo + blk * 32
-        var t = w0.mul(FloatVector.fromArray(f256, x, xb))
-        t = w1.fma(FloatVector.fromArray(f256, x, xb + 8), t)
-        t = w2.fma(FloatVector.fromArray(f256, x, xb + 16), t)
-        t = w3.fma(FloatVector.fromArray(f256, x, xb + 24), t)
+        var t = FloatVector.zero(qsp)
+        var p = 0
+        while (p < qParts) {
+          val wlo = lo.convertShape(VectorOperators.B2F, qsp, p)
+            .asInstanceOf[FloatVector]
+          val whi = hi.convertShape(VectorOperators.B2F, qsp, p)
+            .asInstanceOf[FloatVector]
+          val lane = p * qsp.length
+          t = wlo.fma(FloatVector.fromArray(qsp, x, xb + lane), t)
+          t = whi.fma(FloatVector.fromArray(qsp, x, xb + 16 + lane), t)
+          p += 1
+        }
         // block partial scaled once by the block's f16 scale
-        vacc = t.fma(FloatVector.broadcast(f256, d), vacc)
+        vacc = t.fma(FloatVector.broadcast(qsp, d), vacc)
         blk += 1
       }
       y(yo + o) = (if (b != null) b(o) else 0f) +

@@ -69,8 +69,34 @@ object NerQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q205: q26's inference pipeline against the Q4_0-QUANTIZED twin of the
+    * synthetic model — the quantized-native matmul path
+    * ([[graft.ner.DotKernel.matmulQ4]], round-7 VERDICT #3) exercised
+    * end-to-end under Spark parallelism. Rows-only like q26 (no DuckDB
+    * transformer); its bench time against q26's is the in-situ F32-vs-Q4
+    * throughput readout for a cache-resident model (BASELINE.md records
+    * the single-thread story; the weight-streaming regime is where Q4
+    * wins, which local testdata cannot reach).
+    */
+  private def withModelQ4(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.parallelize(s, documents(s, d))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val loaded = Some(graft.ner.SyntheticModel.loadedQ4)
+        Ner.evalPartition(loaded, rows, truncate = true).map {
+          case (id, ents) =>
+            (id, ents.length, if (ents.isEmpty) null else ents.head.label)
+        }
+      }
+      .toDF("doc_id", "n_entities", "first_label")
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q24_ner_flagship", flagship, Some(oFlagship)),
     QueryDef("q25_ner_extract_sql", extract2, Some(oFlagship)),
-    QueryDef("q26_ner_with_model", withModel, None))
+    QueryDef("q26_ner_with_model", withModel, None),
+    QueryDef("q205_ner_q4_native", withModelQ4, None))
 }
