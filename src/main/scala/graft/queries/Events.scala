@@ -1090,7 +1090,214 @@ object Events {
     WINDOW w AS (PARTITION BY event_type ORDER BY week)
     ORDER BY event_type, week"""
 
+  /** Value-iteration depth for q206: conversion probability within
+    * [[AttribK]] steps — the truncation IS the spec (both engines unroll
+    * the same K, so the number is exact, not a convergence approximation).
+    * Journeys in the testdata are far shorter than 16 hops. */
+  private val AttribK = 16
+
+  /** q206: Markov removal-effect attribution — the multi-touch attribution
+    * model over q189's first-order chain (Anderl et al., "Mapping the
+    * customer journey", IJRM 2016). Each user's pre-purchase event sequence
+    * becomes a START -> channels -> CONV/DROP journey (cut at the first
+    * purchase; purchase = absorption into CONV, journey end without one =
+    * DROP); transition probabilities are rounded at 6; the base chain and
+    * one REMOVAL VARIANT per channel (all transitions into the channel
+    * redirected to DROP — the walker that would visit it is lost) run
+    * [[AttribK]] steps of value iteration simultaneously, keyed by a
+    * variant column. A channel's removal effect is the relative drop in
+    * START's conversion probability; attribution shares normalize the
+    * effects. This is the one attribution scheme that credits synergy
+    * (positions and repeats) instead of heuristic splits — and it composes
+    * two things the catalog already proves separately: q189's transition
+    * matrix and q179's composed-iteration chains.
+    *
+    * Scale stance: the corpus is touched ONCE (the per-user window that
+    * builds transitions — q189's exchange); everything after operates on
+    * the aggregated (variant x state x state) matrix, ~150 rows regardless
+    * of corpus size, persisted so the 16 iteration steps never re-scan
+    * events. Every iteration's per-state sum folds in (nxt, p) order on
+    * both engines, so all AttribK x |S| doubles are bit-identical and only
+    * final outputs need rounding.
+    */
+  private def q206(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val wAll = Window.partitionBy(col("user_id"))
+    val rows = events(s, d)
+      .select(col("user_id"), col("event_type"), col("event_id"),
+        tsUs.as("us"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("prn", min(when(col("event_type") === "purchase",
+        col("rn"))).over(wAll))
+    val kw = Window.partitionBy(col("user_id")).orderBy(col("rn"))
+    val kept = rows
+      .filter(col("prn").isNull || col("rn") < col("prn"))
+      .withColumn("prev", lag(col("event_type"), 1).over(kw))
+      .withColumn("maxrn", max(col("rn")).over(Window.partitionBy(col("user_id"))))
+    val transRaw = kept
+      .select(coalesce(col("prev"), lit("START")).as("cur"),
+        col("event_type").as("nxt"))
+      .unionAll(kept.filter(col("rn") === col("maxrn"))
+        .select(col("event_type").as("cur"),
+          when(col("prn").isNotNull, lit("CONV")).otherwise(lit("DROP"))
+            .as("nxt")))
+      .unionAll(rows.filter(col("rn") === 1 && col("prn") === 1)
+        .select(lit("START").as("cur"), lit("CONV").as("nxt")))
+    val cnt = transRaw.groupBy(col("cur"), col("nxt"))
+      .agg(count(lit(1)).as("n"))
+    val tot = cnt.groupBy(col("cur")).agg(sum(col("n")).cast("long").as("nt"))
+    val base = cnt.join(broadcast(tot), Seq("cur"))
+      .select(col("cur"), col("nxt"),
+        round(col("n") / col("nt").cast("double"), 6).as("p"))
+    val variants = base.filter(col("cur") =!= "START")
+      .select(col("cur").as("variant")).distinct()
+      .unionAll(base.select(lit("base").as("variant")).limit(1))
+    // variant x transition matrix (~150 rows at 4 channels).
+    // localCheckpoint, not persist: the 16 iteration steps (and the three
+    // consumers of the final vector) each embed this frame's LOGICAL plan —
+    // with lineage intact the window-heavy events subtree appears ~50x in
+    // the final plan and the optimizer alone took ~55 s at sf0.1; the
+    // eager checkpoint truncates the subtree to a leaf (q97's pattern).
+    val trans = base
+      .withColumn("jk", pmod(length(col("cur")), lit(1)))
+      .join(broadcast(variants.withColumn("jk",
+        pmod(length(col("variant")), lit(1)))), Seq("jk"))
+      .select(col("variant"), col("cur"),
+        when(col("nxt") === col("variant"), lit("DROP")).otherwise(col("nxt"))
+          .as("nxt"),
+        col("p"))
+      // one partition: every iteration stage over the ~150-row matrix is a
+      // single task instead of 32 near-empty ones (constant-size data — at
+      // any corpus scale this frame is |variants| x |S|^2)
+      .coalesce(1)
+      .localCheckpoint()
+    val v0 = trans.select(col("variant"), col("cur").as("state"))
+      .distinct().withColumn("v", lit(0.0))
+    // one value-iteration step: v'(variant, s) = sum over transitions of
+    // p * value(nxt), folded in (nxt, p) order — identical to the oracle's
+    // list_sum(list(... ORDER BY nxt, p))
+    def step(v: DataFrame): DataFrame = trans
+      .join(broadcast(v.select(col("variant"), col("state").as("nxt"),
+        col("v").as("vn"))), Seq("variant", "nxt"), "left")
+      .withColumn("value",
+        when(col("nxt") === "CONV", lit(1.0))
+          .when(col("nxt") === "DROP", lit(0.0))
+          .otherwise(coalesce(col("vn"), lit(0.0))))
+      .select(col("variant"), col("cur"), col("nxt"), col("p"),
+        (col("p") * col("value")).as("contrib"))
+      .groupBy(col("variant"), col("cur").as("state"))
+      .agg(expr("""aggregate(array_sort(collect_list(struct(nxt, p, contrib))),
+        cast(0.0 as double), (a, x) -> a + x.contrib)""").as("v"))
+    val vK = (1 to AttribK).foldLeft(v0)((v, _) => step(v))
+    // the START-state vector feeds three consumers (base prob, removal
+    // rows, share total) — checkpoint so the 16-step chain runs ONCE, not
+    // once per consumer
+    val fin = vK.filter(col("state") === "START")
+      .withColumn("jk", pmod(length(col("variant")), lit(1)))
+      .coalesce(1)
+      .localCheckpoint()
+    val pBase = fin.filter(col("variant") === "base")
+      .select(col("jk"), col("v").as("pb"))
+    val re = fin.filter(col("variant") =!= "base")
+      .join(broadcast(pBase), Seq("jk"))
+      .select(col("variant").as("channel"),
+        round(col("pb"), 6).as("p_base"),
+        round(col("v"), 6).as("p_removed"),
+        round(when(col("pb") > 0,
+            greatest(lit(0.0), (col("pb") - col("v")) / col("pb")))
+          .otherwise(lit(0.0)), 6).as("removal_effect"))
+    val reTot = re
+      .agg(expr("""aggregate(array_sort(collect_list(struct(channel,
+        removal_effect))), cast(0.0 as double),
+        (a, x) -> a + x.removal_effect)""").as("te"))
+      // jk must derive from a COLUMN: a when(col, lit).otherwise(lit) with
+      // literal branches constant-folds and the literal=literal key plans
+      // as BroadcastNestedLoopJoin (the CLAUDE.md trap, caught by
+      // CatalogSpec)
+      .withColumn("jk", pmod(length(col("te").cast("string")), lit(1)))
+    re.withColumn("jk", pmod(length(col("channel")), lit(1)))
+      .join(broadcast(reTot), Seq("jk"))
+      .select(col("channel"), col("p_base"), col("p_removed"),
+        col("removal_effect"),
+        round(when(col("te") > 0, col("removal_effect") / col("te"))
+          .otherwise(lit(0.0)), 6).as("attribution"))
+      .orderBy(col("channel"))
+  }
+
+  /** One oracle value-iteration CTE per step — q179's oLloydCtes pattern. */
+  private def oAttribSteps(k: Int): String = (1 to k).map { i =>
+    s"""
+    v$i AS (
+      SELECT t.variant, t.cur AS state,
+             list_sum(list(t.p * CASE WHEN t.nxt = 'CONV' THEN 1.0
+                                      WHEN t.nxt = 'DROP' THEN 0.0
+                                      ELSE coalesce(pv.v, 0.0) END
+                           ORDER BY t.nxt, t.p)) AS v
+      FROM trans t LEFT JOIN v${i - 1} pv
+        ON pv.variant = t.variant AND pv.state = t.nxt
+      GROUP BY t.variant, t.cur)"""
+  }.mkString(",")
+
+  private def o206: String = s"""
+    WITH r0 AS (
+      SELECT user_id, event_type, event_id,
+             row_number() OVER (PARTITION BY user_id
+               ORDER BY epoch_us(ts), event_id) AS rn
+      FROM events),
+    r AS (
+      SELECT user_id, event_type, event_id, rn,
+             min(CASE WHEN event_type = 'purchase' THEN rn END)
+               OVER (PARTITION BY user_id) AS prn
+      FROM r0),
+    kept AS (
+      SELECT user_id, event_type, rn, prn,
+             lag(event_type) OVER (PARTITION BY user_id ORDER BY rn) AS prev,
+             max(rn) OVER (PARTITION BY user_id) AS maxrn
+      FROM r WHERE prn IS NULL OR rn < prn),
+    tr AS (
+      SELECT coalesce(prev, 'START') AS cur, event_type AS nxt FROM kept
+      UNION ALL
+      SELECT event_type,
+             CASE WHEN prn IS NOT NULL THEN 'CONV' ELSE 'DROP' END
+      FROM kept WHERE rn = maxrn
+      UNION ALL
+      SELECT 'START', 'CONV' FROM r WHERE rn = 1 AND prn = 1),
+    cnt AS (SELECT cur, nxt, count(*) AS n FROM tr GROUP BY cur, nxt),
+    tot AS (SELECT cur, CAST(sum(n) AS BIGINT) AS nt FROM cnt GROUP BY cur),
+    base AS (
+      SELECT c.cur, c.nxt,
+             round(CAST(c.n AS DOUBLE) / CAST(t.nt AS DOUBLE), 6) AS p
+      FROM cnt c JOIN tot t USING (cur)),
+    vars AS (SELECT DISTINCT cur AS variant FROM base WHERE cur <> 'START'
+             UNION ALL SELECT 'base'),
+    trans AS (
+      SELECT v.variant, b.cur,
+             CASE WHEN b.nxt = v.variant THEN 'DROP' ELSE b.nxt END AS nxt,
+             b.p
+      FROM base b CROSS JOIN vars v),
+    v0 AS (SELECT DISTINCT variant, cur AS state, CAST(0.0 AS DOUBLE) AS v
+           FROM trans),
+    ${oAttribSteps(AttribK)},
+    fin AS (SELECT variant, v FROM v$AttribK WHERE state = 'START'),
+    pb AS (SELECT v AS pb FROM fin WHERE variant = 'base'),
+    re AS (
+      SELECT f.variant AS channel,
+             round(pb.pb, 6) AS p_base,
+             round(f.v, 6) AS p_removed,
+             round(CASE WHEN pb.pb > 0
+               THEN greatest(0.0, (pb.pb - f.v) / pb.pb) ELSE 0.0 END, 6)
+               AS removal_effect
+      FROM fin f, pb WHERE f.variant <> 'base'),
+    te AS (SELECT list_sum(list(removal_effect ORDER BY channel)) AS te
+           FROM re)
+    SELECT channel, p_base, p_removed, removal_effect,
+           round(CASE WHEN te.te > 0 THEN removal_effect / te.te
+                 ELSE 0.0 END, 6) AS attribution
+    FROM re, te ORDER BY channel"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q206_markov_attribution", q206, Some(o206)),
     QueryDef("q169_wow_growth", q169, Some(o169)),
     QueryDef("q158_asof_native", q158, Some(o158)),
     QueryDef("q182_pit_enrich", q182, Some(o182)),
