@@ -935,7 +935,13 @@ object Dedup {
     * exact-Jaccard work is restricted to candidate docs via semi-join exactly
     * as in q38.
     */
-  private def q143(s: SparkSession, d: String): DataFrame = {
+  /** Shared by q143 (per-pair audit) and q207 (threshold sweep): every LSH
+    * candidate pair with its MinHash-estimated AND exact shingle Jaccard
+    * (unrounded doubles; absent-overlap exact coalesced to 0). Returns the
+    * frame plus the two persisted intermediates for the caller's
+    * [[Cached.scopedTo]]. */
+  private def candJaccard(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, DataFrame) = {
     // ONE persisted signature pass feeds everything: the band explode (both
     // sides of the candidate self-join) and the two per-pair signature
     // lookups — without it the CPU-bound signature subtree evaluates 4x
@@ -976,15 +982,131 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"),
         (col("ni") / (col("za.sz") + col("zb.sz") - col("ni")))
           .as("exact_jac"))
-    val out = est.join(exact, Seq("doc_a", "doc_b"), "left")
+    val pairs = est.join(exact, Seq("doc_a", "doc_b"), "left")
+      .select(col("doc_a"), col("doc_b"), col("est_jac"),
+        coalesce(col("exact_jac"), lit(0.0)).as("exact_jac"))
+    (pairs, sig, sh)
+  }
+
+  private def q143(s: SparkSession, d: String): DataFrame = {
+    val (pairs, sig, sh) = candJaccard(s, d)
+    val out = pairs
       .select(col("doc_a"), col("doc_b"),
         round(col("est_jac"), 6).as("est_jac"),
-        round(coalesce(col("exact_jac"), lit(0.0)), 6).as("exact_jac"),
-        round(abs(col("est_jac") - coalesce(col("exact_jac"), lit(0.0))), 6)
-          .as("abs_err"))
+        round(col("exact_jac"), 6).as("exact_jac"),
+        round(abs(col("est_jac") - col("exact_jac")), 6).as("abs_err"))
       .orderBy(col("doc_a"), col("doc_b"))
     Cached.scopedTo(out, sig, sh)
   }
+
+  /** Jaccard tiers for q207's sweep — 0.1-step literals, exactly the same
+    * doubles on both engines, compared with >= against exact ratios and
+    * k/$NumHashes estimates (no rounding in the comparison path). */
+  private val SweepTiers = Seq("0.3", "0.4", "0.5", "0.6", "0.7", "0.8", "0.9")
+
+  /** q207: LSH threshold calibration sweep — the tune-your-dedup-gate
+    * readout. Over the SAME candidate pairs and (estimated, exact) Jaccards
+    * as q143, roll up per candidate threshold tau: how many candidates the
+    * banded-LSH gate admitted (constant across tiers — that is the gate),
+    * how many are truly >= tau (candidate precision: LSH admission vs
+    * intent), how many the cheap MinHash-estimate filter would keep, and
+    * the estimate-vs-truth confusion (precision/recall of thresholding the
+    * estimate instead of the exact Jaccard — the decision a 100 TB pipeline
+    * actually makes, since exact verification is what the sweep prices).
+    * Work stays candidate-bounded: the tier explosion multiplies PAIRS
+    * (not the corpus) by |tiers|.
+    */
+  private def q207(s: SparkSession, d: String): DataFrame = {
+    val (pairs, sig, sh) = candJaccard(s, d)
+    val tiers = array(SweepTiers.map(t => lit(t.toDouble)): _*)
+    val out = pairs
+      .withColumn("tau", explode(tiers))
+      .groupBy(col("tau"))
+      .agg(
+        count(lit(1)).as("n_cand"),
+        sum(when(col("exact_jac") >= col("tau"), 1L).otherwise(0L))
+          .cast("long").as("n_true"),
+        sum(when(col("est_jac") >= col("tau"), 1L).otherwise(0L))
+          .cast("long").as("n_est"),
+        sum(when(col("est_jac") >= col("tau") &&
+            col("exact_jac") >= col("tau"), 1L).otherwise(0L))
+          .cast("long").as("n_tp"))
+      .select(col("tau"), col("n_cand"), col("n_true"), col("n_est"),
+        col("n_tp"),
+        round(col("n_true") / col("n_cand").cast("double"), 6)
+          .as("cand_precision"),
+        round(when(col("n_est") > 0,
+            col("n_tp") / col("n_est").cast("double")).otherwise(lit(0.0)), 6)
+          .as("est_precision"),
+        round(when(col("n_true") > 0,
+            col("n_tp") / col("n_true").cast("double")).otherwise(lit(0.0)), 6)
+          .as("est_recall"))
+      .orderBy(col("tau"))
+    Cached.scopedTo(out, sig, sh)
+  }
+
+  private def o207: String =
+    s"""WITH b AS ($oBands),
+       cand AS (
+         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM b x JOIN b y
+           ON x.band_pos = y.band_pos AND x.bkey = y.bkey
+          AND x.doc_id < y.doc_id),
+       sig AS ($oSig),
+       est AS (
+         SELECT doc_a, doc_b,
+                (${(0 until NumHashes)
+                  .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END")
+                  .mkString(" + ")}) / ${NumHashes}.0 AS est_jac
+         FROM cand
+         JOIN sig a ON a.doc_id = doc_a
+         JOIN sig b ON b.doc_id = doc_b),
+       sh AS (
+         SELECT DISTINCT doc_id,
+                unnest(list_transform(range(1, length(text) - ${ShingleLen - 2}),
+                  i -> substr(text, i, $ShingleLen))) AS sh
+         FROM documents),
+       sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       exact AS (
+         SELECT doc_a, doc_b, ni / (za.sz + zb.sz - ni) AS exact_jac
+         FROM (SELECT doc_a, doc_b, count(*) AS ni
+               FROM cand
+               JOIN sh sa ON sa.doc_id = doc_a
+               JOIN sh sb ON sb.doc_id = doc_b AND sb.sh = sa.sh
+               GROUP BY 1, 2) i
+         JOIN sz za ON za.doc_id = doc_a
+         JOIN sz zb ON zb.doc_id = doc_b),
+       pairs AS (
+         SELECT est.doc_a, est.doc_b, est.est_jac,
+                coalesce(exact.exact_jac, 0) AS exact_jac
+         FROM est LEFT JOIN exact
+           ON exact.doc_a = est.doc_a AND exact.doc_b = est.doc_b),
+       tiers AS (SELECT unnest([${SweepTiers.mkString(", ")}]) AS tau)
+       SELECT t.tau, CAST(count(*) AS BIGINT) AS n_cand,
+              CAST(sum(CASE WHEN exact_jac >= t.tau THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_true,
+              CAST(sum(CASE WHEN est_jac >= t.tau THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_est,
+              CAST(sum(CASE WHEN est_jac >= t.tau AND exact_jac >= t.tau
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_tp,
+              round(sum(CASE WHEN exact_jac >= t.tau THEN 1 ELSE 0 END)
+                / CAST(count(*) AS DOUBLE), 6) AS cand_precision,
+              round(CASE WHEN sum(CASE WHEN est_jac >= t.tau THEN 1 ELSE 0
+                  END) > 0
+                THEN sum(CASE WHEN est_jac >= t.tau AND exact_jac >= t.tau
+                    THEN 1 ELSE 0 END)
+                  / CAST(sum(CASE WHEN est_jac >= t.tau THEN 1 ELSE 0 END)
+                    AS DOUBLE)
+                ELSE 0.0 END, 6) AS est_precision,
+              round(CASE WHEN sum(CASE WHEN exact_jac >= t.tau THEN 1 ELSE 0
+                  END) > 0
+                THEN sum(CASE WHEN est_jac >= t.tau AND exact_jac >= t.tau
+                    THEN 1 ELSE 0 END)
+                  / CAST(sum(CASE WHEN exact_jac >= t.tau THEN 1 ELSE 0 END)
+                    AS DOUBLE)
+                ELSE 0.0 END, 6) AS est_recall
+       FROM pairs CROSS JOIN tiers t
+       GROUP BY t.tau ORDER BY t.tau"""
 
   private def o143: String =
     s"""WITH b AS ($oBands),
@@ -1300,6 +1422,7 @@ object Dedup {
     QueryDef("q142_dup_spans", q142, Some(o142)),
     QueryDef("q171_minimizer_spans", q171, Some(o171)),
     QueryDef("q143_minhash_accuracy", q143, Some(o143)),
+    QueryDef("q207_lsh_threshold_sweep", q207, Some(o207)),
     QueryDef("q132_dup_ngram_ratio", q132, Some(o132)),
     QueryDef("q120_prefix_filter_join", q120, Some(o120)),
     QueryDef("q104_incremental_dedup", q104, Some(o104)),
