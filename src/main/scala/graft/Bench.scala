@@ -15,16 +15,22 @@ import org.apache.spark.sql.SparkSession
   * therefore now produced by an ORCHESTRATOR (no CLI args — the driver's
   * invocation): it forks each ~50-query shard as a fresh JVM subprocess
   * (same classpath/JVM flags as this process), merges the shard detail
-  * JSONs, and re-measures the 10 slowest queries in one final fresh-JVM
-  * "drift" child. Session-state can then never span more than one shard, and
-  * the drift rerun is a true fresh-JVM number by construction.
+  * JSONs, and re-measures each of the 10 slowest queries in its OWN
+  * fresh-JVM "drift" child (round-8 VERDICT #1 — a single shared drift
+  * child accumulated ContextCleaner backlog across its back-to-back
+  * reruns). Session-state can then never span more than one shard, and
+  * every drift rerun is a true fresh-JVM number by construction.
   *
-  * == Calibration (round-7 VERDICT #6) ==
-  * Each shard child re-times a fixed probe (q01, the pricing summary) at
-  * shard start / middle / end, reported under "calibration". The artifact
-  * thus carries its own environment-drift normalizer: a cross-round
-  * per-query comparison should be read against the calibration ratio of the
-  * two artifacts instead of reconstructing machine drift forensically.
+  * == Calibration (round-7 VERDICT #6, round-8 VERDICT #2) ==
+  * Each child (shard AND drift) re-times a fixed probe (q01, the pricing
+  * summary) at start / middle / end, reported under "calibration". The
+  * artifact thus carries its own environment-drift normalizer: a
+  * cross-round per-query comparison should be read against the calibration
+  * ratio of the two artifacts (tools/compare_bench.py automates this)
+  * instead of reconstructing machine drift forensically. Children whose
+  * worst probe exceeds 2x the cross-child median are listed under
+  * "degraded" — their numbers are machine-window artifacts, and BASELINE.md
+  * policy quotes only non-flagged children cross-round.
   *
   * CLI: no args = orchestrator (fork shards). With query names = measure
   * those in-process (the child/local-iteration mode). Flags (child use):
@@ -52,7 +58,11 @@ object Bench {
   private def orchestrate(): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val shardSize = sys.env.getOrElse("SPARK_GRAFT_BENCH_SHARD", "50").toInt
-    val allNames = SparkEntry.queries.keys.toSeq.sorted
+    // local smoke-testing only (driver never sets it): cap the catalog so an
+    // orchestrator change can be exercised end-to-end in minutes, not an hour
+    val limit = sys.env.get("SPARK_GRAFT_BENCH_LIMIT").map(_.toInt)
+    val allNames0 = SparkEntry.queries.keys.toSeq.sorted
+    val allNames = limit.fold(allNames0)(allNames0.take)
     val shards = allNames.grouped(shardSize).toSeq
     val t0 = System.nanoTime()
 
@@ -64,26 +74,53 @@ object Bench {
     val queries = shardResults.flatMap(_.queries)
     val failed = shardResults.flatMap(_.failed)
     val flaky = shardResults.flatMap(_.flaky)
-    val calib = shardResults.zipWithIndex.map { case (r, i) =>
-      s""""shard$i":${r.calibration.getOrElse("{}")}"""
+
+    // Drift check, now meaningful by construction: each rerun gets its OWN
+    // fresh JVM (round-8 VERDICT #1 — a shared drift child accumulated
+    // ContextCleaner backlog across its 10 back-to-back reruns, inflating
+    // the later ones: q97 8.8→11.4 in BENCH_r08), and carries --calibrate so
+    // every published rerun number rides with its own probe triple.
+    val slowest = queries.filter(_._2 >= 0).sortBy(-_._2).take(10).map(_._1)
+    val driftResults = slowest.map { n =>
+      System.err.println(s"[bench] drift rerun child for $n: fresh JVM")
+      n -> runChild(s"drift_$n", "--calibrate" :: "--no-drift" :: List(n))
+    }
+    val qmap = queries.toMap
+    val drift = driftResults.map { case (n, r) =>
+      val t = r.queries.toMap.getOrElse(n, -1.0)
+      f""""$n":{"insuite":${qmap(n)}%.3f,"rerun":$t%.3f}"""
     }.mkString("{", ",", "}")
 
-    // Drift check, now meaningful by construction: the rerun child is a
-    // fresh JVM, so insuite-vs-rerun measures what single-shard session
-    // state cost the in-suite number — not (as through r7) one degraded
-    // JVM measured against a differently-degraded one.
-    val slowest = queries.filter(_._2 >= 0).sortBy(-_._2).take(10).map(_._1)
-    val rerun: Map[String, Double] =
-      if (slowest.isEmpty) Map.empty
+    // Every child's probe triple in one object: shards + per-query drift
+    // children. A cross-round comparator normalizes against these instead of
+    // reconstructing machine drift forensically (round-7 VERDICT #6).
+    val allCalib: Seq[(String, String)] =
+      shardResults.zipWithIndex.map { case (r, i) =>
+        s"shard$i" -> r.calibration.getOrElse("{}") } ++
+      driftResults.map { case (n, r) =>
+        s"drift_$n" -> r.calibration.getOrElse("{}") }
+    val calib = allCalib.map { case (tag, c) => s""""$tag":$c""" }
+      .mkString("{", ",", "}")
+    // Degraded-window self-flagging (round-8 VERDICT #2): a child whose worst
+    // probe exceeds 2x the cross-child median probe ran in a degraded slice
+    // of the machine — its numbers are quarantined from cross-round policy
+    // (BASELINE.md quotes only non-flagged children). BENCH_r08's shard2
+    // (end probe 1.85 s vs 0.30 median — the window that produced q120's
+    // 19.7/29.6 s) would have been flagged automatically by this rule.
+    val probeRe = """-?[0-9]+(?:\.[0-9]+)?""".r
+    def probesOf(c: String): Seq[Double] =
+      probeRe.findAllIn(c).map(_.toDouble).filter(_ > 0).toSeq
+    val allProbes = allCalib.flatMap { case (_, c) => probesOf(c) }.sorted
+    val degraded: Seq[String] =
+      if (allProbes.size < 3) Nil
       else {
-        System.err.println(
-          s"[bench] drift rerun child: ${slowest.size} queries, fresh JVM")
-        runChild("drift", "--no-drift" :: slowest.toList).queries.toMap
+        val median = allProbes(allProbes.size / 2)
+        allCalib.collect { case (tag, c)
+          if probesOf(c).exists(_ > 2 * median) => tag }
       }
-    val qmap = queries.toMap
-    val drift = slowest.map { n =>
-      f""""$n":{"insuite":${qmap(n)}%.3f,"rerun":${rerun.getOrElse(n, -1.0)}%.3f}"""
-    }.mkString("{", ",", "}")
+    if (degraded.nonEmpty) System.err.println(
+      s"[bench] DEGRADED machine windows detected (probe > 2x median): " +
+        degraded.mkString(", "))
 
     val qs = queries.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
@@ -95,7 +132,7 @@ object Bench {
     // ~200 queries) must come FIRST and the machine-read summary must be the
     // compact LAST line — three rounds of BENCH_r*.json "parsed": null came
     // from a single long line whose front (with "value") fell off the capture.
-    val detail = f"""{"metric":"detail","queries":$qs,"failed":${arr(failed)},"flaky":${arr(flaky)},"drift":$drift,"calibration":$calib,"shards":${shards.size},"wall":$wall%.1f,"sf":"$sfDir"}"""
+    val detail = f"""{"metric":"detail","queries":$qs,"failed":${arr(failed)},"flaky":${arr(flaky)},"drift":$drift,"calibration":$calib,"degraded":${arr(degraded)},"shards":${shards.size},"wall":$wall%.1f,"sf":"$sfDir"}"""
     println(detail)
     val detailPath =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "/tmp/graft_bench_detail.json")
@@ -130,9 +167,13 @@ object Bench {
       List("-cp", System.getProperty("java.class.path"), "graft.Bench") ++ args
     val pb = new ProcessBuilder(cmd.asJava)
     pb.environment().put("SPARK_GRAFT_BENCH_DETAIL", detailFile.getPath)
+    // Merge stderr into stdout so both streams share ONE descriptor — two
+    // independent redirects to the same file (truncating out + appending
+    // err) interleave at independent offsets and garble exactly the log the
+    // failure path points the user at (round-8 ADVICE). The detail JSON
+    // travels via the temp file, so the log is purely diagnostic.
+    pb.redirectErrorStream(true)
     pb.redirectOutput(logFile)
-    pb.redirectErrorStream(false)
-    pb.redirectError(ProcessBuilder.Redirect.appendTo(logFile))
     val exit = pb.start().waitFor()
     val detail =
       try new String(java.nio.file.Files.readAllBytes(detailFile.toPath), "UTF-8")
@@ -153,13 +194,20 @@ object Bench {
     * the format is machine-generated two objects + two string arrays). */
   private def parseDetail(s: String): ChildResult = {
     def obj(key: String): Option[String] = {
-      // `"key":{` — the opening brace sits at offset key.length + 3
+      // `"key":{` — the opening brace sits at offset key.length + 3. Brace-
+      // depth scan, not indexOf('}'): the child format is flat today, but a
+      // first-'}' cut would silently truncate a future nested object and
+      // drop shard results into `failed` with no parse error (r8 ADVICE).
       val at = s.indexOf("\"" + key + "\":{")
       if (at < 0) None
       else {
         val start = at + key.length + 3
-        val end = s.indexOf('}', start)
-        Some(s.substring(start, end + 1))
+        var i = start
+        var depth = 0
+        while (i < s.length && { if (s.charAt(i) == '{') depth += 1
+          else if (s.charAt(i) == '}') depth -= 1; depth != 0 }) i += 1
+        require(i < s.length, s"unbalanced braces after key $key")
+        Some(s.substring(start, i + 1))
       }
     }
     def strArr(key: String): Seq[String] = {
