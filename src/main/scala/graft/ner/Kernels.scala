@@ -94,6 +94,53 @@ private[graft] trait DotKernel {
       o += 1
     }
   }
+
+  /** One activation row through an F16-NATIVE linear (round-8 VERDICT #4 —
+    * the symmetric completion of [[matmulQ4]]: the reference evaluates F16
+    * weights in ggml without widening the model to F32,
+    * `src/ner_model.cpp:194`):
+    * y(yo+o) = b(o) + sum_j w[o][j] * x(xo+j) for o in [0, out), where `wh`
+    * is the AS-STORED row-major half-precision weight (raw IEEE 754 binary16
+    * bit patterns in short lanes).
+    *
+    * Evaluation never materializes the F32 weight row: each half widens in
+    * a register (a table lookup here; a bit-shift + 2^112 exponent rescale
+    * in the SIMD override — exact for every finite half including
+    * subnormals and signed zeros, since a power-of-two multiply is exact)
+    * and feeds a fused MAC. Weight-side memory traffic is half of F32 —
+    * the other weight-streaming lever on bert-base-class models. Row layout
+    * is the file's own, so the F16 path skips [[BertEncoder]]'s load-time
+    * transposition as well.
+    *
+    * Like [[matmulQ4]], scalar and SIMD implementations are NOT
+    * bit-identical (per-output running fma chain vs lane-wise accumulate +
+    * one reduce); additionally, half-precision Inf/NaN weight values decode
+    * to large FINITE floats under the SIMD rescale — real model weights
+    * never carry them, and the scalar path preserves them.
+    */
+  def matmulF16(x: Array[Float], xo: Int, in: Int, wh: Array[Short],
+      out: Int, b: Array[Float], y: Array[Float], yo: Int): Unit = {
+    val lut = F16Lut.table
+    var o = 0
+    while (o < out) {
+      var acc = if (b != null) b(o) else 0f
+      val rowOff = o * in
+      var j = 0
+      while (j < in) {
+        acc = Math.fma(lut(wh(rowOff + j) & 0xffff), x(xo + j), acc)
+        j += 1
+      }
+      y(yo + o) = acc
+      o += 1
+    }
+  }
+}
+
+/** All 65536 half-precision values widened once (256 KB), shared by every
+  * kernel: the per-weight decode becomes one indexed load instead of the
+  * branchy [[ModelFormat.f16ToFloat]] bit walk. */
+private[graft] object F16Lut {
+  val table: Array[Float] = Array.tabulate(65536)(ModelFormat.f16ToFloat)
 }
 
 /** Deterministic f32 exp, Cephes-style (range reduction by log2(e),
@@ -423,11 +470,10 @@ private[graft] object SimdKernel extends DotKernel {
   private val qParts = 16 / qsp.length
   private val vEight = jdk.incubator.vector.ByteVector.broadcast(b128, 8.toByte)
   private val vNibble = jdk.incubator.vector.ByteVector.broadcast(b128, 0x0f.toByte)
-  // all 65536 half-precision values widened once (256 KB): the per-block
-  // scale decode becomes a single indexed load instead of the branchy
-  // f16ToFloat bit walk — one lookup per 32 MACs
-  private val f16Table: Array[Float] =
-    Array.tabulate(65536)(ModelFormat.f16ToFloat)
+  // shared half->float table ([[F16Lut]]): the per-block scale decode
+  // becomes a single indexed load instead of the branchy f16ToFloat bit
+  // walk — one lookup per 32 MACs
+  private val f16Table: Array[Float] = F16Lut.table
 
   override def matmulQ4(x: Array[Float], xo: Int, in: Int, wq: Array[Byte],
       out: Int, b: Array[Float], y: Array[Float], yo: Int): Unit = {
@@ -465,6 +511,67 @@ private[graft] object SimdKernel extends DotKernel {
       }
       y(yo + o) = (if (b != null) b(o) else 0f) +
         vacc.reduceLanes(VectorOperators.ADD)
+      o += 1
+    }
+  }
+
+  // --- F16-native matmul (round-8 VERDICT #4): 16 raw halves load as one
+  // Short256 vector (fixed short-side species, like matmulQ4's Byte128 —
+  // no float-side profile impact, the single-FloatVector-species rule
+  // holds) and widen in-register per qsp part: zero-extend S2I, then
+  // f32bits = (sign << 16) | (expmant << 13), reinterpret, and ONE multiply
+  // by 2^112 rebiases the exponent (15 -> 127). Exact for all finite
+  // halves INCLUDING subnormals (a subnormal half becomes an exact tiny
+  // f32 which the power-of-two multiply scales exactly); half Inf/NaN
+  // would decode finite, which real weights never contain (scaladoc'd on
+  // the trait method).
+  private val s256 = jdk.incubator.vector.ShortVector.SPECIES_256
+  private val iqsp = qsp.withLanes(java.lang.Integer.TYPE)
+  private val vF16Sign =
+    jdk.incubator.vector.IntVector.broadcast(iqsp, 0x8000)
+  private val vF16Mag =
+    jdk.incubator.vector.IntVector.broadcast(iqsp, 0x7fff)
+  // 2^112 = intBits 0x77800000 (exponent 239 = 112 + 127, zero mantissa)
+  private val vF16Scale =
+    FloatVector.broadcast(qsp, java.lang.Float.intBitsToFloat(0x77800000))
+
+  override def matmulF16(x: Array[Float], xo: Int, in: Int,
+      wh: Array[Short], out: Int, b: Array[Float], y: Array[Float],
+      yo: Int): Unit = {
+    val nv = in & ~15 // 16-half stride bound; scalar tail below
+    var o = 0
+    while (o < out) {
+      val rowOff = o * in
+      var vacc = FloatVector.zero(qsp)
+      var j = 0
+      while (j < nv) {
+        val hv = jdk.incubator.vector.ShortVector.fromArray(s256, wh,
+          rowOff + j)
+        var p = 0
+        while (p < qParts) {
+          // signed S2I, not ZERO_EXTEND_S2I: this JDK's zero-extend
+          // convertShape throws ("cannot be represented in ETYPE int") on
+          // the 256->512 expansion slow path; the sign bits the widening
+          // drags in are cleared by the two masks below anyway
+          val iv = hv.convertShape(VectorOperators.S2I, iqsp, p)
+            .asInstanceOf[jdk.incubator.vector.IntVector]
+          val f = iv.and(vF16Sign).lanewise(VectorOperators.LSHL, 16)
+            .or(iv.and(vF16Mag).lanewise(VectorOperators.LSHL, 13))
+            .viewAsFloatingLanes().asInstanceOf[FloatVector]
+            .mul(vF16Scale)
+          vacc = f.fma(
+            FloatVector.fromArray(qsp, x, xo + j + p * qsp.length), vacc)
+          p += 1
+        }
+        j += 16
+      }
+      var acc = (if (b != null) b(o) else 0f) +
+        vacc.reduceLanes(VectorOperators.ADD)
+      while (j < in) {
+        acc = Math.fma(f16Table(wh(rowOff + j) & 0xffff), x(xo + j), acc)
+        j += 1
+      }
+      y(yo + o) = acc
       o += 1
     }
   }

@@ -97,4 +97,23 @@ object SyntheticModel {
     val model = base.copy(tensors = tensors)
     Ner.Loaded(model, new BertEncoder(model))
   }
+
+  /** F16 twin of [[loaded]]: every linear weight narrowed to raw IEEE 754
+    * halves, so the encoder takes the half-native matmul path
+    * ([[DotKernel.matmulF16]], round-8 VERDICT #4) end-to-end — the third
+    * point of the F32/F16/Q4 weight-precision profile (numbers in
+    * BASELINE.md). Entities can differ slightly from [[loaded]]'s (the
+    * half round-trip moves logits), same caveat as [[loadedQ4]].
+    */
+  lazy val loadedF16: Ner.Loaded = {
+    val base = loaded.model
+    val tensors = base.tensors.map { case (name, t) =>
+      if (ModelFormat.isLinearWeight(name))
+        name -> NerTensor(t.dims, null,
+          f16raw = t.data.map(v => ModelFormat.floatToF16(v).toShort))
+      else name -> t
+    }
+    val model = base.copy(tensors = tensors)
+    Ner.Loaded(model, new BertEncoder(model))
+  }
 }

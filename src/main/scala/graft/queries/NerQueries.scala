@@ -94,9 +94,34 @@ object NerQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** q208: q26's inference pipeline against the F16 twin of the synthetic
+    * model — the half-native matmul path ([[graft.ner.DotKernel.matmulF16]],
+    * round-8 VERDICT #4) exercised end-to-end under Spark parallelism.
+    * Rows-only like q26/q205 (no DuckDB transformer); q26/q208/q205 bench
+    * times together form the F32/F16/Q4 weight-precision profile for a
+    * cache-resident model (BASELINE.md; the weight-streaming regime where
+    * F16 halves traffic is what a bert-base-class model would see).
+    */
+  private def withModelF16(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.parallelize(s, documents(s, d))
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val loaded = Some(graft.ner.SyntheticModel.loadedF16)
+        Ner.evalPartition(loaded, rows, truncate = true).map {
+          case (id, ents) =>
+            (id, ents.length, if (ents.isEmpty) null else ents.head.label)
+        }
+      }
+      .toDF("doc_id", "n_entities", "first_label")
+      .orderBy(col("doc_id"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q24_ner_flagship", flagship, Some(oFlagship)),
     QueryDef("q25_ner_extract_sql", extract2, Some(oFlagship)),
     QueryDef("q26_ner_with_model", withModel, None),
-    QueryDef("q205_ner_q4_native", withModelQ4, None))
+    QueryDef("q205_ner_q4_native", withModelQ4, None),
+    QueryDef("q208_ner_f16_native", withModelF16, None))
 }

@@ -147,4 +147,41 @@ class KernelPropertiesSpec extends AnyFunSuite {
       }
     }
   }
+
+  test("single-FloatVector-species rule holds structurally in graft.ner") {
+    // Round-8 trap, now a build-breaking assertion instead of a comment
+    // convention: two different FloatVector species hot in one JVM (e.g. a
+    // fixed SPECIES_256 next to SPECIES_PREFERRED=512) pollute the shared
+    // FloatVector template call-site profiles until C2 recompiles every
+    // SIMD kernel WITHOUT vector intrinsics — a silent 5-10x slowdown for
+    // the JVM's lifetime (BASELINE.md r8). Every FloatVector species
+    // mention in main sources must be SPECIES_PREFERRED, except the single
+    // documented qsp cap in Kernels.scala (SPECIES_512, reachable only when
+    // SPECIES_PREFERRED *is* 512-bit, so no second species ever runs).
+    // Byte/Short/Int-side species are exempt: only the FloatVector
+    // templates carry the hot float kernels.
+    val srcRoot = java.nio.file.Paths.get("src/main/scala/graft")
+    assert(java.nio.file.Files.isDirectory(srcRoot),
+      s"expected to run from the repo root, cwd=${System.getProperty("user.dir")}")
+    val speciesRef = """FloatVector\.SPECIES_(\w+)""".r
+    val offenders = scala.collection.mutable.ArrayBuffer.empty[String]
+    java.nio.file.Files.walk(srcRoot).forEach { p =>
+      if (p.toString.endsWith(".scala")) {
+        val text = new String(java.nio.file.Files.readAllBytes(p), "UTF-8")
+        for (m <- speciesRef.findAllMatchIn(text)) {
+          val ok = m.group(1) == "PREFERRED" ||
+            (m.group(1) == "512" && p.getFileName.toString == "Kernels.scala")
+          if (!ok) offenders += s"$p: FloatVector.SPECIES_${m.group(1)}"
+        }
+      }
+    }
+    assert(offenders.isEmpty,
+      "fixed FloatVector species outside the documented Kernels.scala cap " +
+        s"(de-intrinsification trap, BASELINE.md r8):\n${offenders.mkString("\n")}")
+    // and the cap itself must still be the guarded equals-preferred form
+    val kernels = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get("src/main/scala/graft/ner/Kernels.scala")), "UTF-8")
+    assert(kernels.contains("if (sp.length >= 16) FloatVector.SPECIES_512 else sp"),
+      "Kernels.scala qsp cap changed shape — re-review the single-species rule")
+  }
 }

@@ -34,6 +34,17 @@ object TestModels {
       bytes(raw)
       this
     }
+    def tensorF16(name: String, dimsInnermostFirst: Array[Int], data: Array[Float]): Writer = {
+      val nameBytes = name.getBytes(StandardCharsets.UTF_8)
+      i32(dimsInnermostFirst.length); i32(nameBytes.length); i32(1) // ftype F16
+      dimsInnermostFirst.foreach(i32)
+      bytes(nameBytes)
+      data.foreach { v =>
+        val h = ModelFormat.floatToF16(v)
+        out.write(h & 0xff); out.write((h >>> 8) & 0xff)
+      }
+      this
+    }
     def close(): Unit = out.close()
   }
 
@@ -49,6 +60,12 @@ object TestModels {
     * BIT-IDENTICAL effective values. */
   def q4Effective(data: Array[Float]): Array[Float] =
     ModelFormat.dequantQ4(quantizeQ4(data), data.length)
+
+  /** The effective weights an F16-written tensor represents after the
+    * half-precision round-trip, so a comparison F32 model can carry
+    * BIT-IDENTICAL effective values. */
+  def f16Effective(data: Array[Float]): Array[Float] =
+    data.map(v => ModelFormat.f16ToFloat(ModelFormat.floatToF16(v)))
 
   val DefaultVocab: Seq[String] = Seq(
     "[PAD]", "[CLS]", "[SEP]", "duck", "##db", "is", "great", "new", "york",
@@ -71,23 +88,33 @@ object TestModels {
       classifierBias: Array[Float] = null,
       weightGen: (String, Int) => Array[Float] = zeros,
       extraTensor: Boolean = false,
-      q4Linears: Boolean = false
+      q4Linears: Boolean = false,
+      f16Linears: Boolean = false
   ): Unit = {
+    require(!(q4Linears && f16Linears), "pick one linear storage type")
     val w = new Writer(path)
     w.i32(ModelFormat.Magic)
     w.i32(vocab.length).i32(nMaxTokens).i32(nEmbd).i32(nIntermediate)
-    w.i32(nHead).i32(nLayer).i32(if (q4Linears) 2 else 0 /* f16 flag */)
+    w.i32(nHead).i32(nLayer)
+    w.i32(if (q4Linears) 2 else if (f16Linears) 1 else 0 /* f16 flag */)
     w.i32(nLabels)
     vocab.foreach(w.str)
 
     def t(name: String, dims: Array[Int]): Unit = {
       val n = dims.product
       val data = weightGen(name, n)
-      // q4Linears: the matmul weights ship as ggml Q4_0 blocks (the
-      // reference's quantized-model case, ner_model.cpp:194); everything
-      // else stays F32 like the converter's mixed-precision output
+      // q4Linears/f16Linears: the matmul weights ship compact; everything
+      // else stays F32. NOTE this mixed per-tensor layout diverges from the
+      // reference's header-driven format: ner_model.cpp sizes known-tensor
+      // reads from the HEADER f16 flag (embeddings and classifier included)
+      // and ignores per-tensor ftype, so a reference loader would misread
+      // this fixture. The repo loader reads per-tensor ftype (and also
+      // handles fully-non-F32 reference files via the same lazy-decode
+      // tensors), so the fixture exercises exactly the paths under test.
       if (q4Linears && isLinearWeight(name) && n % 32 == 0)
         w.tensorQ4(name, dims, quantizeQ4(data))
+      else if (f16Linears && isLinearWeight(name))
+        w.tensorF16(name, dims, data)
       else w.tensor(name, dims, data)
     }
     t("embeddings.word_embeddings.weight", Array(nEmbd, vocab.length))
