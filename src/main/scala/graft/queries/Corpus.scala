@@ -843,6 +843,196 @@ object Corpus {
           FROM documents)
     ORDER BY aes_key, doc_id LIMIT 20"""
 
+  /** Word-bigram array for LM-style scoring (the q133 construction, shared
+    * by q209/q210): zip each word with its successor, drop the trailing
+    * null. Expects a `ws` column holding the whitespace-split words.
+    */
+  private def bigramArr: Column = filter(
+    zip_with(
+      col("ws"),
+      slice(col("ws"), lit(2), greatest(size(col("ws")) - 1, lit(0))),
+      (a, b) => concat(a, lit(" "), b)),
+    x => x.isNotNull)
+
+  /** q209: Moore–Lewis cross-entropy-difference data selection (Moore &
+    * Lewis, ACL 2010 — the CCNet/WebText-era workhorse for mining
+    * in-domain-like documents out of a general crawl): fit an add-one
+    * bigram LM on an in-domain seed (here: the `lang = 'en'` slice) and a
+    * second LM on the whole corpus, then score every out-of-pool document
+    * by `H_in(doc) − H_general(doc)`. The most-negative scores are the
+    * documents the in-domain model finds easiest RELATIVE to the general
+    * model — the selection signal — with the general term cancelling the
+    * "short/common words are easy for everyone" bias a raw in-domain
+    * perplexity ranking (q133) suffers from.
+    *
+    * Scale shape: both models are vocabulary-bounded broadcast dimensions
+    * (bigram counts, context counts, vocab sizes), exactly q133's stance;
+    * the scored side is one explode + four broadcast-hash probes + one hash
+    * aggregation. Seed bigrams UNSEEN in-domain take the smoothed floor via
+    * LEFT joins + coalesce(0) — OOV handling lives in the join shape, not
+    * in a data pass. Only rounded per-doc AGGREGATES of the ln() terms are
+    * compared (engine ulp drift cannot survive a multi-term mean rounded
+    * to 4 digits).
+    */
+  private def q209(s: SparkSession, d: String): DataFrame = {
+    val docs = parallelize(s, documents(s, d)).withColumn("ws", wsCol)
+    val bg = docs.select(col("doc_id"), col("lang"),
+      explode(bigramArr).as("bigram"))
+    // in-domain model (seed = English slice)
+    val c12i = bg.filter(col("lang") === "en")
+      .groupBy(col("bigram")).agg(count(lit(1)).as("ci"))
+    val c1i = docs.filter(col("lang") === "en")
+      .select(explode(col("ws")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("ui"))
+    val vi = c1i.agg(count(lit(1)).as("vi"))
+      .withColumn("jk", pmod(col("vi"), lit(1)).cast("int"))
+    // general model (whole corpus)
+    val c12g = bg.groupBy(col("bigram")).agg(count(lit(1)).as("cg"))
+    val c1g = docs.select(explode(col("ws")).as("w1"))
+      .groupBy(col("w1")).agg(count(lit(1)).as("ug"))
+    val vg = c1g.agg(count(lit(1)).as("vg"))
+      .withColumn("jk", pmod(col("vg"), lit(1)).cast("int"))
+    bg.filter(col("lang") =!= "en")
+      .join(broadcast(c12g), Seq("bigram"))
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .join(broadcast(c1g), Seq("w1"))
+      .join(broadcast(c12i), Seq("bigram"), "left")
+      .join(broadcast(c1i), Seq("w1"), "left")
+      .withColumn("jk", pmod(col("cg"), lit(1)).cast("int"))
+      .join(broadcast(vi), Seq("jk"))
+      .join(broadcast(vg), Seq("jk"))
+      .withColumn("nlp_in",
+        -log((coalesce(col("ci"), lit(0L)) + lit(1.0))
+          / (coalesce(col("ui"), lit(0L)) + col("vi"))))
+      .withColumn("nlp_gen",
+        -log((col("cg") + lit(1.0)) / (col("ug") + col("vg"))))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("nlp_in")), 4).as("ce_in"),
+        round(avg(col("nlp_gen")), 4).as("ce_gen"),
+        round(avg(col("nlp_in")) - avg(col("nlp_gen")), 4).as("ml_score"))
+      .orderBy(col("ml_score"), col("doc_id"))
+      .limit(25)
+  }
+
+  private val o209 = """
+    WITH docs AS (
+      SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS ws
+      FROM documents),
+    bg AS (
+      SELECT doc_id, lang, unnest(list_transform(range(1, len(ws)),
+               i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+      FROM docs),
+    c12i AS (SELECT bigram, count(*) AS ci FROM bg WHERE lang = 'en'
+             GROUP BY bigram),
+    c1i AS (SELECT w1, count(*) AS ui
+            FROM (SELECT unnest(ws) AS w1 FROM docs WHERE lang = 'en')
+            GROUP BY w1),
+    vi AS (SELECT count(*) AS vi FROM c1i),
+    c12g AS (SELECT bigram, count(*) AS cg FROM bg GROUP BY bigram),
+    c1g AS (SELECT w1, count(*) AS ug
+            FROM (SELECT unnest(ws) AS w1 FROM docs) GROUP BY w1),
+    vg AS (SELECT count(*) AS vg FROM c1g),
+    scored AS (
+      SELECT p.doc_id, p.lang,
+             -ln((coalesce(ci.ci, 0) + 1.0)
+                 / (coalesce(ui.ui, 0) + vi.vi)) AS nlp_in,
+             -ln((cg.cg + 1.0) / (ug.ug + vg.vg)) AS nlp_gen
+      FROM bg p
+      JOIN c12g cg USING (bigram)
+      JOIN c1g ug ON ug.w1 = string_split(p.bigram, ' ')[1]
+      LEFT JOIN c12i ci USING (bigram)
+      LEFT JOIN c1i ui ON ui.w1 = string_split(p.bigram, ' ')[1],
+      vi, vg
+      WHERE p.lang != 'en')
+    SELECT doc_id, lang, count(*) AS n_bigrams,
+           round(avg(nlp_in), 4) AS ce_in,
+           round(avg(nlp_gen), 4) AS ce_gen,
+           round(avg(nlp_in) - avg(nlp_gen), 4) AS ml_score
+    FROM scored GROUP BY doc_id, lang
+    ORDER BY ml_score, doc_id LIMIT 25"""
+
+  /** Hashed-feature bucket count for q210 (DSIR): 3 leading md5 hex digits
+    * = 4096 buckets, bit-reproducible in both engines. */
+  private val DsirBuckets = 4096
+
+  /** q210: DSIR — data selection via importance resampling (Xie et al.,
+    * NeurIPS 2023): instead of q209's explicit LMs, represent target and
+    * raw distributions over a HASHED n-gram feature space (word bigrams →
+    * 4096 md5 buckets) and weight every raw document by its log importance
+    * ratio `Σ_f log(p_target(f) / p_raw(f))` with add-one smoothing per
+    * bucket. Hashing fixes the model size regardless of vocabulary — the
+    * property that lets the weight table broadcast at any corpus scale —
+    * and the weights then drive a resampling pass (q138's A-ES machinery
+    * is the without-replacement sampler this pairs with).
+    *
+    * Scale shape: feature extraction is a per-row map + explode; both
+    * bucket-count tables are FIXED-width (4096 rows) broadcast dimensions;
+    * per-doc weights are one broadcast-hash probe + hash aggregation. The
+    * scored pool here is the non-English slice (target = English, matching
+    * q209 so the two selection families rank the same pool).
+    */
+  private def q210(s: SparkSession, d: String): DataFrame = {
+    val docs = parallelize(s, documents(s, d)).withColumn("ws", wsCol)
+    val feats = docs.select(col("doc_id"), col("lang"),
+        explode(bigramArr).as("bigram"))
+      .withColumn("b",
+        conv(substring(md5(col("bigram")), 1, 3), 16, 10).cast("int"))
+    val tgt = feats.filter(col("lang") === "en")
+      .groupBy(col("b")).agg(count(lit(1)).as("ct"))
+    val raw = feats.groupBy(col("b")).agg(count(lit(1)).as("cr"))
+    val totals = feats.agg(
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("nt"),
+        count(lit(1)).as("nr"))
+      .withColumn("jk", pmod(col("nr"), lit(1)).cast("int"))
+    val w = raw.join(tgt, Seq("b"), "left")
+      .withColumn("jk", pmod(col("cr"), lit(1)).cast("int"))
+      .join(broadcast(totals), Seq("jk"))
+      .select(col("b"),
+        (log((coalesce(col("ct"), lit(0L)) + lit(1.0))
+            / (col("nt") + lit(DsirBuckets)))
+          - log((col("cr") + lit(1.0)) / (col("nr") + lit(DsirBuckets))))
+          .as("lw"))
+    feats.filter(col("lang") =!= "en")
+      .join(broadcast(w), Seq("b"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(count(lit(1)).as("n_feats"),
+        round(sum(col("lw")), 4).as("log_weight"))
+      .orderBy(col("log_weight").desc, col("doc_id"))
+      .limit(25)
+  }
+
+  private val o210 = s"""
+    WITH docs AS (
+      SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents),
+    feats AS (
+      SELECT doc_id, lang,
+             list_sum(list_transform(range(1, 4), k ->
+               (strpos('0123456789abcdef', substr(md5(bigram), k, 1)) - 1)
+               * power(16, 3 - k)))::INT AS b
+      FROM (SELECT doc_id, lang, unnest(list_transform(range(1, len(ws)),
+                     i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+            FROM docs)),
+    tgt AS (SELECT b, count(*) AS ct FROM feats WHERE lang = 'en'
+            GROUP BY b),
+    raw AS (SELECT b, count(*) AS cr FROM feats GROUP BY b),
+    totals AS (
+      SELECT sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS nt,
+             count(*) AS nr
+      FROM feats),
+    w AS (
+      SELECT r.b,
+             ln((coalesce(t.ct, 0) + 1.0) / (nt + $DsirBuckets))
+               - ln((r.cr + 1.0) / (nr + $DsirBuckets)) AS lw
+      FROM raw r LEFT JOIN tgt t USING (b), totals)
+    SELECT f.doc_id, f.lang, count(*) AS n_feats,
+           round(sum(w.lw), 4) AS log_weight
+    FROM feats f JOIN w USING (b)
+    WHERE f.lang != 'en'
+    GROUP BY f.doc_id, f.lang
+    ORDER BY log_weight DESC, doc_id LIMIT 25"""
+
   private val SnmWindow = 3
 
   /** q139: sorted-neighborhood dedup screening (SNM) — the classic
@@ -1342,6 +1532,8 @@ object Corpus {
     QueryDef("q160_corpus_card", q160, Some(o160)),
     QueryDef("q151_vocab_coverage", q151, Some(o151)),
     QueryDef("q138_weighted_sample", q138, Some(o138)),
+    QueryDef("q209_moore_lewis", q209, Some(o209)),
+    QueryDef("q210_dsir_weights", q210, Some(o210)),
     QueryDef("q139_sorted_neighborhood", q139, Some(o139)),
     QueryDef("q131_bm25_topk", q131, Some(o131)),
     QueryDef("q200_hybrid_retrieval", q200, Some(o200)),

@@ -427,6 +427,96 @@ object Dedup {
        WHERE bit_count(xor(a.fp, b.fp)) <= 2
        ORDER BY doc_a, doc_b"""
 
+  /** Fuzzy-decontamination verification threshold (q211). */
+  private val FuzzyDecontamTau = 0.5
+
+  /** q211: FUZZY eval-set decontamination — the near-dup complement of
+    * q83's exact n-gram probe: training documents are flagged when they are
+    * near-duplicates (exact shingle Jaccard >= 0.5) of any held-out eval
+    * document (stand-in: `doc_id % 10 == 0`), catching the
+    * lightly-paraphrased / whitespace-shifted benchmark copies an exact
+    * n-gram match misses. This is the decontamination discipline modern LLM
+    * data pipelines run before training (GPT-3's 13-gram fuzzy dedup
+    * against eval sets is the canonical ancestor).
+    *
+    * Asymmetric by design, like q104: the eval set is benchmark-sized, so
+    * its band table BROADCASTS — candidate generation is a broadcast-hash
+    * probe on the training side (no corpus shuffle, no corpus², work
+    * scales with train-side band hits). Verification then explodes
+    * distinct shingles ONLY for docs in some candidate pair (semi-join
+    * restriction, q38's stance). Output: one verdict row per contaminated
+    * train doc — how many eval docs it collides with, the worst Jaccard,
+    * and the first matching eval doc — i.e. the drop-list a pipeline would
+    * anti-join against the corpus.
+    */
+  private def q211(s: SparkSession, d: String): DataFrame = {
+    val b = bands(s, d).persist()
+    val cands = b.filter(col("doc_id") % 10 =!= 0).as("t")
+      .join(broadcast(b.filter(col("doc_id") % 10 === 0).as("e")),
+        col("t.band_pos") === col("e.band_pos") &&
+        col("t.bkey") === col("e.bkey"))
+      .select(col("t.doc_id").as("train_doc"), col("e.doc_id").as("eval_doc"))
+      .distinct()
+    val candDocs = cands.select(col("train_doc").as("doc_id"))
+      .union(cands.select(col("eval_doc").as("doc_id"))).distinct()
+    val sh = parallelize(s, documents(s, d))
+      .join(candDocs, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        explode(graft.functions.DistinctShinglesExpression
+          .distinctShingles(col("text"))).as("sh")).persist()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val inter = cands
+      .join(sh.as("sa"), col("train_doc") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("eval_doc") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
+      .groupBy(col("train_doc"), col("eval_doc"))
+      .agg(count(lit(1)).as("ni"))
+    val out = inter
+      .join(sizes.as("za"), col("train_doc") === col("za.doc_id"))
+      .join(sizes.as("zb"), col("eval_doc") === col("zb.doc_id"))
+      .select(col("train_doc"), col("eval_doc"),
+        round(col("ni") / (col("za.sz") + col("zb.sz") - col("ni")), 6)
+          .as("jaccard"))
+      .filter(col("jaccard") >= FuzzyDecontamTau)
+      .groupBy(col("train_doc"))
+      .agg(count(lit(1)).as("n_eval_dups"),
+        max(col("jaccard")).as("max_jaccard"),
+        min(col("eval_doc")).as("first_eval_match"))
+      .orderBy(col("train_doc"))
+    Cached.scopedTo(out, b, sh)
+  }
+
+  private def o211: String =
+    s"""WITH b AS ($oBands),
+       cand AS (
+         SELECT DISTINCT t.doc_id AS train_doc, e.doc_id AS eval_doc
+         FROM b t JOIN b e
+           ON t.band_pos = e.band_pos AND t.bkey = e.bkey
+          AND t.doc_id % 10 != 0 AND e.doc_id % 10 = 0),
+       sh AS (
+         SELECT DISTINCT doc_id,
+                unnest(list_transform(range(1, length(text) - ${ShingleLen - 2}),
+                  i -> substr(text, i, $ShingleLen))) AS sh
+         FROM documents),
+       sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       inter AS (
+         SELECT train_doc, eval_doc, count(*) AS ni
+         FROM cand
+         JOIN sh sa ON sa.doc_id = train_doc
+         JOIN sh sb ON sb.doc_id = eval_doc AND sb.sh = sa.sh
+         GROUP BY 1, 2),
+       pairs AS (
+         SELECT train_doc, eval_doc,
+                round(ni / CAST(za.sz + zb.sz - ni AS DOUBLE), 6) AS jaccard
+         FROM inter
+         JOIN sz za ON za.doc_id = train_doc
+         JOIN sz zb ON zb.doc_id = eval_doc)
+       SELECT train_doc, count(*) AS n_eval_dups,
+              max(jaccard) AS max_jaccard,
+              min(eval_doc) AS first_eval_match
+       FROM pairs WHERE jaccard >= $FuzzyDecontamTau
+       GROUP BY train_doc ORDER BY train_doc"""
+
   /** q104: INCREMENTAL near-dup screening — a new ingest batch (stand-in:
     * `doc_id % 10 == 0`) checked against the existing corpus via the same
     * banded-MinHash index as q37/q38, the CCNet/RefinedWeb-style pass that
@@ -1426,6 +1516,7 @@ object Dedup {
     QueryDef("q132_dup_ngram_ratio", q132, Some(o132)),
     QueryDef("q120_prefix_filter_join", q120, Some(o120)),
     QueryDef("q104_incremental_dedup", q104, Some(o104)),
+    QueryDef("q211_fuzzy_decontam", q211, Some(o211)),
     QueryDef("q102_simhash_hamming", q102, Some(o102)),
     QueryDef("q97_dedup_clusters", q97, Some(o97)),
     QueryDef("q36_minhash_signatures", q36, Some(o36)),
