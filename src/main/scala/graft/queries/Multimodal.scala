@@ -215,10 +215,126 @@ object Multimodal {
           FROM documents)
     ORDER BY doc_id"""
 
+  /** STUB perceptual hash (aHash shape): sample 64 evenly-spaced "pixels"
+    * from the payload (a real implementation would decode and downscale to
+    * an 8x8 grayscale grid here), threshold each against the sample mean,
+    * and emit the 64 bits as four 16-bit band keys. Returned as bands
+    * rather than one 64-bit word so the downstream pigeonhole join needs
+    * no bit slicing — and no signed-overflow care at bit 63.
+    */
+  def phashStub(rows: Iterator[MediaRow]): Iterator[(Long, Int, Int, Int, Int)] =
+    rows.flatMap { r =>
+      val n = r.payload.length
+      if (n == 0) None
+      else {
+        val px = Array.tabulate(64)(i => r.payload((i * n) / 64) & 0xff)
+        val mu = px.sum / 64.0
+        val bands = Array.tabulate(4) { b =>
+          var v = 0
+          var j = 0
+          while (j < 16) { if (px(b * 16 + j) > mu) v |= 1 << j; j += 1 }
+          v
+        }
+        Some((r.doc_id, bands(0), bands(1), bands(2), bands(3)))
+      }
+    }
+
+  /** q212: perceptual-hash image near-dup — the image-modality member of
+    * the dedup tier (the pass a LAION-scale image corpus runs where text
+    * dedup runs MinHash): aHash each payload via [[phashStub]], then find
+    * all pairs within hamming distance 3 of each other's 64-bit hash using
+    * the 4-band pigeonhole (two hashes ≤ 3 bits apart MUST agree on at
+    * least one 16-bit band), verified by an exact popcount on the candidate
+    * pairs only. Identical scale stance to q102's SimHash radius search:
+    * candidates form only inside shared band buckets, never all-pairs; the
+    * hash itself is one partition-batched map over the payload (a real
+    * codec would amortize decode the same way).
+    */
+  private def q212(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val ph = Tables.parallelize(s, documents(s, d))
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRow]
+      .mapPartitions(phashStub _)
+      .toDF("doc_id", "b0", "b1", "b2", "b3")
+      .persist()
+    val bands = ph.select(col("doc_id"),
+      posexplode(array(col("b0"), col("b1"), col("b2"), col("b3")))
+        .as(Seq("band_pos", "bval")))
+    val cands = bands.as("x")
+      .join(bands.as("y"),
+        col("x.band_pos") === col("y.band_pos") &&
+        col("x.bval") === col("y.bval") &&
+        col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val out = cands
+      .join(ph.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(ph.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"),
+        (bit_count(col("a.b0").bitwiseXOR(col("b.b0"))) +
+         bit_count(col("a.b1").bitwiseXOR(col("b.b1"))) +
+         bit_count(col("a.b2").bitwiseXOR(col("b.b2"))) +
+         bit_count(col("a.b3").bitwiseXOR(col("b.b3")))).cast("int")
+          .as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy(col("doc_a"), col("doc_b"))
+    Cached.scopedTo(out, ph)
+  }
+
+  /** DuckDB mirror of [[phashStub]]: ascii() on an ASCII corpus is the
+    * byte value (Verify asserts the corpus is ASCII-only), `(i*n)//64`
+    * floors identically to the JVM's non-negative int division, and the
+    * 16-bit band sums are exact in doubles. */
+  private val o212 = """
+    WITH px AS (
+      SELECT doc_id,
+             list_transform(range(0, 64), i ->
+               ascii(substr(text, (i * length(text)) // 64 + 1, 1))) AS p
+      FROM documents WHERE length(text) > 0),
+    bits AS (
+      SELECT doc_id, p, list_sum(p) / 64.0 AS mu FROM px),
+    ph AS (
+      SELECT doc_id,
+             CAST(list_sum(list_transform(range(0, 16), j ->
+               CASE WHEN p[j + 1] > mu THEN power(2, j) ELSE 0 END)) AS INT)
+               AS b0,
+             CAST(list_sum(list_transform(range(0, 16), j ->
+               CASE WHEN p[16 + j + 1] > mu THEN power(2, j) ELSE 0 END))
+               AS INT) AS b1,
+             CAST(list_sum(list_transform(range(0, 16), j ->
+               CASE WHEN p[32 + j + 1] > mu THEN power(2, j) ELSE 0 END))
+               AS INT) AS b2,
+             CAST(list_sum(list_transform(range(0, 16), j ->
+               CASE WHEN p[48 + j + 1] > mu THEN power(2, j) ELSE 0 END))
+               AS INT) AS b3
+      FROM bits),
+    bands AS (
+      SELECT doc_id, band_pos,
+             CASE band_pos WHEN 0 THEN b0 WHEN 1 THEN b1
+                           WHEN 2 THEN b2 ELSE b3 END AS bval
+      FROM ph, (SELECT unnest([0, 1, 2, 3]) AS band_pos) bp),
+    cand AS (
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y
+        ON x.band_pos = y.band_pos AND x.bval = y.bval
+       AND x.doc_id < y.doc_id)
+    SELECT doc_a, doc_b,
+           CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+              + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+             AS INT) AS hamming
+    FROM cand c
+    JOIN ph a ON a.doc_id = c.doc_a
+    JOIN ph b ON b.doc_id = c.doc_b
+    WHERE bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+        + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
+    ORDER BY doc_a, doc_b"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q45_multimodal_meta", q45, Some(o45)),
     QueryDef("q46_multimodal_decode", q46, Some(o46)),
     QueryDef("q58_multimodal_features", q58, Some(o58)),
     QueryDef("q86_multimodal_resize", q86, Some(o86)),
-    QueryDef("q87_frame_sample", q87, Some(o87)))
+    QueryDef("q87_frame_sample", q87, Some(o87)),
+    QueryDef("q212_phash_neardup", q212, Some(o212)))
 }
