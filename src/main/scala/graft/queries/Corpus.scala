@@ -808,6 +808,92 @@ object Corpus {
       JOIN c1 u ON u.w1 = string_split(b.bigram, ' ')[1], v)
     GROUP BY doc_id ORDER BY doc_id"""
 
+  /** Kneser–Ney absolute discount (the standard 0.75). Exact in binary
+    * (3/4), so both engines compute identical doubles. */
+  private val KnDiscount = 0.75
+
+  /** q213: interpolated Kneser–Ney bigram perplexity — the PRODUCTION LM
+    * smoothing (what KenLM builds and the CCNet quality pipeline scores
+    * with), completing the LM-scoring family: q133 is the add-one teaching
+    * baseline, this is the one real pipelines run. Per bigram:
+    *
+    *   p_KN(w2|w1) = max(c(w1w2) − D, 0)/c(w1·)
+    *               + D·N1+(w1·)/c(w1·) · N1+(·w2)/|B|
+    *
+    * with D = 0.75, N1+(w1·)/N1+(·w2) the distinct right/left-neighbor
+    * counts, |B| the distinct-bigram-type count — the continuation
+    * probability that makes KN rank "Francisco" low despite high frequency
+    * (it follows only "San"). Scoring the corpus's own bigrams means every
+    * term is in-model (no OOV arm needed); all inputs are exact integer
+    * counts and the discount is exact in binary, so the probabilities are
+    * bit-identical cross-engine and only the rounded per-doc ln-aggregates
+    * need the q133 rounding discipline.
+    *
+    * Scale shape: identical to q133 — every model table (bigram types,
+    * context counts, continuation counts, the |B| scalar) is
+    * vocabulary-bounded and broadcast; the scored side is one explode +
+    * broadcast probes + one hash aggregation.
+    */
+  private def q213(s: SparkSession, d: String): DataFrame = {
+    val docs = parallelize(s, documents(s, d)).withColumn("ws", wsCol)
+    val bg = docs.select(col("doc_id"), explode(bigramArr).as("bigram"))
+    val c12 = bg.groupBy(col("bigram")).agg(count(lit(1)).as("c12"))
+    val w = c12
+      .withColumn("w1", substring_index(col("bigram"), " ", 1))
+      .withColumn("w2", substring_index(col("bigram"), " ", -1))
+    val ctx = w.groupBy(col("w1")).agg(
+      sum(col("c12")).as("cctx"), count(lit(1)).as("n1f"))
+    val cont = w.groupBy(col("w2")).agg(count(lit(1)).as("n1b"))
+    val btot = c12.agg(count(lit(1)).as("btypes"))
+      .withColumn("jk", pmod(col("btypes"), lit(1)).cast("int"))
+    bg.join(broadcast(w), Seq("bigram"))
+      .join(broadcast(ctx), Seq("w1"))
+      .join(broadcast(cont), Seq("w2"))
+      .withColumn("jk", pmod(col("c12"), lit(1)).cast("int"))
+      .join(broadcast(btot), Seq("jk"))
+      .withColumn("nlp", -log(
+        greatest(col("c12") - lit(KnDiscount), lit(0.0)) / col("cctx")
+          + lit(KnDiscount) * col("n1f") / col("cctx")
+            * (col("n1b").cast("double") / col("btypes"))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("nlp")), 4).as("ce_kn"),
+        round(exp(avg(col("nlp"))), 2).as("ppl_kn"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val o213 = s"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents),
+    bg AS (
+      SELECT doc_id, unnest(list_transform(range(1, len(ws)),
+               i -> ws[i] || ' ' || ws[i + 1])) AS bigram
+      FROM docs),
+    c12 AS (SELECT bigram, count(*) AS c12 FROM bg GROUP BY bigram),
+    w AS (SELECT bigram, c12,
+                 string_split(bigram, ' ')[1] AS w1,
+                 string_split(bigram, ' ')[2] AS w2
+          FROM c12),
+    ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS cctx,
+                   count(*) AS n1f
+            FROM w GROUP BY w1),
+    cont AS (SELECT w2, count(*) AS n1b FROM w GROUP BY w2),
+    btot AS (SELECT count(*) AS btypes FROM c12),
+    scored AS (
+      SELECT b.doc_id,
+             -ln(greatest(w.c12 - $KnDiscount, 0.0) / ctx.cctx
+                 + $KnDiscount * ctx.n1f / ctx.cctx
+                   * (CAST(cont.n1b AS DOUBLE) / btot.btypes)) AS nlp
+      FROM bg b
+      JOIN w USING (bigram)
+      JOIN ctx ON ctx.w1 = w.w1
+      JOIN cont ON cont.w2 = w.w2, btot)
+    SELECT doc_id, count(*) AS n_bigrams,
+           round(avg(nlp), 4) AS ce_kn,
+           round(exp(avg(nlp)), 2) AS ppl_kn
+    FROM scored GROUP BY doc_id ORDER BY doc_id"""
+
   /** q138: weighted sampling without replacement (Efraimidis–Spirakis
     * A-ES): each document draws a deterministic md5-uniform u and gets the
     * exponential key `-ln(u) / weight`; the k smallest keys ARE a
@@ -1538,6 +1624,7 @@ object Corpus {
     QueryDef("q131_bm25_topk", q131, Some(o131)),
     QueryDef("q200_hybrid_retrieval", q200, Some(o200)),
     QueryDef("q133_bigram_perplexity", q133, Some(o133)),
+    QueryDef("q213_kneser_ney", q213, Some(o213)),
     QueryDef("q126_cooccur_pmi", q126, Some(o126)),
     QueryDef("q112_pipeline_compose", q112, Some(o112)),
     QueryDef("q103_sequence_packing", q103, Some(o103)),
