@@ -505,7 +505,113 @@ object TextOps {
              AS token_savings
     FROM g GROUP BY source ORDER BY source"""
 
+  /** The q214 gazetteer: unigram and bigram surface forms with labels.
+    * Literal (ships with the query) — the weak-supervision analogue of a
+    * dictionary labeling function; in production this is a broadcast-sized
+    * dimension table (gazetteers are O(entities), never O(corpus)).
+    */
+  private val GazUni = Seq(
+    "spark" -> "ENGINE", "join" -> "OP", "sort" -> "OP", "merge" -> "OP",
+    "filter" -> "OP", "scan" -> "OP", "agg" -> "OP",
+    "table" -> "DATA", "row" -> "DATA", "column" -> "DATA",
+    "vector" -> "DATA")
+  private val GazBi = Seq(
+    "hash join" -> "OP", "sort merge" -> "OP", "table scan" -> "OP")
+
+  /** q214: gazetteer weak-labeling NER — the dictionary labeling function
+    * (Snorkel-style weak supervision) that bootstraps NER training data
+    * when no model exists yet; also the shape of the reference's domain
+    * applied relationally (extract entities, then aggregate). Matching is
+    * LEFTMOST-LONGEST: a matched bigram ("table scan") consumes both word
+    * positions, suppressing any unigram match ("table", "scan") at the
+    * positions it covers — the anti-join on covered positions is the
+    * declarative form of a greedy maximal matcher (this gazetteer admits
+    * no overlapping bigram matches: no term's second word is another's
+    * first). Output: per (label, entity) occurrence count, document
+    * frequency, and within-label share — the entity frequency table an
+    * annotation pipeline reviews.
+    *
+    * Scale shape: the gazetteer is a broadcast dimension; token/bigram
+    * position frames are per-row explodes; the suppression anti-join keys
+    * on (doc, position) — all hash joins; one final aggregation.
+    */
+  private def q214(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val docs = parallelize(s, documents(s, d)).withColumn("ws", wsTokens)
+    val toks = docs.select(col("doc_id"),
+      posexplode(col("ws")).as(Seq("pos", "w")))
+    val bigrams = docs.select(col("doc_id"),
+      posexplode(filter(
+        zip_with(
+          col("ws"),
+          slice(col("ws"), lit(2), greatest(size(col("ws")) - 1, lit(0))),
+          (a, b) => concat(a, lit(" "), b)),
+        x => x.isNotNull)).as(Seq("pos", "bg")))
+    val gu = GazUni.toDF("term", "label")
+    val gb = GazBi.toDF("term", "label")
+    val bgM = bigrams.join(broadcast(gb), col("bg") === col("term"))
+      .select(col("doc_id"), col("pos"), col("bg").as("entity"), col("label"))
+    val covered = bgM.select(col("doc_id"), col("pos"))
+      .unionAll(bgM.select(col("doc_id"), (col("pos") + 1).as("pos")))
+    val uniM = toks.join(broadcast(gu), col("w") === col("term"))
+      .join(covered, Seq("doc_id", "pos"), "left_anti")
+      .select(col("doc_id"), col("pos"), col("w").as("entity"), col("label"))
+    val ents = bgM.unionAll(uniM)
+    val counts = ents.groupBy(col("label"), col("entity"))
+      .agg(count(lit(1)).as("n_occ"),
+        countDistinct(col("doc_id")).as("n_docs"))
+    val totals = counts.groupBy(col("label"))
+      .agg(sum(col("n_occ")).as("lt"))
+    counts.join(broadcast(totals), Seq("label"))
+      .select(col("label"), col("entity"), col("n_occ"), col("n_docs"),
+        round(col("n_occ") / col("lt"), 6).as("label_share"))
+      .orderBy(col("label"), col("entity"))
+  }
+
+  private val o214 = {
+    val gu = GazUni.map { case (t, l) => s"('$t','$l')" }.mkString(", ")
+    val gb = GazBi.map { case (t, l) => s"('$t','$l')" }.mkString(", ")
+    s"""WITH docs AS (
+         SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+         FROM documents),
+       toks AS (
+         SELECT doc_id, CAST(generate_subscripts(ws, 1) - 1 AS INT) AS pos,
+                unnest(ws) AS w
+         FROM docs),
+       bigrams AS (
+         SELECT doc_id, CAST(generate_subscripts(bl, 1) - 1 AS INT) AS pos,
+                unnest(bl) AS bg
+         FROM (SELECT doc_id, list_transform(range(1, len(ws)),
+                        i -> ws[i] || ' ' || ws[i + 1]) AS bl
+               FROM docs)),
+       gu(term, label) AS (VALUES $gu),
+       gb(term, label) AS (VALUES $gb),
+       bgm AS (
+         SELECT b.doc_id, b.pos, b.bg AS entity, g.label
+         FROM bigrams b JOIN gb g ON b.bg = g.term),
+       covered AS (
+         SELECT doc_id, pos FROM bgm
+         UNION ALL SELECT doc_id, pos + 1 FROM bgm),
+       unim AS (
+         SELECT t.doc_id, t.pos, t.w AS entity, g.label
+         FROM toks t JOIN gu g ON t.w = g.term
+         WHERE NOT EXISTS (SELECT 1 FROM covered c
+                           WHERE c.doc_id = t.doc_id AND c.pos = t.pos)),
+       ents AS (SELECT * FROM bgm UNION ALL SELECT * FROM unim),
+       counts AS (
+         SELECT label, entity, count(*) AS n_occ,
+                count(DISTINCT doc_id) AS n_docs
+         FROM ents GROUP BY label, entity),
+       totals AS (SELECT label, CAST(sum(n_occ) AS BIGINT) AS lt
+                  FROM counts GROUP BY label)
+       SELECT c.label, c.entity, c.n_occ, c.n_docs,
+              round(c.n_occ / CAST(t.lt AS DOUBLE), 6) AS label_share
+       FROM counts c JOIN totals t ON c.label = t.label
+       ORDER BY c.label, c.entity"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q214_gazetteer_ner", q214, Some(o214)),
     QueryDef("q199_dedup_roi", q199, Some(o199)),
     QueryDef("q186_cohens_kappa", q186, Some(o186)),
     QueryDef("q185_confusion_matrix", q185, Some(o185)),

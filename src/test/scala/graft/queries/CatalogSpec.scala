@@ -92,7 +92,7 @@ class CatalogSpec extends SparkTestBase {
           "q142_dup_spans", "q171_minimizer_spans", "q172_bpe_merges",
           "q174_label_outliers", "q176_ann_recall", "q179_multiprobe_ivf",
           "q209_moore_lewis", "q210_dsir_weights", "q211_fuzzy_decontam",
-          "q213_kneser_ney")) {
+          "q213_kneser_ney", "q214_gazetteer_ner")) {
         val plan = SparkEntry.queries(q)(spark, sf("sf0.1"))
           .queryExecution.executedPlan.toString
         assert(!plan.contains("CartesianProduct"), s"$q has CartesianProduct")
