@@ -1058,7 +1058,14 @@ object Corpus {
     * scored pool here is the non-English slice (target = English, matching
     * q209 so the two selection families rank the same pool).
     */
-  private def q210(s: SparkSession, d: String): DataFrame = {
+  private def q210(s: SparkSession, d: String): DataFrame =
+    dsirDocWeights(s, d)
+      .orderBy(col("log_weight").desc, col("doc_id"))
+      .limit(25)
+
+  /** Doc-grain DSIR log-weight frame — q210's pipeline minus the final
+    * order/limit, shared with q219's resampler. */
+  private def dsirDocWeights(s: SparkSession, d: String): DataFrame = {
     val docs = parallelize(s, documents(s, d)).withColumn("ws", wsCol)
     val feats = docs.select(col("doc_id"), col("lang"),
         explode(bigramArr).as("bigram"))
@@ -1084,12 +1091,11 @@ object Corpus {
       .groupBy(col("doc_id"), col("lang"))
       .agg(count(lit(1)).as("n_feats"),
         round(sum(col("lw")), 4).as("log_weight"))
-      .orderBy(col("log_weight").desc, col("doc_id"))
-      .limit(25)
   }
 
-  private val o210 = s"""
-    WITH docs AS (
+  /** Oracle CTE chain producing the q210/q219-shared `dw` doc-weight frame
+    * (doc_id, lang, n_feats, log_weight). */
+  private val oDsirCtes = s"""docs AS (
       SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS ws
       FROM documents),
     feats AS (
@@ -1111,13 +1117,56 @@ object Corpus {
       SELECT r.b,
              ln((coalesce(t.ct, 0) + 1.0) / (nt + $DsirBuckets))
                - ln((r.cr + 1.0) / (nr + $DsirBuckets)) AS lw
-      FROM raw r LEFT JOIN tgt t USING (b), totals)
-    SELECT f.doc_id, f.lang, count(*) AS n_feats,
-           round(sum(w.lw), 4) AS log_weight
-    FROM feats f JOIN w USING (b)
-    WHERE f.lang != 'en'
-    GROUP BY f.doc_id, f.lang
+      FROM raw r LEFT JOIN tgt t USING (b), totals),
+    dw AS (
+      SELECT f.doc_id, f.lang, count(*) AS n_feats,
+             round(sum(w.lw), 4) AS log_weight
+      FROM feats f JOIN w USING (b)
+      WHERE f.lang != 'en'
+      GROUP BY f.doc_id, f.lang)"""
+
+  private val o210 = s"""
+    WITH $oDsirCtes
+    SELECT doc_id, lang, n_feats, log_weight FROM dw
     ORDER BY log_weight DESC, doc_id LIMIT 25"""
+
+  /** q219: importance RESAMPLING — the pass DSIR exists to feed (Xie et
+    * al., NeurIPS 2023 select the resampled subset; q210 only scores).
+    * Weighted sampling WITHOUT replacement over weights `exp(log_weight)`
+    * via the Gumbel-top-k identity (Vieira 2014; equivalent to q138's
+    * A-ES but computed ENTIRELY in log space: `key = log w − ln(−ln u)`),
+    * so astronomically spread importance ratios never overflow or
+    * underflow an `exp` — the numeric property that matters when a 100 TB
+    * corpus's log-weights span hundreds of nats. `u` is the q138
+    * md5-of-doc_id uniform; the weight entering the key is the ROUNDED
+    * q210 log_weight, so selection is bit-reproducible cross-engine (and
+    * re-runnable: same corpus, same subset). One per-row map over the
+    * doc-weight frame + a top-k — no shuffle beyond q210's own
+    * aggregation.
+    */
+  private def q219(s: SparkSession, d: String): DataFrame = {
+    val u = (conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long").cast("double") + lit(0.5)) / lit(4294967296.0)
+    dsirDocWeights(s, d)
+      .withColumn("gumbel_key",
+        round(col("log_weight") - log(-log(u)), 6))
+      .orderBy(col("gumbel_key").desc, col("doc_id"))
+      .limit(20)
+  }
+
+  private val o219 = s"""
+    WITH $oDsirCtes,
+    g AS (
+      SELECT doc_id, lang, n_feats, log_weight,
+             round(log_weight - ln(-ln((hv + 0.5) / 4294967296.0)), 6)
+               AS gumbel_key
+      FROM (SELECT dw.*, list_sum(list_transform(range(1, 9), k ->
+              (strpos('0123456789abcdef',
+                 substr(md5(CAST(doc_id AS VARCHAR)), k, 1)) - 1)
+              * power(16, 8 - k))) AS hv
+            FROM dw))
+    SELECT doc_id, lang, n_feats, log_weight, gumbel_key
+    FROM g ORDER BY gumbel_key DESC, doc_id LIMIT 20"""
 
   private val SnmWindow = 3
 
@@ -1620,6 +1669,7 @@ object Corpus {
     QueryDef("q138_weighted_sample", q138, Some(o138)),
     QueryDef("q209_moore_lewis", q209, Some(o209)),
     QueryDef("q210_dsir_weights", q210, Some(o210)),
+    QueryDef("q219_dsir_resample", q219, Some(o219)),
     QueryDef("q139_sorted_neighborhood", q139, Some(o139)),
     QueryDef("q131_bm25_topk", q131, Some(o131)),
     QueryDef("q200_hybrid_retrieval", q200, Some(o200)),

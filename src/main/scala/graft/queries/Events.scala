@@ -1296,7 +1296,130 @@ object Events {
                  ELSE 0.0 END, 6) AS attribution
     FROM re, te ORDER BY channel"""
 
+  /** q216: OHLC downsampling bars — the canonical time-series compaction
+    * (financial candlesticks, metrics rollups): per (event_type, hour
+    * bucket), the first value (open), max (high), min (low), last value
+    * (close), event count and value volume. Open/close are tie-free
+    * composite-key argmin/argmax through [[Keys]] (microsecond timestamp +
+    * event_id — the only cross-engine-stable argmax ordering); they carry
+    * RAW values (no fp arithmetic), so only the summed volume needs
+    * rounding. One hash aggregation over the stream, no window, no
+    * self-join — the downsampler that turns 100 TB of raw ticks into a
+    * bars table 10^4-10^5x smaller, and the map-side partial aggregation
+    * does most of that reduction before the shuffle.
+    */
+  private def q216(s: SparkSession, d: String): DataFrame = {
+    val hourUs = 3600L * 1000000
+    val k = Keys.key(Keys.asc("ts DIV 1000", 16), Keys.asc("event_id", 10))
+    events(s, d)
+      .groupBy(col("event_type"), expr(s"ts DIV 1000 DIV $hourUs").as("hour"))
+      .agg(
+        expr(s"min_by(value, $k)").as("open"),
+        max(col("value")).as("high"),
+        min(col("value")).as("low"),
+        expr(s"max_by(value, $k)").as("close"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("volume"))
+      .orderBy(col("event_type"), col("hour"))
+  }
+
+  private val o216 = {
+    val k = Keys.oKey(Keys.oAsc("epoch_us(ts)", 16), Keys.oAsc("event_id", 10))
+    s"""SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+              arg_min(value, $k) AS open,
+              max(value) AS high, min(value) AS low,
+              arg_max(value, $k) AS close,
+              count(*) AS n_events, round(sum(value), 2) AS volume
+       FROM events GROUP BY event_type, hour ORDER BY event_type, hour"""
+  }
+
+  /** q222: population-stability-index drift monitor — the standard
+    * production gate for "has this feature's distribution moved since the
+    * reference window" (PSI > 0.2 = investigate). The stream splits at its
+    * temporal midpoint into reference/current slices; 10 equal-width bins
+    * over the REFERENCE value range (boundary values clamp into the edge
+    * bins, exactly what a frozen production binning does to outliers);
+    * per-bin Laplace-smoothed shares, contribution `(p_cur - p_ref) *
+    * ln(p_cur / p_ref)`, and the summed PSI repeated per row. Bin edges and
+    * shares are exact IEEE arithmetic (identical cross-engine); only the
+    * ln-based contributions are transcendental and they are compared
+    * ROUNDED (CLAUDE.md rule). Scale shape: one min/max pass + one binning
+    * pass, both all-map-side until 10-group rollups; at 100 TB the
+    * reference histogram persists and only the current slice is scanned —
+    * this query models that with the reference stats as one-row broadcasts
+    * (column-derived join keys, never literal=literal).
+    */
+  private def q222(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(expr("ts DIV 1000").as("us"), col("value"))
+    val mid = ev.agg(min(col("us")).as("t0"), max(col("us")).as("t1"))
+      .select(expr("t0 + (t1 - t0) DIV 2").as("mid"),
+        pmod(col("t0"), lit(1)).as("jk"))
+    val tagged = ev.withColumn("jk", pmod(col("us"), lit(1)))
+      .join(broadcast(mid), Seq("jk"))
+      .withColumn("cur", (col("us") >= col("mid")).cast("int"))
+    val refRange = tagged.filter(col("cur") === 0)
+      .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
+      .withColumn("jk2", pmod(floor(col("vmin")) * 0, lit(1)).cast("int"))
+    val counts = tagged.withColumn("jk2", pmod(col("us"), lit(1)).cast("int"))
+      .join(broadcast(refRange), Seq("jk2"))
+      .withColumn("bin", least(lit(9), greatest(lit(0),
+        floor((col("value") - col("vmin")) * lit(10.0)
+          / (col("vmax") - col("vmin"))).cast("int"))))
+      .groupBy(col("bin"))
+      .agg(sum(lit(1) - col("cur")).cast("long").as("n_ref"),
+        sum(col("cur")).cast("long").as("n_cur"))
+    val tot = counts.agg(sum(col("n_ref")).as("tr"), sum(col("n_cur")).as("tc"))
+      .withColumn("jk3", pmod(col("tr"), lit(1)).cast("int"))
+    val pr = (col("n_ref") + lit(1.0)) / (col("tr") + lit(10.0))
+    val pc = (col("n_cur") + lit(1.0)) / (col("tc") + lit(10.0))
+    val shares = counts.withColumn("jk3", pmod(col("n_ref") * 0, lit(1)).cast("int"))
+      .join(broadcast(tot), Seq("jk3"))
+      .select(col("bin"), col("n_ref"), col("n_cur"),
+        round(pr, 6).as("p_ref"), round(pc, 6).as("p_cur"),
+        ((pc - pr) * log(pc / pr)).as("contrib_raw"))
+    val psi = shares.agg(sum(col("contrib_raw")).as("psi_raw"))
+      .withColumn("jk4", pmod(ceil(col("psi_raw")) * 0, lit(1)).cast("int"))
+    shares.withColumn("jk4", pmod(col("n_ref") * 0, lit(1)).cast("int"))
+      .join(broadcast(psi), Seq("jk4"))
+      .select(col("bin"), col("n_ref"), col("n_cur"), col("p_ref"),
+        col("p_cur"), round(col("contrib_raw"), 6).as("contrib"),
+        round(col("psi_raw"), 6).as("psi_total"))
+      .orderBy(col("bin"))
+  }
+
+  private val o222 = """
+    WITH ev AS (SELECT epoch_us(ts) AS us, value FROM events),
+    mid AS (SELECT min(us) + (max(us) - min(us)) // 2 AS mid FROM ev),
+    tagged AS (SELECT value,
+                      CASE WHEN us >= mid.mid THEN 1 ELSE 0 END AS cur
+               FROM ev, mid),
+    rr AS (SELECT min(value) AS vmin, max(value) AS vmax
+           FROM tagged WHERE cur = 0),
+    counts AS (
+      SELECT least(9, greatest(0, CAST(floor((value - vmin) * 10.0
+               / (vmax - vmin)) AS INT))) AS bin,
+             CAST(sum(1 - cur) AS BIGINT) AS n_ref,
+             CAST(sum(cur) AS BIGINT) AS n_cur
+      FROM tagged, rr GROUP BY bin),
+    tot AS (SELECT CAST(sum(n_ref) AS BIGINT) AS tr,
+                   CAST(sum(n_cur) AS BIGINT) AS tc FROM counts),
+    shares AS (
+      SELECT bin, n_ref, n_cur,
+             round((n_ref + 1.0) / (tr + 10.0), 6) AS p_ref,
+             round((n_cur + 1.0) / (tc + 10.0), 6) AS p_cur,
+             ((n_cur + 1.0) / (tc + 10.0) - (n_ref + 1.0) / (tr + 10.0))
+               * ln(((n_cur + 1.0) / (tc + 10.0))
+                    / ((n_ref + 1.0) / (tr + 10.0))) AS contrib_raw
+      FROM counts, tot),
+    psi AS (SELECT sum(contrib_raw) AS psi_raw FROM shares)
+    SELECT bin, n_ref, n_cur, p_ref, p_cur,
+           round(contrib_raw, 6) AS contrib,
+           round(psi.psi_raw, 6) AS psi_total
+    FROM shares, psi ORDER BY bin"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q216_ohlc_bars", q216, Some(o216)),
+    QueryDef("q222_psi_drift", q222, Some(o222)),
     QueryDef("q206_markov_attribution", q206, Some(o206)),
     QueryDef("q169_wow_growth", q169, Some(o169)),
     QueryDef("q158_asof_native", q158, Some(o158)),

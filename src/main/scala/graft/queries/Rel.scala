@@ -911,7 +911,74 @@ object Rel {
              AND event_ts_sane AS release_ok
     FROM docs, langs, fk, ev"""
 
+  /** Columns q221 profiles — (name, isNumeric). */
+  private val ProfileCols = Seq(
+    "l_quantity" -> true, "l_extendedprice" -> true,
+    "l_discount" -> true, "l_tax" -> true,
+    "l_returnflag" -> false, "l_linestatus" -> false)
+
+  /** q221: per-column data profile — the ingestion-time column audit every
+    * warehouse runs before accepting a feed (null fraction, exact
+    * cardinality, min/max per column), long-format one row per column.
+    * Numeric and string columns carry their min/max in typed columns
+    * (`min_num`/`min_str`) — never stringified doubles, whose formatting
+    * is engine-specific.
+    *
+    * Scale shape: ONE pass over the table computing all columns' aggregates
+    * together, then a 1-row explode into the long format — no per-column
+    * rescans. The exact multi-column `count(DISTINCT)` plans as Catalyst's
+    * Expand (input ×#distinct-aggs before partial aggregation) — the
+    * oracle-checkable tier; at 100 TB swap each to
+    * `approx_count_distinct` (q15's HLL tier) and the Expand disappears,
+    * same single-scan shape.
+    */
+  private def q221(s: SparkSession, d: String): DataFrame = {
+    val aggs: Seq[Column] = ProfileCols.flatMap { case (c, _) => Seq(
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"nn_$c"),
+      countDistinct(col(c)).as(s"nd_$c"),
+      min(col(c)).as(s"mn_$c"),
+      max(col(c)).as(s"mx_$c"))
+    }
+    val one = lineitem(s, d)
+      .agg(count(lit(1)).as("n_rows"), aggs: _*)
+    val rows = ProfileCols.map { case (c, num) =>
+      struct(
+        lit(c).as("col_name"), col("n_rows"),
+        col(s"nn_$c").as("n_null"), col(s"nd_$c").as("n_distinct"),
+        (if (num) col(s"mn_$c") else lit(null).cast("double")).as("min_num"),
+        (if (num) col(s"mx_$c") else lit(null).cast("double")).as("max_num"),
+        (if (num) lit(null).cast("string") else col(s"mn_$c")).as("min_str"),
+        (if (num) lit(null).cast("string") else col(s"mx_$c")).as("max_str"))
+    }
+    one.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.*"))
+      .orderBy(col("col_name"))
+  }
+
+  private val o221 = {
+    val aggs = ProfileCols.map { case (c, _) =>
+      s"""sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS nn_$c,
+          count(DISTINCT $c) AS nd_$c, min($c) AS mn_$c, max($c) AS mx_$c"""
+    }.mkString(",\n")
+    val rows = ProfileCols.map { case (c, num) =>
+      val (mnN, mxN, mnS, mxS) =
+        if (num) (s"mn_$c", s"mx_$c", "CAST(NULL AS VARCHAR)",
+          "CAST(NULL AS VARCHAR)")
+        else ("CAST(NULL AS DOUBLE)", "CAST(NULL AS DOUBLE)",
+          s"mn_$c", s"mx_$c")
+      s"""SELECT '$c' AS col_name, n_rows,
+            CAST(nn_$c AS BIGINT) AS n_null,
+            CAST(nd_$c AS BIGINT) AS n_distinct,
+            $mnN AS min_num, $mxN AS max_num,
+            $mnS AS min_str, $mxS AS max_str FROM a"""
+    }.mkString("\nUNION ALL\n")
+    s"""WITH a AS (SELECT count(*) AS n_rows,\n$aggs\nFROM lineitem)
+       $rows
+       ORDER BY col_name"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q221_data_profile", q221, Some(o221)),
     QueryDef("q203_release_gate", q203, Some(o203)),
     QueryDef("q198_fk_integrity", q198, Some(o198)),
     QueryDef("q195_gini", q195, Some(o195)),

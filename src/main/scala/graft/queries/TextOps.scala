@@ -610,7 +610,98 @@ object TextOps {
        ORDER BY c.label, c.entity"""
   }
 
+  /** q220: calibration curve + expected calibration error (ECE) for a
+    * quality classifier — the reliability diagram every production filter
+    * model ships with (Guo et al., ICML 2017): does "score 0.8" actually
+    * mean 80%? Score = q33's deterministic quality score read as
+    * P(doc is English); label = `lang = 'en'`; 10 equal-width confidence
+    * bins. Per bin: count, positives, mean confidence, empirical positive
+    * rate, |gap|; ECE = the count-weighted mean |gap|, repeated per row.
+    * The pipeline decision this feeds: an uncalibrated filter score makes
+    * every downstream threshold (q207's sweep, q203's gate) mean something
+    * other than it says.
+    *
+    * Scale shape: one per-row map (exact integer counting, the q33
+    * recipe), a 10-group rollup, and two one-row broadcasts — all
+    * map-side until the 10-bin aggregation. Binning is on the ROUNDED
+    * score, so bin membership is bit-stable cross-engine; means/ECE are
+    * compared rounded.
+    */
+  private def q220(s: SparkSession, d: String): DataFrame = {
+    val scored = withT2(documents(s, d))
+      .withColumn("n_tok", size(wsTokens))
+      .withColumn("n_ch", length(col("text")).cast("int"))
+      .withColumn("punct_cnt",
+        expr("CAST(length(t2) - length(replace(t2, '.', '')) AS INT)") +
+        expr("CAST(length(t2) - length(replace(t2, ',', '')) AS INT)") +
+        expr("CAST(length(t2) - length(replace(t2, '!', '')) AS INT)") +
+        expr("CAST(length(t2) - length(replace(t2, '?', '')) AS INT)"))
+      .withColumn("stop_cnt", occ(" the ") + occ(" a ") + occ(" is "))
+      .withColumn("p", round(
+        expr("least(1.0, n_tok / 100.0) * 0.4") +
+        expr("(stop_cnt / CAST(n_tok AS DOUBLE)) * 0.3") +
+        expr("(1.0 - punct_cnt / CAST(n_ch AS DOUBLE)) * 0.3"), 6))
+      .withColumn("y", (col("lang") === "en").cast("int"))
+      .withColumn("bin", least(lit(9), greatest(lit(0),
+        floor(col("p") * 10).cast("int"))))
+    val bins = scored.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("n_pos"),
+        avg(col("p")).as("conf_raw"),
+        (sum(col("y")).cast("double") / count(lit(1))).as("acc_raw"))
+    val tot = bins
+      .agg(sum(col("n")).as("nn"),
+        sum(abs(col("conf_raw") - col("acc_raw")) * col("n")).as("wgap"))
+      .select((col("wgap") / col("nn")).as("ece_raw"),
+        pmod(col("nn"), lit(1)).cast("int").as("jk"))
+    bins.withColumn("jk", pmod(col("n"), lit(1)).cast("int"))
+      .join(broadcast(tot), Seq("jk"))
+      .select(col("bin"), col("n"), col("n_pos"),
+        round(col("conf_raw"), 6).as("avg_conf"),
+        round(col("acc_raw"), 6).as("pos_rate"),
+        round(abs(col("conf_raw") - col("acc_raw")), 6).as("gap"),
+        round(col("ece_raw"), 6).as("ece"))
+      .orderBy(col("bin"))
+  }
+
+  private val o220 = """
+    WITH f AS (
+      SELECT doc_id, lang,
+        CAST(len(string_split_regex(trim(text), '\s+')) AS INT) AS n_tok,
+        CAST(length(text) AS INT) AS n_ch,
+        CAST(length(t2) - length(replace(t2, '.', '')) AS INT)
+          + CAST(length(t2) - length(replace(t2, ',', '')) AS INT)
+          + CAST(length(t2) - length(replace(t2, '!', '')) AS INT)
+          + CAST(length(t2) - length(replace(t2, '?', '')) AS INT) AS punct_cnt,
+        CAST((length(t2) - length(replace(t2, ' the ', ''))) / 5 AS INT)
+          + CAST((length(t2) - length(replace(t2, ' a ', ''))) / 3 AS INT)
+          + CAST((length(t2) - length(replace(t2, ' is ', ''))) / 4 AS INT)
+          AS stop_cnt
+      FROM (SELECT doc_id, lang, text, ' ' || text || ' ' AS t2
+            FROM documents)),
+    scored AS (
+      SELECT round(least(1.0, n_tok / 100.0) * 0.4
+               + (stop_cnt / CAST(n_tok AS DOUBLE)) * 0.3
+               + (1.0 - punct_cnt / CAST(n_ch AS DOUBLE)) * 0.3, 6) AS p,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y
+      FROM f),
+    b AS (
+      SELECT least(9, greatest(0, CAST(floor(p * 10) AS INT))) AS bin, p, y
+      FROM scored),
+    bins AS (
+      SELECT bin, count(*) AS n, CAST(sum(y) AS BIGINT) AS n_pos,
+             avg(p) AS conf_raw,
+             CAST(sum(y) AS DOUBLE) / count(*) AS acc_raw
+      FROM b GROUP BY bin),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                   sum(abs(conf_raw - acc_raw) * n) AS wgap FROM bins)
+    SELECT bin, n, n_pos, round(conf_raw, 6) AS avg_conf,
+           round(acc_raw, 6) AS pos_rate,
+           round(abs(conf_raw - acc_raw), 6) AS gap,
+           round(tot.wgap / tot.nn, 6) AS ece
+    FROM bins, tot ORDER BY bin"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q220_calibration_ece", q220, Some(o220)),
     QueryDef("q214_gazetteer_ner", q214, Some(o214)),
     QueryDef("q199_dedup_roi", q199, Some(o199)),
     QueryDef("q186_cohens_kappa", q186, Some(o186)),

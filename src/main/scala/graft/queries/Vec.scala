@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Similarity search over the `embeddings` table (`Array[Float]`, dim 64).
@@ -2030,7 +2031,167 @@ object Vec {
            round(min(cs), 6) AS min_cos, round(max(cs), 6) AS max_cos
     FROM pairs GROUP BY bucket ORDER BY bucket"""
 
+  private val TopicK = 5 // c-TF-IDF terms kept per cluster
+
+  /** q215: c-TF-IDF cluster topic labels — the BERTopic readout (Grootendorst
+    * 2022): assign every document's embedding to its nearest IVF centroid
+    * (the codegen'd [[graft.functions.NearestCentroidExpression]] fold shared
+    * with q43/q84/q130), pool each cluster's token counts into one
+    * class-document, and rank terms per cluster by
+    * `tf_c(t) * ln(1 + A / f_t)` where `A` is the average cluster token mass
+    * and `f_t` the corpus frequency — the class-based TF-IDF that names what
+    * an embedding cluster is ABOUT, turning an unlabeled 100 TB corpus's
+    * cluster structure into an auditable topic table.
+    *
+    * Scale shape: assignment is a one-row broadcast fold (no expansion);
+    * the doc→cluster join is a corpus-grain hash join; everything after the
+    * (cid, term) rollup is VOCABULARY-bounded — the tf↔f_t join and the
+    * per-cluster top-[[TopicK]] window run on the clusters × vocab frame,
+    * never the corpus. Ranking uses the ROUNDED score (ulp-stable
+    * cross-engine) with the term as tie-break.
+    */
+  private def q215(s: SparkSession, d: String): DataFrame = {
+    val assigned = assignNearest(s, d)
+      .select(col("vec_id").as("doc_id"), col("cid"))
+    val toks = parallelize(s, documents(s, d))
+      .select(col("doc_id"), explode(split(trim(col("text")), "\\s+")).as("term"))
+    val tf = toks.join(assigned, Seq("doc_id"))
+      .groupBy(col("cid"), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val ft = tf.groupBy(col("term")).agg(sum(col("tf")).cast("long").as("ft"))
+    val aRow = tf.agg((sum(col("tf")).cast("double")
+        / countDistinct(col("cid")).cast("double")).as("a"))
+      .withColumn("jk", pmod(ceil(col("a")).cast("long") * 0, lit(1)).cast("int"))
+    val win = Window.partitionBy(col("cid"))
+      .orderBy(col("score").desc, col("term"))
+    tf.join(ft, Seq("term"))
+      .withColumn("jk", pmod(col("tf") * 0, lit(1)).cast("int"))
+      .join(broadcast(aRow), Seq("jk"))
+      .withColumn("score",
+        round(col("tf") * log(lit(1.0) + col("a") / col("ft")), 6))
+      .withColumn("rank", row_number().over(win))
+      .filter(col("rank") <= TopicK)
+      .select(col("cid"), col("rank"), col("term"), col("tf"), col("score"))
+      .orderBy(col("cid"), col("rank"))
+  }
+
+  private val o215 = s"""
+    WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id < $NCells),
+    dists AS (
+      SELECT e.vec_id, c.cid, $oCd2 AS d2
+      FROM embeddings e CROSS JOIN c),
+    best AS (
+      SELECT vec_id AS doc_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      FROM dists),
+    toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents),
+    tf AS (
+      SELECT b.cid, t.term, count(*) AS tf
+      FROM toks t JOIN best b ON b.doc_id = t.doc_id AND b.rn = 1
+      GROUP BY b.cid, t.term),
+    ft AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ft FROM tf GROUP BY term),
+    a AS (SELECT CAST(sum(tf) AS DOUBLE)
+                 / CAST(count(DISTINCT cid) AS DOUBLE) AS a FROM tf),
+    scored AS (
+      SELECT tf.cid, tf.term, tf.tf,
+             round(tf.tf * ln(1.0 + a.a / ft.ft), 6) AS score
+      FROM tf JOIN ft ON tf.term = ft.term, a),
+    r AS (
+      SELECT cid, term, tf, score,
+             CAST(row_number() OVER (PARTITION BY cid
+               ORDER BY score DESC, term) AS INT) AS rank
+      FROM scored)
+    SELECT cid, rank, term, tf, score FROM r
+    WHERE rank <= $TopicK ORDER BY cid, rank"""
+
+  private val BitextK = 4 // neighborhood size for the margin denominator
+  private val BitextPanel = 200 // aid < this bound = the anchor panel
+
+  /** q217: margin-based parallel-pair mining — the CCMatrix/LASER bitext
+    * miner (Artetxe & Schwenk 2019's "ratio" margin): candidate pairs score
+    * `cos(x,y)` NORMALIZED by the mean cosine of each endpoint's
+    * [[BitextK]]-nearest neighbors, which cancels hubness — a vector that
+    * is close to everything gets no credit for being close to one thing.
+    * Sides are the even/odd `label` halves standing in for two languages;
+    * anchors are the even-side panel `vec_id < `[[BitextPanel]] (a FIXED
+    * panel, so per-anchor work is corpus-×-panel, not corpus²). Both
+    * neighborhood means are computed over the mined candidate frame itself
+    * — at 100 TB that frame comes from the ANN tier (q42/q179) instead of
+    * the brute-force sweep, and the margin formula is unchanged. Output:
+    * each anchor's best candidate by rounded margin (term tie-break bid),
+    * the aligned-pair table a translation-pair pipeline ingests.
+    *
+    * Cosines are rounded at 6 BEFORE the top-k/averaging (the q41-proven
+    * parity recipe), so neighbor selection and both means are bit-stable
+    * cross-engine; the margin re-rounds at 6.
+    */
+  private def q217(s: SparkSession, d: String): DataFrame = {
+    val e = parallelize(s, embeddings(s, d))
+    val a = e.filter(col("label") % 2 === 0 && col("vec_id") < BitextPanel)
+      .select(col("vec_id").as("aid"), toD(col("embedding")).as("av"),
+        pmod(col("vec_id"), lit(1)).as("jk"))
+    val pairs = e.filter(col("label") % 2 === 1)
+      .withColumn("jk", pmod(col("vec_id"), lit(1)))
+      .join(broadcast(a), Seq("jk"))
+      .select(col("aid"), col("vec_id").as("bid"),
+        round(cosine(toD(col("embedding")), col("av")), 6).as("cs"))
+    val wf = Window.partitionBy(col("aid"))
+      .orderBy(col("cs").desc, col("bid"))
+    val wb = Window.partitionBy(col("bid"))
+      .orderBy(col("cs").desc, col("aid"))
+    val nn = pairs
+      .withColumn("rf", row_number().over(wf))
+      .withColumn("rb", row_number().over(wb))
+    val fwd = nn.filter(col("rf") <= BitextK)
+      .groupBy(col("aid")).agg(avg(col("cs")).as("fa"))
+    val bwd = nn.filter(col("rb") <= BitextK)
+      .groupBy(col("bid")).agg(avg(col("cs")).as("fb"))
+    val wm = Window.partitionBy(col("aid"))
+      .orderBy(col("margin").desc, col("bid"))
+    pairs.join(fwd, Seq("aid")).join(bwd, Seq("bid"))
+      .withColumn("margin",
+        round(col("cs") / ((col("fa") + col("fb")) / 2.0), 6))
+      .withColumn("rm", row_number().over(wm))
+      .filter(col("rm") === 1)
+      .select(col("aid"), col("bid"), col("cs"), col("margin"))
+      .orderBy(col("aid"))
+  }
+
+  private val o217 = s"""
+    WITH a AS (SELECT vec_id AS aid, CAST(embedding AS DOUBLE[]) AS av
+               FROM embeddings
+               WHERE label % 2 = 0 AND vec_id < $BitextPanel),
+    b AS (SELECT vec_id AS bid, CAST(embedding AS DOUBLE[]) AS bv
+          FROM embeddings WHERE label % 2 = 1),
+    pairs AS (
+      SELECT aid, bid, round(list_cosine_similarity(av, bv), 6) AS cs
+      FROM a CROSS JOIN b),
+    nn AS (
+      SELECT aid, bid, cs,
+             row_number() OVER (PARTITION BY aid ORDER BY cs DESC, bid) AS rf,
+             row_number() OVER (PARTITION BY bid ORDER BY cs DESC, aid) AS rb
+      FROM pairs),
+    fwd AS (SELECT aid, avg(cs) AS fa FROM nn WHERE rf <= $BitextK
+            GROUP BY aid),
+    bwd AS (SELECT bid, avg(cs) AS fb FROM nn WHERE rb <= $BitextK
+            GROUP BY bid),
+    m AS (
+      SELECT p.aid, p.bid, p.cs,
+             round(p.cs / ((f.fa + w.fb) / 2.0), 6) AS margin
+      FROM pairs p JOIN fwd f ON f.aid = p.aid JOIN bwd w ON w.bid = p.bid),
+    r AS (
+      SELECT aid, bid, cs, margin,
+             row_number() OVER (PARTITION BY aid
+               ORDER BY margin DESC, bid) AS rm
+      FROM m)
+    SELECT aid, bid, cs, margin FROM r WHERE rm = 1 ORDER BY aid"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q215_ctfidf_topics", q215, Some(o215)),
+    QueryDef("q217_margin_bitext", q217, Some(o217)),
     QueryDef("q204_ivfadc_refine", q204, Some(o204)),
     QueryDef("q197_embedding_geometry", q197, Some(o197)),
     QueryDef("q196_centroid_classifier", q196, Some(o196)),
