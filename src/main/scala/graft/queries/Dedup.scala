@@ -1432,6 +1432,25 @@ object Dedup {
     * false-negative check on the filter.
     */
   private def q181(s: SparkSession, d: String): DataFrame = {
+    val (names, verified) = edNamePairs(s, d)
+    val out = verified
+      .join(names.select(col("name").as("name_a"), col("n_rows").as("n_a")),
+        Seq("name_a"))
+      .join(names.select(col("name").as("name_b"), col("n_rows").as("n_b")),
+        Seq("name_b"))
+      .select(col("name_a"), col("name_b"), col("dist"),
+        col("n_a"), col("n_b"))
+      .orderBy(col("name_a"), col("name_b"))
+    Cached.scopedTo(out, names)
+  }
+
+  /** The q181 pipeline through verification: returns the PERSISTED
+    * vocabulary-with-support frame (caller owns its release via
+    * [[Cached.scopedTo]]) and the verified pair frame
+    * `(name_a, name_b, dist)`. Shared by q181 (pair readout) and q218
+    * (golden-record consolidation).
+    */
+  private def edNamePairs(s: SparkSession, d: String): (DataFrame, DataFrame) = {
     // vocabulary with support counts: the corpus-scale stage, persisted —
     // feeds gram extraction and both count join-backs
     val names = parallelize(s, part(s, d))
@@ -1477,18 +1496,94 @@ object Dedup {
       .select(least(col("name_a"), col("name_b")).as("na"),
         greatest(col("name_a"), col("name_b")).as("nb"))
       .select(col("na").as("name_a"), col("nb").as("name_b"))
-    val out = longCands.union(shortCands).distinct()
+    val verified = longCands.union(shortCands).distinct()
       .filter(abs(length(col("name_a")) - length(col("name_b"))) <= EdK)
       .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
       .filter(col("dist") <= EdK)
-      .join(names.select(col("name").as("name_a"), col("n_rows").as("n_a")),
-        Seq("name_a"))
-      .join(names.select(col("name").as("name_b"), col("n_rows").as("n_b")),
-        Seq("name_b"))
-      .select(col("name_a"), col("name_b"), col("dist"),
-        col("n_a"), col("n_b"))
-      .orderBy(col("name_a"), col("name_b"))
+    (names, verified)
+  }
+
+  /** q218: entity-resolution golden record — the consolidation step the
+    * ED-Join exists to feed: fuzzy-matched name variants collapse into one
+    * canonical ("golden") record per entity. Match graph = q218's own
+    * rebuild of the q181 verified pairs (self-contained per the driver
+    * contract); components via the q97 min-label propagation (string
+    * labels, diameter bounded by the edit threshold, so ~3 rounds at any
+    * vocabulary size — see [[clusterLabels]]'s measured contraction-vs-
+    * propagation note); survivorship = highest support count, then
+    * lexicographically smallest name, as a [[Keys]] composite `min_by` —
+    * tie-free cross-engine. Output per multi-variant entity: canonical
+    * name, variant count, total row support, and the sorted variant list
+    * (serialized — driver hash-compare cannot take ARRAY columns).
+    *
+    * Scale shape: everything after the vocabulary aggregation is
+    * vocabulary-bounded (names, pairs, labels); the propagation iterates
+    * on localCheckpoint-truncated ~pair-sized frames; survivorship is one
+    * aggregation, no window.
+    */
+  private def q218(s: SparkSession, d: String): DataFrame = {
+    val (names, verified) = edNamePairs(s, d)
+    val pairs = verified.select(col("name_a"), col("name_b"))
+      .localCheckpoint(true)
+    val edges = pairs.union(
+      pairs.select(col("name_b").as("name_a"), col("name_a").as("name_b")))
+    var labels = edges.select(col("name_a").as("name")).distinct()
+      .withColumn("lab", col("name")).localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 20) {
+      val prop = edges.join(labels, col("name_a") === col("name"))
+        .select(col("name_b").as("name"), col("lab"), lit(false).as("own"))
+      val next = labels.withColumn("own", lit(true)).union(prop)
+        .groupBy(col("name"))
+        .agg(min(col("lab")).as("lab"),
+          min(when(col("own"), col("lab"))).as("own_lab"))
+        .localCheckpoint(true)
+      changed = next.filter(col("lab") < col("own_lab")).count()
+      labels = next.select(col("name"), col("lab"))
+      iter += 1
+    }
+    require(changed == 0,
+      s"name-cluster propagation did not converge in $iter iterations")
+    val key = Keys.key(Keys.desc("n_rows", 8), "name")
+    val out = labels.join(names, Seq("name"))
+      .groupBy(col("lab"))
+      .agg(expr(s"min_by(name, $key)").as("canonical"),
+        count(lit(1)).as("n_variants"),
+        sum(col("n_rows")).cast("long").as("total_rows"),
+        array_join(array_sort(collect_list(col("name"))), " | ")
+          .as("variants"))
+      .select(col("canonical"), col("n_variants"), col("total_rows"),
+        col("variants"))
+      .orderBy(col("canonical"))
     Cached.scopedTo(out, names)
+  }
+
+  private def o218: String = {
+    val key = Keys.oKey(Keys.oDesc("n_rows", 8), "name")
+    s"""WITH RECURSIVE
+       n AS (SELECT p_name AS name, count(*) AS n_rows FROM part
+             GROUP BY p_name),
+       pairs AS (
+         SELECT a.name AS name_a, b.name AS name_b
+         FROM n a JOIN n b ON a.name < b.name
+         WHERE abs(length(a.name) - length(b.name)) <= $EdK
+           AND levenshtein(a.name, b.name) <= $EdK),
+       edges AS (SELECT name_a AS src, name_b AS dst FROM pairs
+                 UNION ALL
+                 SELECT name_b, name_a FROM pairs),
+       nodes AS (SELECT DISTINCT src AS name FROM edges),
+       reach(name, lab) AS (
+         SELECT name, name FROM nodes
+         UNION
+         SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.name),
+       cc AS (SELECT name, min(lab) AS lab FROM reach GROUP BY name),
+       g AS (SELECT cc.lab, cc.name, n.n_rows FROM cc JOIN n USING (name))
+       SELECT arg_min(name, $key) AS canonical,
+              count(*) AS n_variants,
+              CAST(sum(n_rows) AS BIGINT) AS total_rows,
+              array_to_string(list(name ORDER BY name), ' | ') AS variants
+       FROM g GROUP BY lab ORDER BY canonical"""
   }
 
   private def o181: String =
@@ -1504,6 +1599,7 @@ object Dedup {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q181_editdist_join", q181, Some(o181)),
+    QueryDef("q218_er_golden_record", q218, Some(o218)),
     QueryDef("q165_leakage_safe_split", q165, Some(o165)),
     QueryDef("q156_source_overlap", q156, Some(o156)),
     QueryDef("q157_dedup_ledger", q157, Some(o157)),
