@@ -1496,10 +1496,14 @@ object Dedup {
       .select(least(col("name_a"), col("name_b")).as("na"),
         greatest(col("name_a"), col("name_b")).as("nb"))
       .select(col("na").as("name_a"), col("nb").as("name_b"))
+    // thresholded levenshtein: Spark's 3-arg form runs the banded O(k·len)
+    // DP and returns -1 beyond the threshold — the verification step pays
+    // for the band, not the full O(len²) matrix (matters at URL/title
+    // lengths; DuckDB's oracle verify stays unbanded, values identical)
     val verified = longCands.union(shortCands).distinct()
       .filter(abs(length(col("name_a")) - length(col("name_b"))) <= EdK)
-      .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
-      .filter(col("dist") <= EdK)
+      .withColumn("dist", levenshtein(col("name_a"), col("name_b"), EdK))
+      .filter(col("dist") >= 0)
     (names, verified)
   }
 

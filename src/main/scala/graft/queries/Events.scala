@@ -1417,7 +1417,131 @@ object Events {
            round(psi.psi_raw, 6) AS psi_total
     FROM shares, psi ORDER BY bin"""
 
+  /** q224: event sequence-pattern matching — the relational form of CEP /
+    * MATCH_RECOGNIZE: per user, the time-ordered event-type sequence is
+    * materialized ONCE as a space-joined string, and patterns become
+    * ordinary string predicates over it: the ordered-subsequence funnel
+    * `view … click … purchase` is a `LIKE '%view%click%purchase%'`, and
+    * "purchased with no prior error" compares first-occurrence positions.
+    * Per (funnel, clean) cell: user count and share. Type names are
+    * substring-free of each other, so the string encoding is unambiguous.
+    *
+    * Scale shape: ONE shuffle (the per-user collect), sequence order made
+    * deterministic by sorting `(ts, event_id, type)` structs inside the
+    * aggregation buffer — no window pass; the pattern predicates are
+    * per-row map work; final rollup is 4 cells. A user's event count
+    * bounds the string, not the corpus. LIKE/instr (not regex) keeps the
+    * matching engine-agnostic AND codegen-friendly.
+    */
+  private def q224(s: SparkSession, d: String): DataFrame = {
+    val seqs = events(s, d)
+      .groupBy(col("user_id"))
+      .agg(concat_ws(" ", transform(
+        // microsecond sort key (`ts DIV 1000`, the Tables convention) so
+        // ordering matches DuckDB's microsecond read under both physical
+        // timestamp types; event_id is the total tie-break
+        array_sort(collect_list(struct(expr("ts DIV 1000").as("us"),
+          col("event_id"), col("event_type")))),
+        x => x.getField("event_type"))).as("seq"))
+      .withColumn("funnel", col("seq").like("%view%click%purchase%"))
+      .withColumn("pp", instr(col("seq"), "purchase"))
+      .withColumn("pe", instr(col("seq"), "error"))
+      .withColumn("clean_purchase",
+        col("pp") > 0 && (col("pe") === 0 || col("pe") > col("pp")))
+    val cells = seqs.groupBy(col("funnel"), col("clean_purchase"))
+      .agg(count(lit(1)).as("n_users"))
+    val tot = cells.agg(sum(col("n_users")).as("nt"))
+      .withColumn("jk", pmod(col("nt"), lit(1)).cast("int"))
+    cells.withColumn("jk", pmod(col("n_users"), lit(1)).cast("int"))
+      .join(broadcast(tot), Seq("jk"))
+      .select(col("funnel"), col("clean_purchase"), col("n_users"),
+        round(col("n_users") / col("nt").cast("double"), 6).as("share"))
+      .orderBy(col("funnel"), col("clean_purchase"))
+  }
+
+  private val o224 = """
+    WITH seqs AS (
+      SELECT user_id,
+             array_to_string(list(event_type
+               ORDER BY epoch_us(ts), event_id, event_type), ' ') AS seq
+      FROM events GROUP BY user_id),
+    flags AS (
+      SELECT seq LIKE '%view%click%purchase%' AS funnel,
+             strpos(seq, 'purchase') > 0
+               AND (strpos(seq, 'error') = 0
+                    OR strpos(seq, 'error') > strpos(seq, 'purchase'))
+               AS clean_purchase
+      FROM seqs),
+    cells AS (
+      SELECT funnel, clean_purchase, count(*) AS n_users
+      FROM flags GROUP BY funnel, clean_purchase),
+    tot AS (SELECT CAST(sum(n_users) AS BIGINT) AS nt FROM cells)
+    SELECT funnel, clean_purchase, n_users,
+           round(n_users / CAST(tot.nt AS DOUBLE), 6) AS share
+    FROM cells, tot ORDER BY funnel, clean_purchase"""
+
+  /** q225: median-absolute-deviation outlier gate — the robust companion
+    * to q125's IQR and q163's z-score: MAD survives up to 50% outlier
+    * contamination, where mean/stddev (z-score) break down at one gross
+    * outlier and IQR at 25% — the right gate for feeds with corrupted
+    * tails. Per event type: median, MAD, and the count/fraction beyond the
+    * standard `3 * 1.4826 * MAD` band (1.4826 = the normal-consistency
+    * constant). MAD is inherently two-pass (median, then median of
+    * deviations); both passes are group-wise exact percentiles with the
+    * group medians broadcast back — never a global sort. The band
+    * comparison runs on ROUNDED medians/deviations so the outlier COUNT is
+    * bit-stable cross-engine (the two engines' percentile interpolation
+    * may differ in last ulps; q54 proves rounded-percentile parity).
+    */
+  private def q225(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(round(expr("percentile(value, 0.5D)"), 6).as("med"))
+    val dev = ev.join(broadcast(med), Seq("event_type"))
+      .withColumn("adev", round(abs(col("value") - col("med")), 6))
+    val mad = dev.groupBy(col("event_type"), col("med"))
+      .agg(round(expr("percentile(adev, 0.5D)"), 6).as("mad"),
+        count(lit(1)).as("n"))
+    dev.join(broadcast(mad.select(col("event_type"), col("mad"))),
+        Seq("event_type"))
+      .withColumn("out", (col("adev") > lit(3.0) * lit(1.4826) * col("mad"))
+        .cast("long"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("out")).cast("long").as("n_outliers"))
+      .join(broadcast(mad), Seq("event_type"))
+      .select(col("event_type"), col("med"), col("mad"), col("n"),
+        col("n_outliers"),
+        round(col("n_outliers") / col("n").cast("double"), 6)
+          .as("outlier_frac"))
+      .orderBy(col("event_type"))
+  }
+
+  private val o225 = """
+    WITH med AS (
+      SELECT event_type, round(quantile_cont(value, 0.5), 6) AS med
+      FROM events GROUP BY event_type),
+    dev AS (
+      SELECT e.event_type, m.med,
+             round(abs(e.value - m.med), 6) AS adev
+      FROM events e JOIN med m ON m.event_type = e.event_type),
+    mad AS (
+      SELECT event_type, med, round(quantile_cont(adev, 0.5), 6) AS mad,
+             count(*) AS n
+      FROM dev GROUP BY event_type, med),
+    outs AS (
+      SELECT d.event_type,
+             CAST(sum(CASE WHEN d.adev > 3.0 * 1.4826 * m.mad
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+      FROM dev d JOIN mad m ON m.event_type = d.event_type
+      GROUP BY d.event_type)
+    SELECT m.event_type, m.med, m.mad, m.n, o.n_outliers,
+           round(o.n_outliers / CAST(m.n AS DOUBLE), 6) AS outlier_frac
+    FROM mad m JOIN outs o ON o.event_type = m.event_type
+    ORDER BY m.event_type"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q224_event_patterns", q224, Some(o224)),
+    QueryDef("q225_mad_outliers", q225, Some(o225)),
     QueryDef("q216_ohlc_bars", q216, Some(o216)),
     QueryDef("q222_psi_drift", q222, Some(o222)),
     QueryDef("q206_markov_attribution", q206, Some(o206)),

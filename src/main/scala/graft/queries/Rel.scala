@@ -977,7 +977,51 @@ object Rel {
        ORDER BY col_name"""
   }
 
+  /** Numeric columns q226 correlates (all unordered pairs). */
+  private val CorrCols =
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+
+  /** q226: feature correlation matrix — the multicollinearity audit run
+    * before any modeling on tabular features (and the q221 profile's
+    * second-order companion): Pearson correlation for every unordered pair
+    * of the numeric lineitem measures, long format. ONE scan computes all
+    * C(4,2) pairs as parallel `corr` aggregates (each a constant-size
+    * moment buffer with map-side partials — no per-pair rescans, no
+    * pivot); the explode to long format touches a single row. q85 proves
+    * cross-engine `corr` parity at round-6.
+    */
+  private def q226(s: SparkSession, d: String): DataFrame = {
+    val pairsOf = CorrCols.combinations(2).map { case Seq(a, b) => (a, b) }
+      .toSeq
+    val aggs: Seq[Column] = pairsOf.map { case (a, b) =>
+      round(corr(col(a), col(b)), 6).as(s"c_${a}_$b")
+    }
+    val one = lineitem(s, d).agg(aggs.head, aggs.tail: _*)
+    val rows = pairsOf.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col(s"c_${a}_$b").as("pearson_r"))
+    }
+    one.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.*"))
+      .orderBy(col("col_a"), col("col_b"))
+  }
+
+  private val o226 = {
+    val pairsOf = CorrCols.combinations(2).map { case Seq(a, b) => (a, b) }
+      .toSeq
+    val aggs = pairsOf.map { case (a, b) =>
+      s"round(corr($a, $b), 6) AS c_${a}_$b"
+    }.mkString(", ")
+    val rows = pairsOf.map { case (a, b) =>
+      s"SELECT '$a' AS col_a, '$b' AS col_b, c_${a}_$b AS pearson_r FROM a"
+    }.mkString("\nUNION ALL\n")
+    s"""WITH a AS (SELECT $aggs FROM lineitem)
+       $rows
+       ORDER BY col_a, col_b"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q226_corr_matrix", q226, Some(o226)),
     QueryDef("q221_data_profile", q221, Some(o221)),
     QueryDef("q203_release_gate", q203, Some(o203)),
     QueryDef("q198_fk_integrity", q198, Some(o198)),
