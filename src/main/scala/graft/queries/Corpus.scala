@@ -1658,7 +1658,148 @@ object Corpus {
        ORDER BY bpe_round"""
   }
 
+  /** q227's frozen merge table, rank-ordered — the tokenizer ARTIFACT
+    * (literal here; in production a broadcast table frozen at training
+    * time, O(vocab) regardless of corpus size). */
+  private val BpeMerges = Seq(
+    ("t h", "th"), ("th e", "the"), ("i n", "in"), ("a n", "an"),
+    ("an d", "and"), ("r e", "re"), ("e r", "er"), ("o n", "on"),
+    ("s t", "st"), ("e n", "en"))
+
+  /** q227: BPE tokenizer APPLICATION — the production encode pass q172's
+    * induction exists to feed: apply a FROZEN rank-ordered merge table to
+    * the corpus and report the realized token budget per language. Each
+    * merge is one literal `replace` over the space-joined symbol string
+    * (left-to-right non-overlapping — exactly BPE's simultaneous pair
+    * merge, identical semantics in both engines, and plain string ops stay
+    * inside whole-stage codegen).
+    *
+    * Scale shape: the encode runs on the (lang, word) HISTOGRAM, not the
+    * corpus — each distinct word is encoded once and weighted by its count
+    * (the q172 trick); the merge chain is constant-depth (vocab-size
+    * rounds, corpus-independent); final rollup is per-language.
+    */
+  private def q227(s: SparkSession, d: String): DataFrame = {
+    val hist = parallelize(s, documents(s, d))
+      .select(col("lang"), explode(wsCol).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("wc"))
+    val encSql = BpeMerges.foldLeft(
+      "trim(regexp_replace(w, '(.)', '$1 '))") {
+      case (acc, (a, b)) => s"replace($acc, '$a', '$b')"
+    }
+    hist.withColumn("ntok", size(split(expr(encSql), " ")))
+      .withColumn("nsym", length(col("w")))
+      .groupBy(col("lang"))
+      .agg(sum(col("wc")).cast("long").as("n_words"),
+        sum(col("wc") * col("nsym")).cast("long").as("n_chars"),
+        sum(col("wc") * col("ntok")).cast("long").as("n_tokens"))
+      .select(col("lang"), col("n_words"), col("n_chars"), col("n_tokens"),
+        round(col("n_tokens") / col("n_words").cast("double"), 6)
+          .as("tokens_per_word"),
+        round(col("n_tokens") / col("n_chars").cast("double"), 6)
+          .as("compression"))
+      .orderBy(col("lang"))
+  }
+
+  private val o227 = {
+    val encSql = BpeMerges.foldLeft(
+      """trim(regexp_replace(w, '(.)', '\1 ', 'g'))""") {
+      case (acc, (a, b)) => s"replace($acc, '$a', '$b')"
+    }
+    s"""WITH hist AS (
+         SELECT lang, w, count(*) AS wc
+         FROM (SELECT lang,
+                      unnest(string_split_regex(trim(text), '\\s+')) AS w
+               FROM documents)
+         WHERE length(w) > 0
+         GROUP BY lang, w),
+       enc AS (
+         SELECT lang, wc, length(w) AS nsym,
+                len(string_split($encSql, ' ')) AS ntok
+         FROM hist)
+       SELECT lang, CAST(sum(wc) AS BIGINT) AS n_words,
+              CAST(sum(wc * nsym) AS BIGINT) AS n_chars,
+              CAST(sum(wc * ntok) AS BIGINT) AS n_tokens,
+              round(sum(wc * ntok) / CAST(sum(wc) AS DOUBLE), 6)
+                AS tokens_per_word,
+              round(sum(wc * ntok) / CAST(sum(wc * nsym) AS DOUBLE), 6)
+                AS compression
+       FROM enc GROUP BY lang ORDER BY lang"""
+  }
+
+  /** q228: token-budget waterfilling — the "cap the big feeds" allocation
+    * in mixture design (the continuous counterpart of q94/q167's weight
+    * schemes): given per-source token counts and a total budget B (half
+    * the corpus here), find the unique level τ with
+    * `Σ min(n_i, τ) = B` — sources below τ keep everything, sources above
+    * are capped at τ. Solved in closed form over the SOURCE DIMENSION
+    * (sort ascending, k* = first rank where the residual-budget level
+    * `τ_k = (B − cum_{<k}) / (m − k + 1)` dips to ≤ n_k): one window pass
+    * over an O(#sources) frame, never the corpus; the corpus-scale work is
+    * the per-source token rollup. All arithmetic is rational (no
+    * transcendentals), so τ and the per-source allocations are
+    * bit-identical cross-engine before rounding.
+    */
+  private def q228(s: SparkSession, d: String): DataFrame = {
+    val src = parallelize(s, documents(s, d))
+      .groupBy(col("source"))
+      .agg(sum(size(wsCol)).cast("long").as("n"))
+    val tot = src.agg(sum(col("n")).as("t"),
+        count(lit(1)).as("m"))
+      .select(expr("t DIV 2").as("b"), col("m"),
+        pmod(col("t"), lit(1)).cast("int").as("jk"))
+    val w = Window.orderBy(col("n"), col("source"))
+    val ranked = src.withColumn("jk", pmod(col("n") * 0, lit(1)).cast("int"))
+      .join(broadcast(tot), Seq("jk"))
+      .withColumn("k", row_number().over(w))
+      .withColumn("cumlt", coalesce(sum(col("n"))
+        .over(w.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("tau_k",
+        (col("b") - col("cumlt")).cast("double") / (col("m") - col("k") + 1))
+    val lvl = ranked.filter(col("tau_k") <= col("n"))
+      .agg(min_by(struct(col("tau_k")), col("k")).as("s"))
+      .select(col("s.tau_k").as("tau"))
+      .withColumn("jk", pmod(ceil(col("tau")).cast("long") * 0, lit(1))
+        .cast("int"))
+    ranked.join(broadcast(lvl), Seq("jk"))
+      .select(col("source"), col("n").as("n_tokens"),
+        round(least(col("n").cast("double"), col("tau")), 6).as("alloc"),
+        (col("n") > col("tau")).as("capped"),
+        round(col("tau"), 6).as("tau"), col("b").as("budget"))
+      .orderBy(col("source"))
+  }
+
+  private val o228 = """
+    WITH src AS (
+      SELECT source,
+             CAST(sum(len(string_split_regex(trim(text), '\s+')))
+               AS BIGINT) AS n
+      FROM documents GROUP BY source),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) // 2 AS b,
+                   count(*) AS m FROM src),
+    ranked AS (
+      SELECT source, n, b, m,
+             row_number() OVER w AS k,
+             coalesce(sum(n) OVER (ORDER BY n, source
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS cumlt
+      FROM src, tot
+      WINDOW w AS (ORDER BY n, source)),
+    lvl AS (
+      SELECT CAST(b - cumlt AS DOUBLE) / (m - k + 1) AS tau
+      FROM ranked
+      WHERE CAST(b - cumlt AS DOUBLE) / (m - k + 1) <= n
+      ORDER BY k LIMIT 1)
+    SELECT r.source, r.n AS n_tokens,
+           round(least(CAST(r.n AS DOUBLE), lvl.tau), 6) AS alloc,
+           r.n > lvl.tau AS capped,
+           round(lvl.tau, 6) AS tau, r.b AS budget
+    FROM ranked r, lvl ORDER BY r.source"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q227_bpe_encode", q227, Some(o227)),
+    QueryDef("q228_token_waterfill", q228, Some(o228)),
     QueryDef("q172_bpe_merges", q172, Some(o172)),
     QueryDef("q175_bpe_compression", q175, Some(o175)),
     QueryDef("q170_stratified_kfold", q170, Some(o170)),
