@@ -1750,7 +1750,7 @@ object Corpus {
       .select(expr("t DIV 2").as("b"), col("m"),
         pmod(col("t"), lit(1)).cast("int").as("jk"))
     val w = Window.orderBy(col("n"), col("source"))
-    val ranked = src.withColumn("jk", pmod(col("n") * 0, lit(1)).cast("int"))
+    val ranked = src.withColumn("jk", pmod(col("n"), lit(1)).cast("int"))
       .join(broadcast(tot), Seq("jk"))
       .withColumn("k", row_number().over(w))
       .withColumn("cumlt", coalesce(sum(col("n"))
@@ -1760,7 +1760,7 @@ object Corpus {
     val lvl = ranked.filter(col("tau_k") <= col("n"))
       .agg(min_by(struct(col("tau_k")), col("k")).as("s"))
       .select(col("s.tau_k").as("tau"))
-      .withColumn("jk", pmod(ceil(col("tau")).cast("long") * 0, lit(1))
+      .withColumn("jk", pmod(ceil(col("tau")).cast("long"), lit(1))
         .cast("int"))
     ranked.join(broadcast(lvl), Seq("jk"))
       .select(col("source"), col("n").as("n_tokens"),

@@ -1071,10 +1071,14 @@ object Dedup {
       .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
       .select(col("doc_a"), col("doc_b"),
         (col("ni") / (col("za.sz") + col("zb.sz") - col("ni")))
-          .as("exact_jac"))
+          .as("exact_jac"),
+        (col("ni") / col("za.sz")).as("cont_a"),
+        (col("ni") / col("zb.sz")).as("cont_b"))
     val pairs = est.join(exact, Seq("doc_a", "doc_b"), "left")
       .select(col("doc_a"), col("doc_b"), col("est_jac"),
-        coalesce(col("exact_jac"), lit(0.0)).as("exact_jac"))
+        coalesce(col("exact_jac"), lit(0.0)).as("exact_jac"),
+        coalesce(col("cont_a"), lit(0.0)).as("cont_a"),
+        coalesce(col("cont_b"), lit(0.0)).as("cont_b"))
     (pairs, sig, sh)
   }
 
@@ -1235,6 +1239,69 @@ object Dedup {
        FROM est LEFT JOIN exact
          ON est.doc_a = exact.doc_a AND est.doc_b = exact.doc_b
        ORDER BY est.doc_a, est.doc_b"""
+
+  /** q231: containment / asymmetric-overlap classification — the signal
+    * symmetric Jaccard structurally misses: a short document fully
+    * contained in a long one (quote expansion, article + appended
+    * boilerplate, excerpt re-posts) can have Jaccard ≪ 0.5 while
+    * containment `|A∩B| / |A|` is ~1.0 — Lee et al.'s exact-substring
+    * motivation at the shingle-set grain. Over the SAME LSH candidate
+    * pairs as q143/q207: Jaccard, both containment directions, and a
+    * relation verdict (`near_dup` / `a_in_b` / `b_in_a` / `partial`).
+    * Classification thresholds compare UNROUNDED integer-ratio doubles —
+    * bit-identical cross-engine; display values rounded. Work stays
+    * candidate-bounded (the q38 stance): intersections only for pairs the
+    * band gate admitted.
+    */
+  private def q231(s: SparkSession, d: String): DataFrame = {
+    val (pairs, sig, sh) = candJaccard(s, d)
+    val rel = when(col("exact_jac") >= 0.5, "near_dup")
+      .when(col("cont_a") >= 0.8, "a_in_b")
+      .when(col("cont_b") >= 0.8, "b_in_a")
+      .otherwise("partial")
+    val out = pairs.select(col("doc_a"), col("doc_b"),
+        round(col("exact_jac"), 6).as("jaccard"),
+        round(col("cont_a"), 6).as("cont_a"),
+        round(col("cont_b"), 6).as("cont_b"),
+        rel.as("relation"))
+      .orderBy(col("doc_a"), col("doc_b"))
+    Cached.scopedTo(out, sig, sh)
+  }
+
+  private def o231: String =
+    s"""WITH b AS ($oBands),
+       cand AS (
+         SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+         FROM b x JOIN b y
+           ON x.band_pos = y.band_pos AND x.bkey = y.bkey
+          AND x.doc_id < y.doc_id),
+       sh AS (
+         SELECT DISTINCT doc_id,
+                unnest(list_transform(range(1, length(text) - ${ShingleLen - 2}),
+                  i -> substr(text, i, $ShingleLen))) AS sh
+         FROM documents),
+       sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       exact AS (
+         SELECT doc_a, doc_b, ni / (za.sz + zb.sz - ni) AS exact_jac,
+                ni / za.sz AS cont_a, ni / zb.sz AS cont_b
+         FROM (SELECT doc_a, doc_b, count(*) AS ni
+               FROM cand
+               JOIN sh sa ON sa.doc_id = doc_a
+               JOIN sh sb ON sb.doc_id = doc_b AND sb.sh = sa.sh
+               GROUP BY 1, 2) i
+         JOIN sz za ON za.doc_id = doc_a
+         JOIN sz zb ON zb.doc_id = doc_b)
+       SELECT c.doc_a, c.doc_b,
+              round(coalesce(exact_jac, 0), 6) AS jaccard,
+              round(coalesce(cont_a, 0), 6) AS cont_a,
+              round(coalesce(cont_b, 0), 6) AS cont_b,
+              CASE WHEN coalesce(exact_jac, 0) >= 0.5 THEN 'near_dup'
+                   WHEN coalesce(cont_a, 0) >= 0.8 THEN 'a_in_b'
+                   WHEN coalesce(cont_b, 0) >= 0.8 THEN 'b_in_a'
+                   ELSE 'partial' END AS relation
+       FROM cand c LEFT JOIN exact
+         ON c.doc_a = exact.doc_a AND c.doc_b = exact.doc_b
+       ORDER BY c.doc_a, c.doc_b"""
 
   /** q156: cross-source duplication matrix — q38's verified near-dup pairs
     * rolled up by the SOURCES the two docs came from (pair normalized so the
@@ -1604,6 +1671,7 @@ object Dedup {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q181_editdist_join", q181, Some(o181)),
     QueryDef("q218_er_golden_record", q218, Some(o218)),
+    QueryDef("q231_containment", q231, Some(o231)),
     QueryDef("q165_leakage_safe_split", q165, Some(o165)),
     QueryDef("q156_source_overlap", q156, Some(o156)),
     QueryDef("q157_dedup_ledger", q157, Some(o157)),

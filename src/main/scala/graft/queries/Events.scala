@@ -1359,7 +1359,7 @@ object Events {
       .withColumn("cur", (col("us") >= col("mid")).cast("int"))
     val refRange = tagged.filter(col("cur") === 0)
       .agg(min(col("value")).as("vmin"), max(col("value")).as("vmax"))
-      .withColumn("jk2", pmod(floor(col("vmin")) * 0, lit(1)).cast("int"))
+      .withColumn("jk2", pmod(floor(col("vmin")), lit(1)).cast("int"))
     val counts = tagged.withColumn("jk2", pmod(col("us"), lit(1)).cast("int"))
       .join(broadcast(refRange), Seq("jk2"))
       .withColumn("bin", least(lit(9), greatest(lit(0),
@@ -1372,14 +1372,14 @@ object Events {
       .withColumn("jk3", pmod(col("tr"), lit(1)).cast("int"))
     val pr = (col("n_ref") + lit(1.0)) / (col("tr") + lit(10.0))
     val pc = (col("n_cur") + lit(1.0)) / (col("tc") + lit(10.0))
-    val shares = counts.withColumn("jk3", pmod(col("n_ref") * 0, lit(1)).cast("int"))
+    val shares = counts.withColumn("jk3", pmod(col("n_ref"), lit(1)).cast("int"))
       .join(broadcast(tot), Seq("jk3"))
       .select(col("bin"), col("n_ref"), col("n_cur"),
         round(pr, 6).as("p_ref"), round(pc, 6).as("p_cur"),
         ((pc - pr) * log(pc / pr)).as("contrib_raw"))
     val psi = shares.agg(sum(col("contrib_raw")).as("psi_raw"))
-      .withColumn("jk4", pmod(ceil(col("psi_raw")) * 0, lit(1)).cast("int"))
-    shares.withColumn("jk4", pmod(col("n_ref") * 0, lit(1)).cast("int"))
+      .withColumn("jk4", pmod(ceil(col("psi_raw")), lit(1)).cast("int"))
+    shares.withColumn("jk4", pmod(col("n_ref"), lit(1)).cast("int"))
       .join(broadcast(psi), Seq("jk4"))
       .select(col("bin"), col("n_ref"), col("n_cur"), col("p_ref"),
         col("p_cur"), round(col("contrib_raw"), 6).as("contrib"),

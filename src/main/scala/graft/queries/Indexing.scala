@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Auxiliary structures a large-scale pipeline builds BESIDE its tables:
@@ -321,7 +322,89 @@ object Indexing {
     FROM contrib
     ORDER BY rank DESC, p_partkey LIMIT 20"""
 
+  /** q230's query phrases (literal two-word phrases, the search input). */
+  private val Phrases = Seq("hash join", "table scan", "sort merge")
+
+  /** q230: positional phrase search — the search-engine primitive q117's
+    * document-grain postings cannot answer: "these words ADJACENT, in
+    * order". Token-position frames for the phrase's words equi-join on
+    * `(phrase, doc, pos+1 = pos)` — the classic positional-postings
+    * AND-merge — then per-phrase hit counts, document frequency, and the
+    * top-3 documents by hit count (tie-break doc_id).
+    *
+    * Scale shape: the phrase table is a broadcast dimension; the corpus
+    * pays one tokenize+posexplode whose output is immediately semi-joined
+    * down to the phrase's terms (work ∝ postings of the queried words, the
+    * selective part); the adjacency join keys on (phrase, doc_id, pos) —
+    * hash join, match-bounded. Against a PERSISTED positional index (q117
+    * extended with positions) the scan disappears entirely; the join
+    * shape here is identical to that probe.
+    */
+  private def q230(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    val toks = parallelize(s, documents(s, d))
+      .select(col("doc_id"),
+        posexplode(split(trim(col("text")), "\\s+")).as(Seq("pos", "w")))
+    val ph = Phrases.map(p => (p, p.split(" ")(0), p.split(" ")(1)))
+      .toDF("phrase", "w1", "w2")
+    val t1 = toks.join(broadcast(ph.select(col("phrase"), col("w1"))),
+        col("w") === col("w1"))
+      .select(col("phrase"), col("doc_id"), col("pos"))
+    val t2 = toks.join(broadcast(ph.select(col("phrase"), col("w2"))),
+        col("w") === col("w2"))
+      .select(col("phrase"), col("doc_id"), (col("pos") - 1).as("pos"))
+    val hits = t1.join(t2, Seq("phrase", "doc_id", "pos"))
+      .groupBy(col("phrase"), col("doc_id"))
+      .agg(count(lit(1)).as("n_hits"))
+    val tot = hits.groupBy(col("phrase"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_hits")).cast("long").as("total_hits"))
+    val w = Window.partitionBy(col("phrase"))
+      .orderBy(col("n_hits").desc, col("doc_id"))
+    hits.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .join(broadcast(tot), Seq("phrase"))
+      .select(col("phrase"), col("rank"), col("doc_id"), col("n_hits"),
+        col("n_docs"), col("total_hits"))
+      .orderBy(col("phrase"), col("rank"))
+  }
+
+  private val o230 = {
+    val vals = Phrases.map { p =>
+      val Array(a, b) = p.split(" "); s"('$p','$a','$b')"
+    }.mkString(", ")
+    s"""WITH toks AS (
+         SELECT doc_id, CAST(generate_subscripts(ws, 1) - 1 AS INT) AS pos,
+                unnest(ws) AS w
+         FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+               FROM documents)),
+       ph(phrase, w1, w2) AS (VALUES $vals),
+       t1 AS (SELECT ph.phrase, t.doc_id, t.pos
+              FROM toks t JOIN ph ON t.w = ph.w1),
+       t2 AS (SELECT ph.phrase, t.doc_id, t.pos - 1 AS pos
+              FROM toks t JOIN ph ON t.w = ph.w2),
+       hits AS (
+         SELECT t1.phrase, t1.doc_id, count(*) AS n_hits
+         FROM t1 JOIN t2 ON t2.phrase = t1.phrase
+           AND t2.doc_id = t1.doc_id AND t2.pos = t1.pos
+         GROUP BY t1.phrase, t1.doc_id),
+       tot AS (
+         SELECT phrase, count(*) AS n_docs,
+                CAST(sum(n_hits) AS BIGINT) AS total_hits
+         FROM hits GROUP BY phrase),
+       r AS (
+         SELECT phrase, doc_id, n_hits,
+                CAST(row_number() OVER (PARTITION BY phrase
+                  ORDER BY n_hits DESC, doc_id) AS INT) AS rank
+         FROM hits)
+       SELECT r.phrase, r.rank, r.doc_id, r.n_hits, t.n_docs, t.total_hits
+       FROM r JOIN tot t ON t.phrase = r.phrase
+       WHERE r.rank <= 3
+       ORDER BY r.phrase, r.rank"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q230_phrase_search", q230, Some(o230)),
     QueryDef("q115_countmin_sketch", q115, Some(o115)),
     QueryDef("q116_bloom_prune", q116, Some(o116)),
     QueryDef("q117_inverted_index", q117, Some(o117)),

@@ -1020,7 +1020,70 @@ object Rel {
        ORDER BY col_a, col_b"""
   }
 
+  /** q229: incremental aggregate maintenance — the materialized-view
+    * refresh primitive: a monthly revenue rollup is maintained by merging
+    * the stored HISTORY partials with a rollup of ONLY the newest month's
+    * delta partition (partial re-aggregation — counts add, sums add), and
+    * the merged view is proven equal to a full recompute in-output
+    * (`matches_full`). The at-scale contract: refresh cost is
+    * O(delta + months), never O(history rows) — here the history partials
+    * are rebuilt for the self-contained demo (one extra pass the scaladoc
+    * prices); in production they persist and only the
+    * `m = current-month` filter's partition is scanned. Revenue sums are
+    * 2-decimal prices, so both the merged and full sums round(2) onto the
+    * same exact decimal — the equality is structural, not luck.
+    */
+  private def q229(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+      .withColumn("m", expr("year(o_orderdate) * 12 + month(o_orderdate)"))
+    val cutRow = o.agg(max(col("m")).as("cut"))
+      .withColumn("jk", pmod(col("cut"), lit(1)).cast("int"))
+    val oc = o.withColumn("jk", pmod(col("m"), lit(1)).cast("int"))
+      .join(broadcast(cutRow), Seq("jk"))
+    def partials(df: DataFrame): DataFrame = df.groupBy(col("m"))
+      .agg(count(lit(1)).as("pn"), sum(col("o_totalprice")).as("ps"))
+    val merged = partials(oc.filter(col("m") < col("cut")))
+      .unionByName(partials(oc.filter(col("m") === col("cut"))))
+      .groupBy(col("m"))
+      .agg(sum(col("pn")).cast("long").as("n_orders"),
+        round(sum(col("ps")), 2).as("revenue"))
+    val full = o.groupBy(col("m"))
+      .agg(count(lit(1)).cast("long").as("fn"),
+        round(sum(col("o_totalprice")), 2).as("fr"))
+    merged.join(full, Seq("m"))
+      .select(col("m").as("month_key"), col("n_orders"), col("revenue"),
+        (col("n_orders") === col("fn") && col("revenue") === col("fr"))
+          .as("matches_full"))
+      .orderBy(col("month_key"))
+  }
+
+  private val o229 = """
+    WITH o AS (
+      SELECT CAST(year(o_orderdate) * 12 + month(o_orderdate) AS INT) AS m,
+             o_totalprice
+      FROM orders),
+    cut AS (SELECT max(m) AS cut FROM o),
+    hist AS (
+      SELECT m, count(*) AS pn, sum(o_totalprice) AS ps
+      FROM o, cut WHERE m < cut GROUP BY m),
+    delta AS (
+      SELECT m, count(*) AS pn, sum(o_totalprice) AS ps
+      FROM o, cut WHERE m = cut GROUP BY m),
+    merged AS (
+      SELECT m, CAST(sum(pn) AS BIGINT) AS n_orders,
+             round(sum(ps), 2) AS revenue
+      FROM (SELECT * FROM hist UNION ALL SELECT * FROM delta)
+      GROUP BY m),
+    f AS (
+      SELECT m, count(*) AS fn, round(sum(o_totalprice), 2) AS fr
+      FROM o GROUP BY m)
+    SELECT merged.m AS month_key, n_orders, revenue,
+           n_orders = fn AND revenue = fr AS matches_full
+    FROM merged JOIN f ON merged.m = f.m
+    ORDER BY month_key"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q229_incremental_rollup", q229, Some(o229)),
     QueryDef("q226_corr_matrix", q226, Some(o226)),
     QueryDef("q221_data_profile", q221, Some(o221)),
     QueryDef("q203_release_gate", q203, Some(o203)),

@@ -2061,11 +2061,11 @@ object Vec {
     val ft = tf.groupBy(col("term")).agg(sum(col("tf")).cast("long").as("ft"))
     val aRow = tf.agg((sum(col("tf")).cast("double")
         / countDistinct(col("cid")).cast("double")).as("a"))
-      .withColumn("jk", pmod(ceil(col("a")).cast("long") * 0, lit(1)).cast("int"))
+      .withColumn("jk", pmod(ceil(col("a")).cast("long"), lit(1)).cast("int"))
     val win = Window.partitionBy(col("cid"))
       .orderBy(col("score").desc, col("term"))
     tf.join(ft, Seq("term"))
-      .withColumn("jk", pmod(col("tf") * 0, lit(1)).cast("int"))
+      .withColumn("jk", pmod(col("tf"), lit(1)).cast("int"))
       .join(broadcast(aRow), Seq("jk"))
       .withColumn("score",
         round(col("tf") * log(lit(1.0) + col("a") / col("ft")), 6))
