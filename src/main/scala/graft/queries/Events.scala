@@ -1539,7 +1539,59 @@ object Events {
     FROM mad m JOIN outs o ON o.event_type = m.event_type
     ORDER BY m.event_type"""
 
+  /** q232: seasonality-adjusted traffic anomalies — q192's calendar
+    * heatmap turned into a DETECTOR: traffic is bucketed into
+    * (weekday, hour, week) cells, each (weekday, hour) cell's per-week
+    * counts form its own seasonal baseline (mean, stddev over weeks), and
+    * cells beyond |z| > 2 are flagged — "unusual for a Tuesday 3 pm", not
+    * "unusual overall", which is what raw-threshold alerting gets wrong
+    * about weekly-periodic traffic. Baseline frame is ≤ 168 rows at any
+    * corpus scale (broadcast); the corpus pays one rollup. Degenerate
+    * cells (constant across weeks) are excluded on the ROUNDED stddev —
+    * integer counts make true-zero vs ≥0.3 cleanly separable at round-6 —
+    * and the flag compares the ROUNDED z, so the flagged set is bit-stable
+    * cross-engine.
+    */
+  private def q232(s: SparkSession, d: String): DataFrame = {
+    val weekUs = 7L * 86400 * 1000000
+    val cells = events(s, d)
+      .groupBy(
+        expr("weekday(timestamp_micros(ts DIV 1000))").cast("int").as("dow"),
+        hour(timestamp_micros(expr("ts DIV 1000"))).cast("int").as("hr"),
+        expr(s"ts DIV 1000 DIV $weekUs").as("week"))
+      .agg(count(lit(1)).as("n"))
+    val base = cells.groupBy(col("dow"), col("hr"))
+      .agg(avg(col("n")).as("mu"), stddev_samp(col("n")).as("sd"))
+      .filter(round(col("sd"), 6) > 0)
+    cells.join(broadcast(base), Seq("dow", "hr"))
+      .withColumn("z", round((col("n") - col("mu")) / col("sd"), 4))
+      .filter(abs(col("z")) > 2.0)
+      .select(col("dow"), col("hr"), col("week"), col("n"),
+        round(col("mu"), 4).as("mean_n"), round(col("sd"), 4).as("sd_n"),
+        col("z"))
+      .orderBy(col("dow"), col("hr"), col("week"))
+  }
+
+  private val o232 = """
+    WITH cells AS (
+      SELECT CAST(isodow(ts) - 1 AS INT) AS dow,
+             CAST(hour(ts) AS INT) AS hr,
+             epoch_us(ts) // 604800000000 AS week, count(*) AS n
+      FROM events GROUP BY dow, hr, week),
+    base AS (
+      SELECT dow, hr, avg(n) AS mu, stddev_samp(n) AS sd
+      FROM cells GROUP BY dow, hr
+      HAVING round(stddev_samp(n), 6) > 0),
+    z AS (
+      SELECT c.dow, c.hr, c.week, c.n, b.mu, b.sd,
+             round((c.n - b.mu) / b.sd, 4) AS z
+      FROM cells c JOIN base b ON b.dow = c.dow AND b.hr = c.hr)
+    SELECT dow, hr, week, n, round(mu, 4) AS mean_n, round(sd, 4) AS sd_n, z
+    FROM z WHERE abs(z) > 2.0
+    ORDER BY dow, hr, week"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q232_seasonal_anomaly", q232, Some(o232)),
     QueryDef("q224_event_patterns", q224, Some(o224)),
     QueryDef("q225_mad_outliers", q225, Some(o225)),
     QueryDef("q216_ohlc_bars", q216, Some(o216)),

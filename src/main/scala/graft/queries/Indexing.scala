@@ -403,8 +403,62 @@ object Indexing {
        ORDER BY r.phrase, r.rank"""
   }
 
+  /** q234: sketch-based join-cardinality estimation — the optimizer-side
+    * use of q115's count-min sketch (AGMS/CM inner-product estimate,
+    * Cormode & Muthukrishnan §4.2): the self-equi-join size on a key is
+    * `Σ_k n_k²`, and the CM estimate is `min_d Σ_w cnt[d][w]²` — the inner
+    * product of the sketch row with itself, computable WITHOUT the key-
+    * grain histogram. One-sided error by construction (hash collisions
+    * only add), so `est ≥ true` always: exactly the conservative estimate
+    * a join planner wants before choosing strategy/salting for a skewed
+    * key (the decision q202's exact report makes offline, priced at
+    * sketch cost instead of a key-grain aggregation). Per-depth estimates,
+    * their min, the exact answer, and the overestimate factor — all
+    * integer arithmetic, bit-identical cross-engine.
+    */
+  private def q234(s: SparkSession, d: String): DataFrame = {
+    val li = parallelize(s, lineitem(s, d))
+    val sketch = li
+      .select(col("l_suppkey"),
+        explode(sequence(lit(0), lit(CmsDepth - 1))).as("d"))
+      .groupBy(col("d"),
+        pmod(h32(col("d"), col("l_suppkey")), lit(CmsWidth)).as("b"))
+      .agg(count(lit(1)).as("cnt"))
+    val perDepth = sketch.groupBy(col("d"))
+      .agg(sum(col("cnt") * col("cnt")).cast("long").as("est_d"))
+    val minRow = perDepth.agg(min(col("est_d")).as("est_min"))
+      .withColumn("jk", pmod(col("est_min"), lit(1)).cast("int"))
+    val trueRow = li.groupBy(col("l_suppkey")).agg(count(lit(1)).as("nk"))
+      .agg(sum(col("nk") * col("nk")).cast("long").as("true_size"))
+      .withColumn("jk", pmod(col("true_size"), lit(1)).cast("int"))
+    perDepth.withColumn("jk", pmod(col("est_d"), lit(1)).cast("int"))
+      .join(broadcast(minRow), Seq("jk"))
+      .join(broadcast(trueRow), Seq("jk"))
+      .select(col("d"), col("est_d"), col("est_min"), col("true_size"),
+        round(col("est_min") / col("true_size").cast("double"), 6)
+          .as("over_factor"))
+      .orderBy(col("d"))
+  }
+
+  private val o234 = s"""
+    WITH sk AS (
+      SELECT t.d, ${oH32("t.d", "l_suppkey")} % $CmsWidth AS b,
+             count(*) AS cnt
+      FROM lineitem CROSS JOIN generate_series(0, ${CmsDepth - 1}) AS t(d)
+      GROUP BY 1, 2),
+    pd AS (SELECT d, CAST(sum(cnt * cnt) AS BIGINT) AS est_d
+           FROM sk GROUP BY d),
+    mn AS (SELECT min(est_d) AS est_min FROM pd),
+    tr AS (SELECT CAST(sum(nk * nk) AS BIGINT) AS true_size
+           FROM (SELECT count(*) AS nk FROM lineitem GROUP BY l_suppkey))
+    SELECT pd.d, pd.est_d, mn.est_min, tr.true_size,
+           round(mn.est_min / CAST(tr.true_size AS DOUBLE), 6)
+             AS over_factor
+    FROM pd, mn, tr ORDER BY pd.d"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q230_phrase_search", q230, Some(o230)),
+    QueryDef("q234_join_cardinality_sketch", q234, Some(o234)),
     QueryDef("q115_countmin_sketch", q115, Some(o115)),
     QueryDef("q116_bloom_prune", q116, Some(o116)),
     QueryDef("q117_inverted_index", q117, Some(o117)),

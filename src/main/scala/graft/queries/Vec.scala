@@ -2189,8 +2189,85 @@ object Vec {
       FROM m)
     SELECT aid, bid, cs, margin FROM r WHERE rm = 1 ORDER BY aid"""
 
+  /** q233: retrieval-quality evaluation (MRR + nDCG@10) — the measurement
+    * the ranking tier (q41/q131/q164/q200) produces rankings FOR but
+    * nothing previously scored: over the q176 query panel, rank the
+    * corpus by cosine and grade against label-match relevance — reciprocal
+    * rank of the first relevant hit and nDCG@10 (graded position-discounted
+    * gain vs the ideal ordering). This is the offline eval loop every
+    * retrieval deployment runs against a qrels set; labels stand in for
+    * qrels. Ranks come from the ROUNDED cosine with vec_id tie-break (the
+    * q41 parity recipe), so rankings are bit-identical cross-engine; the
+    * log2-discounted sums are transcendental and compared rounded.
+    *
+    * Scale shape: panel×corpus brute-force scoring (the eval set is fixed
+    * and small — eval cost does not grow with panel quality), one window
+    * per panel query, one rollup; the ideal-DCG term is a constant-length
+    * fold on the aggregated row.
+    */
+  private def q233(s: SparkSession, d: String): DataFrame = {
+    val e = parallelize(s, embeddings(s, d))
+    val q = e.filter(col("vec_id") >= NCells &&
+        col("vec_id") < NCells + RecallQ)
+      .select(col("vec_id").as("qid"), col("label").as("qlab"),
+        toD(col("embedding")).as("qv"), pmod(col("vec_id"), lit(1)).as("jk"))
+    val scored = e.withColumn("jk", pmod(col("vec_id"), lit(1)))
+      .join(broadcast(q), Seq("jk"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("qlab"), col("vec_id"), col("label"),
+        round(cosine(toD(col("embedding")), col("qv")), 6).as("cs"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("cs").desc, col("vec_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .withColumn("rel", (col("label") === col("qlab")).cast("int"))
+      .groupBy(col("qid"))
+      .agg(sum(col("rel")).cast("long").as("n_rel"),
+        min(when(col("rel") === 1, col("rank"))).as("first_rel_rank"),
+        sum(when(col("rel") === 1 && col("rank") <= 10,
+          lit(1.0) / log2(col("rank") + 1)).otherwise(0.0)).as("dcg"))
+      .withColumn("idcg", expr(
+        """aggregate(sequence(1L, least(10L, greatest(1L, n_rel))), 0.0D,
+           (acc, i) -> acc + 1.0 / log2(i + 1))"""))
+      .select(col("qid"), col("n_rel"), col("first_rel_rank"),
+        round(lit(1.0) / col("first_rel_rank"), 6).as("mrr_contrib"),
+        round(col("dcg") / col("idcg"), 6).as("ndcg10"))
+      .orderBy(col("qid"))
+  }
+
+  private val o233 = s"""
+    WITH q AS (
+      SELECT vec_id AS qid, label AS qlab,
+             CAST(embedding AS DOUBLE[]) AS qv
+      FROM embeddings
+      WHERE vec_id >= $NCells AND vec_id < ${NCells + RecallQ}),
+    scored AS (
+      SELECT q.qid, q.qlab, e.vec_id, e.label,
+             round(list_cosine_similarity(CAST(e.embedding AS DOUBLE[]),
+               q.qv), 6) AS cs
+      FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.qid),
+    ranked AS (
+      SELECT qid, qlab, vec_id, label, cs,
+             row_number() OVER (PARTITION BY qid
+               ORDER BY cs DESC, vec_id) AS rank
+      FROM scored),
+    aggd AS (
+      SELECT qid,
+             CAST(sum(CASE WHEN label = qlab THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_rel,
+             min(CASE WHEN label = qlab THEN rank END) AS first_rel_rank,
+             sum(CASE WHEN label = qlab AND rank <= 10
+                 THEN 1.0 / log2(rank + 1) ELSE 0.0 END) AS dcg
+      FROM ranked GROUP BY qid)
+    SELECT qid, n_rel, CAST(first_rel_rank AS INT) AS first_rel_rank,
+           round(1.0 / first_rel_rank, 6) AS mrr_contrib,
+           round(dcg / list_sum(list_transform(
+             range(1, least(10, greatest(1, n_rel)) + 1),
+             i -> 1.0 / log2(i + 1))), 6) AS ndcg10
+    FROM aggd ORDER BY qid"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q215_ctfidf_topics", q215, Some(o215)),
+    QueryDef("q233_retrieval_eval", q233, Some(o233)),
     QueryDef("q217_margin_bitext", q217, Some(o217)),
     QueryDef("q204_ivfadc_refine", q204, Some(o204)),
     QueryDef("q197_embedding_geometry", q197, Some(o197)),
