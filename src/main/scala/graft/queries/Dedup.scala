@@ -1303,6 +1303,111 @@ object Dedup {
          ON c.doc_a = exact.doc_a AND c.doc_b = exact.doc_b
        ORDER BY c.doc_a, c.doc_b"""
 
+  /** q236: mergeable source-grain MinHash similarity — the sketch-ALGEBRA
+    * property the MinHash tier has used implicitly, demonstrated and
+    * audited: the slot-wise MIN of per-doc signatures IS the signature of
+    * the docs' shingle-set UNION (min over docs of per-doc minima = min
+    * over the union), so whole-SOURCE similarity costs one rollup of the
+    * already-computed doc signatures — no source-grain rescan, no pair
+    * explosion. Estimated source-vocabulary Jaccard = agreeing slots / k
+    * (resolution 1/$NumHashes — coarse by design; the audit column prices
+    * it against the exact source-grain shingle Jaccard, which is the scan
+    * this sketch exists to avoid at 100 TB). The same mergeability is what
+    * lets signatures aggregate map-side per partition and roll up across
+    * shards/days without touching documents again.
+    *
+    * Source pairs form via a zero-key broadcast hash join + `<` filter
+    * (never a nested-loop inequality join); the source frame is
+    * O(#sources).
+    */
+  private def q236(s: SparkSession, d: String): DataFrame = {
+    val src = documents(s, d).select(col("doc_id"), col("source"))
+    val ssig = signatures(s, d).filter(col("mh0").isNotNull)
+      .join(src, Seq("doc_id"))
+      .groupBy(col("source"))
+      .agg(min(col("mh0")).as("mh0"),
+        (1 until NumHashes).map(j => min(col(s"mh$j")).as(s"mh$j")): _*)
+      .withColumn("jk", pmod(length(col("mh0")), lit(1)).cast("int"))
+      // tiny frame, but persisting it keeps the CPU-heavy doc-signature
+      // subtree from evaluating once per self-join side
+      .persist()
+    val agree = (0 until NumHashes)
+      .map(j => when(col(s"a.mh$j") === col(s"b.mh$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    val est = ssig.as("a").join(broadcast(ssig.as("b")), Seq("jk"))
+      .filter(col("a.source") < col("b.source"))
+      .select(col("a.source").as("source_a"), col("b.source").as("source_b"),
+        agree.as("n_agree"))
+    val sh = parallelize(s, documents(s, d))
+      .select(col("source"),
+        explode(graft.functions.DistinctShinglesExpression
+          .distinctShingles(col("text"))).as("sh"))
+      .distinct().persist()
+    val sz = sh.groupBy(col("source")).agg(count(lit(1)).as("sz"))
+    val inter = sh.as("x")
+      .join(sh.as("y"),
+        col("x.sh") === col("y.sh") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(count(lit(1)).as("ni"))
+    val out = est
+      .join(inter, Seq("source_a", "source_b"), "left")
+      .join(broadcast(sz.select(col("source").as("source_a"),
+        col("sz").as("za"))), Seq("source_a"))
+      .join(broadcast(sz.select(col("source").as("source_b"),
+        col("sz").as("zb"))), Seq("source_b"))
+      .withColumn("exact_jac",
+        coalesce(col("ni"), lit(0L)) /
+          (col("za") + col("zb") - coalesce(col("ni"), lit(0L))))
+      .select(col("source_a"), col("source_b"), col("n_agree"),
+        round(col("n_agree") / lit(NumHashes.toDouble), 6).as("est_jac"),
+        round(col("exact_jac"), 6).as("exact_jac"),
+        round(abs(col("n_agree") / lit(NumHashes.toDouble)
+          - col("exact_jac")), 6).as("abs_err"))
+      .orderBy(col("source_a"), col("source_b"))
+    Cached.scopedTo(out, sh, ssig)
+  }
+
+  private def o236: String = {
+    val mins = (0 until NumHashes).map(j => s"min(mh$j) AS mh$j")
+      .mkString(", ")
+    val agree = (0 until NumHashes)
+      .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH sig AS ($oSig),
+       ssig AS (
+         SELECT d.source, $mins
+         FROM sig JOIN documents d USING (doc_id)
+         WHERE mh0 IS NOT NULL GROUP BY d.source),
+       est AS (
+         SELECT a.source AS source_a, b.source AS source_b,
+                ($agree) AS n_agree
+         FROM ssig a JOIN ssig b ON a.source < b.source),
+       sh AS (
+         SELECT DISTINCT source, sh
+         FROM (SELECT source,
+                 unnest(list_transform(range(1, length(text) - ${ShingleLen - 2}),
+                   i -> substr(text, i, $ShingleLen))) AS sh
+               FROM documents)),
+       sz AS (SELECT source, count(*) AS sz FROM sh GROUP BY source),
+       inter AS (
+         SELECT x.source AS source_a, y.source AS source_b, count(*) AS ni
+         FROM sh x JOIN sh y ON x.sh = y.sh AND x.source < y.source
+         GROUP BY 1, 2)
+       SELECT e.source_a, e.source_b, e.n_agree,
+              round(e.n_agree / ${NumHashes}.0, 6) AS est_jac,
+              round(coalesce(ni, 0) / (za.sz + zb.sz - coalesce(ni, 0)), 6)
+                AS exact_jac,
+              round(abs(e.n_agree / ${NumHashes}.0
+                - coalesce(ni, 0) / (za.sz + zb.sz - coalesce(ni, 0))), 6)
+                AS abs_err
+       FROM est e
+       LEFT JOIN inter i ON i.source_a = e.source_a
+         AND i.source_b = e.source_b
+       JOIN sz za ON za.source = e.source_a
+       JOIN sz zb ON zb.source = e.source_b
+       ORDER BY e.source_a, e.source_b"""
+  }
+
   /** q156: cross-source duplication matrix — q38's verified near-dup pairs
     * rolled up by the SOURCES the two docs came from (pair normalized so the
     * matrix is upper-triangular): the data-governance report that tells a
@@ -1672,6 +1777,7 @@ object Dedup {
     QueryDef("q181_editdist_join", q181, Some(o181)),
     QueryDef("q218_er_golden_record", q218, Some(o218)),
     QueryDef("q231_containment", q231, Some(o231)),
+    QueryDef("q236_source_minhash_merge", q236, Some(o236)),
     QueryDef("q165_leakage_safe_split", q165, Some(o165)),
     QueryDef("q156_source_overlap", q156, Some(o156)),
     QueryDef("q157_dedup_ledger", q157, Some(o157)),

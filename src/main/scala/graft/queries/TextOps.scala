@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Text-analysis operators over `documents` — the corpus-statistics /
@@ -700,8 +701,57 @@ object TextOps {
            round(tot.wgap / tot.nn, 6) AS ece
     FROM bins, tot ORDER BY bin"""
 
+  /** q235: consecutive-token-run detection — the degenerate-generation /
+    * stutter screen ("the the the …") that doc-grain n-gram ratios (q93,
+    * q132) dilute away on long documents: the classic gaps-and-islands
+    * pattern, `pos − row_number() over (doc, token ORDER BY pos)` is
+    * constant exactly along a consecutive run, so runs become groups
+    * without any self-join or iterative pass. Per flagged doc: the longest
+    * run and its token (tie-free [[Keys]] composite argmax). One window +
+    * two aggregations, all partitioned by doc — no corpus-grain sort.
+    */
+  private def q235(s: SparkSession, d: String): DataFrame = {
+    val w2 = Window.partitionBy(col("doc_id"), col("w")).orderBy(col("pos"))
+    val runs = parallelize(s, documents(s, d))
+      .select(col("doc_id"), posexplode(wsTokens).as(Seq("pos", "w")))
+      .withColumn("grp", col("pos") - row_number().over(w2))
+      .groupBy(col("doc_id"), col("w"), col("grp"))
+      .agg(count(lit(1)).as("run_len"))
+    runs.groupBy(col("doc_id"))
+      .agg(max(col("run_len")).cast("long").as("max_run"),
+        expr(s"max_by(w, ${Keys.key(Keys.asc("run_len", 6), "w")})")
+          .as("run_token"))
+      .filter(col("max_run") >= 2)
+      .select(col("doc_id"), col("max_run"), col("run_token"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val o235 = {
+    val k = Keys.oKey(Keys.oAsc("run_len", 6), "w")
+    s"""WITH toks AS (
+         SELECT doc_id, CAST(generate_subscripts(ws, 1) AS INT) AS pos,
+                unnest(ws) AS w
+         FROM (SELECT doc_id,
+                 string_split_regex(trim(text), '\\s+') AS ws
+               FROM documents)),
+       runs AS (
+         SELECT doc_id, w,
+                pos - row_number() OVER (PARTITION BY doc_id, w
+                  ORDER BY pos) AS grp
+         FROM toks),
+       r2 AS (
+         SELECT doc_id, w, grp, count(*) AS run_len
+         FROM runs GROUP BY doc_id, w, grp)
+       SELECT doc_id, CAST(max(run_len) AS BIGINT) AS max_run,
+              arg_max(w, $k) AS run_token
+       FROM r2 GROUP BY doc_id
+       HAVING max(run_len) >= 2
+       ORDER BY doc_id"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q220_calibration_ece", q220, Some(o220)),
+    QueryDef("q235_token_runs", q235, Some(o235)),
     QueryDef("q214_gazetteer_ner", q214, Some(o214)),
     QueryDef("q199_dedup_roi", q199, Some(o199)),
     QueryDef("q186_cohens_kappa", q186, Some(o186)),
