@@ -1590,7 +1590,102 @@ object Events {
     FROM z WHERE abs(z) > 2.0
     ORDER BY dow, hr, week"""
 
+  /** q237: DAU/WAU stickiness — the engagement-ratio KPI: per day, the
+    * distinct daily actives over the distinct 7-day-window actives ending
+    * that day. The windowed distinct is NOT a sliding `count(distinct)
+    * OVER` (not supported, and a per-day rescan at scale): each distinct
+    * (user, day) row is exploded into the ≤7 window-END days it
+    * contributes to and deduplicated — one bounded ×7 expansion of the
+    * user-day frame, then plain counting; exact integers throughout. Days
+    * without traffic simply have no row (and absent days inside others'
+    * windows contribute nothing), matching the DAU frame's days by inner
+    * join.
+    */
+  private def q237(s: SparkSession, d: String): DataFrame = {
+    val dayUs = 86400L * 1000000
+    val ud = events(s, d)
+      .select(col("user_id"), expr(s"ts DIV 1000 DIV $dayUs").as("day"))
+      .distinct()
+    val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+    val wau = ud
+      .select(col("user_id"),
+        explode(sequence(col("day"), col("day") + 6)).as("day"))
+      .distinct()
+      .groupBy(col("day")).agg(count(lit(1)).as("wau"))
+    dau.join(wau, Seq("day"))
+      .select(col("day"), col("dau"), col("wau"),
+        round(col("dau") / col("wau").cast("double"), 6).as("stickiness"))
+      .orderBy(col("day"))
+  }
+
+  private val o237 = """
+    WITH ud AS (
+      SELECT DISTINCT user_id, epoch_us(ts) // 86400000000 AS day
+      FROM events),
+    dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+    expl AS (
+      SELECT DISTINCT user_id, day + t.o AS day
+      FROM ud CROSS JOIN generate_series(0, 6) AS t(o)),
+    wau AS (SELECT day, count(*) AS wau FROM expl GROUP BY day)
+    SELECT d.day, d.dau, w.wau,
+           round(d.dau / CAST(w.wau AS DOUBLE), 6) AS stickiness
+    FROM dau d JOIN wau w ON w.day = d.day ORDER BY d.day"""
+
+  /** q238: watermark-lateness audit — the measurement that SIZES the
+    * `withWatermark` delay every stateful stream in `graft.streaming`
+    * asks for: replay the stream in arrival order (event_id = generation
+    * order, the arrival proxy) and measure each event's lateness behind
+    * the running event-time high-watermark of its user partition; report
+    * per event type the p50/p95/p99 lateness and the fraction of events a
+    * 1/5/15-minute watermark would drop. Per-key (user) running max is one
+    * partitioned window — the same per-key arrival model a partitioned
+    * ingest has; a global watermark at scale is the min of per-partition
+    * watermarks, which this bounds. Integer microseconds end-to-end;
+    * percentiles rounded (q54 parity), drop fractions exact rationals.
+    */
+  private def q238(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    events(s, d)
+      .select(col("event_type"), col("user_id"), col("event_id"),
+        expr("ts DIV 1000").as("us"))
+      .withColumn("late", greatest(lit(0L), max(col("us")).over(w) - col("us")))
+      .groupBy(col("event_type"))
+      .agg(
+        round(expr("percentile(late, 0.5D)"), 4).as("p50_late_us"),
+        round(expr("percentile(late, 0.95D)"), 4).as("p95_late_us"),
+        round(expr("percentile(late, 0.99D)"), 4).as("p99_late_us"),
+        round(avg((col("late") > 60000000L).cast("double")), 6)
+          .as("frac_late_1m"),
+        round(avg((col("late") > 300000000L).cast("double")), 6)
+          .as("frac_late_5m"),
+        round(avg((col("late") > 900000000L).cast("double")), 6)
+          .as("frac_late_15m"))
+      .orderBy(col("event_type"))
+  }
+
+  private val o238 = """
+    WITH late AS (
+      SELECT event_type,
+             greatest(0, max(epoch_us(ts)) OVER (PARTITION BY user_id
+               ORDER BY event_id ROWS UNBOUNDED PRECEDING)
+               - epoch_us(ts)) AS late
+      FROM events)
+    SELECT event_type,
+           round(quantile_cont(late, 0.5), 4) AS p50_late_us,
+           round(quantile_cont(late, 0.95), 4) AS p95_late_us,
+           round(quantile_cont(late, 0.99), 4) AS p99_late_us,
+           round(avg(CASE WHEN late > 60000000 THEN 1.0 ELSE 0.0 END), 6)
+             AS frac_late_1m,
+           round(avg(CASE WHEN late > 300000000 THEN 1.0 ELSE 0.0 END), 6)
+             AS frac_late_5m,
+           round(avg(CASE WHEN late > 900000000 THEN 1.0 ELSE 0.0 END), 6)
+             AS frac_late_15m
+    FROM late GROUP BY event_type ORDER BY event_type"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q237_dau_wau_stickiness", q237, Some(o237)),
+    QueryDef("q238_watermark_audit", q238, Some(o238)),
     QueryDef("q232_seasonal_anomaly", q232, Some(o232)),
     QueryDef("q224_event_patterns", q224, Some(o224)),
     QueryDef("q225_mad_outliers", q225, Some(o225)),

@@ -1,0 +1,76 @@
+package graft.queries
+
+import graft.{SparkEntry, SparkTestBase}
+
+/** Output-level invariants for queries whose CORRECTNESS gate (hash-match
+  * vs the oracle) cannot express their defining algebraic property — the
+  * oracle agrees on the numbers, these prove the numbers mean what the
+  * operator claims.
+  */
+class InvariantSpec extends SparkTestBase {
+
+  test("q228 waterfilling: allocations exhaust the budget, caps consistent") {
+    val rows = SparkEntry.queries("q228_token_waterfill")(spark, sf())
+      .collect()
+    assert(rows.nonEmpty)
+    val budget = rows.head.getAs[Long]("budget")
+    val tau = rows.head.getAs[Double]("tau")
+    // Σ min(n_i, τ) = B is the waterfilling DEFINITION; per-source allocs
+    // are rounded at 6, so the sum may drift by ≤ #sources · 5e-7
+    val total = rows.map(_.getAs[Double]("alloc")).sum
+    assert(math.abs(total - budget) <= rows.length * 5e-7 + 1e-6,
+      s"sum(alloc)=$total != budget=$budget")
+    rows.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      val alloc = r.getAs[Double]("alloc")
+      if (r.getAs[Boolean]("capped")) {
+        assert(n > tau && math.abs(alloc - tau) <= 5e-7)
+      } else {
+        assert(alloc == n.toDouble && n <= tau + 5e-7)
+      }
+    }
+  }
+
+  test("q216 OHLC bars: low <= open,close <= high; volume consistent") {
+    val rows = SparkEntry.queries("q216_ohlc_bars")(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (o, h, l, c) = (r.getAs[Double]("open"), r.getAs[Double]("high"),
+        r.getAs[Double]("low"), r.getAs[Double]("close"))
+      assert(l <= o && o <= h, r.toString)
+      assert(l <= c && c <= h, r.toString)
+      assert(r.getAs[Long]("n_events") > 0)
+    }
+  }
+
+  test("q234 sketch join estimate: one-sided (est >= true) at every depth") {
+    val rows = SparkEntry.queries("q234_join_cardinality_sketch")(spark, sf())
+      .collect()
+    assert(rows.nonEmpty)
+    val truth = rows.head.getAs[Long]("true_size")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("est_d") >= truth, r.toString)
+      assert(r.getAs[Long]("est_min") >= truth, r.toString)
+      assert(r.getAs[Double]("over_factor") >= 1.0, r.toString)
+    }
+  }
+
+  test("q237 stickiness: dau <= wau, ratio in (0, 1]") {
+    val rows = SparkEntry.queries("q237_dau_wau_stickiness")(spark, sf())
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (dau, wau) = (r.getAs[Long]("dau"), r.getAs[Long]("wau"))
+      assert(dau >= 1 && dau <= wau, r.toString)
+      val st = r.getAs[Double]("stickiness")
+      assert(st > 0.0 && st <= 1.0, r.toString)
+    }
+  }
+
+  test("q229 incremental rollup: every month matches the full recompute") {
+    val rows = SparkEntry.queries("q229_incremental_rollup")(spark, sf())
+      .collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Boolean]("matches_full"), r.toString))
+  }
+}
