@@ -1683,7 +1683,113 @@ object Events {
              AS frac_late_15m
     FROM late GROUP BY event_type ORDER BY event_type"""
 
+  /** q239: exponentially-weighted moving average — the standard metric
+    * smoother, in its bounded-window form: per (user, event order), the
+    * EWMA of the last ≤8 values with α = 1/2, i.e. weights 2^-k — chosen
+    * EXACTLY representable in binary, so every weight, product and the
+    * tiny 8-term sums are bit-identical across engines (a general α would
+    * need rounding-tolerance arguments; the dyadic one needs none). The
+    * recursive EWMA definition is deliberately traded for the bounded
+    * convolution: a window frame over (user, time) is one co-partitioned
+    * pass, whereas the recurrence would serialize per key. Tail truncation
+    * error vs the infinite EWMA is ≤ 2^-8 of scale. Output: the latest
+    * 5 smoothed points per user panel (user_id < 40) — frame-bounded.
+    */
+  private def q239(s: SparkSession, d: String): DataFrame = {
+    val wOrd = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val ev = events(s, d).filter(col("user_id") < 40)
+      .select(col("user_id"), col("event_id"),
+        expr("ts DIV 1000").as("us"), col("value"))
+      .withColumn("rn", row_number().over(wOrd))
+    // lag-k view of the last 8 values: weights 2^-k, renormalized by the
+    // realized weight mass (first rows have shorter histories)
+    val terms = (0 until 8).map { k =>
+      val v = lag(col("value"), k).over(wOrd)
+      (when(v.isNotNull, v * lit(math.pow(0.5, k))).otherwise(lit(0.0)),
+        when(v.isNotNull, lit(math.pow(0.5, k))).otherwise(lit(0.0)))
+    }
+    val num = terms.map(_._1).reduce(_ + _)
+    val den = terms.map(_._2).reduce(_ + _)
+    val wMax = Window.partitionBy(col("user_id"))
+    ev.withColumn("ewma", num / den)
+      .withColumn("nmax", max(col("rn")).over(wMax))
+      .filter(col("rn") > col("nmax") - 5)
+      .select(col("user_id"), col("rn"), col("value"),
+        round(col("ewma"), 6).as("ewma"))
+      .orderBy(col("user_id"), col("rn"))
+  }
+
+  private val o239 = {
+    val num = (0 until 8).map(k =>
+      s"coalesce(lag(value, $k) OVER w, 0.0) * ${math.pow(0.5, k)}")
+      .mkString(" + ")
+    val den = (0 until 8).map(k =>
+      s"CASE WHEN lag(value, $k) OVER w IS NOT NULL THEN ${math.pow(0.5, k)} ELSE 0.0 END")
+      .mkString(" + ")
+    s"""WITH ev AS (
+         SELECT user_id, event_id, epoch_us(ts) AS us, value
+         FROM events WHERE user_id < 40),
+       sm AS (
+         SELECT user_id,
+                row_number() OVER w AS rn,
+                value,
+                ($num) / ($den) AS ewma
+         FROM ev
+         WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id)),
+       mx AS (SELECT user_id, max(rn) AS nmax FROM sm GROUP BY user_id)
+       SELECT s.user_id, CAST(s.rn AS INT) AS rn, s.value,
+              round(s.ewma, 6) AS ewma
+       FROM sm s JOIN mx ON mx.user_id = s.user_id
+       WHERE s.rn > mx.nmax - 5
+       ORDER BY s.user_id, s.rn"""
+  }
+
+  /** q240: user survival / retention curve — the Kaplan-Meier-style
+    * longevity readout q128's cohort matrix doesn't collapse to: for each
+    * week-age k, the fraction of users whose observed lifetime
+    * (last-activity week − first-activity week) reaches at least k. One
+    * user-grain rollup (first/last), one bounded explode of each user into
+    * the ages they survived, and a broadcast total — the corpus is touched
+    * once; all ratios exact rationals.
+    */
+  private def q240(s: SparkSession, d: String): DataFrame = {
+    val weekUs = 7L * 86400 * 1000000
+    val life = events(s, d)
+      .groupBy(col("user_id"))
+      .agg(expr(s"max(ts DIV 1000) DIV $weekUs" +
+        s" - min(ts DIV 1000) DIV $weekUs").as("lifetime_w"))
+    val tot = life.agg(count(lit(1)).as("n_users"))
+      .withColumn("jk", pmod(col("n_users"), lit(1)).cast("int"))
+    life.select(explode(sequence(lit(0L), col("lifetime_w"))).as("age_w"))
+      .groupBy(col("age_w")).agg(count(lit(1)).as("n_surviving"))
+      .withColumn("jk", pmod(col("n_surviving"), lit(1)).cast("int"))
+      .join(broadcast(tot), Seq("jk"))
+      .select(col("age_w"), col("n_surviving"), col("n_users"),
+        round(col("n_surviving") / col("n_users").cast("double"), 6)
+          .as("survival"))
+      .orderBy(col("age_w"))
+  }
+
+  private val o240 = """
+    WITH life AS (
+      SELECT user_id,
+             max(epoch_us(ts)) // 604800000000
+               - min(epoch_us(ts)) // 604800000000 AS lifetime_w
+      FROM events GROUP BY user_id),
+    tot AS (SELECT count(*) AS n_users FROM life),
+    surv AS (
+      SELECT age_w, count(*) AS n_surviving
+      FROM (SELECT unnest(generate_series(0, lifetime_w)) AS age_w
+            FROM life)
+      GROUP BY age_w)
+    SELECT s.age_w, s.n_surviving, tot.n_users,
+           round(s.n_surviving / CAST(tot.n_users AS DOUBLE), 6) AS survival
+    FROM surv s, tot ORDER BY s.age_w"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q239_ewma_smoothing", q239, Some(o239)),
+    QueryDef("q240_survival_curve", q240, Some(o240)),
     QueryDef("q237_dau_wau_stickiness", q237, Some(o237)),
     QueryDef("q238_watermark_audit", q238, Some(o238)),
     QueryDef("q232_seasonal_anomaly", q232, Some(o232)),
