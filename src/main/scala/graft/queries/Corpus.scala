@@ -1797,7 +1797,53 @@ object Corpus {
            round(lvl.tau, 6) AS tau, r.b AS budget
     FROM ranked r, lvl ORDER BY r.source"""
 
+  /** q243: Zipf-slope corpus health check — fit `ln(freq) ~ ln(rank)`
+    * over each source's top-200 terms: natural text sits near slope −1
+    * with high r²; template/boilerplate-heavy or synthetic feeds bend the
+    * curve (the corpus-linguistics screen complementing q151's coverage
+    * curve and q155's boilerplate fraction). The regression runs on the
+    * RANKED HISTOGRAM (vocabulary-bounded, top-200 per source), never the
+    * corpus; ranks are tie-broken by term so the fitted frame is
+    * identical cross-engine, and the ln-transformed regression aggregates
+    * are compared ROUNDED (q85 proves regr_slope/regr_r2 parity).
+    */
+  private def q243(s: SparkSession, d: String): DataFrame = {
+    val tf = parallelize(s, documents(s, d))
+      .select(col("source"), explode(wsCol).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("f"))
+    val wr = Window.partitionBy(col("source"))
+      .orderBy(col("f").desc, col("w"))
+    tf.withColumn("rank", row_number().over(wr))
+      .filter(col("rank") <= 200)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_terms"),
+        round(expr("regr_slope(ln(f), ln(rank))"), 4).as("zipf_slope"),
+        round(expr("regr_r2(ln(f), ln(rank))"), 4).as("r2"))
+      .orderBy(col("source"))
+  }
+
+  private val o243 = """
+    WITH tf AS (
+      SELECT source, w, count(*) AS f
+      FROM (SELECT source,
+              unnest(string_split_regex(trim(text), '\s+')) AS w
+            FROM documents)
+      WHERE length(w) > 0
+      GROUP BY source, w),
+    ranked AS (
+      SELECT source, f,
+             row_number() OVER (PARTITION BY source
+               ORDER BY f DESC, w) AS rank
+      FROM tf)
+    SELECT source, count(*) AS n_terms,
+           round(regr_slope(ln(f), ln(rank)), 4) AS zipf_slope,
+           round(regr_r2(ln(f), ln(rank)), 4) AS r2
+    FROM ranked WHERE rank <= 200
+    GROUP BY source ORDER BY source"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q243_zipf_slope", q243, Some(o243)),
     QueryDef("q227_bpe_encode", q227, Some(o227)),
     QueryDef("q228_token_waterfill", q228, Some(o228)),
     QueryDef("q172_bpe_merges", q172, Some(o172)),

@@ -2128,7 +2128,9 @@ object Vec {
     * parity recipe), so neighbor selection and both means are bit-stable
     * cross-engine; the margin re-rounds at 6.
     */
-  private def q217(s: SparkSession, d: String): DataFrame = {
+  /** The q217/q241-shared candidate frame: panel×corpus cosine pairs with
+    * forward (per anchor) and backward (per candidate) neighbor ranks. */
+  private def bitextPairsNN(s: SparkSession, d: String): DataFrame = {
     val e = parallelize(s, embeddings(s, d))
     val a = e.filter(col("label") % 2 === 0 && col("vec_id") < BitextPanel)
       .select(col("vec_id").as("aid"), toD(col("embedding")).as("av"),
@@ -2142,9 +2144,14 @@ object Vec {
       .orderBy(col("cs").desc, col("bid"))
     val wb = Window.partitionBy(col("bid"))
       .orderBy(col("cs").desc, col("aid"))
-    val nn = pairs
+    pairs
       .withColumn("rf", row_number().over(wf))
       .withColumn("rb", row_number().over(wb))
+  }
+
+  private def q217(s: SparkSession, d: String): DataFrame = {
+    val nn = bitextPairsNN(s, d)
+    val pairs = nn.select(col("aid"), col("bid"), col("cs"))
     val fwd = nn.filter(col("rf") <= BitextK)
       .groupBy(col("aid")).agg(avg(col("cs")).as("fa"))
     val bwd = nn.filter(col("rb") <= BitextK)
@@ -2160,10 +2167,11 @@ object Vec {
       .orderBy(col("aid"))
   }
 
-  private val o217 = s"""
-    WITH a AS (SELECT vec_id AS aid, CAST(embedding AS DOUBLE[]) AS av
-               FROM embeddings
-               WHERE label % 2 = 0 AND vec_id < $BitextPanel),
+  /** Oracle CTE chain for the shared panel×corpus rank frame `nn`. */
+  private val oBitextNN = s"""a AS (
+      SELECT vec_id AS aid, CAST(embedding AS DOUBLE[]) AS av
+      FROM embeddings
+      WHERE label % 2 = 0 AND vec_id < $BitextPanel),
     b AS (SELECT vec_id AS bid, CAST(embedding AS DOUBLE[]) AS bv
           FROM embeddings WHERE label % 2 = 1),
     pairs AS (
@@ -2173,7 +2181,10 @@ object Vec {
       SELECT aid, bid, cs,
              row_number() OVER (PARTITION BY aid ORDER BY cs DESC, bid) AS rf,
              row_number() OVER (PARTITION BY bid ORDER BY cs DESC, aid) AS rb
-      FROM pairs),
+      FROM pairs)"""
+
+  private val o217 = s"""
+    WITH $oBitextNN,
     fwd AS (SELECT aid, avg(cs) AS fa FROM nn WHERE rf <= $BitextK
             GROUP BY aid),
     bwd AS (SELECT bid, avg(cs) AS fb FROM nn WHERE rb <= $BitextK
@@ -2265,9 +2276,100 @@ object Vec {
              i -> 1.0 / log2(i + 1))), 6) AS ndcg10
     FROM aggd ORDER BY qid"""
 
+  /** q241: reciprocal (mutual) k-NN pairs — the alignment criterion
+    * stricter than q217's margin: keep (a, b) only when b is among a's
+    * [[BitextK]] nearest AND a is among b's — the mutual-NN gate used to
+    * harvest high-precision pairs (CCMatrix's alternative mining mode,
+    * RNN-based dedup tightening). Pure filter over the shared rank frame
+    * — no additional shuffle beyond q217's two rank windows.
+    */
+  private def q241(s: SparkSession, d: String): DataFrame =
+    bitextPairsNN(s, d)
+      .filter(col("rf") <= BitextK && col("rb") <= BitextK)
+      .select(col("aid"), col("bid"), col("cs"),
+        col("rf").cast("int").as("rank_fwd"),
+        col("rb").cast("int").as("rank_bwd"))
+      .orderBy(col("aid"), col("bid"))
+
+  private val o241 = s"""
+    WITH $oBitextNN
+    SELECT aid, bid, cs, CAST(rf AS INT) AS rank_fwd,
+           CAST(rb AS INT) AS rank_bwd
+    FROM nn WHERE rf <= $BitextK AND rb <= $BitextK
+    ORDER BY aid, bid"""
+
+  /** q242: simplified-silhouette cluster validation — the metric that
+    * says whether the IVF/k-means partition (q43/q84) actually separates
+    * the data: per vector, distance to its OWN centroid vs its
+    * SECOND-nearest centroid, silhouette `s = (d_2nd − d_own) /
+    * max(d_own, d_2nd)` (Hruschka et al.'s simplified form — centroid
+    * distances, not pairwise), rolled up per cell. Both distances come
+    * from TWO broadcast kernel folds per row (the second re-runs the
+    * [[graft.functions.NearestCentroidExpression]] on the codebook with
+    * the winner filtered out — the VecScreenStream technique): no 16×
+    * row expansion, no window over the corpus. sqrt and the ratio are
+    * exact IEEE on identical inputs; only the averaged silhouette is
+    * rounded.
+    */
+  private def q242(s: SparkSession, d: String): DataFrame = {
+    val cb = codebookRow(s, d)
+    val e = parallelize(s, embeddings(s, d))
+    val best = graft.functions.NearestCentroidExpression.nearest(
+      toD(col("embedding")), col("cb"))
+    val second = graft.functions.NearestCentroidExpression.nearest(
+      toD(col("embedding")),
+      filter(col("cb"),
+        c => c.getField("cid") =!= col("best").getField("cid")))
+    val da = sqrt(col("a2"))
+    val db = sqrt(col("b2"))
+    e.withColumn("jk", pmod(col("vec_id"), lit(1)))
+      .join(broadcast(cb), Seq("jk"))
+      .withColumn("best", best)
+      .withColumn("second", second)
+      .select(col("vec_id"), col("best.cid").as("cid"),
+        col("best.d2").as("a2"), col("second.d2").as("b2"))
+      .withColumn("sil",
+        when(greatest(da, db) === 0.0, lit(0.0))
+          .otherwise((db - da) / greatest(da, db)))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n_vectors"),
+        round(avg(da), 6).as("avg_own_dist"),
+        round(avg(db), 6).as("avg_second_dist"),
+        round(avg(col("sil")), 6).as("avg_silhouette"))
+      .orderBy(col("cid"))
+  }
+
+  private def o242 = s"""
+    WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id < $NCells),
+    dists AS (
+      SELECT e.vec_id, c.cid, $oCd2 AS d2
+      FROM embeddings e CROSS JOIN c),
+    r AS (
+      SELECT vec_id, cid, d2,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      FROM dists),
+    ab AS (
+      SELECT a.vec_id, a.cid, a.d2 AS a2, b.d2 AS b2
+      FROM r a JOIN r b ON b.vec_id = a.vec_id AND b.rn = 2
+      WHERE a.rn = 1),
+    sil AS (
+      SELECT cid, sqrt(a2) AS da, sqrt(b2) AS db,
+             CASE WHEN greatest(sqrt(a2), sqrt(b2)) = 0 THEN 0.0
+                  ELSE (sqrt(b2) - sqrt(a2))
+                       / greatest(sqrt(a2), sqrt(b2)) END AS s
+      FROM ab)
+    SELECT cid, count(*) AS n_vectors,
+           round(avg(da), 6) AS avg_own_dist,
+           round(avg(db), 6) AS avg_second_dist,
+           round(avg(s), 6) AS avg_silhouette
+    FROM sil GROUP BY cid ORDER BY cid"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q215_ctfidf_topics", q215, Some(o215)),
     QueryDef("q233_retrieval_eval", q233, Some(o233)),
+    QueryDef("q241_mutual_knn", q241, Some(o241)),
+    QueryDef("q242_silhouette", q242, Some(o242)),
     QueryDef("q217_margin_bitext", q217, Some(o217)),
     QueryDef("q204_ivfadc_refine", q204, Some(o204)),
     QueryDef("q197_embedding_geometry", q197, Some(o197)),
