@@ -1658,21 +1658,38 @@ object Corpus {
        ORDER BY bpe_round"""
   }
 
-  /** q227's frozen merge table, rank-ordered — the tokenizer ARTIFACT
-    * (literal here; in production a broadcast table frozen at training
-    * time, O(vocab) regardless of corpus size). */
-  private val BpeMerges = Seq(
-    ("t h", "th"), ("th e", "the"), ("i n", "in"), ("a n", "an"),
-    ("an d", "and"), ("r e", "re"), ("e r", "er"), ("o n", "on"),
-    ("s t", "st"), ("e n", "en"))
+  /** q227's frozen merge table, rank-ordered (a, b) pairs — the tokenizer
+    * ARTIFACT (literal here; in production a broadcast table frozen at
+    * training time, O(vocab) regardless of corpus size). */
+  private[graft] val BpeMerges = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"),
+    ("an", "d"), ("r", "e"), ("e", "r"), ("o", "n"),
+    ("s", "t"), ("e", "n"))
+
+  /** Frozen-merge-table APPLICATION (the q227 encode): one greedy-leftmost
+    * [[bpeMerge]]-style fold pass per rule, in rank order, over the `syms`
+    * column — exact BPE encode (rule k's parts are products of rules < k
+    * only, so a later rule can never re-enable an earlier one). Exposed
+    * private[graft] so BpeSpec can pin it against the textbook reference.
+    */
+  private[graft] def bpeEncode(df: DataFrame,
+      merges: Seq[(String, String)]): DataFrame =
+    merges.foldLeft(df) { case (acc, (a, b)) =>
+      acc.withColumn("syms", expr(
+        s"""aggregate($bpeArrSql, '',
+            (acc, x) -> if(endswith(acc, '|$a') and x = '$b',
+                           concat(acc, x), concat(acc, '|', x)))"""))
+    }
 
   /** q227: BPE tokenizer APPLICATION — the production encode pass q172's
     * induction exists to feed: apply a FROZEN rank-ordered merge table to
     * the corpus and report the realized token budget per language. Each
-    * merge is one literal `replace` over the space-joined symbol string
-    * (left-to-right non-overlapping — exactly BPE's simultaneous pair
-    * merge, identical semantics in both engines, and plain string ops stay
-    * inside whole-stage codegen).
+    * merge rule is one greedy-leftmost fold over the `|`-delimited symbol
+    * string (the [[bpeMerge]] fold with the pair as literals) — symbols
+    * are matched with EXPLICIT delimiters, so a rule can never fire across
+    * a symbol boundary, and one full pass per rule in rank order is
+    * exactly the BPE encode: rule k's parts are products of rules < k
+    * only, so applying rule k can never re-enable an earlier rule.
     *
     * Scale shape: the encode runs on the (lang, word) HISTOGRAM, not the
     * corpus — each distinct word is encoded once and weighted by its count
@@ -1684,11 +1701,9 @@ object Corpus {
       .select(col("lang"), explode(wsCol).as("w"))
       .filter(length(col("w")) > 0)
       .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("wc"))
-    val encSql = BpeMerges.foldLeft(
-      "trim(regexp_replace(w, '(.)', '$1 '))") {
-      case (acc, (a, b)) => s"replace($acc, '$a', '$b')"
-    }
-    hist.withColumn("ntok", size(split(expr(encSql), " ")))
+      .withColumn("syms", regexp_replace(col("w"), "(.)", "|$1"))
+    bpeEncode(hist, BpeMerges)
+      .withColumn("ntok", size(split(col("syms"), "\\|")) - 1)
       .withColumn("nsym", length(col("w")))
       .groupBy(col("lang"))
       .agg(sum(col("wc")).cast("long").as("n_words"),
@@ -1703,10 +1718,18 @@ object Corpus {
   }
 
   private val o227 = {
-    val encSql = BpeMerges.foldLeft(
-      """trim(regexp_replace(w, '(.)', '\1 ', 'g'))""") {
-      case (acc, (a, b)) => s"replace($acc, '$a', '$b')"
-    }
+    val passes = BpeMerges.zipWithIndex.map { case ((a, b), i) =>
+      s"""e${i + 1} AS (
+           SELECT lang, wc, w,
+                  list_reduce(
+                    list_prepend('', list_slice(string_split(syms, '|'), 2,
+                      len(string_split(syms, '|')))),
+                    (acc, x) -> CASE WHEN ends_with(acc, '|$a')
+                                      AND x = '$b'
+                                THEN acc || x ELSE acc || '|' || x END)
+                    AS syms
+           FROM e$i)"""
+    }.mkString(",\n       ")
     s"""WITH hist AS (
          SELECT lang, w, count(*) AS wc
          FROM (SELECT lang,
@@ -1714,10 +1737,15 @@ object Corpus {
                FROM documents)
          WHERE length(w) > 0
          GROUP BY lang, w),
+       e0 AS (
+         SELECT lang, wc, w,
+                regexp_replace(w, '(.)', '|\\1', 'g') AS syms
+         FROM hist),
+       $passes,
        enc AS (
          SELECT lang, wc, length(w) AS nsym,
-                len(string_split($encSql, ' ')) AS ntok
-         FROM hist)
+                len(string_split(syms, '|')) - 1 AS ntok
+         FROM e${BpeMerges.size})
        SELECT lang, CAST(sum(wc) AS BIGINT) AS n_words,
               CAST(sum(wc * nsym) AS BIGINT) AS n_chars,
               CAST(sum(wc * ntok) AS BIGINT) AS n_tokens,

@@ -1683,10 +1683,14 @@ object Dedup {
     * ED-Join exists to feed: fuzzy-matched name variants collapse into one
     * canonical ("golden") record per entity. Match graph = q218's own
     * rebuild of the q181 verified pairs (self-contained per the driver
-    * contract); components via the q97 min-label propagation (string
-    * labels, diameter bounded by the edit threshold, so ~3 rounds at any
-    * vocabulary size — see [[clusterLabels]]'s measured contraction-vs-
-    * propagation note); survivorship = highest support count, then
+    * contract); components via min-label propagation WITH a
+    * pointer-doubling shortcut (each round takes one edge hop AND jumps
+    * name→lab→lab-of-lab, so rounds are O(log diameter)). The diameter is
+    * data-dependent — edit-distance matches compose transitively (a–b–c…
+    * chains each within EdK), so it is NOT bounded by the edit threshold;
+    * the iteration cap is a fail-loud guard, astronomically safe under
+    * doubling (40 rounds covers 2^40-deep chains); survivorship = highest
+    * support count, then
     * lexicographically smallest name, as a [[Keys]] composite `min_by` —
     * tie-free cross-engine. Output per multi-variant entity: canonical
     * name, variant count, total row support, and the sorted variant list
@@ -1707,10 +1711,17 @@ object Dedup {
       .withColumn("lab", col("name")).localCheckpoint(true)
     var changed = 1L
     var iter = 0
-    while (changed > 0 && iter < 20) {
+    while (changed > 0 && iter < 40) {
       val prop = edges.join(labels, col("name_a") === col("name"))
         .select(col("name_b").as("name"), col("lab"), lit(false).as("own"))
-      val next = labels.withColumn("own", lit(true)).union(prop)
+      // pointer-doubling shortcut: lab values are themselves names in the
+      // closed label universe, so lab→lab-of-lab composes two hops per
+      // round — convergence in O(log diameter) rounds instead of O(diameter)
+      val jump = labels.join(
+          labels.select(col("name").as("lab"), col("lab").as("lab_j")),
+          Seq("lab"))
+        .select(col("name"), col("lab_j").as("lab"), lit(false).as("own"))
+      val next = labels.withColumn("own", lit(true)).union(prop).union(jump)
         .groupBy(col("name"))
         .agg(min(col("lab")).as("lab"),
           min(when(col("own"), col("lab"))).as("own_lab"))

@@ -934,13 +934,23 @@ object Events {
     FROM cells, tot ORDER BY dow, hr"""
 
   /** q191: funnel latency percentiles — the distribution behind q107's
-    * single mean: per converting user, the view→purchase latency in
-    * minutes, summarized as p50/p90/p99 (exact interpolated percentiles,
+    * single mean: per converting user, the view→purchase latency,
+    * summarized as p50/p90/p99 minutes (exact interpolated percentiles,
     * q127's aggregation — the mean alone hides the slow-tail conversions
     * a re-engagement flow targets). One extra aggregation over q107's
-    * user-grain frame; latencies are integer-µs diffs scaled by one
-    * division, so the interpolated cut points are identical IEEE doubles
-    * in both engines.
+    * user-grain frame.
+    *
+    * 100 TB stance: Spark's exact `percentile` partial-aggregates a
+    * value→count map, so its state is bounded by DISTINCT input values,
+    * not rows. Raw fractional-minute latencies are near-unique per user —
+    * linear state. We therefore QUANTIZE the input to integer
+    * centi-minutes (`DIV 600_000` µs) before the percentile and divide
+    * the interpolated cut point back by 100: state is now bounded by the
+    * latency span (a month of latency = 4.3 M distinct centi-minutes,
+    * constant in row count), and the reported percentile is exact to
+    * ±0.005 min. The oracle applies the identical quantization, so the
+    * hash gate stays exact. For un-quantizable domains use the
+    * [[graft.functions.QuantileSketch]] tier (q111) instead.
     */
   private def q191(s: SparkSession, d: String): DataFrame = {
     val e = events(s, d)
@@ -955,12 +965,14 @@ object Events {
       .filter(tsUs > col("t_click"))
       .groupBy(col("user_id")).agg(min(tsUs).as("t_purchase"))
     v.join(p, Seq("user_id"))
-      .select(((col("t_purchase") - col("t_view")) / lit(60000000.0))
-        .as("lat_min"))
+      .select(expr("(t_purchase - t_view) DIV 600000L").as("lat_cmin"))
       .agg(count(lit(1)).as("n_converted"),
-        round(expr("percentile(lat_min, 0.5D)"), 4).as("p50_min"),
-        round(expr("percentile(lat_min, 0.9D)"), 4).as("p90_min"),
-        round(expr("percentile(lat_min, 0.99D)"), 4).as("p99_min"))
+        round(expr("percentile(lat_cmin, 0.5D)") / lit(100.0), 4)
+          .as("p50_min"),
+        round(expr("percentile(lat_cmin, 0.9D)") / lit(100.0), 4)
+          .as("p90_min"),
+        round(expr("percentile(lat_cmin, 0.99D)") / lit(100.0), 4)
+          .as("p99_min"))
   }
 
   private val o191 = """
@@ -974,12 +986,12 @@ object Events {
           FROM events e JOIN c ON e.user_id = c.user_id
           WHERE e.event_type = 'purchase' AND epoch_us(e.ts) > c.t_click
           GROUP BY e.user_id),
-    lat AS (SELECT (p.t_purchase - v.t_view) / 60000000.0 AS lat_min
+    lat AS (SELECT (p.t_purchase - v.t_view) // 600000 AS lat_cmin
             FROM v JOIN p ON p.user_id = v.user_id)
     SELECT count(*) AS n_converted,
-           round(quantile_cont(lat_min, 0.5), 4) AS p50_min,
-           round(quantile_cont(lat_min, 0.9), 4) AS p90_min,
-           round(quantile_cont(lat_min, 0.99), 4) AS p99_min
+           round(quantile_cont(lat_cmin, 0.5) / 100, 4) AS p50_min,
+           round(quantile_cont(lat_cmin, 0.9) / 100, 4) AS p90_min,
+           round(quantile_cont(lat_cmin, 0.99) / 100, 4) AS p99_min
     FROM lat"""
 
   /** q190: the NATIVE interval join — q07's "events within 5 minutes"
@@ -1362,9 +1374,15 @@ object Events {
       .withColumn("jk2", pmod(floor(col("vmin")), lit(1)).cast("int"))
     val counts = tagged.withColumn("jk2", pmod(col("us"), lit(1)).cast("int"))
       .join(broadcast(refRange), Seq("jk2"))
+      // denominator guarded: a constant-valued reference slice would make
+      // the bin 0/0 = NaN (Spark's null-skipping greatest would clamp it,
+      // DuckDB would crash on CAST(NaN)). greatest(span, 1e-9) sends the
+      // degenerate case to bin 0 identically in both engines; for any
+      // non-degenerate 2-decimal measure the span is >= 0.01, so behavior
+      // is unchanged.
       .withColumn("bin", least(lit(9), greatest(lit(0),
         floor((col("value") - col("vmin")) * lit(10.0)
-          / (col("vmax") - col("vmin"))).cast("int"))))
+          / greatest(col("vmax") - col("vmin"), lit(1e-9))).cast("int"))))
       .groupBy(col("bin"))
       .agg(sum(lit(1) - col("cur")).cast("long").as("n_ref"),
         sum(col("cur")).cast("long").as("n_cur"))
@@ -1397,7 +1415,7 @@ object Events {
            FROM tagged WHERE cur = 0),
     counts AS (
       SELECT least(9, greatest(0, CAST(floor((value - vmin) * 10.0
-               / (vmax - vmin)) AS INT))) AS bin,
+               / greatest(vmax - vmin, 1e-9)) AS INT))) AS bin,
              CAST(sum(1 - cur) AS BIGINT) AS n_ref,
              CAST(sum(cur) AS BIGINT) AS n_cur
       FROM tagged, rr GROUP BY bin),
@@ -1492,6 +1510,15 @@ object Events {
     * comparison runs on ROUNDED medians/deviations so the outlier COUNT is
     * bit-stable cross-engine (the two engines' percentile interpolation
     * may differ in last ulps; q54 proves rounded-percentile parity).
+    *
+    * 100 TB stance: exact `percentile` state is bounded by DISTINCT input
+    * values. `value` is a 2-decimal measure, so distinct values are
+    * bounded by domain span × 100 (constant in row count), and `adev` per
+    * group is |value − constant| → the same bound. Both passes are
+    * bounded-state; no quantization needed (contrast q191/q238, whose raw
+    * µs inputs WERE near-unique and are quantized). For a genuinely
+    * continuous measure, swap in the q111 [[graft.functions.QuantileSketch]]
+    * tier.
     */
   private def q225(s: SparkSession, d: String): DataFrame = {
     val ev = events(s, d).select(col("event_type"), col("value"))
@@ -1641,7 +1668,17 @@ object Events {
     * partitioned window — the same per-key arrival model a partitioned
     * ingest has; a global watermark at scale is the min of per-partition
     * watermarks, which this bounds. Integer microseconds end-to-end;
-    * percentiles rounded (q54 parity), drop fractions exact rationals.
+    * drop fractions exact rationals.
+    *
+    * 100 TB stance: exact `percentile` state is bounded by DISTINCT input
+    * values (value→count partial map), and raw-µs lateness is near-unique
+    * per row — linear state. The percentile input is therefore QUANTIZED
+    * to whole seconds (`DIV 1_000_000`): state is bounded by the lateness
+    * span in seconds (a 30-day straggler = 2.6 M distinct values,
+    * constant in row count), the watermark-sizing readout loses nothing
+    * (watermarks are sized in minutes), and the oracle mirrors the same
+    * quantization so the hash gate stays exact. The drop-fraction columns
+    * keep the raw-µs comparison — avg of a boolean is O(1) state.
     */
   private def q238(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
@@ -1650,11 +1687,12 @@ object Events {
       .select(col("event_type"), col("user_id"), col("event_id"),
         expr("ts DIV 1000").as("us"))
       .withColumn("late", greatest(lit(0L), max(col("us")).over(w) - col("us")))
+      .withColumn("late_s", expr("late DIV 1000000L"))
       .groupBy(col("event_type"))
       .agg(
-        round(expr("percentile(late, 0.5D)"), 4).as("p50_late_us"),
-        round(expr("percentile(late, 0.95D)"), 4).as("p95_late_us"),
-        round(expr("percentile(late, 0.99D)"), 4).as("p99_late_us"),
+        round(expr("percentile(late_s, 0.5D)"), 4).as("p50_late_s"),
+        round(expr("percentile(late_s, 0.95D)"), 4).as("p95_late_s"),
+        round(expr("percentile(late_s, 0.99D)"), 4).as("p99_late_s"),
         round(avg((col("late") > 60000000L).cast("double")), 6)
           .as("frac_late_1m"),
         round(avg((col("late") > 300000000L).cast("double")), 6)
@@ -1672,9 +1710,9 @@ object Events {
                - epoch_us(ts)) AS late
       FROM events)
     SELECT event_type,
-           round(quantile_cont(late, 0.5), 4) AS p50_late_us,
-           round(quantile_cont(late, 0.95), 4) AS p95_late_us,
-           round(quantile_cont(late, 0.99), 4) AS p99_late_us,
+           round(quantile_cont(late // 1000000, 0.5), 4) AS p50_late_s,
+           round(quantile_cont(late // 1000000, 0.95), 4) AS p95_late_s,
+           round(quantile_cont(late // 1000000, 0.99), 4) AS p99_late_s,
            round(avg(CASE WHEN late > 60000000 THEN 1.0 ELSE 0.0 END), 6)
              AS frac_late_1m,
            round(avg(CASE WHEN late > 300000000 THEN 1.0 ELSE 0.0 END), 6)

@@ -16,8 +16,10 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * boundaries ([[SampleStreamSpec]] pins stream == batch equality). Two
   * consequences a production ingest cares about:
   *   - at-least-once replay is a NO-OP: a re-delivered item regenerates an
-  *     identical (id, key) entry and dedups against the kept set, so the
-  *     sample never skews toward replayed data;
+  *     identical (id, key) entry and merges into the kept set by id, so
+  *     the sample never skews toward replayed data; a re-delivery with an
+  *     UPDATED weight resolves deterministically to the max-key version
+  *     per id (commutative + idempotent, so delivery order cannot matter);
   *   - restart recovery is free: the checkpointed kept-set IS the sample.
   *
   * Sharding: items hash into `shards` groups before the stateful operator
@@ -62,9 +64,15 @@ object SampleStream {
       items: Iterator[Item],
       state: GroupState[SampleState]): Iterator[ShardSample] = {
     val prev = state.getOption.map(_.kept).getOrElse(Seq.empty)
+    // dedup by id, keeping the BEST entry per id (max key under the total
+    // order): an exact replay regenerates an identical entry (no-op), and a
+    // re-delivery with an UPDATED weight resolves to the max-key version —
+    // a commutative, idempotent merge, so the maintained sample is
+    // independent of delivery order and replay count either way.
     val kept = (prev.iterator ++
         items.map(it => Kept(it.id, gumbelKey(it.id, it.logWeight))))
-      .toSeq.distinct // replayed items regenerate identical entries
+      .toSeq.groupBy(_.id).valuesIterator.map(_.min(keptOrdering))
+      .toSeq
       .sorted(keptOrdering)
       .take(k)
     state.update(SampleState(kept))
@@ -96,5 +104,7 @@ object SampleStream {
     * snapshots (k·shards rows in, k out).
     */
   def globalTopK(snapshots: Seq[ShardSample], k: Int): Seq[Kept] =
-    snapshots.flatMap(_.kept).distinct.sorted(keptOrdering).take(k)
+    snapshots.flatMap(_.kept)
+      .groupBy(_.id).valuesIterator.map(_.min(keptOrdering))
+      .toSeq.sorted(keptOrdering).take(k)
 }

@@ -101,6 +101,52 @@ class BpeSpec extends SparkTestBase {
     assert(res.passed, s"bpe fold property: ${res.status}")
   }
 
+  /** Textbook encode: apply the frozen rules sequentially in rank order
+    * (one full greedy-leftmost pass per rule) — the reference semantics
+    * for [[Corpus.bpeEncode]]. */
+  private def refEncode(w: String, merges: Seq[(String, String)])
+      : List[String] =
+    merges.foldLeft(w.toList.map(_.toString)) { case (syms, (a, b)) =>
+      refMerge(syms, a, b)
+    }
+
+  test("q227's frozen-table encode matches the textbook sequential merge " +
+    "(symbol boundaries respected)") {
+    import spark.implicits._
+    // the round-9 ADVICE counterexamples: a boundary-blind string replace
+    // encodes 'other' as [o, ther] and 'then' as one token; true BPE gives
+    // [o, the, r] and [the, n]
+    val words = Seq("other", "then", "and", "another", "inin", "ttthhh",
+      "sten", "a", "thethe")
+    val df = words.map(w => (1L, enc(w.toList.map(_.toString))))
+      .toDF("wc", "syms")
+    val got = Corpus.bpeEncode(df, Corpus.BpeMerges).collect()
+      .map(r => dec(r.getString(1)))
+    val exp = words.map(refEncode(_, Corpus.BpeMerges))
+    assert(got.toSet == exp.toSet)
+    assert(refEncode("other", Corpus.BpeMerges) == List("o", "the", "r"))
+    assert(refEncode("then", Corpus.BpeMerges) == List("the", "n"))
+  }
+
+  test("frozen-table encode matches the textbook reference over random " +
+    "words and the real merge table") {
+    import spark.implicits._
+    val genW: Gen[String] = for {
+      n <- Gen.chooseNum(1, 12)
+      cs <- Gen.listOfN(n, Gen.oneOf("tandheroins".toSeq))
+    } yield cs.mkString
+    val prop = Prop.forAll(Gen.nonEmptyListOf(genW)) { ws =>
+      val df = ws.map(w => (1L, enc(w.toList.map(_.toString))))
+        .toDF("wc", "syms")
+      val got = Corpus.bpeEncode(df, Corpus.BpeMerges).collect()
+        .map(r => dec(r.getString(1))).toSet
+      got == ws.map(refEncode(_, Corpus.BpeMerges)).toSet
+    }
+    val res = SCTest.check(
+      SCTest.Parameters.default.withMinSuccessfulTests(10), prop)
+    assert(res.passed, s"bpe encode property: ${res.status}")
+  }
+
   test("a round with no pairs left leaves the histogram unchanged") {
     import spark.implicits._
     // all single-char words -> bpePairs empty -> top1 empty -> LEFT join

@@ -66,4 +66,35 @@ class SampleStreamSpec extends SparkTestBase {
       assert(SampleStream.globalTopK(snaps, k) == batchTruth(items, k))
     } finally query.stop()
   }
+
+  test("re-delivery with an updated weight merges to one max-key entry " +
+    "per id, independent of delivery order") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val k = 5
+    val input = MemoryStream[(Long, Double)]
+    val out = SampleStream.attach(
+      input.toDF().toDF("doc_id", "log_weight"), shards = 1, k = k)
+    val query = out.writeStream.format("memory")
+      .queryName("sample_update_test").outputMode(OutputMode.Update()).start()
+    try {
+      // id 1 arrives with a low weight, then re-delivered with a high one
+      // (a weight UPDATE, not an exact replay); ids 2-4 fill the sample
+      input.addData(Seq((1L, -1.0), (2L, 0.5), (3L, 0.5), (4L, 0.5)))
+      query.processAllAvailable()
+      input.addData(Seq((1L, 9.0)))
+      query.processAllAvailable()
+      val kept = spark.table("sample_update_test")
+        .as[SampleStream.ShardSample].collect().last.kept
+      // exactly one entry for id 1, carrying the max-key (updated) weight
+      assert(kept.count(_.id == 1L) == 1)
+      assert(kept.find(_.id == 1L).get.key ==
+        SampleStream.gumbelKey(1L, 9.0))
+      // and the merge is the one batchTruth over max-weight-per-id items
+      val truth = batchTruth(
+        Seq((1L, 9.0), (2L, 0.5), (3L, 0.5), (4L, 0.5)), k)
+      assert(kept == truth)
+    } finally query.stop()
+  }
 }
