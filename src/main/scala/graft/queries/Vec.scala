@@ -1926,6 +1926,384 @@ object Vec {
     GROUP BY ov.method ORDER BY ov.method"""
   }
 
+  /** Lloyd refinements of the PQ sub-codebooks (q244). */
+  private val SubIters = 2
+
+  /** q244: IVFADC+R with TRAINED per-subspace sub-codebooks — q204's audit
+    * re-run after closing its known weak link: q204 quantizes residuals
+    * against an UNTRAINED sub-codebook (the raw residuals of the $PqK seed
+    * vectors, sliced), which is the deterministic-seed stand-in, not what
+    * Jégou et al. (TPAMI 2011 §IV) actually prescribe — k-means-trained
+    * sub-centroids per subspace. Here each of the $PqM subspaces gets
+    * $SubIters Lloyd refinements (q84's iteration, in residual-slice
+    * space): assign every corpus residual's m-th slice to its nearest
+    * sub-centroid (the codegen'd NearestCentroid kernel — ties to the
+    * lower scid, the oracle's ORDER BY d2, scid), recompute per-(m, scid)
+    * per-dim means ROUNDED at 6 (the q84/q179 cross-engine recipe — the
+    * rounding makes the trained codebook, hence every later distance fold,
+    * bit-identical in both engines), drop emptied clusters, and finally
+    * re-index scids densely per subspace (rank over the surviving labels,
+    * both engines identically) so winner centroids are recovered by
+    * POSITION in the broadcast array, never by join.
+    *
+    * Plan shape: training is $SubIters extra passes over the PERSISTED
+    * residual frame (a posexplode into $PqM slices, a one-row broadcast
+    * codebook join, the single-pass VecCentroid aggregator — the only
+    * shuffle is the ($PqM x $PqK)-group rollup); at 100 TB training runs
+    * on a sample and the codebook persists, exactly like the coarse tier
+    * (q179's note). The audit is q204's, unchanged: same probed cells,
+    * same three tiers out of one GroupedTopK pass, same O(k' x Q) refine
+    * fetch — so any recall movement vs q204 is attributable to the
+    * codebook alone.
+    *
+    * MEASURED OUTCOME (BASELINE.md r10, both SFs): training REFUTES the
+    * expected gain at this geometry — Lloyd cuts quantization MSE 37%
+    * (0.426 → 0.270 at sf0.01) exactly as designed, yet adc recall@10
+    * FALLS (sf0.1: 0.1625 → 0.075) because averaging halves centroid
+    * energy (mean norm 0.625 → 0.329): with only $PqK centroids (3 bits)
+    * per 16-dim subspace, every trained centroid sits near the residual
+    * mean, the asymmetric estimate degenerates toward the constant
+    * ||qr||^2, and candidate RANKING — which ADC exists for — loses the
+    * spread that the sample-seeded (q204) codebook keeps. Reconstruction
+    * MSE and ranking quality decouple at tiny K; Jégou et al.'s gains
+    * live at K=256 (8 bits/subspace), where they re-align. The audit
+    * stays in the catalog as the measurement that catches exactly this
+    * class of silent-regression "improvement".
+    */
+  private def q244(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import s.implicits._
+    val cb = codebookRow(s, d)
+    val withRes = assignAgainst(s, d, cb)
+      .withColumn("jk", pmod(col("vec_id"), lit(1)))
+      .join(broadcast(cb), Seq("jk"))
+      .select(col("vec_id"), col("cid"), col("v"),
+        zip_with(col("v"),
+          element_at(col("cb"), col("cid").cast("int") + 1).getField("cv"),
+          (x, y) => x - y).as("r"))
+      .persist()
+    def slices(r: Column): Column =
+      array((0 until PqM).map(m => slice(r, m * PqSub + 1, PqSub)): _*)
+    // per-m sub-codebook frame (m, scid, cv) -> one broadcastable row:
+    // ARRAY (m-sorted) of scid-sorted ARRAY<STRUCT<scid, cv>>
+    def scbsRow(cbm: DataFrame): DataFrame = cbm
+      .groupBy(col("m"))
+      .agg(array_sort(collect_list(struct(col("scid"), col("cv")))).as("sub"))
+      .agg(array_sort(collect_list(struct(col("m"), col("sub")))).as("msub"))
+      .select(transform(col("msub"), x => x.getField("sub")).as("scbs"))
+      .withColumn("jk", pmod(size(col("scbs")), size(col("scbs"))))
+    // seed: the q204 sub-codebook, sliced per subspace
+    val seed = withRes
+      .filter(col("vec_id") >= NCells && col("vec_id") < NCells + PqK)
+      .select((col("vec_id") - NCells).as("scid"),
+        posexplode(slices(col("r"))).as(Seq("m", "cv")))
+      .select(col("m"), col("scid"), col("cv"))
+    val subRows = withRes.select(col("vec_id"),
+      posexplode(slices(col("r"))).as(Seq("m", "rs")))
+    def subLloyd(cur: DataFrame): DataFrame = {
+      val cent = new graft.functions.VecCentroid.Centroid(PqSub).toColumn
+      subRows.withColumn("jk", pmod(col("vec_id"), lit(1)))
+        .join(broadcast(scbsRow(cur)), Seq("jk"))
+        .select(col("m"), col("rs"),
+          graft.functions.NearestCentroidExpression.nearest(col("rs"),
+            element_at(col("scbs"), col("m") + 1)).getField("cid").as("scid"))
+        .select((col("m").cast("long") * 100 + col("scid")).as("k"),
+          col("rs"))
+        .as[(Long, Seq[Double])]
+        .groupByKey(_._1)
+        .mapValues(_._2)
+        .agg(cent.name("c"))
+        .toDF("k", "c")
+        .select(expr("(k div 100)").cast("int").as("m"),
+          pmod(col("k"), lit(100L)).as("scid"),
+          transform(col("c"), x => round(x, 6)).as("cv"))
+    }
+    val trainedRaw = (1 to SubIters).foldLeft(seed)((c, _) => subLloyd(c))
+    // dense re-index per subspace so scid == position in the sorted array
+    val wReix = Window.partitionBy(col("m")).orderBy(col("scid"))
+    val trained = trainedRaw
+      .select(col("m"), col("cv"),
+        (row_number().over(wReix) - 1).cast("long").as("nscid"))
+      .select(col("m"), col("nscid").as("scid"), col("cv"))
+    val scbt = scbsRow(trained)
+    // ---- q204's audit, verbatim apart from the sub-codebook folds ----
+    val q0 = withRes.filter(col("vec_id") >= NCells &&
+        col("vec_id") < NCells + RecallQ)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        pmod(col("vec_id"), lit(1)).as("jk"))
+    val qcells = q0.join(broadcast(cb), Seq("jk"))
+      .select(col("qid"), col("qv"),
+        posexplode(col("cb")).as(Seq("pos", "cc")))
+      .select(col("qid"), col("cc.cid").as("cid"), col("cc.cv").as("ccv"),
+        aggregate(zip_with(col("qv"), col("cc.cv"),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x).as("d2c"), col("qv"))
+      .withColumn("cell_rank", row_number().over(Window.partitionBy(col("qid"))
+        .orderBy(col("d2c"), col("cid"))))
+      .filter(col("cell_rank") <= AdcProbe)
+      .select(col("qid"), col("cid"),
+        zip_with(col("qv"), col("ccv"), (x, y) => x - y).as("qr"))
+    val allScored = withRes
+      .withColumn("jk", pmod(col("vec_id"), lit(1)))
+      .join(broadcast(q0), Seq("jk"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), col("cid"), col("r"),
+        round(aggregate(zip_with(col("v"), col("qv"),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x), 6).as("true_d2"))
+    def subD2t(a: Column, cv: Column, m: Int): Column =
+      aggregate(
+        zip_with(slice(a, m * PqSub + 1, PqSub), cv, (x, y) => (x - y) * (x - y)),
+        lit(0.0), (acc, x) => acc + x)
+    def bestM(m: Int): Column =
+      graft.functions.NearestCentroidExpression.nearest(
+        slice(col("r"), m * PqSub + 1, PqSub),
+        element_at(col("scbs"), m + 1))
+    def winCv(m: Int): Column =
+      element_at(element_at(col("scbs"), m + 1),
+        element_at(col("best"), m + 1).getField("cid").cast("int") + 1)
+        .getField("cv")
+    val cand = allScored.join(broadcast(qcells), Seq("qid", "cid"))
+      .withColumn("jk", pmod(col("vec_id"), lit(1)))
+      .join(broadcast(scbt), Seq("jk"))
+      .withColumn("best", array((0 until PqM).map(bestM): _*))
+      .select(col("qid"), col("vec_id"), col("true_d2"),
+        round((0 until PqM).map(m => subD2t(col("qr"), winCv(m), m))
+          .reduce(_ + _), 6).as("est_d2"))
+    val kPrime = RefineMult * RecallK
+    val tiered = allScored
+      .select(col("qid"), col("vec_id"), lit(0).as("tier"),
+        (-col("true_d2")).as("score"))
+      .unionAll(cand.select(col("qid"), col("vec_id"), lit(1).as("tier"),
+        (-col("true_d2")).as("score")))
+      .unionAll(cand.select(col("qid"), col("vec_id"), lit(2).as("tier"),
+        (-col("est_d2")).as("score")))
+    val tk = new graft.functions.GroupedTopK.TopK(kPrime).toColumn
+    val tops = tiered
+      .select((col("qid") * 4 + col("tier")).as("gk"), col("score"),
+        col("vec_id"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => graft.functions.GroupedTopK.Entry(t._2, t._3))
+      .agg(tk.name("top"))
+      .toDF("gk", "top")
+      .select(col("gk"), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(expr("gk div 4").as("qid"), expr("gk % 4").cast("int").as("tier"),
+        col("pos"), col("e.key").as("vec_id"))
+      .persist()
+    val truth = tops.filter(col("tier") === 0 && col("pos") < RecallK)
+      .select(col("qid"), col("vec_id"))
+    val byMethod = Seq(
+      ("cand_ceiling", tops.filter(col("tier") === 1 && col("pos") < RecallK)
+        .select(col("qid"), col("vec_id"))),
+      ("adc", tops.filter(col("tier") === 2 && col("pos") < RecallK)
+        .select(col("qid"), col("vec_id"))))
+    val shortlist = tops.filter(col("tier") === 2)
+      .select(col("qid"), col("vec_id"))
+    val refetched = withRes.select(col("vec_id"), col("v"))
+      .join(broadcast(shortlist), Seq("vec_id"))
+      .withColumn("jk", pmod(col("vec_id"), lit(1)))
+      .join(broadcast(q0.select(col("qid"), col("qv"), col("jk"))),
+        Seq("jk", "qid"))
+      .select(col("qid"), col("vec_id"),
+        round(aggregate(zip_with(col("v"), col("qv"),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x), 6).as("true_d2"))
+    val refineTk = new graft.functions.GroupedTopK.TopK(RecallK).toColumn
+    val refined = refetched
+      .select(col("qid"), (-col("true_d2")).as("score"), col("vec_id"))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => graft.functions.GroupedTopK.Entry(t._2, t._3))
+      .agg(refineTk.name("top"))
+      .toDF("qid", "top")
+      .select(col("qid"), explode(col("top")).as("e"))
+      .select(col("qid"), col("e.key").as("vec_id"))
+    val pops = withRes.groupBy(col("cid")).agg(count(lit(1)).as("pop"))
+    val tot = withRes.agg(count(lit(1)).as("n_total"))
+      .withColumn("jk", pmod(col("n_total"), lit(1)))
+    val scan = qcells.select(col("qid"), col("cid"))
+      .join(broadcast(pops), Seq("cid"))
+      .groupBy(col("qid")).agg(sum(col("pop")).as("scanned"))
+      .withColumn("jk", pmod(col("scanned"), lit(1)))
+      .join(broadcast(tot), Seq("jk"))
+      .select(col("qid"), (col("scanned") / col("n_total")).as("frac"))
+    val universe = q0.select(col("qid"))
+    def audit(method: String, top: DataFrame): DataFrame = universe
+      .join(top.join(truth, Seq("qid", "vec_id"), "left_semi")
+          .groupBy(col("qid")).agg(count(lit(1)).as("n_overlap")),
+        Seq("qid"), "left")
+      .join(scan, Seq("qid"))
+      .agg(
+        round(sum(coalesce(col("n_overlap"), lit(0L)))
+          / lit((RecallQ * RecallK).toDouble), 4).as("avg_recall"),
+        round(min(coalesce(col("n_overlap"), lit(0L))
+          / lit(RecallK.toDouble)), 2).as("min_recall"),
+        round(avg(col("frac")), 4).as("avg_scanned_frac"))
+      .select(lit(method).as("method"), col("avg_recall"),
+        col("min_recall"), col("avg_scanned_frac"))
+    val out = (byMethod :+ ("adc_refine", refined))
+      .map { case (m, t) => audit(m, t) }
+      .reduce(_ unionAll _)
+      .orderBy(col("method"))
+    Cached.scopedTo(out, withRes, tops)
+  }
+
+  /** Sub-codebook Lloyd CTE chain shared shape with [[oLloydCtes]], in
+    * residual-slice space over (vec_id, m). */
+  private def oSubLloydCtes(iters: Int): String = (1 to iters).map { k =>
+    s"""
+    sd$k AS (
+      SELECT x.vec_id, x.m, s.scid,
+             list_sum(list_transform(range(1, ${PqSub + 1}),
+               i -> (x.rs[i] - s.cv[i]) * (x.rs[i] - s.cv[i]))) AS d2
+      FROM sx x JOIN scb${k - 1} s ON s.m = x.m),
+    sa$k AS (
+      SELECT vec_id, m, scid FROM (
+        SELECT vec_id, m, scid,
+               row_number() OVER (PARTITION BY vec_id, m
+                 ORDER BY d2, scid) AS rn
+        FROM sd$k) WHERE rn = 1),
+    scb$k AS (
+      SELECT m, scid, list(round(mv, 6) ORDER BY i) AS cv FROM (
+        SELECT a.m, a.scid, x.i, avg(x.v) AS mv
+        FROM sa$k a JOIN sx2 x ON x.vec_id = a.vec_id AND x.m = a.m
+        GROUP BY a.m, a.scid, x.i)
+      GROUP BY m, scid)"""
+  }.mkString(",")
+
+  private def o244: String = {
+    def oD2(a: String, b: String): String =
+      s"""round(list_sum(list_transform(range(1, ${Dim + 1}),
+          i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), 6)"""
+    val kPrime = RefineMult * RecallK
+    s"""
+    WITH cb AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+                FROM embeddings WHERE vec_id < $NCells),
+    ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    dists AS (
+      SELECT e.vec_id, c.cid,
+             list_sum(list_transform(range(1, ${Dim + 1}),
+               i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS d2
+      FROM ev e CROSS JOIN cb c),
+    assign AS (
+      SELECT vec_id, cid FROM (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+        FROM dists) WHERE rn = 1),
+    res AS (
+      SELECT a.vec_id, a.cid,
+             list_transform(range(1, ${Dim + 1}),
+               i -> e.v[i] - c.cv[i]) AS r
+      FROM assign a JOIN ev e ON e.vec_id = a.vec_id
+      JOIN cb c ON c.cid = a.cid),
+    ms AS (SELECT unnest(range(0, $PqM)) AS m),
+    scb0 AS (
+      SELECT m.m, vec_id - $NCells AS scid,
+             list_transform(range(1, ${PqSub + 1}),
+               i -> r[m.m * $PqSub + i]) AS cv
+      FROM res CROSS JOIN ms m
+      WHERE vec_id >= $NCells AND vec_id < ${NCells + PqK}),
+    sx AS (
+      SELECT r.vec_id, m.m,
+             list_transform(range(1, ${PqSub + 1}),
+               i -> r.r[m.m * $PqSub + i]) AS rs
+      FROM res r CROSS JOIN ms m),
+    sx2 AS (SELECT vec_id, m, generate_subscripts(rs, 1) AS i,
+                   unnest(rs) AS v
+            FROM sx),
+    ${oSubLloydCtes(SubIters)},
+    scbt AS (
+      SELECT m, row_number() OVER (PARTITION BY m ORDER BY scid) - 1 AS scid,
+             cv
+      FROM scb$SubIters),
+    q AS (SELECT vec_id AS qid, v AS qv FROM ev
+          WHERE vec_id >= $NCells AND vec_id < ${NCells + RecallQ}),
+    qcells AS (
+      SELECT qid, cid, qr FROM (
+        SELECT q.qid, c.cid,
+               row_number() OVER (PARTITION BY q.qid ORDER BY
+                 list_sum(list_transform(range(1, ${Dim + 1}),
+                   i -> (q.qv[i] - c.cv[i]) * (q.qv[i] - c.cv[i]))), c.cid)
+                 AS cell_rank,
+               list_transform(range(1, ${Dim + 1}), i -> q.qv[i] - c.cv[i])
+                 AS qr
+        FROM q CROSS JOIN cb c) WHERE cell_rank <= $AdcProbe),
+    allsc AS (
+      SELECT q.qid, r.vec_id, r.cid, r.r,
+             ${oD2("e.v", "q.qv")} AS true_d2
+      FROM res r JOIN ev e ON e.vec_id = r.vec_id CROSS JOIN q
+      WHERE r.vec_id <> q.qid),
+    candrows AS (
+      SELECT a.qid, a.vec_id, a.r, a.true_d2, qc.qr
+      FROM allsc a JOIN qcells qc ON qc.qid = a.qid AND qc.cid = a.cid),
+    sub AS (
+      SELECT c.qid, c.vec_id, s.m, s.scid,
+             list_sum(list_transform(range(1, ${PqSub + 1}),
+               i -> (c.r[s.m * $PqSub + i] - s.cv[i])
+                  * (c.r[s.m * $PqSub + i] - s.cv[i]))) AS d2
+      FROM candrows c CROSS JOIN scbt s),
+    best AS (
+      SELECT qid, vec_id, m, scid FROM (
+        SELECT qid, vec_id, m, scid,
+               row_number() OVER (PARTITION BY qid, vec_id, m
+                 ORDER BY d2, scid) AS rn
+        FROM sub) WHERE rn = 1),
+    cand AS (
+      SELECT c.qid, c.vec_id, any_value(c.true_d2) AS true_d2,
+             round(list_sum(list(
+               list_sum(list_transform(range(1, ${PqSub + 1}),
+                 i -> (c.qr[b.m * $PqSub + i] - s.cv[i])
+                    * (c.qr[b.m * $PqSub + i] - s.cv[i])))
+               ORDER BY b.m)), 6) AS est_d2
+      FROM best b
+      JOIN candrows c ON c.qid = b.qid AND c.vec_id = b.vec_id
+      JOIN scbt s ON s.m = b.m AND s.scid = b.scid
+      GROUP BY c.qid, c.vec_id),
+    truth AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+          ORDER BY true_d2, vec_id) AS rn FROM allsc) WHERE rn <= $RecallK),
+    ceil_top AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+          ORDER BY true_d2, vec_id) AS rn FROM cand) WHERE rn <= $RecallK),
+    adc_ranked AS (
+      SELECT qid, vec_id, true_d2, row_number() OVER (PARTITION BY qid
+        ORDER BY est_d2, vec_id) AS rn FROM cand),
+    adc_top AS (SELECT qid, vec_id FROM adc_ranked WHERE rn <= $RecallK),
+    refine_top AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
+          ORDER BY true_d2, vec_id) AS rn2
+        FROM adc_ranked WHERE rn <= $kPrime) WHERE rn2 <= $RecallK),
+    pops AS (SELECT cid, count(*) AS pop FROM assign GROUP BY cid),
+    tot AS (SELECT count(*) AS n FROM embeddings),
+    scan AS (
+      SELECT qc.qid, sum(p.pop) / any_value(tot.n) AS frac
+      FROM qcells qc JOIN pops p USING (cid) CROSS JOIN tot
+      GROUP BY qc.qid),
+    methods AS (
+      SELECT 'cand_ceiling' AS method, qid, vec_id FROM ceil_top
+      UNION ALL SELECT 'adc', qid, vec_id FROM adc_top
+      UNION ALL SELECT 'adc_refine', qid, vec_id FROM refine_top),
+    ov AS (
+      SELECT mm.method, q.qid, coalesce(o.n, 0) AS n_overlap
+      FROM q CROSS JOIN (SELECT DISTINCT method FROM methods) mm
+      LEFT JOIN (
+        SELECT m.method, m.qid, count(*) AS n
+        FROM methods m JOIN truth t
+          ON t.qid = m.qid AND t.vec_id = m.vec_id
+        GROUP BY m.method, m.qid) o
+        ON o.method = mm.method AND o.qid = q.qid)
+    SELECT ov.method,
+           round(sum(ov.n_overlap) / ${RecallQ * RecallK}.0, 4) AS avg_recall,
+           round(min(ov.n_overlap / $RecallK.0), 2) AS min_recall,
+           round(avg(sc.frac), 4) AS avg_scanned_frac
+    FROM ov JOIN scan sc ON sc.qid = ov.qid
+    GROUP BY ov.method ORDER BY ov.method"""
+  }
+
   /** q196: nearest-centroid classifier accuracy — train per-LABEL
     * centroids on the even-vec_id half, classify the odd half by nearest
     * centroid (the same codegen'd [[graft.functions.NearestCentroidExpression]]
@@ -2200,6 +2578,184 @@ object Vec {
       FROM m)
     SELECT aid, bid, cs, margin FROM r WHERE rm = 1 ORDER BY aid"""
 
+  /** ANN probe width for q245: each anchor mines only the odd-side vectors
+    * whose trained-IVF cell is among the anchor's $BitextProbe nearest of
+    * the $NCells cells (~$BitextProbe/$NCells of the corpus). */
+  private val BitextProbe = 4
+
+  /** q245: ANN-tier bitext mining — the form q217's scaladoc promises for
+    * 100 TB ("that frame comes from the ANN tier"): the candidate frame is
+    * the TRAINED-IVF probe output (q179's codebook — $LloydIters Lloyd
+    * refinements of the first-$NCells seed) instead of the brute panel ×
+    * corpus sweep. Odd-side vectors are assigned to cells with the same
+    * map-side NearestCentroid fold as q43; each anchor probes its
+    * $BitextProbe nearest cells; candidates = anchors' probed-cell rows
+    * only (a broadcast equi-join on cid — at scale a partition-pruned read
+    * of an IVF-partitioned store, q140's layout). The ratio-margin formula
+    * (Artetxe & Schwenk 2019) is UNCHANGED, computed over the reduced
+    * frame — per-anchor cost drops from O(corpus) to O(probed cells), the
+    * whole point of the tier.
+    *
+    * The query is its own accuracy audit (q176's recipe, for alignment):
+    * it re-runs the brute-force pick (q217's exact chain) and reports
+    * top-1 aligned-pair agreement plus the candidate fraction actually
+    * scored — the recall-vs-cost readout an operator tunes $BitextProbe
+    * by. All cosines rounded at 6 before ranking (q41's parity recipe);
+    * the two final ratios are single IEEE divisions of exact counts, so
+    * rounding at 4 is bit-stable cross-engine.
+    */
+  private def q245(s: SparkSession, d: String): DataFrame = {
+    val e = parallelize(s, embeddings(s, d))
+    val cbT = (1 to LloydIters)
+      .foldLeft(codebookRow(s, d))((c, _) => lloydStep(s, d, c))
+    // odd-side corpus -> trained cells (map-side fold, keeps label)
+    val bestB = graft.functions.NearestCentroidExpression.nearest(
+      toD(col("embedding")), col("cb"))
+    val bcand = e.filter(col("label") % 2 === 1)
+      .withColumn("jk", pmod(col("vec_id"), lit(1)))
+      .join(broadcast(cbT), Seq("jk"))
+      .select(col("vec_id").as("bid"), bestB.getField("cid").as("cid"),
+        toD(col("embedding")).as("bv"))
+    // anchor panel -> its BitextProbe nearest cells (16-row expansion of a
+    // 200-row panel — bounded)
+    val a = e.filter(col("label") % 2 === 0 && col("vec_id") < BitextPanel)
+      .select(col("vec_id").as("aid"), toD(col("embedding")).as("av"),
+        pmod(col("vec_id"), lit(1)).as("jk"))
+    val acells = a.join(broadcast(cbT), Seq("jk"))
+      .select(col("aid"), col("av"), posexplode(col("cb")).as(Seq("pos", "cc")))
+      .select(col("aid"), col("av"), col("cc.cid").as("cid"),
+        aggregate(zip_with(col("av"), col("cc.cv"),
+            (x, y) => (x - y) * (x - y)),
+          lit(0.0), (acc, x) => acc + x).as("d2c"))
+      .withColumn("cell_rank", row_number().over(Window.partitionBy(col("aid"))
+        .orderBy(col("d2c"), col("cid"))))
+      .filter(col("cell_rank") <= BitextProbe)
+      .select(col("aid"), col("av"), col("cid"))
+    // ANN candidate frame: probed-cell rows only
+    val pairs = bcand.join(broadcast(acells), Seq("cid"))
+      .select(col("aid"), col("bid"),
+        round(cosine(col("bv"), col("av")), 6).as("cs"))
+    val wf = Window.partitionBy(col("aid"))
+      .orderBy(col("cs").desc, col("bid"))
+    val wb = Window.partitionBy(col("bid"))
+      .orderBy(col("cs").desc, col("aid"))
+    val nn = pairs
+      .withColumn("rf", row_number().over(wf))
+      .withColumn("rb", row_number().over(wb))
+    val fwd = nn.filter(col("rf") <= BitextK)
+      .groupBy(col("aid")).agg(avg(col("cs")).as("fa"))
+    val bwd = nn.filter(col("rb") <= BitextK)
+      .groupBy(col("bid")).agg(avg(col("cs")).as("fb"))
+    val wm = Window.partitionBy(col("aid"))
+      .orderBy(col("margin").desc, col("bid"))
+    val annPick = pairs.join(fwd, Seq("aid")).join(bwd, Seq("bid"))
+      .withColumn("margin",
+        round(col("cs") / ((col("fa") + col("fb")) / 2.0), 6))
+      .withColumn("rm", row_number().over(wm))
+      .filter(col("rm") === 1)
+      .select(col("aid"), col("bid").as("ann_bid"))
+    val brute = q217(s, d).select(col("aid"), col("bid").as("brute_bid"))
+    val candN = pairs.groupBy(col("aid")).agg(count(lit(1)).as("ncand"))
+    val totB = bcand.agg(count(lit(1)).as("nb"))
+      .withColumn("jk", pmod(col("nb"), lit(1)))
+    annPick.join(brute, Seq("aid")).join(candN, Seq("aid"))
+      .withColumn("jk", pmod(col("aid"), lit(1)))
+      .join(broadcast(totB), Seq("jk"))
+      .agg(count(lit(1)).cast("long").as("n_anchors"),
+        sum(when(col("ann_bid") === col("brute_bid"), 1L).otherwise(0L))
+          .cast("long").as("n_agree"),
+        sum(col("ncand")).cast("long").as("n_cand"),
+        max(col("nb")).cast("long").as("nbv"))
+      .select(col("n_anchors"), col("n_agree"),
+        round(col("n_agree").cast("double") / col("n_anchors"), 4)
+          .as("agree_rate"),
+        round(col("n_cand").cast("double")
+          / (col("n_anchors") * col("nbv")), 4).as("avg_cand_frac"))
+  }
+
+  private def o245: String = s"""
+    WITH c0 AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id < $NCells),
+    ex AS (SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+                  CAST(unnest(embedding) AS DOUBLE) AS v
+           FROM embeddings),
+    ${oLloydCtes(LloydIters)},
+    cbt AS (SELECT cid, cv FROM c$LloydIters),
+    $oBitextNN,
+    fwd AS (SELECT aid, avg(cs) AS fa FROM nn WHERE rf <= $BitextK
+            GROUP BY aid),
+    bwd AS (SELECT bid, avg(cs) AS fb FROM nn WHERE rb <= $BitextK
+            GROUP BY bid),
+    m AS (
+      SELECT p.aid, p.bid, p.cs,
+             round(p.cs / ((f.fa + w.fb) / 2.0), 6) AS margin
+      FROM pairs p JOIN fwd f ON f.aid = p.aid JOIN bwd w ON w.bid = p.bid),
+    r AS (
+      SELECT aid, bid, margin,
+             row_number() OVER (PARTITION BY aid
+               ORDER BY margin DESC, bid) AS rm
+      FROM m),
+    brute AS (SELECT aid, bid AS brute_bid FROM r WHERE rm = 1),
+    bd AS (
+      SELECT b.bid, c.cid,
+             list_sum(list_transform(range(1, ${Dim + 1}),
+               i -> (b.bv[i] - c.cv[i]) * (b.bv[i] - c.cv[i]))) AS d2
+      FROM b CROSS JOIN cbt c),
+    bassign AS (
+      SELECT bid, cid FROM (
+        SELECT bid, cid,
+               row_number() OVER (PARTITION BY bid ORDER BY d2, cid) AS rn
+        FROM bd) WHERE rn = 1),
+    ad AS (
+      SELECT a.aid, c.cid,
+             row_number() OVER (PARTITION BY a.aid ORDER BY
+               list_sum(list_transform(range(1, ${Dim + 1}),
+                 i -> (a.av[i] - c.cv[i]) * (a.av[i] - c.cv[i]))), c.cid)
+               AS cell_rank
+      FROM a CROSS JOIN cbt c),
+    acells AS (SELECT aid, cid FROM ad WHERE cell_rank <= $BitextProbe),
+    apairs AS (
+      SELECT p.aid, p.bid, p.cs
+      FROM pairs p
+      JOIN bassign ba ON ba.bid = p.bid
+      JOIN acells ac ON ac.aid = p.aid AND ac.cid = ba.cid),
+    ann AS (
+      SELECT aid, bid, cs,
+             row_number() OVER (PARTITION BY aid ORDER BY cs DESC, bid)
+               AS rf,
+             row_number() OVER (PARTITION BY bid ORDER BY cs DESC, aid)
+               AS rb
+      FROM apairs),
+    afwd AS (SELECT aid, avg(cs) AS fa FROM ann WHERE rf <= $BitextK
+             GROUP BY aid),
+    abwd AS (SELECT bid, avg(cs) AS fb FROM ann WHERE rb <= $BitextK
+             GROUP BY bid),
+    am AS (
+      SELECT p.aid, p.bid,
+             round(p.cs / ((f.fa + w.fb) / 2.0), 6) AS margin
+      FROM apairs p JOIN afwd f ON f.aid = p.aid
+      JOIN abwd w ON w.bid = p.bid),
+    ar AS (
+      SELECT aid, bid,
+             row_number() OVER (PARTITION BY aid
+               ORDER BY margin DESC, bid) AS rm
+      FROM am),
+    annpick AS (SELECT aid, bid AS ann_bid FROM ar WHERE rm = 1),
+    candn AS (SELECT aid, count(*) AS ncand FROM apairs GROUP BY aid),
+    totb AS (SELECT count(*) AS nb FROM b),
+    j AS (
+      SELECT ap.aid, ap.ann_bid, br.brute_bid, cn.ncand, t.nb
+      FROM annpick ap JOIN brute br ON br.aid = ap.aid
+      JOIN candn cn ON cn.aid = ap.aid CROSS JOIN totb t)
+    SELECT CAST(count(*) AS BIGINT) AS n_anchors,
+           CAST(sum(CASE WHEN ann_bid = brute_bid THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_agree,
+           round(CAST(sum(CASE WHEN ann_bid = brute_bid THEN 1 ELSE 0 END)
+             AS DOUBLE) / count(*), 4) AS agree_rate,
+           round(CAST(sum(ncand) AS DOUBLE) / (count(*) * any_value(nb)), 4)
+             AS avg_cand_frac
+    FROM j"""
+
   /** q233: retrieval-quality evaluation (MRR + nDCG@10) — the measurement
     * the ranking tier (q41/q131/q164/q200) produces rankings FOR but
     * nothing previously scored: over the q176 query panel, rank the
@@ -2371,7 +2927,9 @@ object Vec {
     QueryDef("q241_mutual_knn", q241, Some(o241)),
     QueryDef("q242_silhouette", q242, Some(o242)),
     QueryDef("q217_margin_bitext", q217, Some(o217)),
+    QueryDef("q245_bitext_ann", q245, Some(o245)),
     QueryDef("q204_ivfadc_refine", q204, Some(o204)),
+    QueryDef("q244_ivfadc_trained", q244, Some(o244)),
     QueryDef("q197_embedding_geometry", q197, Some(o197)),
     QueryDef("q196_centroid_classifier", q196, Some(o196)),
     QueryDef("q180_ivfadc", q180, Some(o180)),
