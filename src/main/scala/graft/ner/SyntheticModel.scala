@@ -9,6 +9,14 @@ import scala.util.Random
   * merge — can be exercised and benchmarked end-to-end in environments with
   * no real model artifact (the driver's, and CI). The entities it emits are
   * meaningless but fully deterministic.
+  *
+  * Round 10 adds the BERT-BASE-GEOMETRY twin ([[loadedBase]] and its
+  * F16/Q4 variants): same vocab and build rules at the reference's
+  * recommended model class (`dslim/bert-base-NER`, ~110 M params —
+  * reference TEST.md:26), where a layer's weight panels (~28 MB) can NEVER
+  * be cache-resident and every matmul STREAMS weights from DRAM — the
+  * regime the F16/Q4 kernels exist for. `ProfileBase` measures the
+  * F32/F16/Q4 crossover there; BASELINE.md records it.
   */
 object SyntheticModel {
 
@@ -19,6 +27,20 @@ object SyntheticModel {
     nIntermediate = 256,
     nHead = 2,
     nLayer = 2,
+    f16 = 0,
+    nLabels = 9)
+
+  /** bert-base geometry (hidden 768, 12 layers, 12 heads, FFN 3072,
+    * 512-token context): ~85 M encoder parameters over the same synthetic
+    * vocab — the weight-streaming regime (28 MB/layer vs ~1 MB L2).
+    */
+  val BaseHparams: NerHparams = NerHparams(
+    nVocab = 0,
+    nMaxTokens = 512,
+    nEmbd = 768,
+    nIntermediate = 3072,
+    nHead = 12,
+    nLayer = 12,
     f16 = 0,
     nLabels = 9)
 
@@ -33,9 +55,8 @@ object SyntheticModel {
     Array.fill(n)((r.nextFloat() - 0.5f) * 0.2f)
   }
 
-  /** Build the model once per JVM (shared across tasks like a loaded file). */
-  lazy val loaded: Ner.Loaded = {
-    val hp = Hparams.copy(nVocab = VocabTokens.length)
+  private def buildModel(hp0: NerHparams): NerModel = {
+    val hp = hp0.copy(nVocab = VocabTokens.length)
     val main = Map.newBuilder[String, Int]
     val sub = Map.newBuilder[String, Int]
     val id2 = Map.newBuilder[Int, String]
@@ -73,22 +94,18 @@ object SyntheticModel {
     }
     add("classifier.weight", Array(hp.nEmbd, hp.nLabels))
     add("classifier.bias", Array(hp.nLabels))
-    val model = NerModel(hp,
-      NerVocab(main.result(), sub.result(), id2.result()), t.result())
-    Ner.Loaded(model, new BertEncoder(model))
+    NerModel(hp, NerVocab(main.result(), sub.result(), id2.result()),
+      t.result())
   }
 
-  /** Q4_0-quantized twin of [[loaded]]: every linear weight re-quantized to
-    * raw ggml blocks (all shapes here are %32-compatible: embd 64,
-    * intermediate 256), so the encoder takes the quantized-native matmul
-    * path ([[DotKernel.matmulQ4]]) end-to-end — the profile counterpart for
-    * the F32 session (numbers in BASELINE.md). Entities differ slightly
-    * from [[loaded]]'s (quantization moves logits), which is fine: this
-    * variant exists for kernel exercise and profiling, while q26's
+  /** Q4_0-quantized twin: every %32-compatible linear weight re-quantized
+    * to raw ggml blocks, so the encoder takes the quantized-native matmul
+    * path ([[DotKernel.matmulQ4]]) end-to-end. Entities can differ
+    * slightly from the F32 twin's (quantization moves logits) — fine:
+    * these variants exist for kernel exercise and profiling; the
     * oracle-facing output stays pinned to the F32 model.
     */
-  lazy val loadedQ4: Ner.Loaded = {
-    val base = loaded.model
+  private def q4Twin(base: NerModel): Ner.Loaded = {
     val tensors = base.tensors.map { case (name, t) =>
       if (ModelFormat.isLinearWeight(name) && t.numel % 32 == 0)
         name -> NerTensor(t.dims, null, ModelFormat.quantizeQ4(t.data))
@@ -98,15 +115,12 @@ object SyntheticModel {
     Ner.Loaded(model, new BertEncoder(model))
   }
 
-  /** F16 twin of [[loaded]]: every linear weight narrowed to raw IEEE 754
-    * halves, so the encoder takes the half-native matmul path
-    * ([[DotKernel.matmulF16]], round-8 VERDICT #4) end-to-end — the third
-    * point of the F32/F16/Q4 weight-precision profile (numbers in
-    * BASELINE.md). Entities can differ slightly from [[loaded]]'s (the
-    * half round-trip moves logits), same caveat as [[loadedQ4]].
+  /** F16 twin: every linear weight narrowed to raw IEEE 754 halves, so the
+    * encoder takes the half-native matmul path ([[DotKernel.matmulF16]],
+    * round-8 VERDICT #4) end-to-end. Same logit-movement caveat as
+    * [[q4Twin]].
     */
-  lazy val loadedF16: Ner.Loaded = {
-    val base = loaded.model
+  private def f16Twin(base: NerModel): Ner.Loaded = {
     val tensors = base.tensors.map { case (name, t) =>
       if (ModelFormat.isLinearWeight(name))
         name -> NerTensor(t.dims, null,
@@ -116,4 +130,34 @@ object SyntheticModel {
     val model = base.copy(tensors = tensors)
     Ner.Loaded(model, new BertEncoder(model))
   }
+
+  /** Build the model once per JVM (shared across tasks like a loaded file). */
+  lazy val loaded: Ner.Loaded = {
+    val model = buildModel(Hparams)
+    Ner.Loaded(model, new BertEncoder(model))
+  }
+
+  /** Q4_0-quantized twin of [[loaded]] (all shapes here are
+    * %32-compatible: embd 64, intermediate 256) — the profile counterpart
+    * for the F32 session (numbers in BASELINE.md).
+    */
+  lazy val loadedQ4: Ner.Loaded = q4Twin(loaded.model)
+
+  /** F16 twin of [[loaded]] — the third point of the F32/F16/Q4
+    * weight-precision profile (numbers in BASELINE.md).
+    */
+  lazy val loadedF16: Ner.Loaded = f16Twin(loaded.model)
+
+  /** bert-base-geometry F32 model (~340 MB of weights, built once per
+    * JVM, a few seconds of seeded generation). */
+  lazy val loadedBase: Ner.Loaded = {
+    val model = buildModel(BaseHparams)
+    Ner.Loaded(model, new BertEncoder(model))
+  }
+
+  /** bert-base-geometry Q4_0 twin (embd 768, FFN 3072 — %32-compatible). */
+  lazy val loadedBaseQ4: Ner.Loaded = q4Twin(loadedBase.model)
+
+  /** bert-base-geometry F16 twin. */
+  lazy val loadedBaseF16: Ner.Loaded = f16Twin(loadedBase.model)
 }

@@ -1414,6 +1414,17 @@ object Dedup {
     * curator which feeds copy which (mirror sites, scraped re-posts) and
     * therefore which source to drop wholesale instead of deduping doc by
     * doc. Cost = q38 + two dimension joins on doc_id + a tiny rollup.
+    *
+    * The per-group average is computed ORDER-INDEPENDENTLY AND WITHOUT
+    * FLOAT ROUNDING: each pair's (round-6, hence bit-identical) jaccard
+    * is scaled to integer micro-units, the group sums exact longs, the
+    * mean is rounded half-up IN INTEGER ARITHMETIC ((2s+n) div 2n), and
+    * only then divided by 1e6 — one exact small-int/1e6 division both
+    * engines compute identically. A plain avg(double)+round(6) failed
+    * the round-10 sf0.1 sweep twice: first on addend-order ulp drift,
+    * then (order-independent sum, float round) on an exact .5e-6
+    * quotient where the engines' round() disagree — the integer form has
+    * neither failure mode.
     */
   private def q156(s: SparkSession, d: String): DataFrame = {
     val src = documents(s, d).select(col("doc_id"), col("source"))
@@ -1425,7 +1436,10 @@ object Dedup {
       .groupBy(least(col("sa"), col("sb")).as("source_a"),
         greatest(col("sa"), col("sb")).as("source_b"))
       .agg(count(lit(1)).as("n_pairs"),
-        round(avg(col("jaccard")), 6).as("avg_jaccard"))
+        sum(round(col("jaccard") * 1000000, 0).cast("long")).as("sj"))
+      .select(col("source_a"), col("source_b"), col("n_pairs"),
+        (expr("(2 * sj + n_pairs) DIV (2 * n_pairs)") / lit(1000000.0))
+          .as("avg_jaccard"))
       .orderBy(col("n_pairs").desc, col("source_a"), col("source_b"))
   }
 
@@ -1434,7 +1448,8 @@ object Dedup {
        SELECT least(da.source, db.source) AS source_a,
               greatest(da.source, db.source) AS source_b,
               count(*) AS n_pairs,
-              round(avg(jaccard), 6) AS avg_jaccard
+              ((2 * sum(CAST(round(jaccard * 1000000) AS BIGINT))
+                 + count(*)) // (2 * count(*))) / 1000000.0 AS avg_jaccard
        FROM pairs
        JOIN documents da ON da.doc_id = doc_a
        JOIN documents db ON db.doc_id = doc_b

@@ -1825,7 +1825,404 @@ object Events {
            round(s.n_surviving / CAST(tot.n_users AS DOUBLE), 6) AS survival
     FROM surv s, tot ORDER BY s.age_w"""
 
+  /** Panel size for q246: the Theil–Sen estimator is O(n²) pairs per key,
+    * so the trend is fit on each type's first $TsPanel events (a FIXED
+    * panel — at 100 TB the panel is a deterministic per-key sample, and
+    * pair count stays C($TsPanel, 2) = ${TsPanel * (TsPanel - 1) / 2}
+    * regardless of corpus size). */
+  private val TsPanel = 40
+
+  /** q246: Theil–Sen robust trend per event type — the median of all
+    * pairwise slopes (value change per minute) over a fixed per-type
+    * panel. The robust alternative to OLS trend fitting (q243's
+    * regression recipe): a single spiked metric value moves the OLS slope
+    * arbitrarily but shifts the slope MEDIAN by at most one rank, which
+    * is why monitoring pipelines fit Theil–Sen before alerting on drift.
+    *
+    * Scale shape: the panel bound makes the quadratic explicit and
+    * constant — per type, $TsPanel rows self-join into ≤780 slope pairs
+    * (equi-join on event_type over a frame already reduced to panel
+    * grain; no corpus² anywhere). Slopes are exact IEEE divisions of
+    * µs-derived minute deltas; only the MEDIAN (the established
+    * interpolated-percentile parity) and the final rounding touch
+    * anything engine-sensitive.
+    */
+  private def q246(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("event_id"))
+    val panel = events(s, d)
+      .select(col("event_type"), col("event_id"),
+        expr("ts DIV 1000 DIV 60000000").as("tmin"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= TsPanel)
+    val a = panel.select(col("event_type"), col("rn").as("i"),
+      col("tmin").as("ti"), col("value").as("vi"))
+    val b = panel.select(col("event_type"), col("rn").as("j"),
+      col("tmin").as("tj"), col("value").as("vj"))
+    a.join(b, Seq("event_type"))
+      .filter(col("j") > col("i") && col("tj") =!= col("ti"))
+      .select(col("event_type"),
+        ((col("vj") - col("vi")) / (col("tj") - col("ti"))).as("slope"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_pairs"),
+        round(expr("percentile(slope, 0.5D)"), 6).as("ts_slope"))
+      .orderBy(col("event_type"))
+  }
+
+  private val o246 = s"""
+    WITH panel AS (
+      SELECT event_type, event_id,
+             epoch_us(ts) // 60000000 AS tmin, value,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY event_id) AS rn
+      FROM events),
+    p AS (SELECT * FROM panel WHERE rn <= $TsPanel),
+    slopes AS (
+      SELECT a.event_type,
+             (b.value - a.value) / (b.tmin - a.tmin) AS slope
+      FROM p a JOIN p b ON b.event_type = a.event_type AND b.rn > a.rn
+      WHERE b.tmin <> a.tmin)
+    SELECT event_type, count(*) AS n_pairs,
+           round(quantile_cont(slope, 0.5), 6) AS ts_slope
+    FROM slopes GROUP BY event_type ORDER BY event_type"""
+
+  /** q247: frequent contiguous event sequences (sequential-pattern mining,
+    * the 3-gram tier): per user, order events by time and count every
+    * contiguous (type → type → type) trigram across the corpus; report the
+    * top 15 with support. The sequence-alphabet analogue of q195's
+    * association rules — co-occurrence there, ORDER here — and the
+    * input a next-event-prediction or funnel-discovery pipeline mines
+    * before it knows which funnels (q107) to define.
+    *
+    * Scale shape: two `lead()`s over the (user, time) window — the same
+    * one-shuffle co-partitioned pass every sessionization query pays, no
+    * self-joins — then a count rollup over a domain bounded by
+    * |alphabet|³, and a fixed top-k. Integer counts end-to-end; ordering
+    * total via (count DESC, sequence).
+    */
+  private def q247(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("us"), col("event_id"))
+    val tot = events(s, d).agg(count(lit(1)).as("n_events"))
+      .withColumn("jk", pmod(col("n_events"), lit(1)))
+    events(s, d)
+      .select(col("user_id"), col("event_id"), tsUs.as("us"),
+        col("event_type"))
+      .withColumn("t2", lead(col("event_type"), 1).over(w))
+      .withColumn("t3", lead(col("event_type"), 2).over(w))
+      .filter(col("t2").isNotNull && col("t3").isNotNull)
+      .select(concat_ws(">", col("event_type"), col("t2"), col("t3"))
+        .as("seq"))
+      .groupBy(col("seq")).agg(count(lit(1)).as("n"))
+      .withColumn("jk", pmod(col("n"), lit(1)))
+      .join(broadcast(tot), Seq("jk"))
+      .select(col("seq"), col("n"),
+        round(col("n").cast("double") / col("n_events"), 6).as("support"))
+      .orderBy(col("n").desc, col("seq"))
+      .limit(15)
+  }
+
+  private val o247 = """
+    WITH seqs AS (
+      SELECT event_type || '>' || t2 || '>' || t3 AS seq
+      FROM (
+        SELECT event_type,
+               lead(event_type, 1) OVER w AS t2,
+               lead(event_type, 2) OVER w AS t3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY epoch_us(ts), event_id))
+      WHERE t2 IS NOT NULL AND t3 IS NOT NULL),
+    tot AS (SELECT count(*) AS n_events FROM events)
+    SELECT seq, count(*) AS n,
+           round(CAST(count(*) AS DOUBLE) / any_value(tot.n_events), 6)
+             AS support
+    FROM seqs, tot GROUP BY seq
+    ORDER BY n DESC, seq LIMIT 15"""
+
+  /** q248: equal-frequency binning + Weight-of-Evidence / Information
+    * Value — the feature-screening transform a credit-risk-style training
+    * pipeline applies before model fitting: bin a continuous feature
+    * (order total price) into quintiles, and per bin report the good/bad
+    * split (label = finalized order status 'F'), WoE = ln(dist_good /
+    * dist_bad) and the bin's IV contribution; ΣIV grades the feature's
+    * predictive power. Bins come from four INTERPOLATED quintile cut
+    * points (one percentile aggregation, q184's recipe) — never
+    * `ntile() OVER ()`, whose global sort of the fact table is the
+    * scale-killer the RFM query already documents.
+    *
+    * Cut points are rounded at 6 before the comparisons so bin
+    * assignment is bit-stable cross-engine; WoE/IV are scalars of ln over
+    * exact integer-count ratios, rounded at 6 (the transcendental-parity
+    * recipe).
+    */
+  private def q248(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d)
+      .select(col("o_totalprice").as("x"),
+        (col("o_orderstatus") === "F").cast("int").as("bad"))
+    val cuts = o.agg(
+      round(expr("percentile(x, 0.2D)"), 6).as("c1"),
+      round(expr("percentile(x, 0.4D)"), 6).as("c2"),
+      round(expr("percentile(x, 0.6D)"), 6).as("c3"),
+      round(expr("percentile(x, 0.8D)"), 6).as("c4"))
+      .withColumn("jk", pmod(col("c1").cast("long"), lit(1)))
+    val binned = o.withColumn("jk", pmod(col("bad").cast("long") * 0L, lit(1L)))
+      .join(broadcast(cuts), Seq("jk"))
+      .withColumn("bin",
+        when(col("x") <= col("c1"), 0)
+          .when(col("x") <= col("c2"), 1)
+          .when(col("x") <= col("c3"), 2)
+          .when(col("x") <= col("c4"), 3)
+          .otherwise(4))
+    val tot = o.agg(
+      sum(lit(1) - col("bad")).cast("double").as("tg"),
+      sum(col("bad")).cast("double").as("tb"))
+      .withColumn("jk", pmod(col("tb").cast("long"), lit(1L)))
+    binned.groupBy(col("bin"))
+      .agg(count(lit(1)).as("n"),
+        sum(lit(1) - col("bad")).cast("long").as("n_good"),
+        sum(col("bad")).cast("long").as("n_bad"))
+      .withColumn("jk", pmod(col("n"), lit(1L)))
+      .join(broadcast(tot), Seq("jk"))
+      .select(col("bin"), col("n"), col("n_good"), col("n_bad"),
+        round(log(
+          (col("n_good") / col("tg")) / (col("n_bad") / col("tb"))), 6)
+          .as("woe"),
+        round((col("n_good") / col("tg") - col("n_bad") / col("tb"))
+          * log((col("n_good") / col("tg")) / (col("n_bad") / col("tb"))), 6)
+          .as("iv_term"))
+      .orderBy(col("bin"))
+  }
+
+  private val o248 = """
+    WITH o AS (
+      SELECT o_totalprice AS x,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS bad
+      FROM orders),
+    cuts AS (
+      SELECT round(quantile_cont(x, 0.2), 6) AS c1,
+             round(quantile_cont(x, 0.4), 6) AS c2,
+             round(quantile_cont(x, 0.6), 6) AS c3,
+             round(quantile_cont(x, 0.8), 6) AS c4
+      FROM o),
+    binned AS (
+      SELECT CASE WHEN x <= c1 THEN 0 WHEN x <= c2 THEN 1
+                  WHEN x <= c3 THEN 2 WHEN x <= c4 THEN 3
+                  ELSE 4 END AS bin,
+             bad
+      FROM o CROSS JOIN cuts),
+    tot AS (
+      SELECT CAST(sum(1 - bad) AS DOUBLE) AS tg,
+             CAST(sum(bad) AS DOUBLE) AS tb
+      FROM o)
+    SELECT bin, count(*) AS n,
+           CAST(sum(1 - bad) AS BIGINT) AS n_good,
+           CAST(sum(bad) AS BIGINT) AS n_bad,
+           round(ln((sum(1 - bad) / any_value(tot.tg))
+                  / (sum(bad) / any_value(tot.tb))), 6) AS woe,
+           round((sum(1 - bad) / any_value(tot.tg)
+                  - sum(bad) / any_value(tot.tb))
+                 * ln((sum(1 - bad) / any_value(tot.tg))
+                    / (sum(bad) / any_value(tot.tb))), 6) AS iv_term
+    FROM binned, tot GROUP BY bin ORDER BY bin"""
+
+  /** q249: CUPED variance reduction — the standard experimentation
+    * adjustment (Deng et al., WSDM 2013) the A/B tier (q187's z-test)
+    * feeds at scale: per user, pre-period activity (value sum before the
+    * corpus time midpoint) is the covariate x, experiment-period sum is
+    * the metric y, arms are user_id parity; θ = cov(x,y)/var(x) (pooled,
+    * pre-period only ⇒ unbiased), and the adjusted metric
+    * y* = y − θ·(x − mean(x)) keeps each arm's mean estimate unbiased
+    * while removing the x-explained variance — the report shows per-arm
+    * raw vs CUPED means plus the realized variance-reduction ratio.
+    *
+    * Cross-engine: θ and mean(x) are ROUNDED at 6 before the adjustment
+    * is applied, so both engines adjust with bit-identical coefficients
+    * (per-user sums differ only in addend order — ulp-level — and every
+    * reported aggregate re-rounds at 6). One user-grain rollup, two
+    * single-row broadcasts; no shuffle beyond the user aggregation.
+    */
+  private def q249(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"), tsUs.as("us"), col("value"))
+    val mid = ev.agg((((min(col("us")) + max(col("us"))))).as("mm"))
+      .select(expr("mm DIV 2").as("mid"))
+      .withColumn("jk", pmod(col("mid"), lit(1L)))
+    val users = ev.withColumn("jk", pmod(col("user_id"), lit(1L)))
+      .join(broadcast(mid), Seq("jk"))
+      .groupBy(col("user_id"))
+      .agg(
+        sum(when(col("us") < col("mid"), col("value")).otherwise(0.0))
+          .as("x"),
+        sum(when(col("us") >= col("mid"), col("value")).otherwise(0.0))
+          .as("y"))
+      .withColumn("arm", pmod(col("user_id"), lit(2L)))
+    val coef = users.agg(
+      round(covar_pop(col("x"), col("y")) / var_pop(col("x")), 6)
+        .as("theta"),
+      round(avg(col("x")), 6).as("mx"))
+      .withColumn("jk", pmod(col("theta").cast("long"), lit(1L)))
+    val adj = users.withColumn("jk", pmod(col("user_id"), lit(1L)))
+      .join(broadcast(coef), Seq("jk"))
+      .withColumn("ystar",
+        col("y") - col("theta") * (col("x") - col("mx")))
+    val vr = adj.agg(
+      round(lit(1.0) - var_pop(col("ystar")) / var_pop(col("y")), 6)
+        .as("var_reduction"))
+      .withColumn("jk", pmod(col("var_reduction").cast("long"), lit(1L)))
+    adj.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        round(avg(col("y")), 6).as("mean_y_raw"),
+        round(avg(col("ystar")), 6).as("mean_y_cuped"),
+        round(first(col("theta")), 6).as("theta"))
+      .withColumn("jk", pmod(col("arm"), lit(1L)))
+      .join(broadcast(vr), Seq("jk"))
+      .select(col("arm"), col("n_users"), col("mean_y_raw"),
+        col("mean_y_cuped"), col("theta"), col("var_reduction"))
+      .orderBy(col("arm"))
+  }
+
+  private val o249 = """
+    WITH ev AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+    mid AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+    users AS (
+      SELECT user_id,
+             sum(CASE WHEN us < mid THEN value ELSE 0.0 END) AS x,
+             sum(CASE WHEN us >= mid THEN value ELSE 0.0 END) AS y,
+             user_id % 2 AS arm
+      FROM ev CROSS JOIN mid GROUP BY user_id),
+    coef AS (
+      SELECT round(covar_pop(x, y) / var_pop(x), 6) AS theta,
+             round(avg(x), 6) AS mx
+      FROM users),
+    adj AS (
+      SELECT u.*, c.theta, u.y - c.theta * (u.x - c.mx) AS ystar
+      FROM users u CROSS JOIN coef c),
+    vr AS (
+      SELECT round(1.0 - var_pop(ystar) / var_pop(y), 6) AS var_reduction
+      FROM adj)
+    SELECT arm, count(*) AS n_users,
+           round(avg(y), 6) AS mean_y_raw,
+           round(avg(ystar), 6) AS mean_y_cuped,
+           round(any_value(theta), 6) AS theta,
+           any_value(vr.var_reduction) AS var_reduction
+    FROM adj, vr GROUP BY arm ORDER BY arm"""
+
+  /** q250: trimmed and winsorized means per event type — the robust
+    * central-tendency pair between the plain mean and q225's MAD tier:
+    * rank values with the (value, event_id) total order, cut k = ⌊n/20⌋
+    * from each tail; the trimmed mean averages the middle, the winsorized
+    * mean clamps each tail to the surviving boundary values (rank k+1 and
+    * n−k) — the heavy-tail-resistant metric aggregation an experimentation
+    * pipeline reports alongside the raw mean. One window pass per type +
+    * one conditional rollup; ranks are exact, only the final averages
+    * round (6).
+    */
+  private def q250(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("value"), col("event_id"))
+    val wn = Window.partitionBy(col("event_type"))
+    val ranked = events(s, d)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("k", expr("n DIV 20"))
+    ranked.groupBy(col("event_type"))
+      .agg(
+        first(col("n")).cast("long").as("n"),
+        first(col("k")).cast("long").as("k_trim"),
+        round(avg(col("value")), 6).as("mean_raw"),
+        round(avg(when(col("rn") > col("k") && col("rn") <= col("n") - col("k"),
+          col("value"))), 6).as("mean_trimmed"),
+        max(when(col("rn") === col("k") + 1, col("value"))).as("lo"),
+        max(when(col("rn") === col("n") - col("k"), col("value"))).as("hi"),
+        sum(when(col("rn") > col("k") && col("rn") <= col("n") - col("k"),
+          col("value")).otherwise(0.0)).as("mid_sum"))
+      .select(col("event_type"), col("n"), col("k_trim"), col("mean_raw"),
+        col("mean_trimmed"),
+        round((col("mid_sum") + col("k_trim") * (col("lo") + col("hi")))
+          / col("n"), 6).as("mean_winsorized"))
+      .orderBy(col("event_type"))
+  }
+
+  private val o250 = """
+    WITH ranked AS (
+      SELECT event_type, value,
+             row_number() OVER (PARTITION BY event_type
+               ORDER BY value, event_id) AS rn,
+             count(*) OVER (PARTITION BY event_type) AS n
+      FROM events),
+    k AS (SELECT *, n // 20 AS k FROM ranked)
+    SELECT event_type,
+           CAST(any_value(n) AS BIGINT) AS n,
+           CAST(any_value(k) AS BIGINT) AS k_trim,
+           round(avg(value), 6) AS mean_raw,
+           round(avg(CASE WHEN rn > k AND rn <= n - k THEN value END), 6)
+             AS mean_trimmed,
+           round((sum(CASE WHEN rn > k AND rn <= n - k THEN value
+                      ELSE 0.0 END)
+                  + any_value(k) * (max(CASE WHEN rn = k + 1 THEN value END)
+                                  + max(CASE WHEN rn = n - k THEN value END)))
+                 / any_value(n), 6) AS mean_winsorized
+    FROM k GROUP BY event_type ORDER BY event_type"""
+
+  /** q251: difference-in-differences — the 2×2 causal readout (treat ×
+    * pre/post at the corpus time midpoint, arms = user_id parity standing
+    * in for a rollout flag): four cell means of the metric and
+    * DiD = (ȳ_t,post − ȳ_t,pre) − (ȳ_c,post − ȳ_c,pre), the estimator a
+    * rollout-analysis pipeline reports when assignment wasn't randomized
+    * per event. One pass: a single conditional rollup over the event
+    * grain (no user grain needed for cell means), one broadcast midpoint.
+    * Cell means round at 6; DiD is re-derived from the ROUNDED cell means
+    * (one subtraction chain of identical doubles — bit-stable).
+    */
+  private def q251(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"), tsUs.as("us"), col("value"))
+    val mid = ev.agg((min(col("us")) + max(col("us"))).as("mm"))
+      .select(expr("mm DIV 2").as("mid"))
+      .withColumn("jk", pmod(col("mid"), lit(1L)))
+    def cell(t: Int, post: Boolean) = round(avg(when(
+      pmod(col("user_id"), lit(2L)) === t &&
+        (if (post) col("us") >= col("mid") else col("us") < col("mid")),
+      col("value"))), 6)
+    ev.withColumn("jk", pmod(col("user_id"), lit(1L)))
+      .join(broadcast(mid), Seq("jk"))
+      .agg(
+        cell(1, post = false).as("treat_pre"),
+        cell(1, post = true).as("treat_post"),
+        cell(0, post = false).as("ctrl_pre"),
+        cell(0, post = true).as("ctrl_post"))
+      .select(col("treat_pre"), col("treat_post"), col("ctrl_pre"),
+        col("ctrl_post"),
+        round((col("treat_post") - col("treat_pre"))
+          - (col("ctrl_post") - col("ctrl_pre")), 6).as("did"))
+  }
+
+  private val o251 = """
+    WITH ev AS (SELECT user_id, epoch_us(ts) AS us, value FROM events),
+    mid AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+    cells AS (
+      SELECT
+        round(avg(CASE WHEN user_id % 2 = 1 AND us < mid
+                  THEN value END), 6) AS treat_pre,
+        round(avg(CASE WHEN user_id % 2 = 1 AND us >= mid
+                  THEN value END), 6) AS treat_post,
+        round(avg(CASE WHEN user_id % 2 = 0 AND us < mid
+                  THEN value END), 6) AS ctrl_pre,
+        round(avg(CASE WHEN user_id % 2 = 0 AND us >= mid
+                  THEN value END), 6) AS ctrl_post
+      FROM ev CROSS JOIN mid)
+    SELECT treat_pre, treat_post, ctrl_pre, ctrl_post,
+           round((treat_post - treat_pre) - (ctrl_post - ctrl_pre), 6)
+             AS did
+    FROM cells"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q249_cuped", q249, Some(o249)),
+    QueryDef("q250_robust_means", q250, Some(o250)),
+    QueryDef("q251_diff_in_diff", q251, Some(o251)),
+    QueryDef("q246_theilsen_trend", q246, Some(o246)),
+    QueryDef("q247_frequent_sequences", q247, Some(o247)),
+    QueryDef("q248_woe_binning", q248, Some(o248)),
     QueryDef("q239_ewma_smoothing", q239, Some(o239)),
     QueryDef("q240_survival_curve", q240, Some(o240)),
     QueryDef("q237_dau_wau_stickiness", q237, Some(o237)),

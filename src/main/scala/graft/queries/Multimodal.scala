@@ -330,7 +330,145 @@ object Multimodal {
         + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3)) <= 3
     ORDER BY doc_a, doc_b"""
 
+  /** STUB per-frame feature: the byte at each q87 keyframe offset (a real
+    * implementation would decode the frame and emit a luma histogram or
+    * embedding here). Same per-partition batching contract as
+    * [[decodeStub]]; offsets are exactly q87's stride-64 grid.
+    */
+  def frameFeatureStub(rows: Iterator[MediaRow],
+      stride: Int): Iterator[(Long, Array[Int])] =
+    rows.map { r =>
+      val n = math.max((r.payload.length - 16) / stride + 1, 0)
+      // bounds-checked read (0 past the end) keeps the stub total on
+      // degenerate payloads, matching the oracle's ascii('') = 0
+      (r.doc_id, Array.tabulate(n) { i =>
+        val off = i * stride
+        if (off < r.payload.length) r.payload(off) & 0xff else 0
+      })
+    }
+
+  /** q252: shot-boundary detection — the video-modality screen between
+    * q87's frame sampling and a real scene segmenter: per-frame features
+    * (stubbed: one byte per keyframe; a real pipeline puts a luma
+    * histogram or CLIP embedding here) are diffed frame-over-frame and a
+    * boundary is declared where the jump exceeds the threshold — the cut
+    * count and mean inter-frame change a video-curation pipeline uses to
+    * drop static or strobing clips before captioning. The Spark side runs
+    * the partition-batched stub (codec amortization shape) and finishes
+    * in array expressions; all math is exact integers until the one final
+    * rounded mean.
+    */
+  private def q252(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    Tables.parallelize(s, documents(s, d))
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .as[MediaRow]
+      .mapPartitions(rows => frameFeatureStub(rows, stride = 64))
+      .toDF("doc_id", "feats")
+      .select(col("doc_id"), size(col("feats")).as("n_frames"),
+        expr("""aggregate(
+            zip_with(slice(feats, 2, size(feats) - 1),
+                     slice(feats, 1, size(feats) - 1),
+                     (a, b) -> abs(a - b)),
+            0, (acc, x) -> acc + IF(x > 32, 1, 0))""").as("n_boundaries"),
+        expr("""CASE WHEN size(feats) > 1 THEN round(
+            aggregate(
+              zip_with(slice(feats, 2, size(feats) - 1),
+                       slice(feats, 1, size(feats) - 1),
+                       (a, b) -> abs(a - b)),
+              0, (acc, x) -> acc + x)
+            / CAST(size(feats) - 1 AS DOUBLE), 6) END""").as("mean_change"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val o252 = """
+    WITH f AS (
+      SELECT doc_id,
+             greatest(CAST(trunc((CAST(octet_length(encode(text)) AS INT)
+                                  - 16) / 64.0) AS INT) + 1, 0) AS n,
+             text
+      FROM documents),
+    feats AS (
+      SELECT doc_id, n,
+             list_transform(range(0, n),
+               i -> ascii(substr(text, CAST(i * 64 + 1 AS INT), 1))) AS fl
+      FROM f),
+    diffs AS (
+      SELECT doc_id, n,
+             list_transform(range(1, n),
+               i -> abs(fl[CAST(i + 1 AS INT)] - fl[CAST(i AS INT)])) AS dl
+      FROM feats)
+    SELECT doc_id, n AS n_frames,
+           CAST(coalesce(list_sum(list_transform(dl,
+             x -> CASE WHEN x > 32 THEN 1 ELSE 0 END)), 0) AS INT)
+             AS n_boundaries,
+           CASE WHEN n > 1 THEN
+             round(CAST(list_sum(dl) AS DOUBLE) / (n - 1), 6) END
+             AS mean_change
+    FROM diffs ORDER BY doc_id"""
+
+  /** q253: voice-activity screen (audio modality) — the VAD pass an audio
+    * corpus runs before transcription to drop silence and measure speech
+    * density: the payload is windowed (32-byte windows standing in for
+    * PCM frames), per-window energy is the exact byte sum, a window is
+    * "voiced" above the threshold, and the report is each clip's voiced
+    * fraction plus its voiced SEGMENT count (gaps-and-islands over the
+    * window sequence — rises only, no self-join). Pure integer arithmetic
+    * per row until the one rounded fraction, so the flagged set is
+    * bit-stable cross-engine; per-row list folds bounded by payload size.
+    */
+  private def q253(s: SparkSession, d: String): DataFrame =
+    Tables.parallelize(s, documents(s, d))
+      .select(col("doc_id"),
+        expr("CAST(CAST(octet_length(encode(text, 'UTF-8')) AS INT) DIV 32 AS INT)")
+          .as("w"),
+        col("text"))
+      .withColumn("vi", expr("""
+        CASE WHEN w >= 1 THEN transform(sequence(0, w - 1), j ->
+          IF(aggregate(transform(sequence(1, 32),
+               b -> ascii(substring(text, j * 32 + b, 1))),
+             0, (acc, x) -> acc + x) > 2560, 1, 0))
+        ELSE array() END"""))
+      .select(col("doc_id"), col("w").cast("long").as("n_windows"),
+        expr("aggregate(vi, 0, (acc, x) -> acc + x)").cast("long")
+          .as("n_voiced"),
+        expr("""CASE WHEN w >= 1 THEN round(
+            aggregate(vi, 0, (acc, x) -> acc + x) / CAST(w AS DOUBLE), 6)
+          END""").as("voiced_frac"),
+        expr("""CASE WHEN w >= 2 THEN
+            element_at(vi, 1) + aggregate(sequence(1, w - 1),
+              0, (acc, j) -> acc + element_at(vi, j + 1)
+                                 * (1 - element_at(vi, j)))
+          WHEN w = 1 THEN element_at(vi, 1)
+          ELSE 0 END""").cast("long").as("n_segments"))
+      .orderBy(col("doc_id"))
+
+  private val o253 = """
+    WITH f AS (
+      SELECT doc_id,
+             CAST(octet_length(encode(text)) AS INT) // 32 AS w, text
+      FROM documents),
+    v AS (
+      SELECT doc_id, w,
+             CASE WHEN w >= 1 THEN list_transform(range(0, w), j ->
+               CASE WHEN list_sum(list_transform(range(1, 33),
+                 b -> ascii(substr(text, CAST(j * 32 + b AS INT), 1))))
+                 > 2560 THEN 1 ELSE 0 END)
+             ELSE [] END AS vi
+      FROM f)
+    SELECT doc_id, CAST(w AS BIGINT) AS n_windows,
+           CAST(coalesce(list_sum(vi), 0) AS BIGINT) AS n_voiced,
+           CASE WHEN w >= 1 THEN
+             round(CAST(list_sum(vi) AS DOUBLE) / w, 6) END AS voiced_frac,
+           CAST(CASE WHEN w >= 1 THEN
+             vi[1] + coalesce(list_sum(list_transform(range(1, w), j ->
+               vi[CAST(j + 1 AS INT)] * (1 - vi[CAST(j AS INT)]))), 0)
+           ELSE 0 END AS BIGINT) AS n_segments
+    FROM v ORDER BY doc_id"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q252_shot_boundaries", q252, Some(o252)),
+    QueryDef("q253_audio_vad", q253, Some(o253)),
     QueryDef("q45_multimodal_meta", q45, Some(o45)),
     QueryDef("q46_multimodal_decode", q46, Some(o46)),
     QueryDef("q58_multimodal_features", q58, Some(o58)),
