@@ -1870,7 +1870,61 @@ object Corpus {
     FROM ranked WHERE rank <= 200
     GROUP BY source ORDER BY source"""
 
+  /** q254: per-document n-gram novelty — the inverse of the dedup tier's
+    * question: not "which documents repeat each other" (q38/q142) but
+    * "how much of THIS document is text the corpus has never produced
+    * elsewhere". Every word-3-gram occurrence (multiplicity kept — a doc
+    * that repeats a corpus-unique phrase still only said one novel thing
+    * per occurrence slot) is counted corpus-wide; a doc's novelty is the
+    * fraction of its gram slots whose corpus count is exactly 1. Data
+    * selection uses this as the anti-boilerplate signal (high-novelty
+    * docs carry information no other doc supplies; near-zero novelty =
+    * template text) — the complement of q93's WITHIN-doc repetition.
+    *
+    * Scale shape: one explode to gram grain, one count rollup keyed on
+    * the gram, one join back, one doc rollup — the exact q83/q142 cost
+    * profile, shuffles on the gram key. Exact integers until one final
+    * division.
+    */
+  private def q254(s: SparkSession, d: String): DataFrame = {
+    val grams = parallelize(s, documents(s, d))
+      .withColumn("ws", wsCol)
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(expr(Tables.word3GramArraySql))
+        .as("gram"))
+    val counts = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("cnt"))
+    grams.join(counts, Seq("gram"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("cnt") === 1, 1L).otherwise(0L)).cast("long")
+          .as("n_novel"))
+      .select(col("doc_id"), col("n_grams"), col("n_novel"),
+        round(col("n_novel").cast("double") / col("n_grams"), 6)
+          .as("novelty"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val o254 = """
+    WITH grams AS (
+      SELECT doc_id, unnest(g) AS gram
+      FROM (SELECT doc_id,
+              list_transform(range(0, len(w) - 2),
+                i -> w[i + 1] || ' ' || w[i + 2] || ' ' || w[i + 3]) AS g
+            FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+                  FROM documents)
+            WHERE len(w) >= 3)),
+    counts AS (SELECT gram, count(*) AS cnt FROM grams GROUP BY gram)
+    SELECT g.doc_id, count(*) AS n_grams,
+           CAST(sum(CASE WHEN c.cnt = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_novel,
+           round(CAST(sum(CASE WHEN c.cnt = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+                 / count(*), 6) AS novelty
+    FROM grams g JOIN counts c ON c.gram = g.gram
+    GROUP BY g.doc_id ORDER BY g.doc_id"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q254_ngram_novelty", q254, Some(o254)),
     QueryDef("q243_zipf_slope", q243, Some(o243)),
     QueryDef("q227_bpe_encode", q227, Some(o227)),
     QueryDef("q228_token_waterfill", q228, Some(o228)),

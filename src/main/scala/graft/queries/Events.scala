@@ -2216,7 +2216,202 @@ object Events {
              AS did
     FROM cells"""
 
+  /** q256: CUSUM changepoint detection — per event type, the cumulative
+    * sum of deviations from the series mean over the (time, event_id)
+    * order; the index where |S| peaks is the classic single-changepoint
+    * estimate (a mean shift at t makes S a tent with its apex at t), and
+    * the peak magnitude is the shift evidence a monitoring pipeline
+    * thresholds. Complements q232 (which flags cells against a seasonal
+    * baseline) by LOCATING a level change in time.
+    *
+    * Cross-engine: the per-type mean is ROUNDED at 6 before the
+    * subtraction, so both engines accumulate an identical addend
+    * sequence; running-window prefix sums then add in the same order
+    * (the q239 precedent), making every S bit-identical — the argmax
+    * needs no tolerance, just the (rounded |S| desc, rn) tie-break.
+    * One window pass per type + a composite-argmax rollup.
+    */
+  private def q256(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d)
+      .select(col("event_type"), col("event_id"), tsUs.as("us"),
+        col("value"))
+    val mu = ev.groupBy(col("event_type"))
+      .agg(round(avg(col("value")), 6).as("mu"), count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("us"), col("event_id"))
+    val cum = ev.join(broadcast(mu), Seq("event_type"))
+      .withColumn("rn", row_number().over(w))
+      .withColumn("s", sum(col("value") - col("mu"))
+        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
+      .withColumn("abs_s", round(abs(col("s")), 6))
+    val wArg = Window.partitionBy(col("event_type"))
+      .orderBy(col("abs_s").desc, col("rn"))
+    cum.withColumn("pick", row_number().over(wArg))
+      .filter(col("pick") === 1)
+      .select(col("event_type"), col("n"), col("rn").as("cp_index"),
+        col("us").as("cp_us"), col("abs_s").as("max_abs_cusum"))
+      .orderBy(col("event_type"))
+  }
+
+  private val o256 = """
+    WITH ev AS (SELECT event_type, event_id, epoch_us(ts) AS us, value
+                FROM events),
+    mu AS (SELECT event_type, round(avg(value), 6) AS mu,
+                  count(*) AS n
+           FROM ev GROUP BY event_type),
+    cum AS (
+      SELECT e.event_type, m.n,
+             row_number() OVER w AS rn, e.us,
+             round(abs(sum(e.value - m.mu) OVER (
+               PARTITION BY e.event_type ORDER BY e.us, e.event_id
+               ROWS UNBOUNDED PRECEDING)), 6) AS abs_s
+      FROM ev e JOIN mu m ON m.event_type = e.event_type
+      WINDOW w AS (PARTITION BY e.event_type ORDER BY e.us, e.event_id))
+    SELECT event_type, n, CAST(rn AS INT) AS cp_index, us AS cp_us,
+           abs_s AS max_abs_cusum
+    FROM (SELECT *, row_number() OVER (PARTITION BY event_type
+            ORDER BY abs_s DESC, rn) AS pick
+          FROM cum)
+    WHERE pick = 1 ORDER BY event_type"""
+
+  /** Bootstrap replicate count for q257. */
+  private val BootReps = 50
+
+  /** q257: deterministic Poisson bootstrap confidence intervals — the
+    * scale-out bootstrap (each row's weight in replicate r is an
+    * independent Poisson(1) draw, so no replicate ever needs a full
+    * resample pass): per event type, $BootReps replicate means of
+    * `value`, with the 2.5%/97.5% quantiles of the replicate
+    * distribution as the CI. The draw is DERANDOMIZED the q105/q219 way —
+    * the md5 of (replicate, event_id) yields a uniform, inverted through
+    * the Poisson(1) CDF as fixed literal thresholds — so both engines
+    * (and any re-run) materialize the identical resample universe; this
+    * is what makes a bootstrap auditable in a pipeline.
+    *
+    * Scale shape: one broadcast of the $BootReps-row replicate frame
+    * (equi-join on a column-derived key — the row expansion is a hash
+    * join, never nested-loop), one (type, rep) rollup with map-side
+    * partials, one percentile over $BootReps values per type. Weighted
+    * sums are FP but ulp-bounded; all reported stats round at 5.
+    */
+  private def q257(s: SparkSession, d: String): DataFrame = {
+    val repFrame = s.range(BootReps).select(col("id").as("rep"))
+      .withColumn("jk", pmod(col("rep"), lit(1L)))
+    val u = (conv(substring(md5(concat(col("rep").cast("string"), lit(":"),
+      col("event_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long").cast("double") + lit(0.5)) / lit(4294967296.0)
+    // Poisson(1) inverse CDF as fixed thresholds: P(<=k) for k = 0..4
+    val wgt = when(u < 0.36787944117144233, 0L)
+      .when(u < 0.7357588823428847, 1L)
+      .when(u < 0.9196986029286058, 2L)
+      .when(u < 0.9810118431238462, 3L)
+      .when(u < 0.9963401531726563, 4L)
+      .otherwise(5L)
+    val repMeans = events(s, d)
+      .select(col("event_type"), col("event_id"), col("value"))
+      .withColumn("jk", pmod(col("event_id"), lit(1L)))
+      .join(broadcast(repFrame), Seq("jk"))
+      .withColumn("w", wgt)
+      .groupBy(col("event_type"), col("rep"))
+      .agg((sum(col("w") * col("value")) / sum(col("w"))).as("rm"))
+    repMeans.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_reps"),
+        round(avg(col("rm")), 5).as("boot_mean"),
+        round(expr("percentile(rm, 0.025D)"), 5).as("ci_lo"),
+        round(expr("percentile(rm, 0.975D)"), 5).as("ci_hi"))
+      .orderBy(col("event_type"))
+  }
+
+  private val o257 = s"""
+    WITH reps AS (
+      SELECT CAST(unnest(range(0, $BootReps)) AS BIGINT) AS rep),
+    weighted AS (
+      SELECT event_type, rep,
+             CASE
+               WHEN u < 0.36787944117144233 THEN 0
+               WHEN u < 0.7357588823428847 THEN 1
+               WHEN u < 0.9196986029286058 THEN 2
+               WHEN u < 0.9810118431238462 THEN 3
+               WHEN u < 0.9963401531726563 THEN 4
+               ELSE 5 END AS w,
+             value
+      FROM (
+        SELECT e.event_type, e.value, r.rep,
+               ((('0x' || substr(md5(CAST(r.rep AS VARCHAR) || ':'
+                   || CAST(e.event_id AS VARCHAR)), 1, 8))::BIGINT)::DOUBLE
+                 + 0.5) / 4294967296.0 AS u
+        FROM events e CROSS JOIN reps r)),
+    rm AS (
+      SELECT event_type, rep, sum(w * value) / sum(w) AS rm
+      FROM weighted GROUP BY event_type, rep)
+    SELECT event_type, count(*) AS n_reps,
+           round(avg(rm), 5) AS boot_mean,
+           round(quantile_cont(rm, 0.025), 5) AS ci_lo,
+           round(quantile_cont(rm, 0.975), 5) AS ci_hi
+    FROM rm GROUP BY event_type ORDER BY event_type"""
+
+  /** q258: weekly additive decomposition — value ~ global level +
+    * day-of-week effect + residual, the two-pass seasonal decomposition
+    * (the moving parts of STL without loess) that turns q192's calendar
+    * heatmap into MODEL components: per event type, the overall mean,
+    * each weekday's additive offset, and how much variance the weekday
+    * component explains (1 − var(resid)/var(value)). A pipeline subtracts
+    * the seasonal component before anomaly thresholds (q232's motivation)
+    * or drift fits (q246). Two mean rollups + one variance rollup; the
+    * level and effects are ROUNDED at 6 before the residual pass so both
+    * engines subtract identical components.
+    */
+  private def q258(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_type"),
+      expr("weekday(timestamp_micros(ts DIV 1000))").cast("int").as("dow"),
+      col("value"))
+    val lvl = ev.groupBy(col("event_type"))
+      .agg(round(avg(col("value")), 6).as("level"))
+    val eff = ev.join(broadcast(lvl), Seq("event_type"))
+      .groupBy(col("event_type"), col("dow"), col("level"))
+      .agg(count(lit(1)).as("n"),
+        round(avg(col("value") - col("level")), 6).as("dow_effect"))
+    val resid = ev.join(broadcast(lvl), Seq("event_type"))
+      .join(broadcast(eff.select(col("event_type"), col("dow"),
+        col("dow_effect"))), Seq("event_type", "dow"))
+      .groupBy(col("event_type"))
+      .agg(round(lit(1.0) -
+        var_pop(col("value") - col("level") - col("dow_effect"))
+          / var_pop(col("value")), 6).as("seasonal_r2"))
+    eff.join(broadcast(resid), Seq("event_type"))
+      .select(col("event_type"), col("dow"), col("n"), col("level"),
+        col("dow_effect"), col("seasonal_r2"))
+      .orderBy(col("event_type"), col("dow"))
+  }
+
+  private val o258 = """
+    WITH ev AS (
+      SELECT event_type, CAST(isodow(ts) - 1 AS INT) AS dow, value
+      FROM events),
+    lvl AS (SELECT event_type, round(avg(value), 6) AS level
+            FROM ev GROUP BY event_type),
+    eff AS (
+      SELECT e.event_type, e.dow, any_value(l.level) AS level,
+             count(*) AS n,
+             round(avg(e.value - l.level), 6) AS dow_effect
+      FROM ev e JOIN lvl l ON l.event_type = e.event_type
+      GROUP BY e.event_type, e.dow),
+    resid AS (
+      SELECT e.event_type,
+             round(1.0 - var_pop(e.value - l.level - f.dow_effect)
+                         / var_pop(e.value), 6) AS seasonal_r2
+      FROM ev e
+      JOIN lvl l ON l.event_type = e.event_type
+      JOIN eff f ON f.event_type = e.event_type AND f.dow = e.dow
+      GROUP BY e.event_type)
+    SELECT f.event_type, f.dow, f.n, f.level, f.dow_effect, r.seasonal_r2
+    FROM eff f JOIN resid r ON r.event_type = f.event_type
+    ORDER BY f.event_type, f.dow"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q256_cusum_changepoint", q256, Some(o256)),
+    QueryDef("q257_bootstrap_ci", q257, Some(o257)),
+    QueryDef("q258_weekly_decomposition", q258, Some(o258)),
     QueryDef("q249_cuped", q249, Some(o249)),
     QueryDef("q250_robust_means", q250, Some(o250)),
     QueryDef("q251_diff_in_diff", q251, Some(o251)),

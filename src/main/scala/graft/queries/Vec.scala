@@ -2578,31 +2578,38 @@ object Vec {
       FROM m)
     SELECT aid, bid, cs, margin FROM r WHERE rm = 1 ORDER BY aid"""
 
-  /** ANN probe width for q245: each anchor mines only the odd-side vectors
-    * whose trained-IVF cell is among the anchor's $BitextProbe nearest of
-    * the $NCells cells (~$BitextProbe/$NCells of the corpus). */
-  private val BitextProbe = 4
+  /** ANN probe widths for q245's sweep: each anchor mines only the
+    * odd-side vectors whose trained-IVF cell is among its nprobe nearest
+    * of the $NCells cells; nprobe = $NCells (probe everything) must
+    * reproduce the brute pick exactly — the sweep's built-in sanity
+    * anchor. */
+  private val BitextProbes = Seq(2, 4, 8, 16)
 
-  /** q245: ANN-tier bitext mining — the form q217's scaladoc promises for
-    * 100 TB ("that frame comes from the ANN tier"): the candidate frame is
-    * the TRAINED-IVF probe output (q179's codebook — $LloydIters Lloyd
-    * refinements of the first-$NCells seed) instead of the brute panel ×
-    * corpus sweep. Odd-side vectors are assigned to cells with the same
-    * map-side NearestCentroid fold as q43; each anchor probes its
-    * $BitextProbe nearest cells; candidates = anchors' probed-cell rows
-    * only (a broadcast equi-join on cid — at scale a partition-pruned read
-    * of an IVF-partitioned store, q140's layout). The ratio-margin formula
-    * (Artetxe & Schwenk 2019) is UNCHANGED, computed over the reduced
-    * frame — per-anchor cost drops from O(corpus) to O(probed cells), the
-    * whole point of the tier.
+  /** q245: ANN-tier bitext mining, swept over probe widths — the form
+    * q217's scaladoc promises for 100 TB ("that frame comes from the ANN
+    * tier"): the candidate frame is the TRAINED-IVF probe output (q179's
+    * codebook — $LloydIters Lloyd refinements of the first-$NCells seed)
+    * instead of the brute panel × corpus sweep. Odd-side vectors are
+    * assigned to cells with the same map-side NearestCentroid fold as
+    * q43; each anchor probes its nprobe nearest cells; candidates =
+    * anchors' probed-cell rows only (a broadcast equi-join on cid — at
+    * scale a partition-pruned read of an IVF-partitioned store, q140's
+    * layout). The ratio-margin formula (Artetxe & Schwenk 2019) is
+    * UNCHANGED per tier, computed over each reduced frame.
     *
-    * The query is its own accuracy audit (q176's recipe, for alignment):
-    * it re-runs the brute-force pick (q217's exact chain) and reports
-    * top-1 aligned-pair agreement plus the candidate fraction actually
-    * scored — the recall-vs-cost readout an operator tunes $BitextProbe
-    * by. All cosines rounded at 6 before ranking (q41's parity recipe);
-    * the two final ratios are single IEEE divisions of exact counts, so
-    * rounding at 4 is bit-stable cross-engine.
+    * The query is its own accuracy-vs-cost CURVE (q179's recipe, for
+    * alignment): per probe width in {${BitextProbes.mkString(", ")}},
+    * top-1 aligned-pair agreement against the brute-force pick (q217's
+    * exact chain) and the candidate fraction actually scored. nprobe =
+    * $NCells scans everything, so its agreement MUST be 1.0 — the
+    * sweep's built-in sanity anchor. Margin mining is far more
+    * probe-sensitive than plain top-k retrieval (the margin DENOMINATOR
+    * shifts when the neighborhood is probe-limited), which is exactly
+    * what this curve quantifies for the tuning decision. Tier expansion
+    * is an ARRAY-FILTER explode per pair (a pair enters every tier whose
+    * width covers its cell rank) — no non-equi join, no nested loop.
+    * Cosines rounded at 6 before ranking (q41); final ratios are single
+    * IEEE divisions of exact counts.
     */
   private def q245(s: SparkSession, d: String): DataFrame = {
     val e = parallelize(s, embeddings(s, d))
@@ -2616,8 +2623,7 @@ object Vec {
       .join(broadcast(cbT), Seq("jk"))
       .select(col("vec_id").as("bid"), bestB.getField("cid").as("cid"),
         toD(col("embedding")).as("bv"))
-    // anchor panel -> its BitextProbe nearest cells (16-row expansion of a
-    // 200-row panel — bounded)
+    // anchor panel -> ranked cells (16-row expansion of a 200-row panel)
     val a = e.filter(col("label") % 2 === 0 && col("vec_id") < BitextPanel)
       .select(col("vec_id").as("aid"), toD(col("embedding")).as("av"),
         pmod(col("vec_id"), lit(1)).as("jk"))
@@ -2629,48 +2635,55 @@ object Vec {
           lit(0.0), (acc, x) => acc + x).as("d2c"))
       .withColumn("cell_rank", row_number().over(Window.partitionBy(col("aid"))
         .orderBy(col("d2c"), col("cid"))))
-      .filter(col("cell_rank") <= BitextProbe)
-      .select(col("aid"), col("av"), col("cid"))
-    // ANN candidate frame: probed-cell rows only
+      .select(col("aid"), col("av"), col("cid"), col("cell_rank"))
+    // probed-cell pairs, then tier-exploded: a pair serves every nprobe
+    // that covers its cell rank (array filter + explode, no theta-join)
+    val probesArr = array(BitextProbes.map(lit): _*)
     val pairs = bcand.join(broadcast(acells), Seq("cid"))
       .select(col("aid"), col("bid"),
-        round(cosine(col("bv"), col("av")), 6).as("cs"))
-    val wf = Window.partitionBy(col("aid"))
+        round(cosine(col("bv"), col("av")), 6).as("cs"),
+        explode(filter(probesArr, p => p >= col("cell_rank")))
+          .as("nprobe"))
+    val wf = Window.partitionBy(col("nprobe"), col("aid"))
       .orderBy(col("cs").desc, col("bid"))
-    val wb = Window.partitionBy(col("bid"))
+    val wb = Window.partitionBy(col("nprobe"), col("bid"))
       .orderBy(col("cs").desc, col("aid"))
     val nn = pairs
       .withColumn("rf", row_number().over(wf))
       .withColumn("rb", row_number().over(wb))
     val fwd = nn.filter(col("rf") <= BitextK)
-      .groupBy(col("aid")).agg(avg(col("cs")).as("fa"))
+      .groupBy(col("nprobe"), col("aid")).agg(avg(col("cs")).as("fa"))
     val bwd = nn.filter(col("rb") <= BitextK)
-      .groupBy(col("bid")).agg(avg(col("cs")).as("fb"))
-    val wm = Window.partitionBy(col("aid"))
+      .groupBy(col("nprobe"), col("bid")).agg(avg(col("cs")).as("fb"))
+    val wm = Window.partitionBy(col("nprobe"), col("aid"))
       .orderBy(col("margin").desc, col("bid"))
-    val annPick = pairs.join(fwd, Seq("aid")).join(bwd, Seq("bid"))
+    val annPick = pairs.join(fwd, Seq("nprobe", "aid"))
+      .join(bwd, Seq("nprobe", "bid"))
       .withColumn("margin",
         round(col("cs") / ((col("fa") + col("fb")) / 2.0), 6))
       .withColumn("rm", row_number().over(wm))
       .filter(col("rm") === 1)
-      .select(col("aid"), col("bid").as("ann_bid"))
+      .select(col("nprobe"), col("aid"), col("bid").as("ann_bid"))
     val brute = q217(s, d).select(col("aid"), col("bid").as("brute_bid"))
-    val candN = pairs.groupBy(col("aid")).agg(count(lit(1)).as("ncand"))
+    val candN = pairs.groupBy(col("nprobe"), col("aid"))
+      .agg(count(lit(1)).as("ncand"))
     val totB = bcand.agg(count(lit(1)).as("nb"))
       .withColumn("jk", pmod(col("nb"), lit(1)))
-    annPick.join(brute, Seq("aid")).join(candN, Seq("aid"))
+    annPick.join(brute, Seq("aid")).join(candN, Seq("nprobe", "aid"))
       .withColumn("jk", pmod(col("aid"), lit(1)))
       .join(broadcast(totB), Seq("jk"))
+      .groupBy(col("nprobe"))
       .agg(count(lit(1)).cast("long").as("n_anchors"),
         sum(when(col("ann_bid") === col("brute_bid"), 1L).otherwise(0L))
           .cast("long").as("n_agree"),
         sum(col("ncand")).cast("long").as("n_cand"),
         max(col("nb")).cast("long").as("nbv"))
-      .select(col("n_anchors"), col("n_agree"),
+      .select(col("nprobe"), col("n_anchors"), col("n_agree"),
         round(col("n_agree").cast("double") / col("n_anchors"), 4)
           .as("agree_rate"),
         round(col("n_cand").cast("double")
           / (col("n_anchors") * col("nbv")), 4).as("avg_cand_frac"))
+      .orderBy(col("nprobe"))
   }
 
   private def o245: String = s"""
@@ -2713,48 +2726,52 @@ object Vec {
                  i -> (a.av[i] - c.cv[i]) * (a.av[i] - c.cv[i]))), c.cid)
                AS cell_rank
       FROM a CROSS JOIN cbt c),
-    acells AS (SELECT aid, cid FROM ad WHERE cell_rank <= $BitextProbe),
+    nprobes AS (SELECT unnest([${BitextProbes.mkString(", ")}]) AS nprobe),
     apairs AS (
-      SELECT p.aid, p.bid, p.cs
+      SELECT np.nprobe, p.aid, p.bid, p.cs
       FROM pairs p
       JOIN bassign ba ON ba.bid = p.bid
-      JOIN acells ac ON ac.aid = p.aid AND ac.cid = ba.cid),
+      JOIN ad ac ON ac.aid = p.aid AND ac.cid = ba.cid
+      JOIN nprobes np ON ac.cell_rank <= np.nprobe),
     ann AS (
-      SELECT aid, bid, cs,
-             row_number() OVER (PARTITION BY aid ORDER BY cs DESC, bid)
-               AS rf,
-             row_number() OVER (PARTITION BY bid ORDER BY cs DESC, aid)
-               AS rb
+      SELECT nprobe, aid, bid, cs,
+             row_number() OVER (PARTITION BY nprobe, aid
+               ORDER BY cs DESC, bid) AS rf,
+             row_number() OVER (PARTITION BY nprobe, bid
+               ORDER BY cs DESC, aid) AS rb
       FROM apairs),
-    afwd AS (SELECT aid, avg(cs) AS fa FROM ann WHERE rf <= $BitextK
-             GROUP BY aid),
-    abwd AS (SELECT bid, avg(cs) AS fb FROM ann WHERE rb <= $BitextK
-             GROUP BY bid),
+    afwd AS (SELECT nprobe, aid, avg(cs) AS fa FROM ann
+             WHERE rf <= $BitextK GROUP BY nprobe, aid),
+    abwd AS (SELECT nprobe, bid, avg(cs) AS fb FROM ann
+             WHERE rb <= $BitextK GROUP BY nprobe, bid),
     am AS (
-      SELECT p.aid, p.bid,
+      SELECT p.nprobe, p.aid, p.bid,
              round(p.cs / ((f.fa + w.fb) / 2.0), 6) AS margin
-      FROM apairs p JOIN afwd f ON f.aid = p.aid
-      JOIN abwd w ON w.bid = p.bid),
+      FROM apairs p
+      JOIN afwd f ON f.nprobe = p.nprobe AND f.aid = p.aid
+      JOIN abwd w ON w.nprobe = p.nprobe AND w.bid = p.bid),
     ar AS (
-      SELECT aid, bid,
-             row_number() OVER (PARTITION BY aid
+      SELECT nprobe, aid, bid,
+             row_number() OVER (PARTITION BY nprobe, aid
                ORDER BY margin DESC, bid) AS rm
       FROM am),
-    annpick AS (SELECT aid, bid AS ann_bid FROM ar WHERE rm = 1),
-    candn AS (SELECT aid, count(*) AS ncand FROM apairs GROUP BY aid),
+    annpick AS (SELECT nprobe, aid, bid AS ann_bid FROM ar WHERE rm = 1),
+    candn AS (SELECT nprobe, aid, count(*) AS ncand FROM apairs
+              GROUP BY nprobe, aid),
     totb AS (SELECT count(*) AS nb FROM b),
     j AS (
-      SELECT ap.aid, ap.ann_bid, br.brute_bid, cn.ncand, t.nb
+      SELECT ap.nprobe, ap.aid, ap.ann_bid, br.brute_bid, cn.ncand, t.nb
       FROM annpick ap JOIN brute br ON br.aid = ap.aid
-      JOIN candn cn ON cn.aid = ap.aid CROSS JOIN totb t)
-    SELECT CAST(count(*) AS BIGINT) AS n_anchors,
+      JOIN candn cn ON cn.nprobe = ap.nprobe AND cn.aid = ap.aid
+      CROSS JOIN totb t)
+    SELECT nprobe, CAST(count(*) AS BIGINT) AS n_anchors,
            CAST(sum(CASE WHEN ann_bid = brute_bid THEN 1 ELSE 0 END)
              AS BIGINT) AS n_agree,
            round(CAST(sum(CASE WHEN ann_bid = brute_bid THEN 1 ELSE 0 END)
              AS DOUBLE) / count(*), 4) AS agree_rate,
            round(CAST(sum(ncand) AS DOUBLE) / (count(*) * any_value(nb)), 4)
              AS avg_cand_frac
-    FROM j"""
+    FROM j GROUP BY nprobe ORDER BY nprobe"""
 
   /** q233: retrieval-quality evaluation (MRR + nDCG@10) — the measurement
     * the ranking tier (q41/q131/q164/q200) produces rankings FOR but
@@ -2921,7 +2938,113 @@ object Vec {
            round(avg(s), 6) AS avg_silhouette
     FROM sil GROUP BY cid ORDER BY cid"""
 
+  /** q255 panel: k-NN-graph statistics are fit on a fixed vec_id panel so
+    * the pair stage is panel², never corpus². */
+  private val KnnGraphPanel = 200
+  private val KnnGraphK = 4
+
+  /** q255: mutual-k-NN graph triangles + clustering coefficient — the
+    * graph-structure diagnostic for the ANN tier: build the mutual
+    * $KnnGraphK-NN graph over a fixed $KnnGraphPanel-vector panel (edges
+    * where BOTH endpoints rank each other in their top-k — q241's
+    * criterion, same-side here so triangles exist), count triangles with
+    * the ordered 3-way edge join (u<v<w, the standard distributed
+    * algorithm — each triangle counted once), and report the global
+    * clustering coefficient 3·T / wedges. Graph-based ANN indexes
+    * navigate well when neighborhoods are locally dense (high
+    * coefficient) and degrade toward chance on scattered graphs — this
+    * readout is how an operator decides between a graph index and the
+    * IVF tier for a given embedding space.
+    *
+    * Scale shape: panel² cosine pairs (bounded), rank windows bounded by
+    * the panel, the triangle join runs on the EDGE list (≤ panel·k/2
+    * rows, broadcast); at corpus scale the edge list comes from the ANN
+    * tier (q42/q179) and the same vertex-keyed joins apply. Cosines
+    * rounded at 6 before ranking (q41 recipe); all outputs exact
+    * integers plus one final division.
+    */
+  private def q255(s: SparkSession, d: String): DataFrame = {
+    val e = parallelize(s, embeddings(s, d))
+    val p = e.filter(col("vec_id") < KnnGraphPanel)
+      .select(col("vec_id"), toD(col("embedding")).as("v"),
+        pmod(col("vec_id"), lit(1)).as("jk"))
+    val pairs = p.select(col("vec_id").as("i"), col("v").as("vi"),
+        col("jk"))
+      .join(broadcast(p.select(col("vec_id").as("j"), col("v").as("vj"),
+        col("jk"))), Seq("jk"))
+      .filter(col("i") =!= col("j"))
+      .select(col("i"), col("j"),
+        round(cosine(col("vi"), col("vj")), 6).as("cs"))
+    val wf = Window.partitionBy(col("i"))
+      .orderBy(col("cs").desc, col("j"))
+    val ranked = pairs.withColumn("rf", row_number().over(wf))
+      .filter(col("rf") <= KnnGraphK)
+      .select(col("i"), col("j"))
+    val edges = ranked
+      .join(ranked.select(col("j").as("i"), col("i").as("j")),
+        Seq("i", "j"), "left_semi")
+      .filter(col("i") < col("j"))
+      .select(col("i").as("u"), col("j").as("v"))
+      .persist()
+    val tri = edges.as("ab")
+      .join(edges.as("bc"), col("ab.v") === col("bc.u"))
+      .join(edges.as("ac"),
+        col("ac.u") === col("ab.u") && col("ac.v") === col("bc.v"))
+      .agg(count(lit(1)).as("n_triangles"))
+      .withColumn("jk", pmod(col("n_triangles"), lit(1L)))
+    val deg = edges.select(col("u").as("n")).unionAll(
+        edges.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val stats = deg.agg(
+      count(lit(1)).as("n_nodes"),
+      sum(col("d")).cast("long").as("deg_sum"),
+      sum(col("d") * (col("d") - 1) / 2).cast("long").as("n_wedges"))
+      .withColumn("jk", pmod(col("deg_sum"), lit(1L)))
+    val out = stats.join(broadcast(tri), Seq("jk"))
+      .select(col("n_nodes"),
+        expr("deg_sum DIV 2").as("n_edges"),
+        col("n_wedges"), col("n_triangles").cast("long").as("n_triangles"),
+        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+          .as("clustering_coeff"))
+    Cached.scopedTo(out, edges)
+  }
+
+  private def o255: String = s"""
+    WITH p AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+               FROM embeddings WHERE vec_id < $KnnGraphPanel),
+    pairs AS (
+      SELECT a.vec_id AS i, b.vec_id AS j,
+             round(list_cosine_similarity(a.v, b.v), 6) AS cs
+      FROM p a JOIN p b ON a.vec_id <> b.vec_id),
+    ranked AS (
+      SELECT i, j FROM (
+        SELECT i, j, row_number() OVER (PARTITION BY i
+          ORDER BY cs DESC, j) AS rf
+        FROM pairs) WHERE rf <= $KnnGraphK),
+    edges AS (
+      SELECT r.i AS u, r.j AS v
+      FROM ranked r JOIN ranked s ON s.i = r.j AND s.j = r.i
+      WHERE r.i < r.j),
+    tri AS (
+      SELECT count(*) AS n_triangles
+      FROM edges ab JOIN edges bc ON bc.u = ab.v
+      JOIN edges ac ON ac.u = ab.u AND ac.v = bc.v),
+    deg AS (
+      SELECT n, count(*) AS d
+      FROM (SELECT u AS n FROM edges UNION ALL SELECT v AS n FROM edges)
+      GROUP BY n),
+    stats AS (
+      SELECT count(*) AS n_nodes,
+             CAST(sum(d) AS BIGINT) AS deg_sum,
+             CAST(sum(d * (d - 1) / 2) AS BIGINT) AS n_wedges
+      FROM deg)
+    SELECT s.n_nodes, s.deg_sum // 2 AS n_edges, s.n_wedges,
+           CAST(t.n_triangles AS BIGINT) AS n_triangles,
+           round(3.0 * t.n_triangles / s.n_wedges, 6) AS clustering_coeff
+    FROM stats s, tri t"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q255_knn_graph_stats", q255, Some(o255)),
     QueryDef("q215_ctfidf_topics", q215, Some(o215)),
     QueryDef("q233_retrieval_eval", q233, Some(o233)),
     QueryDef("q241_mutual_knn", q241, Some(o241)),
