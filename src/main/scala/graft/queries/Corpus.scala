@@ -1923,7 +1923,54 @@ object Corpus {
     FROM grams g JOIN counts c ON c.gram = g.gram
     GROUP BY g.doc_id ORDER BY g.doc_id"""
 
+  /** Total sample budget q261 allocates across strata. */
+  private val NeymanBudget = 1000
+
+  /** q261: Neyman-optimal sample allocation — the survey-sampling design
+    * step a data-pruning pipeline runs before drawing its stratified
+    * sample (q105 draws; THIS decides how much to draw where): allocate
+    * a $NeymanBudget-doc budget across language strata proportional to
+    * N_h·S_h (stratum size × stratum std-dev of document length), which
+    * minimizes the estimator variance for a fixed budget — big uniform
+    * strata get less than their population share, small volatile ones
+    * get more. Std-devs are ROUNDED at 6 before entering the weights so
+    * both engines allocate from identical inputs; the final allocation
+    * is integer micro-rounded (q156's half-up integer recipe) so the
+    * per-stratum counts are bit-stable.
+    */
+  private def q261(s: SparkSession, d: String): DataFrame = {
+    val st = documents(s, d).groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(stddev_samp(col("n_chars")), 6).as("sd"))
+      .withColumn("w", round(col("n_docs") * col("sd"), 6))
+    val tot = st.agg(round(sum(col("w")), 6).as("tw"))
+      .withColumn("jk", pmod(col("tw").cast("long"), lit(1L)))
+    st.withColumn("jk", pmod(col("n_docs"), lit(1L)))
+      .join(broadcast(tot), Seq("jk"))
+      .select(col("lang"), col("n_docs"), col("sd"),
+        round(col("w") / col("tw"), 6).as("alloc_frac"),
+        expr(s"""(2 * CAST(round(w * $NeymanBudget) AS BIGINT)
+                 + CAST(round(tw) AS BIGINT))
+                DIV (2 * CAST(round(tw) AS BIGINT))""").as("alloc_n"))
+      .orderBy(col("lang"))
+  }
+
+  private val o261 = s"""
+    WITH st AS (
+      SELECT lang, count(*) AS n_docs,
+             round(stddev_samp(n_chars), 6) AS sd,
+             round(count(*) * round(stddev_samp(n_chars), 6), 6) AS w
+      FROM documents GROUP BY lang),
+    tot AS (SELECT round(sum(w), 6) AS tw FROM st)
+    SELECT lang, n_docs, sd,
+           round(w / tw, 6) AS alloc_frac,
+           (2 * CAST(round(w * $NeymanBudget) AS BIGINT)
+            + CAST(round(tw) AS BIGINT))
+             // (2 * CAST(round(tw) AS BIGINT)) AS alloc_n
+    FROM st CROSS JOIN tot ORDER BY lang"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q261_neyman_allocation", q261, Some(o261)),
     QueryDef("q254_ngram_novelty", q254, Some(o254)),
     QueryDef("q243_zipf_slope", q243, Some(o243)),
     QueryDef("q227_bpe_encode", q227, Some(o227)),

@@ -2408,7 +2408,209 @@ object Events {
     FROM eff f JOIN resid r ON r.event_type = f.event_type
     ORDER BY f.event_type, f.dow"""
 
+  /** q259: two-sample Kolmogorov–Smirnov drift statistic — each event
+    * type's `value` distribution against the pooled REST of the corpus:
+    * D = max |F_type(v) − F_rest(v)| over the merged support. The
+    * distribution-free sibling of q222's PSI (no binning choice to
+    * defend) and the screen a feature-monitoring pipeline runs per
+    * feature per slice. Both empirical CDFs are EXACT rationals
+    * (RANGE-framed cumulative counts over the (type-membership, value)
+    * merge — the range frame folds ties in on both engines identically),
+    * so D is a max over differences of two exact divisions; one rounded
+    * column at the end.
+    *
+    * Scale shape: one explode of the fact rows into the |types| contrast
+    * frames (bounded alphabet), one value-ordered window per contrast —
+    * the same co-partitioned window pass every per-key ranking query
+    * pays; no self-join, no binning.
+    */
+  private def q259(s: SparkSession, d: String): DataFrame = {
+    val types = events(s, d).select(col("event_type")).distinct()
+      .select(collect_list(col("event_type")).as("ts"))
+      .withColumn("jk", pmod(size(col("ts")), size(col("ts"))))
+    val contrast = events(s, d)
+      .select(col("event_type"), col("value"))
+      .withColumn("jk", pmod(length(col("event_type")) * 0, lit(1)))
+      .join(broadcast(types), Seq("jk"))
+      .select(explode(col("ts")).as("t"), col("event_type"), col("value"))
+      .withColumn("m", (col("event_type") === col("t")).cast("long"))
+    val w = Window.partitionBy(col("t")).orderBy(col("value"))
+      .rangeBetween(Window.unboundedPreceding, 0)
+    val wt = Window.partitionBy(col("t"))
+    contrast
+      .withColumn("ca", sum(col("m")).over(w))
+      .withColumn("cb", sum(lit(1L) - col("m")).over(w))
+      .withColumn("na", sum(col("m")).over(wt))
+      .withColumn("nb", sum(lit(1L) - col("m")).over(wt))
+      .groupBy(col("t").as("event_type"))
+      .agg(max(col("na")).cast("long").as("n_type"),
+        max(col("nb")).cast("long").as("n_rest"),
+        round(max(abs(col("ca") / col("na").cast("double")
+          - col("cb") / col("nb").cast("double"))), 6).as("ks_d"))
+      .orderBy(col("event_type"))
+  }
+
+  private val o259 = """
+    WITH types AS (SELECT DISTINCT event_type AS t FROM events),
+    contrast AS (
+      SELECT ty.t, e.event_type, e.value,
+             CASE WHEN e.event_type = ty.t THEN 1 ELSE 0 END AS m
+      FROM events e CROSS JOIN types ty),
+    cum AS (
+      SELECT t,
+             sum(m) OVER (PARTITION BY t ORDER BY value
+               RANGE UNBOUNDED PRECEDING) AS ca,
+             sum(1 - m) OVER (PARTITION BY t ORDER BY value
+               RANGE UNBOUNDED PRECEDING) AS cb,
+             sum(m) OVER (PARTITION BY t) AS na,
+             sum(1 - m) OVER (PARTITION BY t) AS nb
+      FROM contrast)
+    SELECT t AS event_type,
+           CAST(max(na) AS BIGINT) AS n_type,
+           CAST(max(nb) AS BIGINT) AS n_rest,
+           round(max(abs(ca / CAST(na AS DOUBLE)
+             - cb / CAST(nb AS DOUBLE))), 6) AS ks_d
+    FROM cum GROUP BY t ORDER BY t"""
+
+  /** q260: ROC-AUC per segment via the Mann–Whitney U rank statistic —
+    * the model-evaluation readout the calibration tier (q220's ECE)
+    * doesn't provide: does the SCORE rank positives above negatives at
+    * all? AUC = (Σ ranks_pos − n⁺(n⁺+1)/2) / (n⁺·n⁻) with midrank tie
+    * handling, computed per o_orderpriority segment (order total price
+    * "scoring" finalized status — the stand-in for model-score vs
+    * label). Midranks are count(<v) + (count(=v)+1)/2 off two window
+    * frames (a RANGE cumulative and a value-partition count), so every
+    * rank is a multiple of 0.5 — sums of halves are EXACT in doubles at
+    * any realistic eval-set size and in any addend order, making the
+    * statistic bit-stable with no rounding tricks; only final divisions
+    * round.
+    *
+    * Scale shape: eval is per-segment (the window partitions by
+    * segment); at 100 TB the same plan computes per-model/per-slice AUC
+    * with slices as the partition key — never a global sort.
+    */
+  private def q260(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select(col("o_orderpriority").as("seg"),
+      col("o_totalprice").as("score"),
+      (col("o_orderstatus") === "F").cast("long").as("pos"))
+    val wle = Window.partitionBy(col("seg")).orderBy(col("score"))
+      .rangeBetween(Window.unboundedPreceding, 0)
+    val weq = Window.partitionBy(col("seg"), col("score"))
+    val ranked = o
+      .withColumn("cle", count(lit(1)).over(wle))
+      .withColumn("ceq", count(lit(1)).over(weq))
+      .withColumn("midrank",
+        (col("cle") - col("ceq")).cast("double")
+          + (col("ceq").cast("double") + 1.0) / 2.0)
+    ranked.groupBy(col("seg"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("pos")).cast("long").as("n_pos"),
+        sum(when(col("pos") === 1, col("midrank")).otherwise(0.0))
+          .as("rank_sum_pos"))
+      .select(col("seg"), col("n"), col("n_pos"),
+        (col("n") - col("n_pos")).as("n_neg"),
+        round((col("rank_sum_pos")
+            - col("n_pos").cast("double") * (col("n_pos") + 1) / 2.0)
+          / (col("n_pos").cast("double") * (col("n") - col("n_pos"))), 6)
+          .as("auc"))
+      .orderBy(col("seg"))
+  }
+
+  private val o260 = """
+    WITH o AS (
+      SELECT o_orderpriority AS seg, o_totalprice AS score,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+      FROM orders),
+    ranked AS (
+      SELECT seg, pos,
+             CAST(cle - ceq AS DOUBLE)
+               + (CAST(ceq AS DOUBLE) + 1.0) / 2.0 AS midrank
+      FROM (SELECT seg, pos,
+              count(*) OVER (PARTITION BY seg ORDER BY score
+                RANGE UNBOUNDED PRECEDING) AS cle,
+              count(*) OVER (PARTITION BY seg, score) AS ceq
+            FROM o))
+    SELECT seg, count(*) AS n,
+           CAST(sum(pos) AS BIGINT) AS n_pos,
+           CAST(count(*) - sum(pos) AS BIGINT) AS n_neg,
+           round((sum(CASE WHEN pos = 1 THEN midrank ELSE 0.0 END)
+               - CAST(sum(pos) AS DOUBLE) * (sum(pos) + 1) / 2.0)
+             / (CAST(sum(pos) AS DOUBLE) * (count(*) - sum(pos))), 6)
+             AS auc
+    FROM ranked GROUP BY seg ORDER BY seg"""
+
+  /** q263: split-conformal prediction intervals — the distribution-free
+    * uncertainty wrapper (Vovk's split-conformal recipe, the modern
+    * ML-ops standard) around the simplest predictor the data admits (the
+    * per-type train mean): deterministic thirds by event_id (0 = train,
+    * 1 = calibration, 2 = test), q̂ = the 0.9 quantile of calibration
+    * absolute residuals, and the TEST-fold coverage of μ ± q̂ — which the
+    * conformal guarantee says must land near 0.9 regardless of the value
+    * distribution; the coverage column is the empirical check of exactly
+    * that promise. μ and q̂ are ROUNDED at 6 before crossing folds, so
+    * every comparison both engines make is over identical doubles; the
+    * coverage is a count ratio (one exact division).
+    *
+    * Scale shape: three conditional rollups over one co-partitioned
+    * frame — no windows, no joins beyond two broadcast one-row-per-type
+    * frames; the fold split is a pure map.
+    */
+  private def q263(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_type"),
+      pmod(col("event_id"), lit(3L)).as("fold"), col("value"))
+    val mu = ev.filter(col("fold") === 0)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_train"), round(avg(col("value")), 6).as("mu"))
+    val qhat = ev.filter(col("fold") === 1)
+      .join(broadcast(mu.select(col("event_type"), col("mu"))),
+        Seq("event_type"))
+      .withColumn("r", abs(col("value") - col("mu")))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_cal"),
+        round(expr("percentile(r, 0.9D)"), 6).as("qhat"))
+    ev.filter(col("fold") === 2)
+      .join(broadcast(mu), Seq("event_type"))
+      .join(broadcast(qhat), Seq("event_type"))
+      .groupBy(col("event_type"), col("n_train"), col("n_cal"),
+        col("mu"), col("qhat"))
+      .agg(count(lit(1)).as("n_test"),
+        sum((abs(col("value") - col("mu")) <= col("qhat")).cast("long"))
+          .cast("long").as("n_covered"))
+      .select(col("event_type"), col("n_train"), col("n_cal"),
+        col("n_test"), col("mu"), col("qhat"),
+        round(col("n_covered").cast("double") / col("n_test"), 6)
+          .as("coverage"))
+      .orderBy(col("event_type"))
+  }
+
+  private val o263 = """
+    WITH ev AS (SELECT event_type, event_id % 3 AS fold, value FROM events),
+    mu AS (
+      SELECT event_type, count(*) AS n_train, round(avg(value), 6) AS mu
+      FROM ev WHERE fold = 0 GROUP BY event_type),
+    qh AS (
+      SELECT e.event_type, count(*) AS n_cal,
+             round(quantile_cont(abs(e.value - m.mu), 0.9), 6) AS qhat
+      FROM ev e JOIN mu m ON m.event_type = e.event_type
+      WHERE e.fold = 1 GROUP BY e.event_type),
+    tst AS (
+      SELECT e.event_type, count(*) AS n_test,
+             CAST(sum(CASE WHEN abs(e.value - m.mu) <= q.qhat
+                      THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+      FROM ev e
+      JOIN mu m ON m.event_type = e.event_type
+      JOIN qh q ON q.event_type = e.event_type
+      WHERE e.fold = 2 GROUP BY e.event_type)
+    SELECT m.event_type, m.n_train, q.n_cal, t.n_test, m.mu, q.qhat,
+           round(CAST(t.n_covered AS DOUBLE) / t.n_test, 6) AS coverage
+    FROM mu m JOIN qh q ON q.event_type = m.event_type
+    JOIN tst t ON t.event_type = m.event_type
+    ORDER BY m.event_type"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q263_conformal_interval", q263, Some(o263)),
+    QueryDef("q259_ks_drift", q259, Some(o259)),
+    QueryDef("q260_roc_auc", q260, Some(o260)),
     QueryDef("q256_cusum_changepoint", q256, Some(o256)),
     QueryDef("q257_bootstrap_ci", q257, Some(o257)),
     QueryDef("q258_weekly_decomposition", q258, Some(o258)),

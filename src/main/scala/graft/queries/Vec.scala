@@ -2485,6 +2485,123 @@ object Vec {
     SELECT cid, rank, term, tf, score FROM r
     WHERE rank <= $TopicK ORDER BY cid, rank"""
 
+  /** Terms per topic entering q262's coherence pairs. */
+  private val CohTerms = TopicK // bounded by what q215 emits
+
+  /** q262: NPMI topic coherence — the quality gate on q215's c-TF-IDF
+    * topics (Bouma 2009's normalized PMI, the standard topic-model
+    * coherence in the Röder et al. 2015 framework): for each topic's top
+    * $CohTerms terms, every term pair's document co-occurrence yields
+    * NPMI = ln(p₁₂/(p₁p₂)) / −ln(p₁₂) ∈ [−1, 1] — topics whose labels
+    * co-occur across documents are MEANINGFUL clusters; labels that
+    * never share a document expose an incoherent cluster regardless of
+    * how good its c-TF-IDF scores looked. Never-co-occurring pairs pin
+    * to −1 by convention.
+    *
+    * Scale shape: the term universe is topics × $CohTerms (bounded, ≤ 96
+    * here — broadcast); document-term incidence is a semi-filtered
+    * distinct projection of the token stream; the pair frame is
+    * topic-bounded (≤ C(6,2) per topic) and each pair's co-occurrence is
+    * two incidence joins keyed on the term. All counts exact; only the
+    * per-pair NPMI (a scalar ln of exact ratios) rounds at 6.
+    */
+  private def q262(s: SparkSession, d: String): DataFrame = {
+    val top = q215(s, d).filter(col("rank") <= CohTerms)
+      .select(col("cid"), col("term"))
+    val pairs = top.as("x").join(top.as("y"), Seq("cid"))
+      .filter(col("x.term") < col("y.term"))
+      .select(col("cid"), col("x.term").as("t1"), col("y.term").as("t2"))
+    val terms = top.select(col("term")).distinct()
+    val inc = parallelize(s, documents(s, d))
+      .select(col("doc_id"),
+        explode(array_distinct(split(trim(col("text")), "\\s+"))).as("term"))
+      .join(terms, Seq("term"), "left_semi")
+    val df1 = inc.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val df12 = pairs.select(col("t1"), col("t2")).distinct()
+      .join(inc.select(col("term").as("t1"), col("doc_id")), Seq("t1"))
+      .join(inc.select(col("term").as("t2"), col("doc_id")), Seq("t2", "doc_id"))
+      .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("df12"))
+    val nDocs = documents(s, d).agg(count(lit(1)).as("nd"))
+      .withColumn("jk", pmod(col("nd"), lit(1L)))
+    pairs
+      .join(df1.select(col("term").as("t1"), col("df").as("df1")), Seq("t1"))
+      .join(df1.select(col("term").as("t2"), col("df").as("df2")), Seq("t2"))
+      .join(df12, Seq("t1", "t2"), "left")
+      .withColumn("df12", coalesce(col("df12"), lit(0L)))
+      .withColumn("jk", pmod(col("df1"), lit(1L)))
+      .join(broadcast(nDocs), Seq("jk"))
+      .select(col("cid"), col("t1"), col("t2"),
+        col("df1").cast("long").as("df1"), col("df2").cast("long").as("df2"),
+        col("df12").cast("long").as("df12"),
+        when(col("df12") === 0, lit(-1.0))
+          .when(col("df12") === col("nd"), lit(1.0))
+          .otherwise(round(
+            log(col("df12") * col("nd").cast("double")
+              / (col("df1") * col("df2")))
+              / -log(col("df12").cast("double") / col("nd")), 6))
+          .as("npmi"))
+      .orderBy(col("cid"), col("t1"), col("t2"))
+  }
+
+  private def o262: String = s"""
+    WITH c AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+               FROM embeddings WHERE vec_id < $NCells),
+    dists AS (
+      SELECT e.vec_id, c.cid, $oCd2 AS d2
+      FROM embeddings e CROSS JOIN c),
+    best AS (
+      SELECT vec_id AS doc_id, cid,
+             row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
+      FROM dists),
+    toks AS (
+      SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS term
+      FROM documents),
+    tf AS (
+      SELECT b.cid, t.term, count(*) AS tf
+      FROM toks t JOIN best b ON b.doc_id = t.doc_id AND b.rn = 1
+      GROUP BY b.cid, t.term),
+    ft AS (SELECT term, CAST(sum(tf) AS BIGINT) AS ft FROM tf GROUP BY term),
+    a AS (SELECT CAST(sum(tf) AS DOUBLE)
+                 / CAST(count(DISTINCT cid) AS DOUBLE) AS a FROM tf),
+    scored AS (
+      SELECT tf.cid, tf.term,
+             round(tf.tf * ln(1.0 + a.a / ft.ft), 6) AS score
+      FROM tf JOIN ft ON tf.term = ft.term, a),
+    top AS (
+      SELECT cid, term FROM (
+        SELECT cid, term, row_number() OVER (PARTITION BY cid
+          ORDER BY score DESC, term) AS rank
+        FROM scored) WHERE rank <= $CohTerms),
+    prs AS (
+      SELECT x.cid, x.term AS t1, y.term AS t2
+      FROM top x JOIN top y ON y.cid = x.cid AND x.term < y.term),
+    inc AS (
+      SELECT DISTINCT t.doc_id, t.term
+      FROM toks t JOIN (SELECT DISTINCT term FROM top) u
+        ON u.term = t.term),
+    d1 AS (SELECT term, count(*) AS df FROM inc GROUP BY term),
+    d12 AS (
+      SELECT p.t1, p.t2, count(*) AS df12
+      FROM (SELECT DISTINCT t1, t2 FROM prs) p
+      JOIN inc i1 ON i1.term = p.t1
+      JOIN inc i2 ON i2.term = p.t2 AND i2.doc_id = i1.doc_id
+      GROUP BY p.t1, p.t2),
+    nd AS (SELECT count(*) AS nd FROM documents)
+    SELECT p.cid, p.t1, p.t2,
+           CAST(a1.df AS BIGINT) AS df1, CAST(a2.df AS BIGINT) AS df2,
+           CAST(coalesce(d12.df12, 0) AS BIGINT) AS df12,
+           CASE WHEN coalesce(d12.df12, 0) = 0 THEN -1.0
+                WHEN d12.df12 = nd.nd THEN 1.0
+                ELSE round(
+                  ln(d12.df12 * CAST(nd.nd AS DOUBLE) / (a1.df * a2.df))
+                  / -ln(CAST(d12.df12 AS DOUBLE) / nd.nd), 6) END AS npmi
+    FROM prs p
+    JOIN d1 a1 ON a1.term = p.t1
+    JOIN d1 a2 ON a2.term = p.t2
+    LEFT JOIN d12 ON d12.t1 = p.t1 AND d12.t2 = p.t2
+    CROSS JOIN nd
+    ORDER BY p.cid, p.t1, p.t2"""
+
   private val BitextK = 4 // neighborhood size for the margin denominator
   private val BitextPanel = 200 // aid < this bound = the anchor panel
 
@@ -3044,6 +3161,7 @@ object Vec {
     FROM stats s, tri t"""
 
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q262_topic_coherence", q262, Some(o262)),
     QueryDef("q255_knn_graph_stats", q255, Some(o255)),
     QueryDef("q215_ctfidf_topics", q215, Some(o215)),
     QueryDef("q233_retrieval_eval", q233, Some(o233)),
