@@ -1969,7 +1969,156 @@ object Corpus {
              // (2 * CAST(round(tw) AS BIGINT)) AS alloc_n
     FROM st CROSS JOIN tot ORDER BY lang"""
 
+  /** q266: cross-source quantile normalization audit — the batch-effect
+    * remover a multi-source corpus applies before pooling per-source
+    * metrics (here: document length by source): each value maps to its
+    * within-source quantile u = (rank − 0.5)/n, then to the POOLED
+    * distribution's interpolated u-quantile; after the transform every
+    * source has (by construction) the same distribution, and the audit
+    * reports per-source mean length before vs after plus the residual
+    * spread across sources — the number that should collapse toward 0.
+    *
+    * Cross-engine: ranks are exact ((value, doc_id) total order), u is an
+    * exact rational rounded at 6, and the pooled quantile function is
+    * evaluated EXPLICITLY by linear interpolation over the globally
+    * ranked pooled frame (h = 1 + u·(N−1); x[⌊h⌋] + frac·(x[⌊h⌋+1] −
+    * x[⌊h⌋])) — the same formula in both dialects, two index equi-joins,
+    * no reliance on either engine's percentile internals. The pooled
+    * global sort is doc-grain; at 100 TB the quantile function is fit on
+    * a sample (the standard practice) and the per-source windows stay
+    * co-partitioned.
+    */
+  private def q266(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("source"), col("doc_id"),
+      col("n_chars").cast("double").as("x"))
+    val w = Window.partitionBy(col("source"))
+      .orderBy(col("x"), col("doc_id"))
+    val wn = Window.partitionBy(col("source"))
+    val ranked = docs
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(wn))
+      .withColumn("u", round((col("rk") - 0.5) / col("n"), 6))
+    val nTot = docs.agg(count(lit(1)).as("nt"))
+      .withColumn("jk", pmod(col("nt"), lit(1L)))
+    val pooled = docs
+      .withColumn("gr", row_number().over(
+        Window.orderBy(col("x"), col("doc_id"))))
+      .select(col("gr").cast("long").as("gr"), col("x"))
+    val us = ranked.select(col("u")).distinct()
+      .withColumn("jk", pmod(round(col("u")).cast("long"), lit(1L)))
+      .join(broadcast(nTot), Seq("jk"))
+      .withColumn("h", col("u") * (col("nt") - 1) + 1.0)
+      .withColumn("lo", floor(col("h")).cast("long"))
+      .withColumn("frac", col("h") - floor(col("h")))
+    val qf = us
+      .join(pooled.select(col("gr").as("lo"), col("x").as("xlo")), Seq("lo"))
+      .join(pooled.select((col("gr") - 1).as("lo"), col("x").as("xhi")),
+        Seq("lo"))
+      .select(col("u"),
+        round(col("xlo") + col("frac") * (col("xhi") - col("xlo")), 6)
+          .as("qx"))
+    ranked.join(broadcast(qf), Seq("u"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("x")), 4).as("mean_before"),
+        round(avg(col("qx")), 4).as("mean_after"))
+      .orderBy(col("source"))
+  }
+
+  private val o266 = """
+    WITH docs AS (SELECT source, doc_id, CAST(n_chars AS DOUBLE) AS x
+                  FROM documents),
+    ranked AS (
+      SELECT source, doc_id, x,
+             round((row_number() OVER (PARTITION BY source
+                      ORDER BY x, doc_id) - 0.5)
+                   / count(*) OVER (PARTITION BY source), 6) AS u
+      FROM docs),
+    nt AS (SELECT count(*) AS nt FROM docs),
+    pooled AS (
+      SELECT row_number() OVER (ORDER BY x, doc_id) AS gr, x FROM docs),
+    us AS (
+      SELECT u, floor(u * (nt.nt - 1) + 1.0) AS lo,
+             (u * (nt.nt - 1) + 1.0) - floor(u * (nt.nt - 1) + 1.0) AS frac
+      FROM (SELECT DISTINCT u FROM ranked) CROSS JOIN nt),
+    qf AS (
+      SELECT us.u,
+             round(plo.x + us.frac * (phi.x - plo.x), 6) AS qx
+      FROM us
+      JOIN pooled plo ON plo.gr = us.lo
+      JOIN pooled phi ON phi.gr = us.lo + 1)
+    SELECT r.source, count(*) AS n_docs,
+           round(avg(r.x), 4) AS mean_before,
+           round(avg(p.qx), 4) AS mean_after
+    FROM ranked r JOIN qf p ON p.u = r.u
+    GROUP BY r.source ORDER BY r.source"""
+
+  /** Fold count for q267. */
+  private val KFolds = 5
+
+  /** q267: deterministic k-fold assignment + stratification balance
+    * audit — the cross-validation split a training pipeline must be able
+    * to REPRODUCE years later: fold = md5(doc_id) mod $KFolds (the q75
+    * content-hash-split convention, so assignment is engine- and
+    * run-independent), audited per (fold, lang) against perfect
+    * stratification: each fold's within-fold language share vs the
+    * corpus share, with the absolute deviation that tells an operator
+    * whether hash-folding is balanced enough or a stratified fold
+    * (per-lang round-robin) is warranted. Exact counts and single
+    * divisions end-to-end.
+    */
+  private def q267(s: SparkSession, d: String): DataFrame = {
+    val withFold = documents(s, d).select(col("doc_id"), col("lang"))
+      .withColumn("fold",
+        pmod(conv(substring(md5(col("doc_id").cast("string")), 1, 8),
+          16, 10).cast("long"), lit(KFolds.toLong)))
+    val corp = withFold.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_lang"))
+    val tot = withFold.agg(count(lit(1)).as("n_tot"))
+      .withColumn("jk", pmod(col("n_tot"), lit(1L)))
+    val foldTot = withFold.groupBy(col("fold"))
+      .agg(count(lit(1)).as("n_fold"))
+    withFold.groupBy(col("fold"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+      .join(foldTot, Seq("fold"))
+      .join(corp, Seq("lang"))
+      .withColumn("jk", pmod(col("n"), lit(1L)))
+      .join(broadcast(tot), Seq("jk"))
+      .select(col("fold"), col("lang"), col("n"), col("n_fold"),
+        round(col("n").cast("double") / col("n_fold"), 6).as("fold_share"),
+        round(col("n_lang").cast("double") / col("n_tot"), 6)
+          .as("corpus_share"),
+        round(abs(col("n").cast("double") / col("n_fold")
+          - col("n_lang").cast("double") / col("n_tot")), 6).as("abs_dev"))
+      .orderBy(col("fold"), col("lang"))
+  }
+
+  private val o267 = s"""
+    WITH wf AS (
+      SELECT doc_id, lang,
+             ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+               % $KFolds AS fold
+      FROM documents),
+    corp AS (SELECT lang, count(*) AS n_lang FROM wf GROUP BY lang),
+    tot AS (SELECT count(*) AS n_tot FROM wf),
+    ft AS (SELECT fold, count(*) AS n_fold FROM wf GROUP BY fold)
+    SELECT w.fold, w.lang, count(*) AS n, any_value(ft.n_fold) AS n_fold,
+           round(CAST(count(*) AS DOUBLE) / any_value(ft.n_fold), 6)
+             AS fold_share,
+           round(CAST(any_value(c.n_lang) AS DOUBLE) / any_value(t.n_tot), 6)
+             AS corpus_share,
+           round(abs(CAST(count(*) AS DOUBLE) / any_value(ft.n_fold)
+             - CAST(any_value(c.n_lang) AS DOUBLE) / any_value(t.n_tot)), 6)
+             AS abs_dev
+    FROM wf w
+    JOIN ft ON ft.fold = w.fold
+    JOIN corp c ON c.lang = w.lang
+    CROSS JOIN tot t
+    GROUP BY w.fold, w.lang ORDER BY w.fold, w.lang"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q267_kfold_balance", q267, Some(o267)),
+    QueryDef("q266_quantile_normalization", q266, Some(o266)),
     QueryDef("q261_neyman_allocation", q261, Some(o261)),
     QueryDef("q254_ngram_novelty", q254, Some(o254)),
     QueryDef("q243_zipf_slope", q243, Some(o243)),

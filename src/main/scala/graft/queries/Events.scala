@@ -2607,7 +2607,65 @@ object Events {
     JOIN tst t ON t.event_type = m.event_type
     ORDER BY m.event_type"""
 
+  /** m-estimate smoothing strength for q264. */
+  private val TeM = 20
+
+  /** q264: leave-one-out + m-estimate target encoding — the
+    * feature-engineering transform beside q248's WoE: encode a
+    * categorical (order priority) by its target rate (finalized status),
+    * but (a) LEAVE-ONE-OUT per row so a row never sees its own label
+    * (the standard target-leakage guard: enc_i = (Σy − y_i)/(n − 1)),
+    * and (b) m-estimate smoothed toward the global prior
+    * ((Σy + m·p)/(n + m), m = $TeM) so rare categories don't memorize.
+    * Reported per category: the raw rate, the smoothed encoding, and the
+    * LOO encoding's exact min/max spread (the two values a LOO encoding
+    * can take for a binary target — what the downstream model actually
+    * sees). Everything is exact integer sums and single divisions off
+    * one category rollup + one broadcast prior; LOO needs NO per-row
+    * window — the group sums determine both LOO values in closed form.
+    */
+  private def q264(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select(col("o_orderpriority").as("cat"),
+      (col("o_orderstatus") === "F").cast("long").as("y"))
+    val prior = o.agg((sum(col("y")).cast("double") / count(lit(1)))
+        .as("p"))
+      .withColumn("jk", pmod(col("p").cast("long"), lit(1L)))
+    o.groupBy(col("cat"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).cast("long").as("sy"))
+      .withColumn("jk", pmod(col("n"), lit(1L)))
+      .join(broadcast(prior), Seq("jk"))
+      .select(col("cat"), col("n"), col("sy"),
+        round(col("sy").cast("double") / col("n"), 6).as("raw_rate"),
+        round((col("sy").cast("double") + lit(TeM) * col("p"))
+          / (col("n") + lit(TeM)), 6).as("smoothed_enc"),
+        // LOO for a binary target takes exactly two values per category:
+        // the encoding of a positive row and of a negative row
+        round((col("sy") - 1).cast("double") / (col("n") - 1), 6)
+          .as("loo_if_pos"),
+        round(col("sy").cast("double") / (col("n") - 1), 6)
+          .as("loo_if_neg"))
+      .orderBy(col("cat"))
+  }
+
+  private val o264 = s"""
+    WITH o AS (
+      SELECT o_orderpriority AS cat,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS y
+      FROM orders),
+    prior AS (SELECT CAST(sum(y) AS DOUBLE) / count(*) AS p FROM o)
+    SELECT cat, count(*) AS n, CAST(sum(y) AS BIGINT) AS sy,
+           round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS raw_rate,
+           round((CAST(sum(y) AS DOUBLE) + $TeM * any_value(pr.p))
+                 / (count(*) + $TeM), 6) AS smoothed_enc,
+           round(CAST(sum(y) - 1 AS DOUBLE) / (count(*) - 1), 6)
+             AS loo_if_pos,
+           round(CAST(sum(y) AS DOUBLE) / (count(*) - 1), 6)
+             AS loo_if_neg
+    FROM o CROSS JOIN prior pr
+    GROUP BY cat ORDER BY cat"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q264_target_encoding", q264, Some(o264)),
     QueryDef("q263_conformal_interval", q263, Some(o263)),
     QueryDef("q259_ks_drift", q259, Some(o259)),
     QueryDef("q260_roc_auc", q260, Some(o260)),

@@ -606,7 +606,55 @@ object Variety {
     FROM digits, tot
     GROUP BY digit ORDER BY digit"""
 
+  /** q265: OUTER generator semantics — the null-row-retention edge every
+    * flattening pipeline hits: `explode` DROPS a parent row whose array
+    * is empty, `explode_outer` keeps it with a NULL element, and an
+    * aggregation over the flattened frame must count the two cases
+    * differently. Exercised on a genuinely data-dependent empty array
+    * (each document's words longer than 8 chars — empty for short-word
+    * docs), with per-doc row counts under both generators and the
+    * corpus-level tallies. DuckDB mirrors the outer form with LEFT JOIN
+    * LATERAL unnest; exact integers end-to-end.
+    */
+  private def q265(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d)
+      .select(col("doc_id"),
+        filter(split(trim(col("text")), "\\s+"),
+          w => length(w) > 8).as("lw"))
+    val inner = docs.select(col("doc_id"), explode(col("lw")).as("w"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_inner"))
+    val outer = docs.select(col("doc_id"), explode_outer(col("lw")).as("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_rows"), count(col("w")).as("n_words"))
+    outer.join(inner, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_rows"), col("n_words"),
+        coalesce(col("n_inner"), lit(0L)).as("n_inner"),
+        (col("n_words") === 0).cast("int").as("empty_kept"))
+      .orderBy(col("doc_id"))
+  }
+
+  private val o265 = """
+    WITH docs AS (
+      SELECT doc_id,
+             list_filter(string_split_regex(trim(text), '\s+'),
+               w -> length(w) > 8) AS lw
+      FROM documents),
+    inner_g AS (
+      SELECT d.doc_id, count(*) AS n_inner
+      FROM docs d, unnest(d.lw) AS u(w)
+      GROUP BY d.doc_id),
+    outer_g AS (
+      SELECT d.doc_id, count(*) AS n_rows, count(u.w) AS n_words
+      FROM docs d LEFT JOIN LATERAL (SELECT unnest(d.lw) AS w) u ON true
+      GROUP BY d.doc_id)
+    SELECT o.doc_id, o.n_rows, o.n_words,
+           coalesce(i.n_inner, 0) AS n_inner,
+           CAST(o.n_words = 0 AS INT) AS empty_kept
+    FROM outer_g o LEFT JOIN inner_g i ON i.doc_id = o.doc_id
+    ORDER BY o.doc_id"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q265_outer_generators", q265, Some(o265)),
     QueryDef("q178_not_in_semantics", q178, Some(o178)),
     QueryDef("q148_benford_digits", q148, Some(o148)),
     QueryDef("q114_pagination", q114, Some(o114)),
