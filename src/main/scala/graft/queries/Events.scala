@@ -2664,7 +2664,98 @@ object Events {
     FROM o CROSS JOIN prior pr
     GROUP BY cat ORDER BY cat"""
 
+  /** q268: data-freshness SLA audit — the operational monitor every
+    * ingest owner pages on: per event type, the high-watermark timestamp,
+    * its lag behind the corpus-wide watermark (a type whose feed stalled
+    * lags while the global clock advances), a 1-hour staleness flag, and
+    * the share of the type's volume that arrived in the trailing day —
+    * the "is this feed alive and at normal volume" pair. Integer
+    * microseconds end-to-end (`DIV`-second lags, CLAUDE.md's time-math
+    * rule); the one share column is a single exact-count division. One
+    * rollup + one broadcast global row.
+    */
+  private def q268(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("event_type"), tsUs.as("us"))
+    val glob = ev.agg(max(col("us")).as("gmax"))
+      .withColumn("jk", pmod(col("gmax"), lit(1L)))
+    ev.withColumn("jk", pmod(col("us"), lit(1L)))
+      .join(broadcast(glob), Seq("jk"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        max(col("us")).as("max_us"),
+        first(col("gmax")).as("gmax"),
+        sum((col("us") > col("gmax") - 86400000000L).cast("long"))
+          .cast("long").as("n_last_day"))
+      .select(col("event_type"), col("n"), col("max_us"),
+        expr("(gmax - max_us) DIV 1000000").as("lag_s"),
+        (expr("(gmax - max_us) DIV 1000000") > 3600L).cast("int")
+          .as("stale_1h"),
+        round(col("n_last_day").cast("double") / col("n"), 6)
+          .as("share_last_day"))
+      .orderBy(col("event_type"))
+  }
+
+  private val o268 = """
+    WITH ev AS (SELECT event_type, epoch_us(ts) AS us FROM events),
+    gw AS (SELECT max(us) AS gmax FROM ev)
+    SELECT event_type, count(*) AS n, max(us) AS max_us,
+           (g.gmax - max(us)) // 1000000 AS lag_s,
+           CAST((g.gmax - max(us)) // 1000000 > 3600 AS INT) AS stale_1h,
+           round(CAST(sum(CASE WHEN us > g.gmax - 86400000000
+                         THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+             AS share_last_day
+    FROM ev CROSS JOIN gw g
+    GROUP BY event_type, g.gmax ORDER BY event_type"""
+
+  /** q269: seasonal-naive forecast backtest — the baseline every metric
+    * forecasting pipeline must beat before anything fancier ships:
+    * predict each (type, day)'s volume-weighted metric with the value
+    * seven days earlier, and report per type the backtest MAE, MAPE
+    * (zero-actual days excluded), and the naive forecast's hit rate
+    * within ±20%. The q258 decomposition MODELS weekly structure; this
+    * measures how predictive that structure actually is — low MAPE says
+    * "seasonal-naive is fine", high says "bring a real model". One
+    * day-grain rollup, one self-join on (type, day−7) (co-partitioned
+    * equi-join), one rollup; aggregates of |errors| round at 6.
+    */
+  private def q269(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"),
+        expr("ts DIV 1000 DIV 86400000000").as("day"))
+      .agg(sum(col("value")).as("y"))
+    val f = daily.select(col("event_type"), (col("day") + 7).as("day"),
+      col("y").as("yhat"))
+    daily.join(f, Seq("event_type", "day"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_days"),
+        round(avg(abs(col("y") - col("yhat"))), 6).as("mae"),
+        round(avg(when(col("y") =!= 0.0,
+          abs(col("y") - col("yhat")) / abs(col("y")))), 6).as("mape"),
+        round(avg((abs(col("y") - col("yhat")) <= lit(0.2) * abs(col("y")))
+          .cast("double")), 6).as("hit_rate_20pct"))
+      .orderBy(col("event_type"))
+  }
+
+  private val o269 = """
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             sum(value) AS y
+      FROM events GROUP BY event_type, day),
+    j AS (
+      SELECT a.event_type, a.y, b.y AS yhat
+      FROM daily a JOIN daily b
+        ON b.event_type = a.event_type AND b.day = a.day - 7)
+    SELECT event_type, count(*) AS n_days,
+           round(avg(abs(y - yhat)), 6) AS mae,
+           round(avg(CASE WHEN y <> 0.0
+                     THEN abs(y - yhat) / abs(y) END), 6) AS mape,
+           round(avg(CASE WHEN abs(y - yhat) <= 0.2 * abs(y)
+                     THEN 1.0 ELSE 0.0 END), 6) AS hit_rate_20pct
+    FROM j GROUP BY event_type ORDER BY event_type"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q268_freshness_sla", q268, Some(o268)),
+    QueryDef("q269_seasonal_naive_backtest", q269, Some(o269)),
     QueryDef("q264_target_encoding", q264, Some(o264)),
     QueryDef("q263_conformal_interval", q263, Some(o263)),
     QueryDef("q259_ks_drift", q259, Some(o259)),
