@@ -1179,17 +1179,31 @@ object Corpus {
     * places nearby (why real pipelines run several passes with different
     * keys).
     *
-    * Plan shape: one range-partitioned sort per block (a scalable
-    * exchange), neighbor pairs via a generated offset equi-join on
-    * (block, rank + offset), word-set Jaccard on the paired texts, top 20.
+    * Plan shape (r11): the per-block rank decomposes as below(lang,
+    * n_chars) + the tie rank within the (lang, n_chars) group — cumulative
+    * counts over the bounded distinct-value frame (q152's grain) plus a
+    * window whose partition count grows with |langs|×|n_chars domain|, so
+    * no task ever sorts a whole language block (the old
+    * `partitionBy(lang)` shape did exactly that at 100 TB). rn is
+    * integer-identical; neighbor pairs then come from a generated offset
+    * equi-join on (block, rank + offset), word-set Jaccard, top 20.
     */
   private def q139(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(col("n_chars"), col("doc_id"))
+    val below = documents(s, d)
+      .groupBy(col("lang"), col("n_chars")).agg(count(lit(1)).as("c"))
+      .withColumn("below",
+        coalesce(sum(col("c")).over(Window.partitionBy(col("lang"))
+          .orderBy(col("n_chars"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("lang"), col("n_chars"), col("below"))
     val ranked = documents(s, d)
       .select(col("doc_id"), col("lang"), col("n_chars"),
         array_distinct(wsCol).as("wset"))
-      .withColumn("rn", row_number().over(w))
+      .withColumn("rn2", row_number().over(
+        Window.partitionBy(col("lang"), col("n_chars"))
+          .orderBy(col("doc_id"))))
+      .join(broadcast(below), Seq("lang", "n_chars"))
+      .withColumn("rn", col("below") + col("rn2"))
     val probes = ranked
       .select(col("doc_id"), col("lang"), col("wset"),
         explode(sequence(lit(1), lit(SnmWindow))).as("off"),
@@ -1452,17 +1466,38 @@ object Corpus {
     * documents take folds round-robin in deterministic md5-rank order
     * (q105's ranking trick), so every fold holds ⌈n_s/k⌉-or-⌊n_s/k⌋ docs of
     * each stratum — balance BY CONSTRUCTION, and the output matrix proves
-    * it. The rank window partitions by lang (parallel across strata); at a
-    * corpus where single strata outgrow a partition, the same md5 rank
-    * comes from a distinct-value cumulative join (q152's construction) —
-    * the round-robin and the proof query are unchanged.
+    * it.
+    *
+    * Scale shape (r11): the md5 order key is near-unique, so the
+    * distinct-VALUE grain doesn't compress — the scalable exact rank uses
+    * the md5-PREFIX grain instead: bucket = first 3 hex chars (4096
+    * buckets; prefix order is consistent with full-key order by
+    * construction), rank = below(lang, bucket) + the within-bucket rank.
+    * The cumulative `below` runs over the bounded (lang, bucket) frame
+    * (≤ |langs|×4096 rows at any corpus size) and the within-bucket
+    * window's partition count GROWS with strata×buckets — each task sorts
+    * ~n_s/4096 rows, never a whole stratum (the old `partitionBy(lang)`
+    * shape). rn is integer-identical; oracle SQL unchanged.
     */
   private def q170(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("lang"))
-      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
-    documents(s, d)
-      .select(col("doc_id"), col("lang"))
-      .withColumn("fold", ((row_number().over(w) - 1) % 5).cast("int"))
+    val mkey = md5(col("doc_id").cast("string"))
+    val docs = documents(s, d)
+      .select(col("doc_id"), col("lang"), mkey.as("mk"),
+        substring(mkey, 1, 3).as("bucket"))
+    val below = docs.groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("below",
+        coalesce(sum(col("c")).over(Window.partitionBy(col("lang"))
+          .orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("lang"), col("bucket"), col("below"))
+    docs
+      .withColumn("rn2", row_number().over(
+        Window.partitionBy(col("lang"), col("bucket"))
+          .orderBy(col("mk"), col("doc_id"))))
+      .join(broadcast(below), Seq("lang", "bucket"))
+      .withColumn("fold",
+        ((col("below") + col("rn2") - 1) % 5).cast("int"))
       .groupBy(col("lang"), col("fold"))
       .agg(count(lit(1)).as("n_docs"),
         min(col("doc_id")).as("min_doc"))
@@ -1943,8 +1978,12 @@ object Corpus {
       .agg(count(lit(1)).as("n_docs"),
         round(stddev_samp(col("n_chars")), 6).as("sd"))
       .withColumn("w", round(col("n_docs") * col("sd"), 6))
+    // coalesce before pmod: every-stratum-singleton corpora have sd (and
+    // so tw) NULL — the oracle's CROSS JOIN still emits every row with
+    // NULL alloc columns, so the broadcast key must not go NULL here
     val tot = st.agg(round(sum(col("w")), 6).as("tw"))
-      .withColumn("jk", pmod(col("tw").cast("long"), lit(1L)))
+      .withColumn("jk",
+        pmod(coalesce(col("tw").cast("long"), lit(0L)), lit(1L)))
     st.withColumn("jk", pmod(col("n_docs"), lit(1L)))
       .join(broadcast(tot), Seq("jk"))
       .select(col("lang"), col("n_docs"), col("sd"),
@@ -1980,40 +2019,77 @@ object Corpus {
     *
     * Cross-engine: ranks are exact ((value, doc_id) total order), u is an
     * exact rational rounded at 6, and the pooled quantile function is
-    * evaluated EXPLICITLY by linear interpolation over the globally
-    * ranked pooled frame (h = 1 + u·(N−1); x[⌊h⌋] + frac·(x[⌊h⌋+1] −
-    * x[⌊h⌋])) — the same formula in both dialects, two index equi-joins,
-    * no reliance on either engine's percentile internals. The pooled
-    * global sort is doc-grain; at 100 TB the quantile function is fit on
-    * a sample (the standard practice) and the per-source windows stay
-    * co-partitioned.
+    * evaluated EXPLICITLY by linear interpolation (h = 1 + u·(N−1);
+    * x[⌊h⌋] + frac·(x[⌊h⌋+1] − x[⌊h⌋])) — the same formula in both
+    * dialects, no reliance on either engine's percentile internals.
+    *
+    * Scale shape (rewritten r11, was a global single-partition row-rank
+    * window): n_chars is an integer with a bounded domain, so everything
+    * rank-shaped moves to the DISTINCT-VALUE grain (q152's pattern):
+    *  - per-source ranks: rk = below(source, x) + row_number within the
+    *    (source, x) tie group — cumulative counts over the bounded
+    *    (source, value) frame plus a window whose partition count GROWS
+    *    with |sources|×|domain| (parallelism scales; never one task per
+    *    source). rk is integer-identical to the old per-source sort.
+    *  - value-at-pooled-rank: instead of a global doc sort, the pooled
+    *    CDF's (span-start → x) directory (one row per distinct value) is
+    *    UNIONed with the ⌊h⌋/⌊h⌋+1 lookup keys and a last-non-null fill
+    *    over the merged bounded frame reads off x[⌊h⌋] — a sort of
+    *    |distinct u| + |domain| rows (u rounds at 6 ⇒ ≤ 1e6 + |domain|
+    *    rows at ANY corpus size), no equi-join on per-doc ranks, no
+    *    nested-loop range join.
+    * Tied docs share x, so every per-doc qx and both reported means are
+    * identical to the row-rank form; the oracle SQL is UNCHANGED.
     */
   private def q266(s: SparkSession, d: String): DataFrame = {
     val docs = documents(s, d).select(col("source"), col("doc_id"),
       col("n_chars").cast("double").as("x"))
-    val w = Window.partitionBy(col("source"))
-      .orderBy(col("x"), col("doc_id"))
-    val wn = Window.partitionBy(col("source"))
+    val sv = docs.groupBy(col("source"), col("x"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("below",
+        coalesce(sum(col("c")).over(Window.partitionBy(col("source"))
+          .orderBy(col("x"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n",
+        sum(col("c")).over(Window.partitionBy(col("source"))))
+      .select(col("source"), col("x"), col("below"), col("n"))
     val ranked = docs
-      .withColumn("rk", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(wn))
-      .withColumn("u", round((col("rk") - 0.5) / col("n"), 6))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("source"), col("x")).orderBy(col("doc_id"))))
+      .join(broadcast(sv), Seq("source", "x"))
+      .withColumn("u",
+        round((col("below") + col("rn") - 0.5) / col("n"), 6))
     val nTot = docs.agg(count(lit(1)).as("nt"))
       .withColumn("jk", pmod(col("nt"), lit(1L)))
-    val pooled = docs
-      .withColumn("gr", row_number().over(
-        Window.orderBy(col("x"), col("doc_id"))))
-      .select(col("gr").cast("long").as("gr"), col("x"))
+    val dir = docs.groupBy(col("x")).agg(count(lit(1)).as("c"))
+      .withColumn("key",
+        coalesce(sum(col("c")).over(Window.orderBy(col("x"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)) + 1L)
+      .select(col("key"), col("x").as("dx"), lit(0).as("tag"),
+        lit(null).cast("double").as("u"),
+        lit(null).cast("double").as("frac"),
+        lit(null).cast("string").as("which"))
     val us = ranked.select(col("u")).distinct()
       .withColumn("jk", pmod(round(col("u")).cast("long"), lit(1L)))
       .join(broadcast(nTot), Seq("jk"))
       .withColumn("h", col("u") * (col("nt") - 1) + 1.0)
       .withColumn("lo", floor(col("h")).cast("long"))
       .withColumn("frac", col("h") - floor(col("h")))
-    val qf = us
-      .join(pooled.select(col("gr").as("lo"), col("x").as("xlo")), Seq("lo"))
-      .join(pooled.select((col("gr") - 1).as("lo"), col("x").as("xhi")),
-        Seq("lo"))
+    val lookups = us
+      .select(col("u"), col("frac"), explode(array(
+        struct(col("lo").as("key"), lit("lo").as("which")),
+        struct((col("lo") + 1L).as("key"), lit("hi").as("which"))))
+        .as("kv"))
+      .select(col("kv.key").as("key"), lit(null).cast("double").as("dx"),
+        lit(1).as("tag"), col("u"), col("frac"), col("kv.which").as("which"))
+    val filled = dir.unionByName(lookups)
+      .withColumn("xv", last(col("dx"), ignoreNulls = true).over(
+        Window.orderBy(col("key"), col("tag"))
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val qf = filled.filter(col("tag") === 1)
+      .groupBy(col("u"), col("frac"))
+      .agg(max(when(col("which") === "lo", col("xv"))).as("xlo"),
+        max(when(col("which") === "hi", col("xv"))).as("xhi"))
       .select(col("u"),
         round(col("xlo") + col("frac") * (col("xhi") - col("xlo")), 6)
           .as("qx"))

@@ -790,11 +790,21 @@ object Events {
     * the scale hazard. Cut points interpolate over integers/2-decimal
     * sums, identically IEEE in both engines, and identical comparisons
     * bucket identically.
+    *
+    * Percentile state (r11): all three metrics feed `percentile` with
+    * BOUNDED distinct-value domains — recency is quantized to DAY grain
+    * (RFM recency is day-grain by definition; raw-µs recency is
+    * near-unique per user, the exact-percentile state-growth hazard
+    * q238/q191 already closed), frequency is a small per-user count, and
+    * monetary is a 2-decimal rounded sum (domain-bounded like q225's
+    * note). At 100 TB the exact percentile's distinct-value state stays
+    * O(domain); swap to `QuantileSketch` only if the domains widen.
     */
   private def q194(s: SparkSession, d: String): DataFrame = {
     val u = events(s, d)
       .groupBy(col("user_id"))
-      .agg(max(tsUs).as("rec"), count(lit(1)).as("freq"),
+      .agg(expr("max(ts DIV 1000) DIV 86400000000").as("rec"),
+        count(lit(1)).as("freq"),
         round(sum(col("value")), 2).as("mon"))
     val qs = "array(0.2D, 0.4D, 0.6D, 0.8D)"
     val cuts = u.agg(
@@ -818,7 +828,8 @@ object Events {
 
   private val o194 = """
     WITH u AS (
-      SELECT user_id, max(epoch_us(ts)) AS rec, count(*) AS freq,
+      SELECT user_id, max(epoch_us(ts)) // 86400000000 AS rec,
+             count(*) AS freq,
              round(sum(value), 2) AS mon
       FROM events GROUP BY user_id),
     c AS (SELECT quantile_cont(rec, [0.2, 0.4, 0.6, 0.8]) AS rc,
@@ -1954,7 +1965,12 @@ object Events {
     * Cut points are rounded at 6 before the comparisons so bin
     * assignment is bit-stable cross-engine; WoE/IV are scalars of ln over
     * exact integer-count ratios, rounded at 6 (the transcendental-parity
-    * recipe).
+    * recipe). A bin with zero goods or zero bads has no finite WoE — both
+    * dialects guard it to NULL explicitly (DuckDB's ln(0) is a hard
+    * error, Spark's is NULL; the CASE keeps the engines aligned by
+    * construction). Percentile state: x is the 2-decimal o_totalprice,
+    * so the exact percentile's distinct-value state is bounded by the
+    * price domain, not by rows (q225's stance).
     */
   private def q248(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d)
@@ -1985,12 +2001,13 @@ object Events {
       .withColumn("jk", pmod(col("n"), lit(1L)))
       .join(broadcast(tot), Seq("jk"))
       .select(col("bin"), col("n"), col("n_good"), col("n_bad"),
-        round(log(
-          (col("n_good") / col("tg")) / (col("n_bad") / col("tb"))), 6)
+        round(when(col("n_good") > 0 && col("n_bad") > 0, log(
+          (col("n_good") / col("tg")) / (col("n_bad") / col("tb")))), 6)
           .as("woe"),
-        round((col("n_good") / col("tg") - col("n_bad") / col("tb"))
-          * log((col("n_good") / col("tg")) / (col("n_bad") / col("tb"))), 6)
-          .as("iv_term"))
+        round(when(col("n_good") > 0 && col("n_bad") > 0,
+          (col("n_good") / col("tg") - col("n_bad") / col("tb"))
+            * log((col("n_good") / col("tg")) / (col("n_bad") / col("tb")))),
+          6).as("iv_term"))
       .orderBy(col("bin"))
   }
 
@@ -2018,12 +2035,14 @@ object Events {
     SELECT bin, count(*) AS n,
            CAST(sum(1 - bad) AS BIGINT) AS n_good,
            CAST(sum(bad) AS BIGINT) AS n_bad,
-           round(ln((sum(1 - bad) / any_value(tot.tg))
-                  / (sum(bad) / any_value(tot.tb))), 6) AS woe,
-           round((sum(1 - bad) / any_value(tot.tg)
+           round(CASE WHEN sum(1 - bad) > 0 AND sum(bad) > 0 THEN
+                 ln((sum(1 - bad) / any_value(tot.tg))
+                  / (sum(bad) / any_value(tot.tb))) END, 6) AS woe,
+           round(CASE WHEN sum(1 - bad) > 0 AND sum(bad) > 0 THEN
+                 (sum(1 - bad) / any_value(tot.tg)
                   - sum(bad) / any_value(tot.tb))
                  * ln((sum(1 - bad) / any_value(tot.tg))
-                    / (sum(bad) / any_value(tot.tb))), 6) AS iv_term
+                    / (sum(bad) / any_value(tot.tb))) END, 6) AS iv_term
     FROM binned, tot GROUP BY bin ORDER BY bin"""
 
   /** q249: CUPED variance reduction — the standard experimentation
@@ -2056,11 +2075,15 @@ object Events {
         sum(when(col("us") >= col("mid"), col("value")).otherwise(0.0))
           .as("y"))
       .withColumn("arm", pmod(col("user_id"), lit(2L)))
+    // jk must stay non-NULL even when θ is NULL (var_pop(x)=0 degenerate:
+    // both engines make θ NULL via /0→NULL, and the oracle's CROSS JOIN
+    // keeps every row — a NULL join key here would drop them all)
     val coef = users.agg(
       round(covar_pop(col("x"), col("y")) / var_pop(col("x")), 6)
         .as("theta"),
       round(avg(col("x")), 6).as("mx"))
-      .withColumn("jk", pmod(col("theta").cast("long"), lit(1L)))
+      .withColumn("jk",
+        pmod(coalesce(col("theta").cast("long"), lit(0L)), lit(1L)))
     val adj = users.withColumn("jk", pmod(col("user_id"), lit(1L)))
       .join(broadcast(coef), Seq("jk"))
       .withColumn("ystar",
@@ -2113,30 +2136,50 @@ object Events {
     * from each tail; the trimmed mean averages the middle, the winsorized
     * mean clamps each tail to the surviving boundary values (rank k+1 and
     * n−k) — the heavy-tail-resistant metric aggregation an experimentation
-    * pipeline reports alongside the raw mean. One window pass per type +
-    * one conditional rollup; ranks are exact, only the final averages
-    * round (6).
+    * pipeline reports alongside the raw mean.
+    *
+    * Scale shape (rewritten r11, was a per-type row-rank window): a
+    * row-grain `row_number` partitioned by the O(1)-cardinality
+    * event_type would make each task sort the whole corpus at 100 TB, so
+    * the ranks are re-derived on the DISTINCT-VALUE grain — q152's
+    * pattern: one hash aggregation to (type, value, count), a cumulative
+    * window over the distinct values only (bounded by the value domain,
+    * never by rows), and every tail statistic read off the (below, c)
+    * span arithmetic: a value's overlap with the kept middle ⟦k, n−k⟧ is
+    * `min(below+c, n−k) − max(below, k)` clamped at 0, and the boundary
+    * values are the spans containing ranks k+1 / n−k — conditional
+    * aggregates, no join-back needed. Tie order never matters (tied rows
+    * share the value), so results are identical to the row-rank form;
+    * the oracle SQL is UNCHANGED and keeps hash-matching. Only the final
+    * averages round (6).
     */
   private def q250(s: SparkSession, d: String): DataFrame = {
-    val w = Window.partitionBy(col("event_type"))
-      .orderBy(col("value"), col("event_id"))
-    val wn = Window.partitionBy(col("event_type"))
-    val ranked = events(s, d)
-      .select(col("event_type"), col("event_id"), col("value"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("n", count(lit(1)).over(wn))
+    val wv = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    val wt = Window.partitionBy(col("event_type"))
+    val vals = events(s, d)
+      .groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("c"), sum(col("value")).as("vsum"))
+      .withColumn("below",
+        coalesce(sum(col("c")).over(
+          wv.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("n", sum(col("c")).over(wt))
       .withColumn("k", expr("n DIV 20"))
-    ranked.groupBy(col("event_type"))
+      .withColumn("ov",
+        greatest(least(col("below") + col("c"), col("n") - col("k"))
+          - greatest(col("below"), col("k")), lit(0L)))
+    vals.groupBy(col("event_type"))
       .agg(
-        first(col("n")).cast("long").as("n"),
-        first(col("k")).cast("long").as("k_trim"),
-        round(avg(col("value")), 6).as("mean_raw"),
-        round(avg(when(col("rn") > col("k") && col("rn") <= col("n") - col("k"),
-          col("value"))), 6).as("mean_trimmed"),
-        max(when(col("rn") === col("k") + 1, col("value"))).as("lo"),
-        max(when(col("rn") === col("n") - col("k"), col("value"))).as("hi"),
-        sum(when(col("rn") > col("k") && col("rn") <= col("n") - col("k"),
-          col("value")).otherwise(0.0)).as("mid_sum"))
+        max(col("n")).cast("long").as("n"),
+        max(col("k")).cast("long").as("k_trim"),
+        round(sum(col("vsum")) / max(col("n")), 6).as("mean_raw"),
+        round(sum(col("value") * col("ov"))
+          / (max(col("n")) - lit(2) * max(col("k"))), 6).as("mean_trimmed"),
+        max(when(col("below") <= col("k")
+          && col("k") < col("below") + col("c"), col("value"))).as("lo"),
+        max(when(col("below") < col("n") - col("k")
+          && col("n") - col("k") <= col("below") + col("c"), col("value")))
+          .as("hi"),
+        sum(col("value") * col("ov")).as("mid_sum"))
       .select(col("event_type"), col("n"), col("k_trim"), col("mean_raw"),
         col("mean_trimmed"),
         round((col("mid_sum") + col("k_trim") * (col("lo") + col("hi")))
@@ -2419,34 +2462,50 @@ object Events {
     * so D is a max over differences of two exact divisions; one rounded
     * column at the end.
     *
-    * Scale shape: one explode of the fact rows into the |types| contrast
-    * frames (bounded alphabet), one value-ordered window per contrast —
-    * the same co-partitioned window pass every per-key ranking query
-    * pays; no self-join, no binning.
+    * Scale shape (rewritten r11, was an explode of the corpus into every
+    * contrast partition): the fact rows collapse FIRST to the
+    * distinct-(type, value) grain (one hash aggregation, bounded by
+    * |types| × the value domain — never by rows), the bounded support is
+    * replicated |types|× (distinct values only, not the corpus), and the
+    * CDFs are cumulative counts over that bounded frame. Each window
+    * partition holds ≤ |value domain| rows regardless of corpus size —
+    * the q152 distinct-value-grain stance. Values are distinct within a
+    * partition, so a ROWS cumulative reproduces the old RANGE
+    * (tie-folding) frame exactly; the same integer counts divide into
+    * the same doubles, and the oracle SQL's guarded max hash-matches
+    * unchanged. The `nb > 0` guard (both dialects) pins the single-type
+    * degenerate corpus to NULL instead of engine-specific ∞.
     */
   private def q259(s: SparkSession, d: String): DataFrame = {
     val types = events(s, d).select(col("event_type")).distinct()
       .select(collect_list(col("event_type")).as("ts"))
-      .withColumn("jk", pmod(size(col("ts")), size(col("ts"))))
-    val contrast = events(s, d)
-      .select(col("event_type"), col("value"))
-      .withColumn("jk", pmod(length(col("event_type")) * 0, lit(1)))
+      .withColumn("jk", pmod(size(col("ts")).cast("long"), lit(1L)))
+    val ptv = events(s, d)
+      .groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("ct"))
+    val support = ptv.groupBy(col("value")).agg(sum(col("ct")).as("cv"))
+      .withColumn("jk", pmod(col("cv"), col("cv")))
       .join(broadcast(types), Seq("jk"))
-      .select(explode(col("ts")).as("t"), col("event_type"), col("value"))
-      .withColumn("m", (col("event_type") === col("t")).cast("long"))
+      .select(explode(col("ts")).as("t"), col("value"), col("cv"))
+    val contrast = support
+      .join(ptv.select(col("event_type").as("t"), col("value"),
+          col("ct")), Seq("t", "value"), "left")
+      .withColumn("ct", coalesce(col("ct"), lit(0L)))
     val w = Window.partitionBy(col("t")).orderBy(col("value"))
-      .rangeBetween(Window.unboundedPreceding, 0)
     val wt = Window.partitionBy(col("t"))
     contrast
-      .withColumn("ca", sum(col("m")).over(w))
-      .withColumn("cb", sum(lit(1L) - col("m")).over(w))
-      .withColumn("na", sum(col("m")).over(wt))
-      .withColumn("nb", sum(lit(1L) - col("m")).over(wt))
+      .withColumn("ca", sum(col("ct")).over(w))
+      .withColumn("call", sum(col("cv")).over(w))
+      .withColumn("na", sum(col("ct")).over(wt))
+      .withColumn("ntot", sum(col("cv")).over(wt))
+      .withColumn("cb", col("call") - col("ca"))
+      .withColumn("nb", col("ntot") - col("na"))
       .groupBy(col("t").as("event_type"))
       .agg(max(col("na")).cast("long").as("n_type"),
         max(col("nb")).cast("long").as("n_rest"),
-        round(max(abs(col("ca") / col("na").cast("double")
-          - col("cb") / col("nb").cast("double"))), 6).as("ks_d"))
+        round(max(when(col("nb") > 0,
+          abs(col("ca") / col("na").cast("double")
+            - col("cb") / col("nb").cast("double")))), 6).as("ks_d"))
       .orderBy(col("event_type"))
   }
 
@@ -2468,8 +2527,8 @@ object Events {
     SELECT t AS event_type,
            CAST(max(na) AS BIGINT) AS n_type,
            CAST(max(nb) AS BIGINT) AS n_rest,
-           round(max(abs(ca / CAST(na AS DOUBLE)
-             - cb / CAST(nb AS DOUBLE))), 6) AS ks_d
+           round(max(CASE WHEN nb > 0 THEN abs(ca / CAST(na AS DOUBLE)
+             - cb / CAST(nb AS DOUBLE)) END), 6) AS ks_d
     FROM cum GROUP BY t ORDER BY t"""
 
   /** q260: ROC-AUC per segment via the Mann–Whitney U rank statistic —
@@ -2485,27 +2544,35 @@ object Events {
     * statistic bit-stable with no rounding tricks; only final divisions
     * round.
     *
-    * Scale shape: eval is per-segment (the window partitions by
-    * segment); at 100 TB the same plan computes per-model/per-slice AUC
-    * with slices as the partition key — never a global sort.
+    * Scale shape (rewritten r11, was a per-row rank window partitioned
+    * by the 5-value segment — a single task sorting the whole slice at
+    * 100 TB): scores collapse first to the distinct-(segment, score)
+    * grain — one hash aggregation carrying (count, positive count) — and
+    * the midrank of EVERY row tied at a score is read off that grain:
+    * cle = cumulative count over the bounded distinct-score frame,
+    * midrank = (cle − c) + (c+1)/2, and the positive rank sum is
+    * Σ c_pos · midrank. Window partitions hold ≤ |score domain| rows
+    * (o_totalprice is 2-decimal ⇒ domain-bounded) regardless of corpus
+    * size. Midranks are halves and c_pos is an integer, so every product
+    * and sum is exact in doubles — bit-identical to the row-rank form;
+    * the oracle SQL is UNCHANGED and keeps hash-matching.
     */
   private def q260(s: SparkSession, d: String): DataFrame = {
     val o = orders(s, d).select(col("o_orderpriority").as("seg"),
       col("o_totalprice").as("score"),
       (col("o_orderstatus") === "F").cast("long").as("pos"))
     val wle = Window.partitionBy(col("seg")).orderBy(col("score"))
-      .rangeBetween(Window.unboundedPreceding, 0)
-    val weq = Window.partitionBy(col("seg"), col("score"))
     val ranked = o
-      .withColumn("cle", count(lit(1)).over(wle))
-      .withColumn("ceq", count(lit(1)).over(weq))
+      .groupBy(col("seg"), col("score"))
+      .agg(count(lit(1)).as("c"), sum(col("pos")).as("cpos"))
+      .withColumn("cle", sum(col("c")).over(wle))
       .withColumn("midrank",
-        (col("cle") - col("ceq")).cast("double")
-          + (col("ceq").cast("double") + 1.0) / 2.0)
+        (col("cle") - col("c")).cast("double")
+          + (col("c").cast("double") + 1.0) / 2.0)
     ranked.groupBy(col("seg"))
-      .agg(count(lit(1)).as("n"),
-        sum(col("pos")).cast("long").as("n_pos"),
-        sum(when(col("pos") === 1, col("midrank")).otherwise(0.0))
+      .agg(sum(col("c")).cast("long").as("n"),
+        sum(col("cpos")).cast("long").as("n_pos"),
+        sum(col("cpos").cast("double") * col("midrank"))
           .as("rank_sum_pos"))
       .select(col("seg"), col("n"), col("n_pos"),
         (col("n") - col("n_pos")).as("n_neg"),
@@ -2639,10 +2706,14 @@ object Events {
         round((col("sy").cast("double") + lit(TeM) * col("p"))
           / (col("n") + lit(TeM)), 6).as("smoothed_enc"),
         // LOO for a binary target takes exactly two values per category:
-        // the encoding of a positive row and of a negative row
-        round((col("sy") - 1).cast("double") / (col("n") - 1), 6)
+        // the encoding of a positive row and of a negative row; a
+        // singleton category has no leave-one-out rows — explicit NULL
+        // in both dialects (not an engine-specific /0)
+        round(when(col("n") > 1,
+          (col("sy") - 1).cast("double") / (col("n") - 1)), 6)
           .as("loo_if_pos"),
-        round(col("sy").cast("double") / (col("n") - 1), 6)
+        round(when(col("n") > 1,
+          col("sy").cast("double") / (col("n") - 1)), 6)
           .as("loo_if_neg"))
       .orderBy(col("cat"))
   }
@@ -2657,9 +2728,11 @@ object Events {
            round(CAST(sum(y) AS DOUBLE) / count(*), 6) AS raw_rate,
            round((CAST(sum(y) AS DOUBLE) + $TeM * any_value(pr.p))
                  / (count(*) + $TeM), 6) AS smoothed_enc,
-           round(CAST(sum(y) - 1 AS DOUBLE) / (count(*) - 1), 6)
+           round(CASE WHEN count(*) > 1 THEN
+                 CAST(sum(y) - 1 AS DOUBLE) / (count(*) - 1) END, 6)
              AS loo_if_pos,
-           round(CAST(sum(y) AS DOUBLE) / (count(*) - 1), 6)
+           round(CASE WHEN count(*) > 1 THEN
+                 CAST(sum(y) AS DOUBLE) / (count(*) - 1) END, 6)
              AS loo_if_neg
     FROM o CROSS JOIN prior pr
     GROUP BY cat ORDER BY cat"""

@@ -381,17 +381,22 @@ object Multimodal {
       .orderBy(col("doc_id"))
   }
 
+  // the feature list indexes BYTES of the UTF-8 payload on BOTH sides
+  // (Spark reads payload(i*64) & 0xff; the oracle extracts the same byte
+  // from hex(encode(text)) at hex position i*128+1) — equal by
+  // construction on non-ASCII text too, not by corpus accident
   private val o252 = """
     WITH f AS (
       SELECT doc_id,
              greatest(CAST(trunc((CAST(octet_length(encode(text)) AS INT)
                                   - 16) / 64.0) AS INT) + 1, 0) AS n,
-             text
+             hex(encode(text)) AS hx
       FROM documents),
     feats AS (
       SELECT doc_id, n,
              list_transform(range(0, n),
-               i -> ascii(substr(text, CAST(i * 64 + 1 AS INT), 1))) AS fl
+               i -> CAST('0x' || substring(hx, CAST(i * 128 + 1 AS INT), 2)
+                         AS INT)) AS fl
       FROM f),
     diffs AS (
       SELECT doc_id, n,

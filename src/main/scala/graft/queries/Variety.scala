@@ -294,15 +294,30 @@ object Variety {
   /** q78: value-RANGE window frames (frame membership decided by the order
     * key's value, not row position — peer-order-independent, so exact on
     * both engines; sums stay integer).
+    *
+    * Scale shape (r11): a RANGE frame's output depends only on the
+    * (partition, order-key value) pair, so the window runs on the
+    * DISTINCT-VALUE grain — one hash aggregation to (lang, n_chars,
+    * count), the range-framed sums over that bounded frame (≤ |langs| ×
+    * |n_chars domain| rows at any corpus size), then a broadcast join
+    * back onto the rows. Counts/sums are integers — identical to the
+    * row-grain window; the oracle SQL is UNCHANGED.
     */
   private def q78(s: SparkSession, d: String): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("lang")).orderBy(col("n_chars"))
       .rangeBetween(-100, org.apache.spark.sql.expressions.Window.currentRow)
+    val g = documents(s, d)
+      .groupBy(col("lang"), col("n_chars"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("n_within_100", sum(col("c")).over(w))
+      .withColumn("chars_within_100",
+        sum(col("c") * col("n_chars")).over(w).cast("long"))
+      .select(col("lang"), col("n_chars"), col("n_within_100"),
+        col("chars_within_100"))
     documents(s, d)
-      .select(col("doc_id"), col("lang"), col("n_chars"),
-        count(lit(1)).over(w).as("n_within_100"),
-        sum(col("n_chars")).over(w).cast("long").as("chars_within_100"))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .join(broadcast(g), Seq("lang", "n_chars"))
       .orderBy(col("doc_id"))
   }
 

@@ -1970,7 +1970,30 @@ object Vec {
     * stays in the catalog as the measurement that catches exactly this
     * class of silent-regression "improvement".
     */
-  private def q244(s: SparkSession, d: String): DataFrame = {
+  private def q244(s: SparkSession, d: String): DataFrame =
+    ivfadcTrainedAudit(s, d, PqK, 100L)
+
+  /** q270: the SAME trained-PQ audit at K=256 (8 bits/subspace) — the
+    * configuration Jégou et al. (TPAMI 2011 §IV) actually prescribe, and
+    * the measurement q244's scaladoc predicted but r10 left unmeasured:
+    * at K=$PqK (3 bits) training HURTS ranking (centroid averaging
+    * collapses the spread ADC ranks by); the prediction is that at K=256
+    * the trained codebook's finer partition re-aligns training with
+    * recall. Identical pipeline, seed, probe widths and tiers — only the
+    * sub-codebook size (and the scid packing stride) changes, so any
+    * recall delta vs q244 is attributable to K alone. At the test corpus
+    * (500–2000 vectors) K=256 sits near memorization (~2–8 residuals per
+    * sub-centroid) — the asymptotic-regime caveat is recorded with the
+    * readout in BASELINE.md r11.
+    */
+  private def q270(s: SparkSession, d: String): DataFrame =
+    ivfadcTrainedAudit(s, d, 256, 1000L)
+
+  /** Shared body of q244/q270: IVFADC+R with `pqK`-entry trained
+    * sub-codebooks; `pack` is the (m, scid) → long packing stride for the
+    * Lloyd rollup key (must exceed pqK). */
+  private def ivfadcTrainedAudit(s: SparkSession, d: String, pqK: Int,
+      pack: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
     val cb = codebookRow(s, d)
@@ -1994,7 +2017,7 @@ object Vec {
       .withColumn("jk", pmod(size(col("scbs")), size(col("scbs"))))
     // seed: the q204 sub-codebook, sliced per subspace
     val seed = withRes
-      .filter(col("vec_id") >= NCells && col("vec_id") < NCells + PqK)
+      .filter(col("vec_id") >= NCells && col("vec_id") < NCells + pqK)
       .select((col("vec_id") - NCells).as("scid"),
         posexplode(slices(col("r"))).as(Seq("m", "cv")))
       .select(col("m"), col("scid"), col("cv"))
@@ -2007,15 +2030,15 @@ object Vec {
         .select(col("m"), col("rs"),
           graft.functions.NearestCentroidExpression.nearest(col("rs"),
             element_at(col("scbs"), col("m") + 1)).getField("cid").as("scid"))
-        .select((col("m").cast("long") * 100 + col("scid")).as("k"),
+        .select((col("m").cast("long") * pack + col("scid")).as("k"),
           col("rs"))
         .as[(Long, Seq[Double])]
         .groupByKey(_._1)
         .mapValues(_._2)
         .agg(cent.name("c"))
         .toDF("k", "c")
-        .select(expr("(k div 100)").cast("int").as("m"),
-          pmod(col("k"), lit(100L)).as("scid"),
+        .select(expr(s"(k div $pack)").cast("int").as("m"),
+          pmod(col("k"), lit(pack)).as("scid"),
           transform(col("c"), x => round(x, 6)).as("cv"))
     }
     val trainedRaw = (1 to SubIters).foldLeft(seed)((c, _) => subLloyd(c))
@@ -2172,7 +2195,11 @@ object Vec {
       GROUP BY m, scid)"""
   }.mkString(",")
 
-  private def o244: String = {
+  private def o244: String = oIvfadcTrained(PqK)
+
+  private def o270: String = oIvfadcTrained(256)
+
+  private def oIvfadcTrained(pqK: Int): String = {
     def oD2(a: String, b: String): String =
       s"""round(list_sum(list_transform(range(1, ${Dim + 1}),
           i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), 6)"""
@@ -2203,7 +2230,7 @@ object Vec {
              list_transform(range(1, ${PqSub + 1}),
                i -> r[m.m * $PqSub + i]) AS cv
       FROM res CROSS JOIN ms m
-      WHERE vec_id >= $NCells AND vec_id < ${NCells + PqK}),
+      WHERE vec_id >= $NCells AND vec_id < ${NCells + pqK}),
     sx AS (
       SELECT r.vec_id, m.m,
              list_transform(range(1, ${PqSub + 1}),
@@ -3171,6 +3198,7 @@ object Vec {
     QueryDef("q245_bitext_ann", q245, Some(o245)),
     QueryDef("q204_ivfadc_refine", q204, Some(o204)),
     QueryDef("q244_ivfadc_trained", q244, Some(o244)),
+    QueryDef("q270_ivfadc_trained_k256", q270, Some(o270)),
     QueryDef("q197_embedding_geometry", q197, Some(o197)),
     QueryDef("q196_centroid_classifier", q196, Some(o196)),
     QueryDef("q180_ivfadc", q180, Some(o180)),

@@ -22,46 +22,70 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * addend order EXACTLY — `CusumStreamSpec` asserts the emitted series is
   * bit-identical (double equality, no tolerance) to the batch
   * prefix-sum frame.
+  *
+  * State eviction (r11): a RETIRED metric key (no events for [[RetireUs]]
+  * of event time) has its state dropped via event-time timeout — the same
+  * GC discipline the other stateful streams carry; without it |keys|
+  * grows monotonically over a deployment's lifetime. Eviction emits
+  * nothing (a monitor has no close record); a key that RESUMES after
+  * retirement restarts its series from n=1, which is also the statistic
+  * you want — a months-silent metric should not resume mid-drift.
   */
 object CusumStream {
 
   final case class Ev(event_type: String, event_id: Long, ts_us: Long,
-      value: Double)
+      value: Double, event_time: java.sql.Timestamp)
 
   final case class Point(event_type: String, rn: Long, event_id: Long,
       ts_us: Long, cusum: Double)
 
-  final case class CuState(n: Long, s: Double)
+  final case class CuState(n: Long, s: Double, last_us: Long)
 
-  private def update(means: Map[String, Double])(
+  /** Event-time horizon after which a silent key's state is evicted. */
+  val RetireUs: Long = 21600000000L // 6 hours
+
+  private def update(means: Map[String, Double], retireUs: Long)(
       key: String,
       events: Iterator[Ev],
       state: GroupState[CuState]): Iterator[Point] = {
-    val mu = means.getOrElse(key, 0.0)
-    val sorted = events.toSeq.sortBy(e => (e.ts_us, e.event_id))
-    var st = state.getOption.getOrElse(CuState(0L, 0.0))
-    val out = sorted.map { e =>
-      st = CuState(st.n + 1, st.s + (e.value - mu))
-      Point(key, st.n, e.event_id, e.ts_us, st.s)
+    if (state.hasTimedOut) {
+      state.remove()
+      Iterator.empty
+    } else {
+      val mu = means.getOrElse(key, 0.0)
+      val sorted = events.toSeq.sortBy(e => (e.ts_us, e.event_id))
+      var st = state.getOption.getOrElse(CuState(0L, 0.0, 0L))
+      val out = sorted.map { e =>
+        st = CuState(st.n + 1, st.s + (e.value - mu),
+          math.max(st.last_us, e.ts_us))
+        Point(key, st.n, e.event_id, e.ts_us, st.s)
+      }
+      state.update(st)
+      state.setTimeoutTimestamp(st.last_us / 1000L + retireUs / 1000L)
+      out.iterator
     }
-    state.update(st)
-    out.iterator
   }
 
   /** Wire a raw streaming frame with `ts` (long, ns), `event_id`,
     * `event_type`, `value`. `means` is the per-key reference level fitted
     * by the batch tier (rounded there, so both tiers subtract identical
-    * doubles).
+    * doubles). The 1-hour watermark bounds late data; the event-time
+    * timeout GCs keys silent past `retireUs` of event time (choose the
+    * horizon per deployment cadence — longer than the slowest live
+    * metric's natural gap, or its series restarts on resume).
     */
-  def attach(events: DataFrame, means: Map[String, Double]): Dataset[Point] = {
+  def attach(events: DataFrame, means: Map[String, Double],
+      retireUs: Long = RetireUs): Dataset[Point] = {
     val s = events.sparkSession
     import s.implicits._
     events
+      .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
+      .withWatermark("event_time", "1 hour")
       .select(col("event_type"), col("event_id"),
-        expr("ts DIV 1000").as("ts_us"), col("value"))
+        expr("ts DIV 1000").as("ts_us"), col("value"), col("event_time"))
       .as[Ev]
       .groupByKey(_.event_type)
       .flatMapGroupsWithState(OutputMode.Append,
-        GroupStateTimeout.NoTimeout)(update(means))
+        GroupStateTimeout.EventTimeTimeout)(update(means, retireUs))
   }
 }

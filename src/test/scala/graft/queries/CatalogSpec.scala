@@ -69,6 +69,60 @@ class CatalogSpec extends SparkTestBase {
     }
   }
 
+  test("NO window partitions a raw fact scan by an O(1)-cardinality key") {
+    // The r10 verdict's one structural debt class: a Window whose partition
+    // key has bounded cardinality (event_type/seg/source/lang/…, or no
+    // partition at all) sitting DIRECTLY on row-grain data makes each task
+    // sort an O(corpus) slice at 100 TB — parallelism capped at |key|
+    // regardless of cluster size. The scale-safe shapes this spec accepts:
+    //   (a) the partition key includes an unbounded column (user_id, doc_id,
+    //       a value column) — parallelism grows with data; or
+    //   (b) an Aggregate sits beneath the Window — the frame is value-grain
+    //       (q152's distinct-value cumulative-count pattern) or otherwise
+    //       pre-collapsed, so partition size is bounded by the value domain,
+    //       not by rows.
+    //   (c) the optimizer inserted a WindowGroupLimit beneath (a rank-k
+    //       filter): per-partition state is O(k) with a partial/final
+    //       split, not a full sort — q105's top-3-per-stratum shape; or
+    //   (d) a Limit sits beneath — the window input is ≤ a literal k rows
+    //       (q164's rank-over-top-20 shape).
+    // Catalog-wide so the class cannot recur silently (the DocsFreshnessSpec
+    // stance). Plan-only, no execution.
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, WindowGroupLimit, Window => LWindow}
+    val bounded = Set("event_type", "seg", "t", "source", "lang", "arm",
+      "o_orderpriority", "o_orderstatus", "l_returnflag", "l_linestatus")
+    val violations = Seq.newBuilder[String]
+    for ((q, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+      val plan = fn(spark, sf()).queryExecution.optimizedPlan
+      plan.foreach {
+        case w: LWindow =>
+          val partNames =
+            w.partitionSpec.flatMap(_.references.toSeq.map(_.name)).distinct
+          val boundedOnly =
+            if (w.partitionSpec.isEmpty) true
+            else partNames.nonEmpty && partNames.forall(bounded.contains)
+          if (boundedOnly) {
+            val safe = w.child.collectFirst {
+              case a: Aggregate => a
+              case g: WindowGroupLimit => g
+              case l: GlobalLimit => l
+            }.isDefined
+            if (!safe)
+              violations += s"$q: Window partitioned by ${
+                if (partNames.isEmpty) "NOTHING (global sort)"
+                else partNames.mkString(",")
+              }"
+          }
+        case _ =>
+      }
+    }
+    assert(violations.result().isEmpty,
+      "Windows partitioned by an O(1)-cardinality key directly over an " +
+        "unaggregated scan — an O(1)-task terabyte sort at 100 TB; use " +
+        "the distinct-value-grain cumulative-count pattern (q152) " +
+        "instead:\n" + violations.result().mkString("\n"))
+  }
+
   test("join-heavy plans survive a scale-representative broadcast threshold") {
     // At local SFs every join auto-broadcasts (pruned size estimates sit
     // under the 10 MB default), so the sf0.001 no-BNLJ pin alone audits

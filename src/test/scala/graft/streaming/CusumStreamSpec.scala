@@ -47,11 +47,14 @@ class CusumStreamSpec extends SparkTestBase {
       .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
       .sortBy(t => (t._3, t._2))
     val input = MemoryStream[(String, Long, Long, Double)]
+    // retire horizon wider than the corpus span: this test replays history,
+    // where mid-stream eviction (the default 6 h horizon; see the eviction
+    // test) would legitimately restart sparse keys — parity needs none
     val out = CusumStream.attach(
       input.toDS().toDF("event_type", "event_id", "us", "value")
         .select(col("event_type"), col("event_id"),
           (col("us") * 1000).as("ts"), col("value")),
-      means)
+      means, retireUs = 3650L * 86400000000L)
     val query = out.toDF().writeStream.format("memory")
       .queryName("cusum_parity").outputMode(OutputMode.Append()).start()
     try {
@@ -86,6 +89,54 @@ class CusumStreamSpec extends SparkTestBase {
       }.toSet
       assert(online == q256,
         "online argmax disagrees with q256's retrospective changepoint")
+    } finally query.stop()
+  }
+
+  test("a silent key's state is evicted after the retire horizon; " +
+      "live keys keep their series") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+
+    val hourUs = 3600000000L
+    val input = MemoryStream[(String, Long, Long, Double)]
+    val out = CusumStream.attach(
+      input.toDS().toDF("event_type", "event_id", "us", "value")
+        .select(col("event_type"), col("event_id"),
+          (col("us") * 1000).as("ts"), col("value")),
+      Map("a" -> 0.0, "b" -> 0.0))
+    val query = out.toDF().writeStream.format("memory")
+      .queryName("cusum_evict").outputMode(OutputMode.Append()).start()
+    try {
+      // base sits well past epoch 0 — rows AT the initial 0 watermark are
+      // dropped as late before reaching the stateful operator
+      val t0 = 100L * hourUs
+      // t0: both keys alive
+      input.addData(("a", 1L, t0, 1.0), ("b", 2L, t0, 10.0))
+      query.processAllAvailable()
+      // b advances event time to +9h → watermark lands at +8h, past a's
+      // timeout (last a event + 6h); the NEXT batch fires the timeout
+      input.addData(("b", 3L, t0 + 9L * hourUs, 10.0))
+      query.processAllAvailable()
+      input.addData(("b", 4L, t0 + 10L * hourUs, 10.0))
+      query.processAllAvailable()
+      // a resumes after retirement → must restart at rn=1 (state dropped);
+      // without eviction this would be rn=2
+      input.addData(("a", 5L, t0 + 12L * hourUs, 2.0))
+      query.processAllAvailable()
+
+      val pts = spark.table("cusum_evict")
+        .select("event_type", "rn", "event_id", "cusum")
+        .collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+          r.getDouble(3)))
+        .toSet
+      val aPts = pts.filter(_._1 == "a")
+      assert(aPts == Set(("a", 1L, 1L, 1.0), ("a", 1L, 5L, 2.0)),
+        s"retired key 'a' did not restart from scratch: $aPts")
+      val bPts = pts.filter(_._1 == "b")
+      assert(bPts == Set(("b", 1L, 2L, 10.0), ("b", 2L, 3L, 20.0),
+        ("b", 3L, 4L, 30.0)),
+        s"live key 'b' lost continuity: $bPts")
     } finally query.stop()
   }
 }
