@@ -1086,7 +1086,75 @@ object Rel {
     FROM merged JOIN f ON merged.m = f.m
     ORDER BY month_key"""
 
+  /** Number of range buckets for q271's sampled range partitioner. */
+  private val RangeCutB = 16
+
+  /** q271: EXACT global rank via sampled range cuts — the terasort-style
+    * primitive every "global row_number / ntile / median-split" request
+    * should compile to at 100 TB, and the constructive answer to the
+    * window-discipline rule the r11 CatalogSpec enforces (a bare
+    * `row_number() OVER (ORDER BY …)` is a single-task sort of the
+    * corpus). Recipe: (1) a deterministic ~1% sample (o_orderkey % 97)
+    * fits $RangeCutB−1 quantile cut points (one percentile aggregation
+    * over the SAMPLE — bounded state; rounded 6 so both engines cut with
+    * identical doubles); (2) each row buckets by counting cuts below its
+    * value (monotone in the sort key, so bucket order refines global
+    * order); (3) per-bucket counts → cumulative `below` over the
+    * $RangeCutB-row aggregated frame; (4) global rank = below(bucket) +
+    * row_number within the bucket ordered by (value, key). Each window
+    * partition holds ~N/B rows with B sized to the cluster — parallelism
+    * grows with B, no single-task sort anywhere. The query PROVES
+    * exactness end-to-end by probing fixed global ranks and returning
+    * those rows — the oracle computes the same ranks with a plain global
+    * `row_number()`, so any partitioner/cumulative-count bug
+    * hash-mismatches. Bucket-balance caveat in the scaladoc is the
+    * operational one: cut quality only affects BALANCE (skewed buckets),
+    * never CORRECTNESS (ranks are exact for any cuts).
+    */
+  private def q271(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select(col("o_orderkey"),
+      col("o_totalprice").as("x"))
+    val qs = (1 until RangeCutB).map(i => s"${i.toDouble / RangeCutB}D")
+      .mkString("array(", ", ", ")")
+    val cuts = o.filter(pmod(col("o_orderkey"), lit(97L)) === 0)
+      .agg(expr(s"percentile(x, $qs)").as("cs"))
+      .select(transform(col("cs"), c => round(c, 6)).as("cs"))
+      .withColumn("jk", pmod(size(col("cs")).cast("long"), lit(1L)))
+    val bucketed = o.withColumn("jk", pmod(col("o_orderkey"), lit(1L)))
+      .join(broadcast(cuts), Seq("jk"))
+      .withColumn("bucket",
+        aggregate(col("cs"), lit(0),
+          (acc, c) => acc + when(col("x") > c, 1).otherwise(0)))
+    val below = bucketed.groupBy(col("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("below",
+        coalesce(sum(col("c")).over(Window.orderBy(col("bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bucket"), col("below"))
+    bucketed
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("bucket"))
+          .orderBy(col("x"), col("o_orderkey"))))
+      .join(broadcast(below), Seq("bucket"))
+      .withColumn("grank", col("below") + col("rn"))
+      .filter(col("grank").isin(1L, 10L, 100L, 1000L, 10000L, 100000L))
+      .select(col("grank"), col("o_orderkey"), col("x"))
+      .orderBy(col("grank"))
+  }
+
+  // The oracle deliberately computes the rank the NAIVE way (one global
+  // row_number) — cut quality cannot influence correctness, so the
+  // hash-compare isolates exactly the partitioner + cumulative-count logic.
+  private val o271 = """
+    SELECT grank, o_orderkey, x FROM (
+      SELECT row_number() OVER (ORDER BY o_totalprice, o_orderkey) AS grank,
+             o_orderkey, o_totalprice AS x
+      FROM orders)
+    WHERE grank IN (1, 10, 100, 1000, 10000, 100000)
+    ORDER BY grank"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q271_global_rank_rangecut", q271, Some(o271)),
     QueryDef("q229_incremental_rollup", q229, Some(o229)),
     QueryDef("q226_corr_matrix", q226, Some(o226)),
     QueryDef("q221_data_profile", q221, Some(o221)),
