@@ -456,7 +456,134 @@ object Indexing {
              AS over_factor
     FROM pd, mn, tr ORDER BY pd.d"""
 
+  // ---------------------------------------------------------------- q272
+
+  /** Bucket count for q272's layout comparison. */
+  private val SkipBuckets = 64L
+
+  /** Probe-grid denominator for q272 (probes j = 1..SkipProbes−1). */
+  private val SkipProbes = 17
+
+  /** q272: zone-map data-skipping effectiveness audit — the MEASUREMENT
+    * behind q118's layout claim: how many buckets can a min/max-pruning
+    * reader actually skip under (a) the NATURAL insertion-order layout
+    * (buckets = l_orderkey ranges) versus (b) the z-order layout (q118's
+    * Morton-key high bits)? Both layouts bucket the same rows, per-bucket
+    * (part, supp) bboxes are aggregated, and a deterministic 16-point
+    * probe grid over the key domain counts the buckets each point probe
+    * CANNOT skip (bbox contains the probe on both dimensions). The
+    * scanned fractions are the table a layout decision is made from: the
+    * natural layout's buckets are random in (part, supp) space so nearly
+    * every bbox covers the domain (fraction ≈ 1); z-order localizes both
+    * dimensions at once. This is the zone-map/file-skipping benefit
+    * quantified instead of asserted — the q143-style calibration loop for
+    * the layout tier.
+    *
+    * Scale shape: two shuffle-free per-row bucket keys, one
+    * (layout, bucket)-grain aggregation (≤ 2·$SkipBuckets-ish groups for
+    * natural, 16-bit-bounded for z-order), a 16× generator expansion of
+    * that BOUNDED frame, two rollups. Pure integer arithmetic until the
+    * final rounded fractions (probe points are integer grid cuts off the
+    * broadcast domain extremes — identical in both engines).
+    */
+  private def q272(s: SparkSession, d: String): DataFrame = {
+    val li = lineitem(s, d)
+      .select(col("l_orderkey"), col("l_partkey"), col("l_suppkey"))
+    val ext = li.agg(
+        min(col("l_orderkey")).as("ok0"), max(col("l_orderkey")).as("ok1"),
+        min(col("l_partkey")).as("p0"), max(col("l_partkey")).as("p1"),
+        min(col("l_suppkey")).as("s0"), max(col("l_suppkey")).as("s1"))
+      .withColumn("jk", pmod(col("ok0"), lit(1L)))
+    val rows = li.withColumn("jk", pmod(col("l_orderkey"), lit(1L)))
+      .join(broadcast(ext), Seq("jk"))
+    val carry = Seq("l_partkey", "l_suppkey", "p0", "p1", "s0", "s1")
+      .map(col)
+    val nat = rows.select(lit("natural").as("layout") +:
+      expr(s"((l_orderkey - ok0) * $SkipBuckets) DIV (ok1 - ok0 + 1)")
+        .as("bucket") +: carry: _*)
+    val zed = rows.select(lit("zorder").as("layout") +:
+      shiftright(zInterleave(col("l_partkey").bitwiseAND(lit(65535L)),
+        col("l_suppkey").bitwiseAND(lit(65535L))), 16).as("bucket") +:
+      carry: _*)
+    val bboxes = nat.unionByName(zed)
+      .groupBy(col("layout"), col("bucket"))
+      .agg(min(col("l_partkey")).as("min_part"),
+        max(col("l_partkey")).as("max_part"),
+        min(col("l_suppkey")).as("min_supp"),
+        max(col("l_suppkey")).as("max_supp"),
+        min(col("p0")).as("p0"), min(col("p1")).as("p1"),
+        min(col("s0")).as("s0"), min(col("s1")).as("s1"))
+    val probed = bboxes
+      .select(col("*"),
+        explode(expr(s"sequence(1, ${SkipProbes - 1})")).as("j"))
+      .withColumn("pp",
+        col("p0") + expr(s"((p1 - p0) * j) DIV $SkipProbes"))
+      .withColumn("ps",
+        col("s0") + expr(s"((s1 - s0) * ($SkipProbes - j)) DIV $SkipProbes"))
+      .withColumn("hit",
+        (col("min_part") <= col("pp") && col("pp") <= col("max_part") &&
+          col("min_supp") <= col("ps") && col("ps") <= col("max_supp"))
+          .cast("long"))
+    probed.groupBy(col("layout"), col("j"))
+      .agg(count(lit(1)).as("nb"), sum(col("hit")).as("scanned"))
+      .groupBy(col("layout"))
+      .agg(max(col("nb")).cast("long").as("n_buckets"),
+        round(avg(col("scanned") / col("nb").cast("double")), 6)
+          .as("avg_scanned_frac"),
+        round(min(col("scanned") / col("nb").cast("double")), 6)
+          .as("min_scanned_frac"),
+        round(max(col("scanned") / col("nb").cast("double")), 6)
+          .as("max_scanned_frac"))
+      .orderBy(col("layout"))
+  }
+
+  private val o272 = s"""
+    WITH ext AS (
+      SELECT min(l_orderkey) AS ok0, max(l_orderkey) AS ok1,
+             min(l_partkey) AS p0, max(l_partkey) AS p1,
+             min(l_suppkey) AS s0, max(l_suppkey) AS s1
+      FROM lineitem),
+    r AS (SELECT l.l_orderkey, l.l_partkey, l.l_suppkey,
+                 e.ok0, e.ok1, e.p0, e.p1, e.s0, e.s1
+          FROM lineitem l CROSS JOIN ext e),
+    tagged AS (
+      SELECT 'natural' AS layout,
+             ((l_orderkey - ok0) * $SkipBuckets) // (ok1 - ok0 + 1)
+               AS bucket,
+             l_partkey, l_suppkey, p0, p1, s0, s1
+      FROM r
+      UNION ALL
+      SELECT 'zorder',
+             (${oZInterleave("(l_partkey & 65535)", "(l_suppkey & 65535)")})
+               >> 16,
+             l_partkey, l_suppkey, p0, p1, s0, s1
+      FROM r),
+    bboxes AS (
+      SELECT layout, bucket,
+             min(l_partkey) AS min_part, max(l_partkey) AS max_part,
+             min(l_suppkey) AS min_supp, max(l_suppkey) AS max_supp,
+             min(p0) AS p0, min(p1) AS p1, min(s0) AS s0, min(s1) AS s1
+      FROM tagged GROUP BY layout, bucket),
+    probed AS (
+      SELECT b.*, j.j,
+             p0 + ((p1 - p0) * j.j) // $SkipProbes AS pp,
+             s0 + ((s1 - s0) * ($SkipProbes - j.j)) // $SkipProbes AS ps
+      FROM bboxes b
+      CROSS JOIN generate_series(1, ${SkipProbes - 1}) AS j(j)),
+    perprobe AS (
+      SELECT layout, j, count(*) AS nb,
+             sum(CASE WHEN min_part <= pp AND pp <= max_part
+                       AND min_supp <= ps AND ps <= max_supp
+                 THEN 1 ELSE 0 END) AS scanned
+      FROM probed GROUP BY layout, j)
+    SELECT layout, CAST(max(nb) AS BIGINT) AS n_buckets,
+           round(avg(scanned / CAST(nb AS DOUBLE)), 6) AS avg_scanned_frac,
+           round(min(scanned / CAST(nb AS DOUBLE)), 6) AS min_scanned_frac,
+           round(max(scanned / CAST(nb AS DOUBLE)), 6) AS max_scanned_frac
+    FROM perprobe GROUP BY layout ORDER BY layout"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q272_zonemap_skip_audit", q272, Some(o272)),
     QueryDef("q230_phrase_search", q230, Some(o230)),
     QueryDef("q234_join_cardinality_sketch", q234, Some(o234)),
     QueryDef("q115_countmin_sketch", q115, Some(o115)),
