@@ -2268,31 +2268,57 @@ object Events {
     * baseline) by LOCATING a level change in time.
     *
     * Cross-engine: the per-type mean is ROUNDED at 6 before the
-    * subtraction, so both engines accumulate an identical addend
-    * sequence; running-window prefix sums then add in the same order
-    * (the q239 precedent), making every S bit-identical — the argmax
-    * needs no tolerance, just the (rounded |S| desc, rn) tie-break.
-    * One window pass per type + a composite-argmax rollup.
+    * subtraction, so both engines accumulate the identical addend set;
+    * |S| is rounded at 6 before the argmax, whose (rounded |S| desc, rn)
+    * order is a tie-free [[Keys]] composite.
+    *
+    * Scale shape (rewritten r11, was a per-type row window — a single
+    * task sorting the whole corpus slice at 100 TB): the prefix sum is
+    * TWO-PHASE, the q271 range-cut recipe applied to running sums —
+    * day-grain bucket partials (one hash aggregation), cumulative bucket
+    * offsets over the bounded (type, day) frame, and a within-(type, day)
+    * running pass whose partition count GROWS with types×days. Bucket
+    * order refines time order and same-µs ties share a bucket, so
+    * rn = bucket_offset + in-bucket row_number is integer-identical to
+    * the global row order; S re-associates (ulps) but is rounded at 6
+    * before anything compares it. The argmax itself is a `max_by`
+    * AGGREGATION (map-side combining), not a second window.
     */
   private def q256(s: SparkSession, d: String): DataFrame = {
+    val dayUs = 86400000000L
     val ev = events(s, d)
       .select(col("event_type"), col("event_id"), tsUs.as("us"),
         col("value"))
     val mu = ev.groupBy(col("event_type"))
       .agg(round(avg(col("value")), 6).as("mu"), count(lit(1)).as("n"))
-    val w = Window.partitionBy(col("event_type"))
+    val dev = ev.join(broadcast(mu), Seq("event_type"))
+      .withColumn("dev", col("value") - col("mu"))
+      .withColumn("bucket", expr(s"us DIV $dayUs"))
+    val wb = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
+    val boffs = dev.groupBy(col("event_type"), col("bucket"))
+      .agg(sum(col("dev")).as("bsum"), count(lit(1)).as("bcnt"))
+      .withColumn("boff", coalesce(sum(col("bsum")).over(
+        wb.rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
+      .withColumn("brn", coalesce(sum(col("bcnt")).over(
+        wb.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("event_type"), col("bucket"), col("boff"), col("brn"))
+    val wIn = Window.partitionBy(col("event_type"), col("bucket"))
       .orderBy(col("us"), col("event_id"))
-    val cum = ev.join(broadcast(mu), Seq("event_type"))
-      .withColumn("rn", row_number().over(w))
-      .withColumn("s", sum(col("value") - col("mu"))
-        .over(w.rowsBetween(Window.unboundedPreceding, 0)))
-      .withColumn("abs_s", round(abs(col("s")), 6))
-    val wArg = Window.partitionBy(col("event_type"))
-      .orderBy(col("abs_s").desc, col("rn"))
-    cum.withColumn("pick", row_number().over(wArg))
-      .filter(col("pick") === 1)
-      .select(col("event_type"), col("n"), col("rn").as("cp_index"),
-        col("us").as("cp_us"), col("abs_s").as("max_abs_cusum"))
+    val cum = dev
+      .withColumn("rnIn", row_number().over(wIn))
+      .withColumn("sIn", sum(col("dev")).over(
+        wIn.rowsBetween(Window.unboundedPreceding, 0)))
+      .join(broadcast(boffs), Seq("event_type", "bucket"))
+      .withColumn("rn", (col("brn") + col("rnIn")).cast("int"))
+      .withColumn("abs_s", round(abs(col("boff") + col("sIn")), 6))
+    val k = Keys.key(
+      Keys.asc("cast(round(abs_s * 1000000) as bigint)", 16),
+      Keys.desc("rn", 10))
+    cum.groupBy(col("event_type"))
+      .agg(max(col("n")).as("n"),
+        expr(s"max_by(rn, $k)").as("cp_index"),
+        expr(s"max_by(us, $k)").as("cp_us"),
+        expr(s"max_by(abs_s, $k)").as("max_abs_cusum"))
       .orderBy(col("event_type"))
   }
 

@@ -1116,9 +1116,13 @@ object Rel {
       col("o_totalprice").as("x"))
     val qs = (1 until RangeCutB).map(i => s"${i.toDouble / RangeCutB}D")
       .mkString("array(", ", ", ")")
+    // an EMPTY sample (no key divisible by 97) must degrade to "no cuts"
+    // — everything in bucket 0, ranks still exact per the class invariant
+    // — not to a NULL cuts array (NULL jk would silently drop every row)
     val cuts = o.filter(pmod(col("o_orderkey"), lit(97L)) === 0)
       .agg(expr(s"percentile(x, $qs)").as("cs"))
-      .select(transform(col("cs"), c => round(c, 6)).as("cs"))
+      .select(coalesce(transform(col("cs"), c => round(c, 6)),
+        expr("CAST(array() AS ARRAY<DOUBLE>)")).as("cs"))
       .withColumn("jk", pmod(size(col("cs")).cast("long"), lit(1L)))
     val bucketed = o.withColumn("jk", pmod(col("o_orderkey"), lit(1L)))
       .join(broadcast(cuts), Seq("jk"))

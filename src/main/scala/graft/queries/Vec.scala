@@ -1996,6 +1996,9 @@ object Vec {
       pack: Long): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import s.implicits._
+    // pack <= pqK would alias (m, scid) rollup keys across subspaces and
+    // silently merge Lloyd centroids — wrong-but-plausible recall numbers
+    require(pack > pqK, s"scid packing stride $pack must exceed pqK=$pqK")
     val cb = codebookRow(s, d)
     val withRes = assignAgainst(s, d, cb)
       .withColumn("jk", pmod(col("vec_id"), lit(1)))

@@ -78,6 +78,11 @@ object CusumStream {
       retireUs: Long = RetireUs): Dataset[Point] = {
     val s = events.sparkSession
     import s.implicits._
+    // a horizon tighter than the 1h watermark delay would evict a key
+    // whose NEXT event still clears the late filter — the series would
+    // restart mid-stream and silently break batch parity
+    require(retireUs > 3600000000L,
+      "retire horizon must exceed the 1h watermark delay")
     events
       .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
       .withWatermark("event_time", "1 hour")

@@ -67,17 +67,23 @@ object WatermarkAuditStream {
   }
 
   /** Wire a raw streaming frame with `ts` (long, ns), `event_id`,
-    * `event_type`, `user_id`. `retireUs` must exceed the 1-hour watermark
-    * delay (see class doc).
+    * `event_type`, `user_id`. `delayUs` is the stream's own allowed-late
+    * window: events later than it are dropped UPSTREAM of this meter and
+    * never measured, so size it to the worst lateness you still want to
+    * SEE (q238's batch percentiles are the sizing input) — a meter whose
+    * delay is tighter than the tail it monitors censors exactly the
+    * events it exists to catch. `retireUs` must exceed `delayUs` (see
+    * class doc).
     */
-  def attach(events: DataFrame, retireUs: Long = RetireUs): Dataset[Late] = {
+  def attach(events: DataFrame, retireUs: Long = RetireUs,
+      delayUs: Long = 3600000000L): Dataset[Late] = {
     val s = events.sparkSession
     import s.implicits._
-    require(retireUs > 3600000000L,
-      "retire horizon must exceed the 1h watermark delay")
+    require(retireUs > delayUs,
+      "retire horizon must exceed the watermark delay")
     events
       .withColumn("event_time", timestamp_micros(expr("ts DIV 1000")))
-      .withWatermark("event_time", "1 hour")
+      .withWatermark("event_time", s"${delayUs / 1000000L} seconds")
       .select(col("user_id"), col("event_type"), col("event_id"),
         expr("ts DIV 1000").as("ts_us"), col("event_time"))
       .as[Ev]

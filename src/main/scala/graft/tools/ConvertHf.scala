@@ -47,11 +47,16 @@ object ConvertHf {
   final case class St(name: String, dtype: String, shape: Seq[Int],
       begin: Long, end: Long)
 
+  /** Parsed safetensors handle: tensor slots, a per-slot F32 reader, and
+    * the underlying file to close when done. */
+  final case class SafeTensors(slots: Seq[St], read: St => Array[Float],
+      file: RandomAccessFile)
+
   /** Parse a safetensors file: header JSON + a reader for each tensor's
     * raw F32 values (F16/BF16/F64 inputs are widened to F32, matching
-    * numpy's astype in the script).
+    * numpy's astype in the script). Caller closes `file`.
     */
-  def readSafetensors(path: String): (Seq[St], St => Array[Float]) = {
+  def readSafetensors(path: String): SafeTensors = {
     val raf = new RandomAccessFile(path, "r")
     val lenBuf = new Array[Byte](8)
     raf.readFully(lenBuf)
@@ -93,7 +98,7 @@ object ConvertHf {
         case other => sys.error(s"unsupported safetensors dtype $other")
       }
     }
-    (slots.toSeq.sortBy(_.begin), read)
+    SafeTensors(slots.toSeq.sortBy(_.begin), read, raf)
   }
 
   def convert(hfDir: String, outPath: String, ftype: Int = 1): Unit = {
@@ -115,8 +120,14 @@ object ConvertHf {
       .getOrElse(sys.error("config.json has neither num_labels nor id2label"))
 
     val vocab = Files.readAllLines(Paths.get(hfDir, "vocab.txt"))
-    val (slots, read) =
-      readSafetensors(new File(hfDir, "model.safetensors").getPath)
+    // the loader reads EXACTLY header-n_vocab length-prefixed entries; a
+    // count drift (added_tokens.json, trailing blank line) would silently
+    // shear the tensor section — fail at convert time instead
+    require(vocab.size == cfg("vocab_size"),
+      s"vocab.txt has ${vocab.size} entries but config.json declares " +
+        s"vocab_size=${cfg("vocab_size")}")
+    val st = readSafetensors(new File(hfDir, "model.safetensors").getPath)
+    val (slots, read) = (st.slots, st.read)
 
     val out = new DataOutputStream(new BufferedOutputStream(
       new FileOutputStream(outPath)))
@@ -157,7 +168,10 @@ object ConvertHf {
           } else data.foreach(v => i32(java.lang.Float.floatToIntBits(v)))
         }
       }
-    } finally out.close()
+    } finally {
+      out.close()
+      st.file.close()
+    }
   }
 
   def main(args: Array[String]): Unit = {

@@ -88,30 +88,47 @@ class CatalogSpec extends SparkTestBase {
     //       (q164's rank-over-top-20 shape).
     // Catalog-wide so the class cannot recur silently (the DocsFreshnessSpec
     // stance). Plan-only, no execution.
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, WindowGroupLimit, Window => LWindow}
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LogicalPlan, WindowGroupLimit, Window => LWindow}
     val bounded = Set("event_type", "seg", "t", "source", "lang", "arm",
       "o_orderpriority", "o_orderstatus", "l_returnflag", "l_linestatus")
+    // true iff some LEAF relation reaches this point at row grain — i.e.
+    // without an Aggregate / WindowGroupLimit / Limit on ITS path. An
+    // Aggregate on a sibling join branch (the ubiquitous broadcast
+    // pmod-join of an aggregated scalar frame) must NOT whitewash the
+    // raw fact side, so this is per-path, not collectFirst-anywhere.
+    def rowGrainLeaks(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => false
+      case _: WindowGroupLimit => false
+      case _: GlobalLimit => false
+      case leaf if leaf.children.isEmpty => true
+      case other => other.children.exists(rowGrainLeaks)
+    }
+    // Shapes the per-path walk cannot express, each individually argued:
+    //  - q200: its two rank windows run over the ≤20-row candidate-FETCH
+    //    join (BM25 top-20 Limit on the key side; the embeddings scan only
+    //    supplies one payload row per candidate key). The leaf-path walk
+    //    sees the raw embeddings scan and cannot know the equi-join is
+    //    key-bounded by the Limit side.
+    val allowlisted = Set("q200_hybrid_retrieval")
     val violations = Seq.newBuilder[String]
-    for ((q, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {
+    for ((q, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+        if !allowlisted.contains(q)) {
       val plan = fn(spark, sf()).queryExecution.optimizedPlan
       plan.foreach {
         case w: LWindow =>
-          val partNames =
-            w.partitionSpec.flatMap(_.references.toSeq.map(_.name)).distinct
-          val boundedOnly =
-            if (w.partitionSpec.isEmpty) true
-            else partNames.nonEmpty && partNames.forall(bounded.contains)
-          if (boundedOnly) {
-            val safe = w.child.collectFirst {
-              case a: Aggregate => a
-              case g: WindowGroupLimit => g
-              case l: GlobalLimit => l
-            }.isDefined
-            if (!safe)
-              violations += s"$q: Window partitioned by ${
-                if (partNames.isEmpty) "NOTHING (global sort)"
-                else partNames.mkString(",")
-              }"
+          // a partition expression is bounded if it is a literal (no
+          // attribute references — e.g. partitionBy(lit(0)), a de-facto
+          // global sort) or references only bounded-cardinality columns
+          val boundedOnly = w.partitionSpec.forall(e =>
+            e.references.isEmpty ||
+              e.references.toSeq.map(_.name).forall(bounded.contains))
+          if (boundedOnly && rowGrainLeaks(w.child)) {
+            val partNames =
+              w.partitionSpec.flatMap(_.references.toSeq.map(_.name)).distinct
+            violations += s"$q: Window partitioned by ${
+              if (partNames.isEmpty) "NOTHING (global sort / literal)"
+              else partNames.mkString(",")
+            }"
           }
         case _ =>
       }
