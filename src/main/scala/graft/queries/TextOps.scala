@@ -749,6 +749,117 @@ object TextOps {
        ORDER BY doc_id"""
   }
 
+  /** q273: per-language token-budget report — the sizing table a pipeline
+    * consults before fixing a sampling mix: how many (BPE-ish) tokens each
+    * language contributes, its fertility (tokens per 100 chars — languages
+    * whose words are long tokenize into more subword pieces per word but
+    * FEWER per character), and its share of the total token budget.
+    *
+    * Cross-engine: token counts are q31's exact integer formulas summed per
+    * language; fertility and share divide exact longs once and round at 6.
+    * Scale: one per-row map + one hash aggregation; the share window runs
+    * over the ALREADY-AGGREGATED per-language frame (bounded rows), never
+    * the corpus.
+    */
+  private def q273(s: SparkSession, d: String): DataFrame = {
+    val per = documents(s, d)
+      .select(col("lang"),
+        size(wsTokens).as("ws"),
+        aggregate(wsTokens, lit(0),
+          (acc, w) => acc + ceil(length(w) / lit(4.0)).cast("int")).as("bp"),
+        col("n_chars"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).cast("long").as("ws_tokens"),
+        sum(col("bp")).cast("long").as("bpeish_tokens"),
+        sum(col("n_chars")).cast("long").as("chars"))
+    val w = Window.partitionBy()
+    per
+      .withColumn("fertility_per100",
+        round(col("bpeish_tokens") * lit(100.0) / col("chars"), 6))
+      .withColumn("token_share",
+        round(col("bpeish_tokens") / sum(col("bpeish_tokens")).over(w), 6))
+      .orderBy(col("lang"))
+  }
+
+  private val o273 = """
+    WITH per AS (
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(len(string_split_regex(trim(text), '\s+'))) AS BIGINT)
+               AS ws_tokens,
+             CAST(sum(CAST(list_sum(list_transform(
+                 string_split_regex(trim(text), '\s+'),
+                 w -> CAST(ceil(length(w) / 4.0) AS INT))) AS INT)) AS BIGINT)
+               AS bpeish_tokens,
+             CAST(sum(n_chars) AS BIGINT) AS chars
+      FROM documents GROUP BY lang)
+    SELECT lang, n_docs, ws_tokens, bpeish_tokens, chars,
+           round(bpeish_tokens * 100.0 / chars, 6) AS fertility_per100,
+           round(bpeish_tokens /
+             CAST(sum(bpeish_tokens) OVER () AS BIGINT), 6) AS token_share
+    FROM per ORDER BY lang"""
+
+  /** q274: exact-dedup survivor shift — what deduplication REMOVES, sliced
+    * by (lang, source). Dedup is not demographically neutral: a slice whose
+    * content is template-heavy loses disproportionately, so the post-dedup
+    * corpus mix silently drifts from the curated one. This audit reports
+    * per-slice removal rates and the before/after share shift — the number a
+    * pipeline owner checks before accepting a dedup pass.
+    *
+    * Keeper = min doc_id per normalized-text md5 (q34/q48's fingerprint).
+    * Scale: groupBy(fp) and the docs-to-keeper equi-join both hash on the
+    * uniform md5 key (co-partitioned, skew-free, candidates never pairwise);
+    * the share windows run over the aggregated (lang, source) frame.
+    * Cross-engine: counts are exact; each ratio divides exact longs once and
+    * rounds at 6; the shift subtracts two identically-rounded doubles.
+    */
+  private def q274(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("lang"),
+      col("source"),
+      md5(regexp_replace(lower(col("text")), "\\s+", " ")).as("fp"))
+    val keep = docs.groupBy(col("fp")).agg(min(col("doc_id")).as("keep_id"))
+    val per = docs.join(keep, Seq("fp"))
+      .withColumn("kept", (col("doc_id") === col("keep_id")).cast("int"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("kept")).cast("long").as("n_kept"))
+    val w = Window.partitionBy()
+    per
+      .withColumn("n_removed", col("n_docs") - col("n_kept"))
+      .withColumn("removal_rate", round(col("n_removed") / col("n_docs"), 6))
+      .withColumn("share_before",
+        round(col("n_docs") / sum(col("n_docs")).over(w), 6))
+      .withColumn("share_after",
+        round(col("n_kept") / sum(col("n_kept")).over(w), 6))
+      .withColumn("share_shift",
+        round(col("share_after") - col("share_before"), 6))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  private val o274 = """
+    WITH docs AS (
+      SELECT doc_id, lang, source,
+             md5(regexp_replace(lower(text), '\s+', ' ', 'g')) AS fp
+      FROM documents),
+    keep AS (SELECT fp, min(doc_id) AS keep_id FROM docs GROUP BY fp),
+    per AS (
+      SELECT d.lang, d.source, count(*) AS n_docs,
+             CAST(sum(CASE WHEN d.doc_id = k.keep_id THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_kept
+      FROM docs d JOIN keep k USING (fp)
+      GROUP BY d.lang, d.source),
+    shares AS (
+      SELECT lang, source, n_docs, n_kept, n_docs - n_kept AS n_removed,
+             round((n_docs - n_kept) / n_docs, 6) AS removal_rate,
+             round(n_docs / CAST(sum(n_docs) OVER () AS BIGINT), 6)
+               AS share_before,
+             round(n_kept / CAST(sum(n_kept) OVER () AS BIGINT), 6)
+               AS share_after
+      FROM per)
+    SELECT lang, source, n_docs, n_kept, n_removed, removal_rate,
+           share_before, share_after,
+           round(share_after - share_before, 6) AS share_shift
+    FROM shares ORDER BY lang, source"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q220_calibration_ece", q220, Some(o220)),
     QueryDef("q235_token_runs", q235, Some(o235)),
@@ -765,5 +876,7 @@ object TextOps {
     QueryDef("q33_quality_score", q33, Some(o33)),
     QueryDef("q34_fingerprint_dedup", q34, Some(o34)),
     QueryDef("q35_exact_dedup", q35, Some(o35)),
-    QueryDef("q48_rolling_fingerprint", q48, Some(o48)))
+    QueryDef("q48_rolling_fingerprint", q48, Some(o48)),
+    QueryDef("q273_token_budget", q273, Some(o273)),
+    QueryDef("q274_dedup_shift", q274, Some(o274)))
 }
