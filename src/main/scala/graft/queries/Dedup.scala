@@ -1799,6 +1799,87 @@ object Dedup {
          AND abs(length(a.name) - length(b.name)) <= $EdK
        ORDER BY name_a, name_b"""
 
+  /** q275: segment-dedup survivor shift — q274's acceptance audit applied to
+    * the SEGMENT-grain pass (q141's CCNet paragraph dedup), where removal is
+    * far heavier than whole-document dedup and the demographic question is
+    * sharper: template-heavy slices lose most of their segments, so the
+    * post-pass corpus mix drifts. Per (lang, source): segment counts before
+    * and after the global first-occurrence keep, removal rate, and the
+    * corpus-share shift.
+    *
+    * Scale: q141's two linear stages (hash-agg firsts on the uniform `seg`
+    * key, co-partitioned join back), one doc-grain dim join, one bounded
+    * (lang, source) aggregation; share windows run over that aggregated
+    * frame. Cross-engine: counts exact; ratios divide exact longs once and
+    * round at 6 (the q274 stance).
+    */
+  private def q275(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val segs = segmentStream(s, d)
+    val firsts = segs.groupBy(col("seg")).agg(min(col("okey")).as("keep_key"))
+    val perDoc = segs.join(firsts, Seq("seg"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segs"),
+        sum(when(col("okey") === col("keep_key"), 1L).otherwise(0L))
+          .cast("long").as("n_kept"))
+    val dims = documents(s, d).select(col("doc_id"), col("lang"), col("source"))
+    val per = perDoc.join(dims, Seq("doc_id"))
+      .groupBy(col("lang"), col("source"))
+      .agg(sum(col("n_segs")).cast("long").as("segs"),
+        sum(col("n_kept")).cast("long").as("kept"))
+    val w = Window.partitionBy()
+    per
+      .withColumn("removed", col("segs") - col("kept"))
+      .withColumn("removal_rate", round(col("removed") / col("segs"), 6))
+      .withColumn("share_before",
+        round(col("segs") / sum(col("segs")).over(w), 6))
+      .withColumn("share_after",
+        round(col("kept") / sum(col("kept")).over(w), 6))
+      .withColumn("share_shift",
+        round(col("share_after") - col("share_before"), 6))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  private val o275 = s"""
+    WITH docs AS (
+      SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+      FROM documents),
+    segs AS (
+      SELECT doc_id, CAST(i AS INT) AS seg_idx,
+             array_to_string(
+               list_slice(ws, i * $SegWords + 1, i * $SegWords + $SegWords),
+               ' ') AS seg
+      FROM (SELECT doc_id, ws,
+                   unnest(range(0, CAST(ceil(len(ws) / $SegWords.0) AS BIGINT)))
+                     AS i
+            FROM docs)),
+    marked AS (
+      SELECT doc_id,
+             row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx)
+               AS rn
+      FROM segs),
+    perdoc AS (
+      SELECT doc_id, count(*) AS n_segs,
+             CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM marked GROUP BY doc_id),
+    per AS (
+      SELECT d.lang, d.source, CAST(sum(p.n_segs) AS BIGINT) AS segs,
+             CAST(sum(p.n_kept) AS BIGINT) AS kept
+      FROM perdoc p JOIN documents d USING (doc_id)
+      GROUP BY d.lang, d.source),
+    shares AS (
+      SELECT lang, source, segs, kept, segs - kept AS removed,
+             round((segs - kept) / segs, 6) AS removal_rate,
+             round(segs / CAST(sum(segs) OVER () AS BIGINT), 6)
+               AS share_before,
+             round(kept / CAST(sum(kept) OVER () AS BIGINT), 6)
+               AS share_after
+      FROM per)
+    SELECT lang, source, segs, kept, removed, removal_rate,
+           share_before, share_after,
+           round(share_after - share_before, 6) AS share_shift
+    FROM shares ORDER BY lang, source"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q181_editdist_join", q181, Some(o181)),
     QueryDef("q218_er_golden_record", q218, Some(o218)),
@@ -1808,6 +1889,7 @@ object Dedup {
     QueryDef("q156_source_overlap", q156, Some(o156)),
     QueryDef("q157_dedup_ledger", q157, Some(o157)),
     QueryDef("q141_segment_dedup", q141, Some(o141)),
+    QueryDef("q275_segment_dedup_shift", q275, Some(o275)),
     QueryDef("q173_segment_rewrite", q173, Some(o173)),
     QueryDef("q142_dup_spans", q142, Some(o142)),
     QueryDef("q171_minimizer_spans", q171, Some(o171)),
