@@ -1880,6 +1880,134 @@ object Dedup {
            round(share_after - share_before, 6) AS share_shift
     FROM shares ORDER BY lang, source"""
 
+  /** q276: corpus-pipeline attrition funnel — the end-to-end acceptance
+    * readout a training-data pipeline publishes with every corpus release:
+    * per language, how many documents and tokens survive each curation
+    * stage, cumulatively. Stages compose three mechanisms this catalog has
+    * already proven in isolation: (1) a Gopher-style minimum-length screen,
+    * (2) q83's broadcast n-gram decontamination against the held-out set
+    * (doc_id < 5), (3) q141's CCNet segment-grain dedup REWRITE, whose
+    * surviving-segment token mass is the stage-3 token count. Output is the
+    * long-format funnel (stage, lang, docs, toks, fractions vs stage 0) —
+    * the table that answers "where did my corpus go, and did any language
+    * pay disproportionately".
+    *
+    * Scale: every stage is corpus-linear — one map per row, one broadcast
+    * probe of the tiny benchmark gram set, one hash-agg + co-partitioned
+    * join on the uniform segment key; per-stage rollups are bounded
+    * (stage × lang) frames and the stage-0 denominators broadcast back.
+    * Nothing pairwise, no windows. Cross-engine: counts exact; the two
+    * fractions divide exact longs once and round at 6.
+    */
+  private def q276(s: SparkSession, d: String): DataFrame = {
+    val base = parallelize(s, documents(s, d))
+      .filter(col("doc_id") >= 5)
+      .withColumn("ws", split(trim(col("text")), "\\s+"))
+      .select(col("doc_id"), col("lang"), col("ws"),
+        size(col("ws")).cast("long").as("n_tok"))
+    // stage 1: minimum-length screen (the cheapest Gopher gate)
+    val s1 = base.filter(col("n_tok") >= 20).persist()
+    // stage 2: decontamination — drop any survivor sharing a word-3-gram
+    // with the held-out benchmark docs (q83's broadcast-probe shape)
+    val bench = documents(s, d).filter(col("doc_id") < 5)
+      .withColumn("ws", split(trim(col("text")), "\\s+"))
+      .filter(size(col("ws")) >= 3)
+      .select(explode(expr(word3GramArraySql)).as("gram")).distinct()
+    val hits = s1
+      .select(col("doc_id"), explode(expr(word3GramArraySql)).as("gram"))
+      .join(broadcast(bench), Seq("gram"))
+      .select(col("doc_id")).distinct()
+    val s2 = s1.join(hits, Seq("doc_id"), "left_anti").persist()
+    // stage 3: segment-grain dedup rewrite over the survivors — token mass
+    // of globally-first-occurrence segments (q141/q173's keep rule)
+    val segs = s2.select(col("doc_id"), col("lang"),
+      posexplode(expr(
+        s"""transform(sequence(0, CAST(ceil(size(ws) / $SegWords.0) AS INT) - 1),
+            i -> concat_ws(' ', slice(ws, i * $SegWords + 1, $SegWords)))"""))
+        .as(Seq("seg_idx", "seg")))
+      .withColumn("okey", struct(col("doc_id"), col("seg_idx")))
+    val firsts = segs.groupBy(col("seg")).agg(min(col("okey")).as("keep_key"))
+    val s3 = segs.join(firsts, Seq("seg"))
+      .filter(col("okey") === col("keep_key"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(sum(size(split(col("seg"), " "))).cast("long").as("n_tok"))
+    def perLang(stage: Int, df: DataFrame): DataFrame =
+      df.groupBy(col("lang"))
+        .agg(count(lit(1)).as("docs"),
+          sum(col("n_tok")).cast("long").as("toks"))
+        .withColumn("stage", lit(stage))
+    val per = perLang(0, base)
+      .unionByName(perLang(1, s1))
+      .unionByName(perLang(2, s2))
+      .unionByName(perLang(3, s3))
+    val b0 = perLang(0, base)
+      .select(col("lang"), col("docs").as("docs0"), col("toks").as("toks0"))
+    val out = per.join(broadcast(b0), Seq("lang"))
+      .select(col("stage"), col("lang"), col("docs"), col("toks"),
+        round(col("docs") / col("docs0"), 6).as("doc_frac"),
+        round(col("toks") / col("toks0"), 6).as("tok_frac"))
+      .orderBy(col("stage"), col("lang"))
+    Cached.scopedTo(out, s1, s2)
+  }
+
+  private val o276 = s"""
+    WITH base AS (
+      SELECT doc_id, lang, string_split_regex(trim(text), '\\s+') AS ws,
+             CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT)
+               AS n_tok
+      FROM documents WHERE doc_id >= 5),
+    bench AS (
+      SELECT DISTINCT unnest(list_transform(range(0, len(ws) - 2),
+               i -> ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3]))
+               AS gram
+      FROM (SELECT string_split_regex(trim(text), '\\s+') AS ws
+            FROM documents WHERE doc_id < 5)
+      WHERE len(ws) >= 3),
+    s1 AS (SELECT * FROM base WHERE n_tok >= 20),
+    hits AS (
+      SELECT DISTINCT doc_id
+      FROM (SELECT doc_id, unnest(list_transform(range(0, len(ws) - 2),
+              i -> ws[i + 1] || ' ' || ws[i + 2] || ' ' || ws[i + 3]))
+              AS gram
+            FROM s1) c
+      JOIN bench b USING (gram)),
+    s2 AS (SELECT * FROM s1
+           WHERE doc_id NOT IN (SELECT doc_id FROM hits)),
+    segs AS (
+      SELECT doc_id, lang, CAST(i AS INT) AS seg_idx,
+             array_to_string(
+               list_slice(ws, i * $SegWords + 1, i * $SegWords + $SegWords),
+               ' ') AS seg
+      FROM (SELECT doc_id, lang, ws,
+                   unnest(range(0, CAST(ceil(len(ws) / $SegWords.0) AS BIGINT)))
+                     AS i
+            FROM s2)),
+    marked AS (
+      SELECT doc_id, lang, seg,
+             row_number() OVER (PARTITION BY seg ORDER BY doc_id, seg_idx)
+               AS rn
+      FROM segs),
+    s3 AS (
+      SELECT doc_id, lang,
+             CAST(sum(len(string_split(seg, ' '))) AS BIGINT) AS n_tok
+      FROM marked WHERE rn = 1 GROUP BY doc_id, lang),
+    per AS (
+      SELECT 0 AS stage, lang, count(*) AS docs,
+             CAST(sum(n_tok) AS BIGINT) AS toks FROM base GROUP BY lang
+      UNION ALL SELECT 1, lang, count(*), CAST(sum(n_tok) AS BIGINT)
+        FROM s1 GROUP BY lang
+      UNION ALL SELECT 2, lang, count(*), CAST(sum(n_tok) AS BIGINT)
+        FROM s2 GROUP BY lang
+      UNION ALL SELECT 3, lang, count(*), CAST(sum(n_tok) AS BIGINT)
+        FROM s3 GROUP BY lang),
+    b0 AS (SELECT lang, docs AS docs0, toks AS toks0
+           FROM per WHERE stage = 0)
+    SELECT p.stage, p.lang, p.docs, p.toks,
+           round(p.docs / b0.docs0, 6) AS doc_frac,
+           round(p.toks / b0.toks0, 6) AS tok_frac
+    FROM per p JOIN b0 USING (lang)
+    ORDER BY p.stage, p.lang"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q181_editdist_join", q181, Some(o181)),
     QueryDef("q218_er_golden_record", q218, Some(o218)),
@@ -1890,6 +2018,7 @@ object Dedup {
     QueryDef("q157_dedup_ledger", q157, Some(o157)),
     QueryDef("q141_segment_dedup", q141, Some(o141)),
     QueryDef("q275_segment_dedup_shift", q275, Some(o275)),
+    QueryDef("q276_pipeline_funnel", q276, Some(o276)),
     QueryDef("q173_segment_rewrite", q173, Some(o173)),
     QueryDef("q142_dup_spans", q142, Some(o142)),
     QueryDef("q171_minimizer_spans", q171, Some(o171)),
