@@ -73,4 +73,65 @@ class InvariantSpec extends SparkTestBase {
     assert(rows.nonEmpty)
     rows.foreach(r => assert(r.getAs[Boolean]("matches_full"), r.toString))
   }
+
+  /** Shared shape of the q274/q275 survivor-shift audits: kept ≤ total,
+    * removal_rate in [0,1], each share column a distribution (sums to 1 up
+    * to the per-row rounding budget), shift = after − before.
+    */
+  private def assertShiftAudit(name: String, totalCol: String,
+      keptCol: String, removedCol: String): Unit = {
+    val rows = SparkEntry.queries(name)(spark, sf()).collect()
+    assert(rows.nonEmpty)
+    val eps = rows.length * 5e-7 + 1e-6
+    rows.foreach { r =>
+      val (tot, kept) = (r.getAs[Long](totalCol), r.getAs[Long](keptCol))
+      assert(kept >= 0 && kept <= tot, r.toString)
+      assert(r.getAs[Long](removedCol) == tot - kept, r.toString)
+      val rate = r.getAs[Double]("removal_rate")
+      assert(rate >= 0.0 && rate <= 1.0, r.toString)
+      assert(math.abs(r.getAs[Double]("share_shift")
+        - (r.getAs[Double]("share_after")
+          - r.getAs[Double]("share_before"))) <= 1e-6, r.toString)
+    }
+    Seq("share_before", "share_after").foreach { c =>
+      val s = rows.map(_.getAs[Double](c)).sum
+      assert(math.abs(s - 1.0) <= eps, s"sum($c)=$s != 1")
+    }
+  }
+
+  test("q274 dedup survivor shift: shares are distributions, kept <= docs") {
+    assertShiftAudit("q274_dedup_shift", "n_docs", "n_kept", "n_removed")
+  }
+
+  test("q275 segment survivor shift: shares are distributions, kept <= segs") {
+    assertShiftAudit("q275_segment_dedup_shift", "segs", "kept", "removed")
+  }
+
+  test("q276 pipeline funnel: monotone per-language attrition, exact stage 0") {
+    val rows = SparkEntry.queries("q276_pipeline_funnel")(spark, sf())
+      .collect()
+    assert(rows.nonEmpty)
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (lang, rs) =>
+      val stages = rs.sortBy(_.getAs[Int]("stage"))
+      assert(stages.head.getAs[Int]("stage") == 0, s"$lang missing stage 0")
+      assert(stages.head.getAs[Double]("doc_frac") == 1.0)
+      assert(stages.head.getAs[Double]("tok_frac") == 1.0)
+      // cumulative filters: docs and tokens can only shrink stage over stage
+      stages.sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.getAs[Long]("docs") <= a.getAs[Long]("docs"),
+            s"$lang docs grew: $a -> $b")
+          assert(b.getAs[Long]("toks") <= a.getAs[Long]("toks"),
+            s"$lang toks grew: $a -> $b")
+        case _ => ()
+      }
+      stages.foreach { r =>
+        assert(r.getAs[Double]("doc_frac") > 0.0
+          && r.getAs[Double]("doc_frac") <= 1.0, r.toString)
+        assert(r.getAs[Double]("tok_frac") > 0.0
+          && r.getAs[Double]("tok_frac") <= 1.0, r.toString)
+      }
+    }
+  }
 }
