@@ -33,5 +33,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // experimental strategies
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoin.Strategy)
     ext.injectPlannerStrategy(_ => graft.plans.IntervalJoin.Strategy)
+    // optimizer tier: push single-side filters and column pruning THROUGH
+    // the custom joins so the built-in rules can carry them to the scans
+    // (GraftPushdown / GraftPruning docs)
+    ext.injectOptimizerRule(_ => graft.plans.GraftPushdown)
+    ext.injectOptimizerRule(_ => graft.plans.GraftPruning)
   }
 }

@@ -156,11 +156,12 @@ object AsOfJoin {
     }
   }
 
-  /** Register the strategy on the session (idempotent). */
+  /** Register the strategy + pushdown rule on the session (idempotent). */
   def install(spark: SparkSession): Unit = {
     val cur = spark.experimental.extraStrategies
     if (!cur.contains(Strategy))
       spark.experimental.extraStrategies = cur :+ Strategy
+    GraftPushdown.install(spark)
   }
 
   /** The user API: as-of join `left` to `right` by column NAMES (resolved

@@ -149,11 +149,12 @@ object IntervalJoin {
     }
   }
 
-  /** Register the strategy on the session (idempotent). */
+  /** Register the strategy + pushdown rule on the session (idempotent). */
   def install(spark: SparkSession): Unit = {
     val cur = spark.experimental.extraStrategies
     if (!cur.contains(Strategy))
       spark.experimental.extraStrategies = cur :+ Strategy
+    GraftPushdown.install(spark)
   }
 
   /** The user API: all (left, right) pairs with equal keys and
