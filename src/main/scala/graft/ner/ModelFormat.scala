@@ -133,12 +133,19 @@ object ModelFormat {
     "output.dense.weight", "output.dense.bias",
     "output.LayerNorm.weight", "output.LayerNorm.bias")
 
-  /** Little-endian wrapper over DataInputStream. */
+  /** Little-endian wrapper over DataInputStream. `pos` counts every byte
+    * consumed — [[scanMeta]] reports tensor data offsets from it; [[load]]
+    * simply ignores it.
+    */
   private final class LeReader(in: DataInputStream) {
-    def readIntLE(): Int = Integer.reverseBytes(in.readInt())
+    var pos: Long = 0L
+    def readIntLE(): Int = {
+      pos += 4; Integer.reverseBytes(in.readInt())
+    }
     def readBytes(n: Int): Array[Byte] = {
       val buf = new Array[Byte](n)
       in.readFully(buf)
+      pos += n
       buf
     }
     def skip(n: Long): Unit = {
@@ -148,6 +155,7 @@ object ModelFormat {
         if (s <= 0) { in.readByte(); left -= 1 } // readByte throws EOF at end
         else left -= s
       }
+      pos += n
     }
     /** Peek-free EOF probe used for the tensor loop: returns None at clean EOF. */
     def tryReadIntLE(): Option[Int] = {
@@ -156,9 +164,31 @@ object ModelFormat {
       else {
         val b1 = in.read(); val b2 = in.read(); val b3 = in.read()
         if (b3 < 0) throw new EOFException()
+        pos += 4
         Some((b3 << 24) | (b2 << 16) | (b1 << 8) | b0)
       }
     }
+  }
+
+  /** Defensive bounds absent from the reference: a corrupt header would
+    * otherwise drive huge allocations. The product guards also keep every
+    * weight-matrix element count within Int range, so downstream Int size
+    * arithmetic (BertEncoder) cannot overflow. Shared by [[load]] and
+    * [[scanMeta]] so "scannable" and "loadable" agree on the header.
+    */
+  private def validHparams(hp: NerHparams): Boolean = {
+    def fits(n: Long): Boolean = n > 0 && n <= Int.MaxValue / 4
+    !(hp.nVocab <= 0 || hp.nVocab > (1 << 22) || hp.nEmbd <= 0 ||
+      hp.nEmbd > (1 << 16) || hp.nMaxTokens <= 0 ||
+      hp.nMaxTokens > (1 << 16) || hp.nLayer < 0 ||
+      hp.nLayer > 1024 || hp.nLabels <= 0 || hp.nLabels > (1 << 16) ||
+      hp.nHead <= 0 || hp.nIntermediate <= 0 ||
+      hp.nIntermediate > (1 << 20) ||
+      !fits(hp.nVocab.toLong * hp.nEmbd) ||
+      !fits(hp.nMaxTokens.toLong * hp.nEmbd) ||
+      !fits(hp.nEmbd.toLong * hp.nEmbd) ||
+      !fits(hp.nEmbd.toLong * hp.nIntermediate) ||
+      !fits(hp.nLabels.toLong * hp.nEmbd))
   }
 
   def loadFile(path: String): Option[NerModel] = {
@@ -186,22 +216,7 @@ object ModelFormat {
         f16 = r.readIntLE(),
         nLabels = r.readIntLE()
       )
-      // Defensive bounds absent from the reference: a corrupt header would
-      // otherwise drive huge allocations. The product guards also keep every
-      // weight-matrix element count within Int range, so downstream Int size
-      // arithmetic (BertEncoder) cannot overflow.
-      def fits(n: Long): Boolean = n > 0 && n <= Int.MaxValue / 4
-      if (hp.nVocab <= 0 || hp.nVocab > (1 << 22) || hp.nEmbd <= 0 ||
-        hp.nEmbd > (1 << 16) || hp.nMaxTokens <= 0 ||
-        hp.nMaxTokens > (1 << 16) || hp.nLayer < 0 ||
-        hp.nLayer > 1024 || hp.nLabels <= 0 || hp.nLabels > (1 << 16) ||
-        hp.nHead <= 0 || hp.nIntermediate <= 0 ||
-        hp.nIntermediate > (1 << 20) ||
-        !fits(hp.nVocab.toLong * hp.nEmbd) ||
-        !fits(hp.nMaxTokens.toLong * hp.nEmbd) ||
-        !fits(hp.nEmbd.toLong * hp.nEmbd) ||
-        !fits(hp.nEmbd.toLong * hp.nIntermediate) ||
-        !fits(hp.nLabels.toLong * hp.nEmbd)) return None
+      if (!validHparams(hp)) return None
 
       val main = Map.newBuilder[String, Int]
       val sub = Map.newBuilder[String, Int]
@@ -298,6 +313,149 @@ object ModelFormat {
       case _: EOFException => None // truncated file => silent "no model"
       case _: java.io.IOException => None
     }
+  }
+
+  /** One tensor record as it sits in the container: `ftype` is the raw
+    * on-disk id (0=F32, 1=F16, 2=Q4_0), `dataOffset` the byte position of
+    * the payload within the file, `payloadBytes` its exact length.
+    */
+  final case class TensorMeta(name: String, dims: Array[Int], ftype: Int,
+      dataOffset: Long, payloadBytes: Long) {
+    def numel: Long = dims.foldLeft(1L)(_ * _.toLong)
+    def dtype: String = ftype match {
+      case 0 => "F32"
+      case 1 => "F16"
+      case 2 => "Q4_0"
+      case t => s"UNKNOWN($t)"
+    }
+  }
+
+  /** Header + tensor directory of a model container, payloads unread. */
+  final case class GgmlMeta(hparams: NerHparams, tensors: Seq[TensorMeta])
+
+  /** Walk the container and return its tensor DIRECTORY without reading a
+    * single payload byte — each record's data is `skip`ped, so scanning a
+    * multi-GB model costs header + vocab + names, not weights. Unlike
+    * [[load]] this reports ALL tensors, including ones the encoder's name
+    * map would skip (`src/ner_model.cpp:275-282`): introspection describes
+    * the file, not the subset one consumer reads. Same malformed-input
+    * stance as [[load]] (bad magic / truncation / absurd sizes → `None`);
+    * an unknown ftype is also `None` because its payload cannot be sized,
+    * which keeps "scannable" ⊆ "well-formed". Backs the `ggml` DataSource
+    * V2 relation ([[graft.sources.GgmlTensorSource]]).
+    */
+  def scanMeta(stream: InputStream): Option[GgmlMeta] = {
+    val r = new LeReader(new DataInputStream(stream))
+    try {
+      if (r.readIntLE() != Magic) return None
+      val hp = NerHparams(
+        nVocab = r.readIntLE(),
+        nMaxTokens = r.readIntLE(),
+        nEmbd = r.readIntLE(),
+        nIntermediate = r.readIntLE(),
+        nHead = r.readIntLE(),
+        nLayer = r.readIntLE(),
+        f16 = r.readIntLE(),
+        nLabels = r.readIntLE()
+      )
+      if (!validHparams(hp)) return None
+      var i = 0
+      while (i < hp.nVocab) {
+        val len = r.readIntLE()
+        if (len < 0 || len > (1 << 20)) return None
+        r.skip(len)
+        i += 1
+      }
+      val out = Seq.newBuilder[TensorMeta]
+      var done = false
+      while (!done) {
+        r.tryReadIntLE() match {
+          case None => done = true
+          case Some(nDims) =>
+            if (nDims < 0 || nDims > 4) return None
+            val nameLen = r.readIntLE()
+            val ftype = r.readIntLE()
+            val dims = Array.fill(nDims)(r.readIntLE())
+            if (nameLen < 0 || nameLen > (1 << 16) ||
+              dims.exists(d => d < 0 || d > (1 << 26))) return None
+            val name = new String(r.readBytes(nameLen), StandardCharsets.UTF_8)
+            val numel = dims.foldLeft(1L)(_ * _.toLong)
+            if (numel > Int.MaxValue / 4) return None
+            val payload = ftype match {
+              case 0 => numel * 4
+              case 1 => numel * 2
+              case 2 => if (numel % 32 == 0) numel / 32 * 18 else return None
+              case _ => return None
+            }
+            out += TensorMeta(name, dims, ftype, r.pos, payload)
+            r.skip(payload)
+        }
+      }
+      Some(GgmlMeta(hp, out.result()))
+    } catch {
+      case _: EOFException => None
+      case _: java.io.IOException => None
+    }
+  }
+
+  /** Scan a model file's tensor directory — see [[scanMeta]]. */
+  def scanFile(path: String): Option[GgmlMeta] = {
+    val f = new java.io.File(path)
+    if (!f.isFile) return None
+    val in = new BufferedInputStream(new FileInputStream(f))
+    try scanMeta(in)
+    finally in.close()
+  }
+
+  /** Serialize a model back into the reference's container layout (the
+    * format [[load]] reads and `scripts/convert_ner_to_ggml.py:37-89`
+    * writes) — the export half of the format module, pairing with the
+    * HF→GGML converter (`graft.tools.ConvertHf`). Each tensor keeps its
+    * stored representation (F32 / raw F16 shorts / raw Q4_0 blocks — no
+    * re-quantization round-trip). Tensors are written in name order so the
+    * output is byte-deterministic for a given model.
+    */
+  def write(model: NerModel, path: String): Unit = {
+    val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
+      new java.io.FileOutputStream(path)))
+    def i32(v: Int): Unit = out.writeInt(Integer.reverseBytes(v))
+    try {
+      i32(Magic)
+      val hp = model.hparams
+      Seq(hp.nVocab, hp.nMaxTokens, hp.nEmbd, hp.nIntermediate, hp.nHead,
+        hp.nLayer, hp.f16, hp.nLabels).foreach(i32)
+      var id = 0
+      while (id < hp.nVocab) {
+        val b = model.vocab.tokenOf(id).getBytes(StandardCharsets.UTF_8)
+        i32(b.length)
+        out.write(b)
+        id += 1
+      }
+      model.tensors.toSeq.sortBy(_._1).foreach { case (name, t) =>
+        val nb = name.getBytes(StandardCharsets.UTF_8)
+        i32(t.dims.length)
+        i32(nb.length)
+        i32(if (t.isQ4) 2 else if (t.isF16) 1 else 0)
+        t.dims.foreach(i32)
+        out.write(nb)
+        if (t.isQ4) out.write(t.q4)
+        else if (t.isF16) {
+          val raw = t.f16raw
+          var k = 0
+          while (k < raw.length) {
+            out.write(raw(k) & 0xff); out.write((raw(k) >> 8) & 0xff)
+            k += 1
+          }
+        } else {
+          val data = t.data
+          var k = 0
+          while (k < data.length) {
+            i32(java.lang.Float.floatToIntBits(data(k)))
+            k += 1
+          }
+        }
+      }
+    } finally out.close()
   }
 
   /** The tensor names [[BertEncoder]] evaluates as linear matmuls — the

@@ -240,7 +240,45 @@ object Sources {
            CAST(-1 AS BIGINT), CAST(-1 AS BIGINT)
     ORDER BY lang"""
 
+  /** q277: model tensor catalog via the `ggml` DataSource V2 relation
+    * ([[graft.sources.GgmlTensorSource]]). Writes the synthetic model's
+    * three twins (F32 / F16-linears / Q4_0-linears —
+    * [[graft.ner.ModelFormat.write]], byte-deterministic) into one
+    * directory, then scans it as a table: one row per stored tensor,
+    * payloads never read, one partition per container file. The output is
+    * the full directory listing — names, innermost-first shapes, on-disk
+    * dtypes, exact payload bytes and offsets, and whether the encoder would
+    * matmul the tensor natively in its stored form (`linear`) — i.e. the
+    * introspection the reference's loader performs implicitly on every
+    * load (`src/ner_model.cpp:162-290`), surfaced as a relation.
+    *
+    * Rows-only by necessity, like the other model-bound queries (q26/q205/
+    * q208): DuckDB has no GGML reader, so no oracle SQL exists; content is
+    * pinned by `GgmlTensorSourceSpec` (schema, directory parity vs
+    * [[graft.ner.ModelFormat.scanFile]], filter/column pushdown, and
+    * write→scan round-trip against the in-memory model).
+    */
+  def q277(s: SparkSession, dir: String): DataFrame = {
+    val out = sinkDir(s, "q277_models")
+    new java.io.File(out).mkdirs()
+    graft.ner.ModelFormat.write(
+      graft.ner.SyntheticModel.loaded.model, s"$out/f32.bin")
+    graft.ner.ModelFormat.write(
+      graft.ner.SyntheticModel.loadedF16.model, s"$out/f16.bin")
+    graft.ner.ModelFormat.write(
+      graft.ner.SyntheticModel.loadedQ4.model, s"$out/q4.bin")
+    s.read.format("ggml").load(out)
+      .select(
+        regexp_extract(col("file"), "([^/]+)$", 1).as("file"),
+        col("tensor"), col("ndims"),
+        array_join(col("shape"), "x").as("shape"),
+        col("dtype"), col("numel"), col("payload_bytes"),
+        col("data_offset"), col("linear"))
+      .orderBy(col("file"), col("tensor"))
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q277_model_tensor_catalog", q277, None),
     QueryDef("q177_corrupt_records", q177, Some(o177)),
     QueryDef("q146_schema_merge", q146, Some(o146)),
     QueryDef("q95_json_roundtrip", q95, Some(oAgg)),
