@@ -3190,7 +3190,309 @@ object Vec {
            round(3.0 * t.n_triangles / s.n_wedges, 6) AS clustering_coeff
     FROM stats s, tri t"""
 
+  /** q278: grid-cell DBSCAN — density-based clustering of the embedding
+    * corpus, the operator class (DBSCAN/HDBSCAN over a projection) corpus
+    * curation uses to find modes and strip low-density outliers. All-pairs
+    * ε-neighborhoods don't scale, so this is the standard grid
+    * decomposition: project to 2-D with the deterministic md5 ±1 sign
+    * matrix (the q134 JL construction, seed "db"), bucket into ε-cells
+    * (ε = 0.25 — an exact binary fraction, so `floor(p/ε)` cannot straddle
+    * a rounding boundary between engines), and run DBSCAN at the CELL
+    * grain: a cell with ≥ minPts points is core; clusters are connected
+    * components of 8-adjacent core cells; points in non-core cells join
+    * the minimum adjacent cluster (border) or stay noise (cluster −1).
+    *
+    * Scale shape: the projection is a shuffle-free codegen'd map (matrix
+    * baked into the plan); cell densities are one partial+final hash
+    * aggregation of the corpus; everything after operates on the CELL
+    * frame (|cells| ≤ corpus/1 and ≪ corpus wherever density exists —
+    * that is the point of the decomposition). CC is q97's min-label
+    * propagation on the 8-adjacency (hash equi-join on shifted cell keys,
+    * rounds = cell-graph diameter — bounded by density-region extent in ε
+    * units, not corpus size), and border assignment is a 9-way explode of
+    * the non-core CELL set joined hash-wise back to components. The
+    * full-corpus work is exactly: one map, one aggregation, two
+    * cell-grain joins back to points.
+    *
+    * Oracle: identical construction; CC as a reachability-min recursive
+    * CTE (the cell graph is small enough for the oracle's quadratic
+    * closure — the Spark side never materializes reachability).
+    */
+  private val DbEps = 0.25
+  private val DbMinPts = 4
+  private val DbOff = 1000L // grid coords are O(|p|/ε) ≈ ±12 here; guarded
+  private val DbSpan = 100000L
+
+  private def dbSign(i: Int, j: Int): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val hex = md.digest(s"db:$i:$j".getBytes("UTF-8"))
+      .map(b => f"$b%02x").mkString
+    if (hex.charAt(0) <= '7') 1 else -1
+  }
+
+  /** (vec_id, label, cx, cy): each vector's ε-cell in the projected plane. */
+  private def dbPts(s: SparkSession, d: String): DataFrame = {
+    val signs = typedLit((0 until 2).map(j =>
+      (0 until Dim).map(i => dbSign(i, j).toDouble)))
+    val proj = transform(sequence(lit(1), lit(2)),
+      j => aggregate(
+        zip_with(col("v"), element_at(signs, j), (x, sgn) => x * sgn),
+        lit(0.0), (acc, x) => acc + x))
+    embeddings(s, d)
+      .select(col("vec_id"), col("label"), toD(col("embedding")).as("v"))
+      .withColumn("p", proj)
+      .select(col("vec_id"), col("label"),
+        floor(element_at(col("p"), 1) / lit(DbEps)).cast("long").as("cx"),
+        floor(element_at(col("p"), 2) / lit(DbEps)).cast("long").as("cy"))
+  }
+
+  private def q278(s: SparkSession, d: String): DataFrame = {
+    val pts = dbPts(s, d).localCheckpoint(true)
+    val core = pts.groupBy(col("cx"), col("cy"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= DbMinPts)
+      .select(col("cx"), col("cy"),
+        ((col("cx") + DbOff) * DbSpan + (col("cy") + DbOff)).as("cid"))
+      .localCheckpoint(true)
+    // 8-adjacency (plus self) as a hash equi-join on shifted keys
+    val offsets = Seq(-1L, 0L, 1L)
+    val shifted = core
+      .withColumn("dx", explode(typedLit(offsets)))
+      .withColumn("dy", explode(typedLit(offsets)))
+    val edges = shifted.as("a")
+      .join(core.as("b"),
+        col("a.cx") + col("a.dx") === col("b.cx") &&
+          col("a.cy") + col("a.dy") === col("b.cy"))
+      .select(col("a.cid").as("src"), col("b.cid").as("dst"))
+      .localCheckpoint(true)
+    // min-label propagation to fixpoint (q97's loop, cell grain)
+    var labels = core.select(col("cid").as("node"))
+      .withColumn("lab", col("node")).localCheckpoint(true)
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < 40) {
+      val prop = edges.join(labels, col("src") === col("node"))
+        .select(col("dst").as("node"), col("lab"), lit(false).as("own"))
+      val next = labels.withColumn("own", lit(true)).union(prop)
+        .groupBy(col("node"))
+        .agg(min(col("lab")).as("lab"),
+          min(when(col("own"), col("lab"))).as("own_lab"))
+        .localCheckpoint(true)
+      changed = next.filter(col("lab") < col("own_lab")).count()
+      labels = next.select(col("node"), col("lab"))
+      iter += 1
+    }
+    require(changed == 0,
+      "q278: cell-graph CC did not converge in 40 rounds")
+    val comp = core.join(labels, col("cid") === col("node"))
+      .select(col("cx"), col("cy"), col("lab"))
+      .localCheckpoint(true)
+    // core points take their cell's component; non-core points take the
+    // minimum adjacent component (border) or -1 (noise)
+    val withCore = pts.join(comp.select(col("cx"), col("cy"),
+        col("lab").as("core_lab")), Seq("cx", "cy"), "left")
+    val nbMin = withCore.filter(col("core_lab").isNull)
+      .select(col("vec_id"), col("cx"), col("cy"))
+      .withColumn("dx", explode(typedLit(offsets)))
+      .withColumn("dy", explode(typedLit(offsets)))
+      .join(comp.select(col("cx").as("ncx"), col("cy").as("ncy"),
+        col("lab").as("nb_lab")),
+        col("cx") + col("dx") === col("ncx") &&
+          col("cy") + col("dy") === col("ncy"))
+      .groupBy(col("vec_id")).agg(min(col("nb_lab")).as("nb_lab"))
+    val assigned = withCore
+      .join(nbMin, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("label"),
+        coalesce(col("core_lab"), col("nb_lab"), lit(-1L)).as("cluster"),
+        col("core_lab").isNotNull.as("is_core"))
+    val byLab = assigned.groupBy(col("cluster"), col("label"))
+      .agg(count(lit(1)).as("cnt"))
+    val stats = byLab.groupBy(col("cluster"))
+      .agg(sum(col("cnt")).cast("long").as("n_points"),
+        expr(s"max_by(label, ${Keys.key(Keys.asc("cnt", 10),
+          Keys.desc("label", 4))})").as("dom_label"),
+        max(col("cnt")).as("dom_cnt"))
+    val coreStats = assigned.groupBy(col("cluster"))
+      .agg(sum(when(col("is_core"), 1L).otherwise(0L)).as("n_core_points"))
+    val cellStats = comp.groupBy(col("lab").as("cluster"))
+      .agg(count(lit(1)).as("n_cells"))
+    stats
+      .join(coreStats, Seq("cluster"))
+      .join(cellStats, Seq("cluster"), "left")
+      .select(col("cluster"), col("n_points"), col("n_core_points"),
+        (col("n_points") - col("n_core_points")).as("n_border_points"),
+        coalesce(col("n_cells"), lit(0L)).as("n_cells"),
+        col("dom_label"), col("dom_cnt"))
+      .orderBy(col("cluster"))
+  }
+
+  private def dbProjSql(j: Int): String =
+    s"""CAST(floor(list_sum(list_transform(range(1, ${Dim + 1}), i ->
+          v[i] * (CASE WHEN substr(md5('db:' || CAST(i - 1 AS VARCHAR)
+            || ':$j'), 1, 1) <= '7' THEN 1 ELSE -1 END)))
+          / $DbEps) AS BIGINT)"""
+
+  private def o278 = s"""
+    WITH RECURSIVE sv AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings),
+    pts AS (
+      SELECT vec_id, label,
+             ${dbProjSql(0)} AS cx,
+             ${dbProjSql(1)} AS cy
+      FROM sv),
+    core AS (
+      SELECT cx, cy, (cx + $DbOff) * $DbSpan + (cy + $DbOff) AS cid
+      FROM (SELECT cx, cy, count(*) AS n FROM pts GROUP BY cx, cy)
+      WHERE n >= $DbMinPts),
+    edges AS (
+      SELECT a.cid AS src, b.cid AS dst
+      FROM core a JOIN core b
+        ON abs(a.cx - b.cx) <= 1 AND abs(a.cy - b.cy) <= 1),
+    reach(cid, lab) AS (
+      SELECT cid, cid FROM core
+      UNION
+      SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.cid),
+    comp AS (
+      SELECT c.cx, c.cy, m.lab
+      FROM core c JOIN (SELECT cid, min(lab) AS lab FROM reach GROUP BY cid) m
+        ON m.cid = c.cid),
+    nb AS (
+      SELECT p.vec_id, min(n.lab) AS nb_lab
+      FROM pts p JOIN comp n
+        ON abs(n.cx - p.cx) <= 1 AND abs(n.cy - p.cy) <= 1
+      GROUP BY p.vec_id),
+    assigned AS (
+      SELECT p.vec_id, p.label,
+             COALESCE(cc.lab, nb.nb_lab, -1) AS cluster,
+             cc.lab IS NOT NULL AS is_core
+      FROM pts p
+      LEFT JOIN comp cc ON cc.cx = p.cx AND cc.cy = p.cy
+      LEFT JOIN nb ON nb.vec_id = p.vec_id),
+    bylab AS (
+      SELECT cluster, label, count(*) AS cnt
+      FROM assigned GROUP BY cluster, label),
+    stats AS (
+      SELECT cluster, CAST(sum(cnt) AS BIGINT) AS n_points,
+             arg_max(label, ${Keys.oKey(Keys.oAsc("cnt", 10),
+                Keys.oDesc("label", 4))}) AS dom_label,
+             max(cnt) AS dom_cnt
+      FROM bylab GROUP BY cluster),
+    corestats AS (
+      SELECT cluster,
+             CAST(sum(CASE WHEN is_core THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_core_points
+      FROM assigned GROUP BY cluster),
+    cellstats AS (
+      SELECT lab AS cluster, count(*) AS n_cells FROM comp GROUP BY lab)
+    SELECT s.cluster, s.n_points, c.n_core_points,
+           s.n_points - c.n_core_points AS n_border_points,
+           COALESCE(l.n_cells, 0) AS n_cells, s.dom_label, s.dom_cnt
+    FROM stats s
+    JOIN corestats c ON c.cluster = s.cluster
+    LEFT JOIN cellstats l ON l.cluster = s.cluster
+    ORDER BY s.cluster"""
+
+  /** q279: k-center greedy coreset (farthest-point sampling, Gonzalez '85)
+    * — the diversity-driven data-selection operator: pick the point
+    * farthest (in min-distance) from everything chosen so far, k times.
+    * The greedy sequence 2-approximates the k-center radius and is the
+    * standard coreset / diverse-subset primitive in curation pipelines
+    * (complements q209/q219's distribution-matching selection, which picks
+    * TYPICAL data — this picks SPREAD data).
+    *
+    * Output: one row per selection (iter, vec_id, label, squared distance
+    * to the previously-chosen set at selection time — the monotone
+    * non-increasing "gain" sequence), seeded at min(vec_id), plus a final
+    * radius row (iter = k+1, ids −1): the corpus-wide max min-distance² to
+    * the finished coreset, i.e. the k-center objective the greedy bounds.
+    *
+    * Scale shape: the coreset is DRIVER-RESIDENT BY DEFINITION (k ≪
+    * corpus); each of the k rounds is one shuffle-free corpus-linear map
+    * (centers baked into the plan as literals — the same broadcast-the-
+    * matrix stance as q134) topped by `TakeOrdered(1)` — never a global
+    * sort, never a pairwise join. k+1 passes over the corpus total.
+    * Argmax ties break on min vec_id; distances are bit-identical across
+    * engines (same fold order, selected centers are corpus vectors both
+    * sides re-read exactly), so the greedy TRAJECTORY — not just
+    * aggregates — is oracle-checked.
+    */
+  private val KcSteps = 5
+
+  private def q279(s: SparkSession, d: String): DataFrame = {
+    val base = embeddings(s, d)
+      .select(col("vec_id"), col("label").cast("long").as("label"),
+        toD(col("embedding")).as("v"))
+    def distSq(center: Seq[Double]): Column =
+      aggregate(
+        zip_with(col("v"), typedLit(center), (x, c) => (x - c) * (x - c)),
+        lit(0.0), (acc, x) => acc + x)
+    val seed = base.orderBy(col("vec_id").asc).limit(1).head()
+    var centers = Vector(seed.getSeq[Double](2))
+    val picked = scala.collection.mutable.ArrayBuffer[
+      (Int, Long, Long, Option[Double])](
+      (0, seed.getLong(0), seed.getLong(1), None))
+    for (it <- 1 to KcSteps) {
+      val mind = centers.map(distSq).reduce(least(_, _))
+      val sel = base.withColumn("mind", mind)
+        .orderBy(col("mind").desc, col("vec_id").asc).limit(1).head()
+      centers = centers :+ sel.getSeq[Double](2)
+      picked += ((it, sel.getLong(0), sel.getLong(1),
+        Some(sel.getDouble(3))))
+    }
+    val radius = base
+      .agg(max(centers.map(distSq).reduce(least(_, _)))).head().getDouble(0)
+    picked += ((KcSteps + 1, -1L, -1L, Some(radius)))
+    import s.implicits._
+    picked.toSeq
+      .toDF("iter", "vec_id", "label", "raw")
+      .select(col("iter"), col("vec_id"), col("label"),
+        round(col("raw"), 6).as("sel_dist_sq"))
+      .orderBy(col("iter"))
+  }
+
+  private def o279: String = {
+    // DuckDB forbids subqueries inside lambdas, so each center is CROSS
+    // JOINed as a single-row frame and referenced as a plain column
+    def dist: String =
+      s"""list_sum(list_transform(range(1, ${Dim + 1}), i ->
+           (v[i] - cv[i]) * (v[i] - cv[i])))"""
+    val steps = (1 to KcSteps).map { n =>
+      val src = if (n == 1) "sv" else s"d${n - 1}"
+      val mind = if (n == 1) dist else s"least(mind, $dist)"
+      s"""d$n AS (SELECT vec_id, label, v, $mind AS mind
+           FROM $src CROSS JOIN (SELECT v AS cv FROM c${n - 1})),
+    s$n AS (SELECT vec_id, mind FROM d$n ORDER BY mind DESC, vec_id LIMIT 1),
+    c$n AS (SELECT v FROM sv WHERE vec_id = (SELECT vec_id FROM s$n))"""
+    }.mkString(",\n    ")
+    val sels = (1 to KcSteps).map { n =>
+      s"""SELECT $n AS iter, s.vec_id, sv.label, round(s.mind, 6)
+            AS sel_dist_sq
+          FROM s$n s JOIN sv ON sv.vec_id = s.vec_id"""
+    }.mkString("\n    UNION ALL\n    ")
+    s"""
+    WITH sv AS (
+      SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v
+      FROM embeddings),
+    c0 AS (SELECT v FROM sv WHERE vec_id = (SELECT min(vec_id) FROM sv)),
+    $steps,
+    dfin AS (SELECT least(mind, $dist) AS mind
+             FROM d$KcSteps CROSS JOIN (SELECT v AS cv FROM c$KcSteps))
+    SELECT CAST(0 AS INTEGER) AS iter, vec_id, label,
+           CAST(NULL AS DOUBLE) AS sel_dist_sq
+    FROM sv WHERE vec_id = (SELECT min(vec_id) FROM sv)
+    UNION ALL
+    $sels
+    UNION ALL
+    SELECT ${KcSteps + 1}, CAST(-1 AS BIGINT), CAST(-1 AS BIGINT),
+           round(max(mind), 6)
+    FROM dfin
+    ORDER BY iter"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q278_grid_dbscan", q278, Some(o278)),
+    QueryDef("q279_kcenter_coreset", q279, Some(o279)),
     QueryDef("q262_topic_coherence", q262, Some(o262)),
     QueryDef("q255_knn_graph_stats", q255, Some(o255)),
     QueryDef("q215_ctfidf_topics", q215, Some(o215)),
