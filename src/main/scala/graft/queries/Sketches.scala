@@ -391,7 +391,187 @@ object Sketches {
     WHERE abs((n_chars - m) / sd) > 2
     ORDER BY doc_id"""
 
+  /** q280: KMV (k-minimum-values) distinct sketch with mergeable union +
+    * Jaccard — the ORACLE-CHECKABLE distinct-count sketch (Bar-Yossef et
+    * al. 2002; Beyer et al. SIGMOD'07 unbiased estimator): where q15's
+    * HLL stays rows-only because the two engines' HLL internals differ,
+    * KMV over the shared md5 hash is deterministic, so the sketch rows,
+    * the (k−1)·H/h_k estimates, the sketch-UNION estimate, and the
+    * top-k-signature Jaccard are all bit-identical cross-engine and
+    * hash-compared, per source pair of the documents corpus.
+    *
+    * Construction both sides: word → h = first 15 md5 hex chars as a
+    * 60-bit integer; per source the k=64 smallest distinct h ARE the
+    * sketch (row_number ≤ k over the distinct (source,h) grain — plans as
+    * WindowGroupLimit, per-partition partial top-k); distinct estimate
+    * = (k−1)·2^60/h_k, exact when the source holds < k hashes. Sketches
+    * MERGE: the k smallest of two sketches' union equal the k smallest of
+    * the underlying set union (each sketch contains its set's k minima),
+    * so the union estimate needs only the two k-row sketches; Jaccard is
+    * the both-sources fraction of the merged top-k. Exact hash-grain
+    * distinct/intersection counts ride along as the accuracy readout.
+    *
+    * Scale shape: the corpus is touched once (tokenize + hash into the
+    * distinct (source,h) rollup — vocabulary-bounded, the q117/q131
+    * stance); sketching is a WindowGroupLimit top-k, never a global sort;
+    * the pair tier operates on 20 k-row sketches (sources² pairs × ≤2k
+    * rows) and the exact-intersection audit joins the vocabulary-bounded
+    * hash frame with ≤|sources| fanout per hash. At 100 TB the audit
+    * columns would be dropped and ONLY the k-row sketches shipped — that
+    * is the point of a mergeable sketch.
+    */
+  private val KmvK = 64
+
+  private def q280(s: SparkSession, d: String): DataFrame = {
+    val toks = parallelize(s, documents(s, d))
+      .select(col("source"),
+        explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .select(col("source"),
+        conv(substring(md5(col("w")), 1, 15), 16, 10).cast("long").as("h"))
+      .distinct()
+    val estC = (c: org.apache.spark.sql.Column, n: org.apache.spark.sql.Column) =>
+      round(when(n < KmvK, n.cast("double"))
+        .otherwise(lit((KmvK - 1).toDouble * math.pow(2.0, 60)) /
+          c.cast("double")), 2)
+    val sk = toks
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("source")).orderBy(col("h"))))
+      .filter(col("r") <= KmvK)
+      .localCheckpoint(true)
+    val perSrc = toks.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_exact"))
+      .join(sk.groupBy(col("source")).agg(max(col("h")).as("hk")),
+        Seq("source"))
+    // column-derived constant key keeps the bounded triangle join a hash
+    // join (a bare inequality condition would plan BNLJ — CLAUDE.md rule)
+    val srcs = perSrc.select(col("source"), col("n_exact"), col("hk"),
+      pmod(col("n_exact"), lit(1L)).as("jk"))
+    val pairs = broadcast(srcs.select(col("source").as("src_a"),
+        col("n_exact").as("n_a"), col("hk").as("hk_a"), col("jk")))
+      .join(broadcast(srcs.select(col("source").as("src_b"),
+        col("n_exact").as("n_b"), col("hk").as("hk_b"), col("jk"))),
+        Seq("jk"))
+      .filter(col("src_a") < col("src_b"))
+      .drop("jk")
+    // exact hash-grain intersection (audit tier; ≤|sources| fanout per h)
+    val inter = toks.as("x").join(toks.as("y"),
+        col("x.h") === col("y.h") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("n_inter"))
+    // merged sketch per pair: the two k-row sketches unioned at the hash
+    // grain, re-topped at k; membership flags survive the rollup
+    val tagged = pairs.select(col("src_a"), col("src_b")).as("p")
+      .join(sk.as("s1"), col("p.src_a") === col("s1.source"))
+      .select(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"),
+        col("s1.h").as("h"), lit(1).as("ia"), lit(0).as("ib"))
+      .union(pairs.select(col("src_a"), col("src_b")).as("p")
+        .join(sk.as("s2"), col("p.src_b") === col("s2.source"))
+        .select(col("p.src_a").as("src_a"), col("p.src_b").as("src_b"),
+          col("s2.h").as("h"), lit(0).as("ia"), lit(1).as("ib")))
+    val merged = tagged
+      .groupBy(col("src_a"), col("src_b"), col("h"))
+      .agg(max(col("ia")).as("in_a"), max(col("ib")).as("in_b"))
+      .withColumn("r", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("src_a"), col("src_b")).orderBy(col("h"))))
+      .filter(col("r") <= KmvK)
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("k_eff"), max(col("h")).as("hk_u"),
+        sum(when(col("in_a") === 1 && col("in_b") === 1, 1L)
+          .otherwise(0L)).as("n_both"))
+    pairs
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .join(merged, Seq("src_a", "src_b"))
+      .select(col("src_a"), col("src_b"),
+        col("n_a"), estC(col("hk_a"), col("n_a")).as("est_a"),
+        col("n_b"), estC(col("hk_b"), col("n_b")).as("est_b"),
+        (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0L)))
+          .as("n_union"),
+        estC(col("hk_u"), col("k_eff")).as("est_union"),
+        round(coalesce(col("n_inter"), lit(0L)).cast("double") /
+          (col("n_a") + col("n_b") - coalesce(col("n_inter"), lit(0L)))
+            .cast("double"), 6).as("jacc"),
+        round(col("n_both").cast("double") / col("k_eff").cast("double"), 6)
+          .as("est_jacc"))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  private val o280 = s"""
+    WITH toks AS (
+      SELECT DISTINCT source,
+             CAST('0x' || substr(md5(w), 1, 15) AS BIGINT) AS h
+      FROM (SELECT source,
+                   unnest(string_split_regex(trim(text), '\\s+')) AS w
+            FROM documents)
+      WHERE length(w) > 0),
+    sk AS (
+      SELECT source, h FROM (
+        SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS r
+        FROM toks)
+      WHERE r <= $KmvK),
+    persrc AS (
+      SELECT n.source, n.n_exact, k.hk
+      FROM (SELECT source, count(*) AS n_exact FROM toks GROUP BY source) n
+      JOIN (SELECT source, max(h) AS hk FROM sk GROUP BY source) k
+        ON k.source = n.source),
+    pairs AS (
+      SELECT a.source AS src_a, a.n_exact AS n_a, a.hk AS hk_a,
+             b.source AS src_b, b.n_exact AS n_b, b.hk AS hk_b
+      FROM persrc a JOIN persrc b ON a.source < b.source),
+    inter AS (
+      SELECT x.source AS src_a, y.source AS src_b, count(*) AS n_inter
+      FROM toks x JOIN toks y
+        ON x.h = y.h AND x.source < y.source
+      GROUP BY 1, 2),
+    tagged AS (
+      SELECT p.src_a, p.src_b, s.h, 1 AS ia, 0 AS ib
+      FROM pairs p JOIN sk s ON s.source = p.src_a
+      UNION ALL
+      SELECT p.src_a, p.src_b, s.h, 0 AS ia, 1 AS ib
+      FROM pairs p JOIN sk s ON s.source = p.src_b),
+    mrows AS (
+      SELECT src_a, src_b, h, max(ia) AS in_a, max(ib) AS in_b
+      FROM tagged GROUP BY 1, 2, 3),
+    mtop AS (
+      SELECT * FROM (
+        SELECT src_a, src_b, h, in_a, in_b,
+               row_number() OVER (PARTITION BY src_a, src_b
+                                  ORDER BY h) AS r
+        FROM mrows)
+      WHERE r <= $KmvK),
+    merged AS (
+      SELECT src_a, src_b, count(*) AS k_eff, max(h) AS hk_u,
+             CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_both
+      FROM mtop GROUP BY 1, 2)
+    SELECT p.src_a, p.src_b,
+           p.n_a,
+           round(CASE WHEN p.n_a < $KmvK THEN CAST(p.n_a AS DOUBLE)
+                 ELSE ${KmvK - 1} * pow(2, 60) / CAST(p.hk_a AS DOUBLE)
+                 END, 2) AS est_a,
+           p.n_b,
+           round(CASE WHEN p.n_b < $KmvK THEN CAST(p.n_b AS DOUBLE)
+                 ELSE ${KmvK - 1} * pow(2, 60) / CAST(p.hk_b AS DOUBLE)
+                 END, 2) AS est_b,
+           p.n_a + p.n_b - COALESCE(i.n_inter, 0) AS n_union,
+           round(CASE WHEN m.k_eff < $KmvK THEN CAST(m.k_eff AS DOUBLE)
+                 ELSE ${KmvK - 1} * pow(2, 60) / CAST(m.hk_u AS DOUBLE)
+                 END, 2) AS est_union,
+           round(CAST(COALESCE(i.n_inter, 0) AS DOUBLE) /
+                 CAST(p.n_a + p.n_b - COALESCE(i.n_inter, 0) AS DOUBLE), 6)
+             AS jacc,
+           round(CAST(m.n_both AS DOUBLE) / CAST(m.k_eff AS DOUBLE), 6)
+             AS est_jacc
+    FROM pairs p
+    LEFT JOIN inter i ON i.src_a = p.src_a AND i.src_b = p.src_b
+    JOIN merged m ON m.src_a = p.src_a AND m.src_b = p.src_b
+    ORDER BY p.src_a, p.src_b"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q280_kmv_sketch", q280, Some(o280)),
     QueryDef("q163_zscore_screen", q163, Some(o163)),
     QueryDef("q152_spearman_rank", q152, Some(o152)),
     QueryDef("q153_chi2_independence", q153, Some(o153)),
