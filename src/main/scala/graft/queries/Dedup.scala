@@ -1799,6 +1799,57 @@ object Dedup {
          AND abs(length(a.name) - length(b.name)) <= $EdK
        ORDER BY name_a, name_b"""
 
+  /** q281: Jaro–Winkler candidate re-ranking — the record-linkage scoring
+    * pass layered on the ED-Join: every verified fuzzy name pair gets the
+    * prefix-boosted Jaro–Winkler affinity (the Fellegi–Sunter-style
+    * comparison vector's string field) computed by the native codegen'd
+    * [[graft.functions.JaroWinklerExpression]] (Spark has `levenshtein`
+    * built in but no Jaro–Winkler — this is the gap the expression
+    * fills), plus each left name's partner ranking by that score: edit
+    * distance finds the candidates, JW orders them.
+    *
+    * Oracle: DuckDB's BUILT-IN `jaro_winkler_similarity` over the same
+    * quadratic all-pairs — so the kernel's exact semantics (greedy
+    * windowed matching, integer half-transpositions, >0.7 boost gate,
+    * prefix cap 4 — probed and pinned in the expression's scaladoc) are
+    * hash-verified against an independent implementation, not a
+    * re-derivation. Ranks compare equal because both engines rank the
+    * ROUNDED score with a name tie-break.
+    *
+    * Scale shape: inherited from q181 — the only corpus-scale stage is
+    * the vocabulary aggregation; candidates are lossless rare-prefix-gram
+    * pairs; JW is O(len·window) per candidate inside whole-stage codegen;
+    * the rank window partitions by name_a (vocabulary-cardinality, not a
+    * bounded key) over the candidate frame.
+    */
+  private def q281(s: SparkSession, d: String): DataFrame = {
+    val (names, verified) = edNamePairs(s, d)
+    val scored = verified.select(col("name_a"), col("name_b"), col("dist"),
+      round(graft.functions.JaroWinklerExpression.jaroWinkler(
+        col("name_a"), col("name_b")), 6).as("jw"))
+    val out = scored
+      .withColumn("jw_rank", rank().over(
+        org.apache.spark.sql.expressions.Window.partitionBy(col("name_a"))
+          .orderBy(col("jw").desc, col("name_b").asc)).cast("int"))
+      .orderBy(col("name_a"), col("name_b"))
+    Cached.scopedTo(out, names)
+  }
+
+  private def o281: String =
+    s"""WITH n AS (SELECT DISTINCT p_name AS name FROM part),
+       pairs AS (
+         SELECT a.name AS name_a, b.name AS name_b,
+                CAST(levenshtein(a.name, b.name) AS INT) AS dist,
+                round(jaro_winkler_similarity(a.name, b.name), 6) AS jw
+         FROM n a JOIN n b ON a.name < b.name
+         WHERE levenshtein(a.name, b.name) <= $EdK
+           AND abs(length(a.name) - length(b.name)) <= $EdK)
+       SELECT name_a, name_b, dist, jw,
+              CAST(rank() OVER (PARTITION BY name_a
+                                ORDER BY jw DESC, name_b) AS INT) AS jw_rank
+       FROM pairs
+       ORDER BY name_a, name_b"""
+
   /** q275: segment-dedup survivor shift — q274's acceptance audit applied to
     * the SEGMENT-grain pass (q141's CCNet paragraph dedup), where removal is
     * far heavier than whole-document dedup and the demographic question is
@@ -2010,6 +2061,7 @@ object Dedup {
 
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q181_editdist_join", q181, Some(o181)),
+    QueryDef("q281_jaro_winkler_rank", q281, Some(o281)),
     QueryDef("q218_er_golden_record", q218, Some(o218)),
     QueryDef("q231_containment", q231, Some(o231)),
     QueryDef("q236_source_minhash_merge", q236, Some(o236)),
