@@ -248,8 +248,105 @@ object Graph {
     JOIN isup c ON c.p = r.cons, nb
     ORDER BY r.supp DESC, r.ante, r.cons"""
 
+  /** q282: single-source BFS shortest paths — the distance/reachability
+    * primitive the graph tier lacked (q119 ranks, q97/q218 find components,
+    * q136 counts triangles; none answers "how FAR"): hop distances from
+    * the max-degree hub of the q136 support-thresholded co-purchase graph,
+    * reported as the distance histogram plus the unreachable count — the
+    * neighborhood-growth readout recommender/link-analysis pipelines use
+    * to size walk horizons.
+    *
+    * Scale shape: textbook Pregel-style frontier BFS — each round is ONE
+    * hash equi-join of the current frontier against the edge list plus an
+    * anti-join against settled labels (work ∝ frontier's incident edges,
+    * never vertices²), rounds = source eccentricity, labels/frontier
+    * localCheckpoint-truncated per round (the q97 iteration discipline).
+    * The edge list is the support-≥$TriangleSupport$ co-purchase graph, so
+    * its size is bounded by REPEATED co-purchases (q136's scale argument).
+    * Source selection is a tie-free [[Keys]] composite argmax (max degree,
+    * then min id). The oracle walks the same graph with a recursive-CTE
+    * reachability closure and takes min(dist) per vertex — quadratic in
+    * walks, which is exactly what makes it an independent check on the
+    * frontier algorithm.
+    */
+  private def q282(s: SparkSession, d: String): DataFrame = {
+    val op = lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val e0 = op.as("x")
+      .join(op.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= TriangleSupport)
+      .select(col("a"), col("b"))
+    val edges = e0
+      .union(e0.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    val deg = edges.groupBy(col("a").as("v")).agg(count(lit(1)).as("dg"))
+      .localCheckpoint(true)
+    val srcV = deg
+      .agg(expr(s"max_by(v, ${Keys.key(Keys.asc("dg", 9),
+        Keys.desc("v", 10))})").as("s"))
+      .head().getLong(0)
+    var labels = deg.select(col("v")).filter(col("v") === srcV)
+      .withColumn("dist", lit(0)).localCheckpoint(true)
+    var frontier = labels
+    var iter = 0
+    var active = frontier.count()
+    while (active > 0 && iter < 60) {
+      iter += 1
+      val next = frontier.join(edges, col("v") === col("a"))
+        .select(col("b").as("v")).distinct()
+        .join(labels, Seq("v"), "left_anti")
+        .withColumn("dist", lit(iter))
+        .localCheckpoint(true)
+      active = next.count()
+      labels = labels.union(next).localCheckpoint(true)
+      frontier = next
+    }
+    require(active == 0, "q282: BFS did not settle in 60 rounds")
+    val reached = labels.groupBy(col("dist"))
+      .agg(count(lit(1)).as("n_nodes"))
+      .select(col("dist").cast("int").as("dist"), col("n_nodes"))
+    val unreached = deg.join(labels, Seq("v"), "left_anti")
+      .agg(count(lit(1)).as("n_nodes"))
+      .select(lit(-1).cast("int").as("dist"), col("n_nodes"))
+      .filter(col("n_nodes") > 0)
+    reached.union(unreached).orderBy(col("dist"))
+  }
+
+  private def o282: String =
+    s"""WITH RECURSIVE op AS (
+         SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       e0 AS (
+         SELECT x.p AS a, y.p AS b
+         FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+         GROUP BY 1, 2 HAVING count(*) >= $TriangleSupport),
+       edges AS (
+         SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+       deg AS (SELECT a AS v, count(*) AS dg FROM edges GROUP BY a),
+       src AS (
+         SELECT arg_max(v, ${Keys.oKey(Keys.oAsc("dg", 9),
+            Keys.oDesc("v", 10))}) AS s
+         FROM deg),
+       reach(v, dist) AS (
+         SELECT s, 0 FROM src
+         UNION
+         SELECT e.b, r.dist + 1
+         FROM reach r JOIN edges e ON e.a = r.v
+         WHERE r.dist < 60),
+       d AS (SELECT v, min(dist) AS dist FROM reach GROUP BY v)
+       SELECT CAST(dist AS INT) AS dist, count(*) AS n_nodes
+       FROM d GROUP BY dist
+       UNION ALL
+       SELECT CAST(-1 AS INT) AS dist, count(*) AS n_nodes
+       FROM deg WHERE v NOT IN (SELECT v FROM d)
+       HAVING count(*) > 0
+       ORDER BY dist"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q136_triangle_count", q136, Some(o136)),
     QueryDef("q137_copurchase_similarity", q137, Some(o137)),
+    QueryDef("q282_bfs_distances", q282, Some(o282)),
     QueryDef("q188_assoc_rules", q188, Some(o188)))
 }
