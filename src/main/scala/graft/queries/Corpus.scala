@@ -2192,7 +2192,201 @@ object Corpus {
     CROSS JOIN tot t
     GROUP BY w.fold, w.lang ORDER BY w.fold, w.lang"""
 
+  /** TextRank damping factor, iteration count, and minimum word length
+    * (the stand-in for the POS filter of the original recipe).
+    */
+  private val TrDamping = 0.85
+  private val TrIters = 4
+  private val TrMinLen = 4
+
+  /** q285: TextRank keyword extraction (Mihalcea & Tarau 2004) — the
+    * unsupervised corpus-keyword pass that needs no training data: words
+    * are vertices, adjacent-token co-occurrences are undirected weighted
+    * edges, and `TrIters` rounds of damped weighted PageRank
+    * WS(v) = (1−d) + d·Σ_{u∈adj(v)} (w_uv / Σ_x w_ux)·WS(u) rank each
+    * word by how strongly the co-occurrence graph recommends it — the
+    * graph-centrality upgrade over raw-frequency (q151) and TF-IDF (q72)
+    * term weighting. Words shorter than `TrMinLen` stand in for the
+    * stopword/POS screen; adjacent-duplicate self-loops are dropped.
+    * Output: the top-20 keywords with final score and neighbor count.
+    *
+    * Cross-engine parity: every iteration's scores are ROUNDED at 12
+    * before feeding the next (per-vertex neighbor sums re-associate), so
+    * both engines iterate on identical doubles; the ranking key rounds
+    * at 6 with the word as tie-break. The oracle unrolls the same
+    * `TrIters` iterations as chained CTEs with the identical arithmetic.
+    *
+    * Scale shape: one corpus-linear tokenize + adjacency-pair explode
+    * collapses immediately to the vocabulary-bounded edge list (partial
+    * aggregation absorbs the per-token fanout map-side); the out-weight
+    * rollup and all `TrIters` score joins operate on vocab-bounded
+    * frames — the iteration cost never sees the corpus again (q119's
+    * iteration-body shape with the edge layout reused each round).
+    */
+  private def q285(s: SparkSession, d: String): DataFrame = {
+    val toks = parallelize(s, documents(s, d)).withColumn("ws", wsCol)
+    val pairs = toks.select(explode(expr(
+        """zip_with(slice(ws, 1, size(ws) - 1), slice(ws, 2, size(ws) - 1),
+           (a, b) -> struct(a AS u, b AS v))""")).as("e"))
+      .select(col("e.u").as("u"), col("e.v").as("v"))
+      .filter(length(col("u")) >= TrMinLen && length(col("v")) >= TrMinLen
+        && col("u") =!= col("v"))
+    val und = pairs
+      .groupBy(least(col("u"), col("v")).as("u"),
+        greatest(col("u"), col("v")).as("v"))
+      .agg(count(lit(1)).as("w"))
+    val dir = und.union(und.select(col("v").as("u"), col("u").as("v"),
+      col("w")))
+    val outw = dir.groupBy(col("u"))
+      .agg(sum(col("w")).as("ow"), count(lit(1)).as("nn"))
+    var sc = outw.select(col("u").as("word"),
+      lit(1.0).cast("double").as("sc"))
+    for (_ <- 1 to TrIters) {
+      sc = dir.join(outw.select(col("u"), col("ow")), Seq("u"))
+        .join(sc.select(col("word").as("u"), col("sc")), Seq("u"))
+        .groupBy(col("v").as("word"))
+        .agg(round(lit(1.0 - TrDamping) + lit(TrDamping)
+          * sum(col("w").cast("double") / col("ow") * col("sc")), 12)
+          .as("sc"))
+    }
+    sc.join(outw.select(col("u").as("word"), col("nn")), Seq("word"))
+      .select(col("word"), round(col("sc"), 6).as("score"),
+        col("nn").as("n_neighbors"))
+      .orderBy(col("score").desc, col("word")).limit(20)
+  }
+
+  private val o285 = {
+    val iters = (1 to TrIters).map { i =>
+      s"""s$i AS (
+           SELECT d.v AS word,
+                  round(${1.0 - TrDamping} + $TrDamping
+                    * sum(CAST(d.w AS DOUBLE) / o.ow * s.sc), 12) AS sc
+           FROM dir d JOIN outw o ON o.u = d.u
+           JOIN s${i - 1} s ON s.word = d.u
+           GROUP BY d.v)"""
+    }.mkString(",\n")
+    s"""WITH toks AS (
+         SELECT doc_id, CAST(generate_subscripts(ws, 1) AS INT) AS pos,
+                unnest(ws) AS w
+         FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+               FROM documents)),
+       pairs AS (
+         SELECT a.w AS u, b.w AS v
+         FROM toks a JOIN toks b
+           ON b.doc_id = a.doc_id AND b.pos = a.pos + 1
+         WHERE length(a.w) >= $TrMinLen AND length(b.w) >= $TrMinLen
+           AND a.w <> b.w),
+       und AS (
+         SELECT least(u, v) AS u, greatest(u, v) AS v, count(*) AS w
+         FROM pairs GROUP BY 1, 2),
+       dir AS (SELECT u, v, w FROM und
+               UNION ALL SELECT v AS u, u AS v, w FROM und),
+       outw AS (SELECT u, CAST(sum(w) AS BIGINT) AS ow,
+                       count(*) AS nn FROM dir GROUP BY u),
+       s0 AS (SELECT u AS word, CAST(1.0 AS DOUBLE) AS sc FROM outw),
+       $iters
+       SELECT s.word, round(s.sc, 6) AS score, o.nn AS n_neighbors
+       FROM s$TrIters s JOIN outw o ON o.u = s.word
+       ORDER BY score DESC, s.word LIMIT 20"""
+  }
+
+  /** q286's Dirichlet prior mass (Monroe et al.'s α₀) and word screen. */
+  private val LoPriorMass = 500.0
+  private val LoMinLen = 3
+
+  /** q286: log-odds-ratio keyness with an informative Dirichlet prior —
+    * Monroe, Colaresi & Quinn 2008's "Fightin' Words", the standard
+    * corpus-COMPARISON statistic (which terms distinguish slice A from
+    * slice B) that raw frequency ratios get wrong for rare words: each
+    * word's usage in the `lang='en'` slice vs the rest is smoothed by a
+    * prior α_w = α₀·(y_w/N) proportional to its overall corpus rate,
+    * δ_w = ln((y^A_w+α_w)/(n^A+α₀−y^A_w−α_w)) − (same for B) is the
+    * prior-regularized log-odds difference, and z_w = δ_w/√(1/(y^A_w+α_w)
+    * + 1/(y^B_w+α_w)) standardizes it so rare and common words are
+    * comparable — the keyness readout a corpus-mix audit (q124's KL is
+    * the aggregate form) drills into at the word grain. Output: the 10
+    * most A-associated and 10 most B-associated terms.
+    *
+    * Cross-engine parity: counts are exact integers; ln/√ are
+    * per-element but feed only the final z, rounded at 6 with the word
+    * as tie-break (the q248 rounded-transcendental stance). Every
+    * α_w > 0 because the word exists in the corpus, and both slice
+    * denominators carry +α₀−α_w > 0, so no log-of-zero guard is needed
+    * on either engine.
+    *
+    * Scale shape: one corpus-linear tokenize + hash rollup to the
+    * vocabulary grain (conditional sums carry both slices in one pass —
+    * no join of two scans); the totals row broadcasts back; the two
+    * top-10s are TakeOrdered merges, never a global sort.
+    */
+  private def q286(s: SparkSession, d: String): DataFrame = {
+    val words = parallelize(s, documents(s, d))
+      .select((col("lang") === "en").cast("long").as("a"),
+        explode(wsCol).as("w"))
+      .filter(length(col("w")) >= LoMinLen)
+    val counts = words.groupBy(col("w"))
+      .agg(sum(col("a")).as("ya"), sum(lit(1L) - col("a")).as("yb"))
+    val tot = counts.agg(sum(col("ya")).as("na"), sum(col("yb")).as("nb"),
+        sum(col("ya") + col("yb")).as("nn"))
+      .withColumn("jk", pmod(coalesce(col("nn"), lit(0L)), lit(1L)))
+    val z = counts.withColumn("jk", pmod(col("ya") + col("yb"), lit(1L)))
+      .join(broadcast(tot), Seq("jk"))
+      .withColumn("alpha",
+        lit(LoPriorMass) * (col("ya") + col("yb")).cast("double") / col("nn"))
+      .withColumn("delta",
+        log((col("ya") + col("alpha"))
+          / (col("na") + lit(LoPriorMass) - col("ya") - col("alpha")))
+        - log((col("yb") + col("alpha"))
+          / (col("nb") + lit(LoPriorMass) - col("yb") - col("alpha"))))
+      .withColumn("z", round(col("delta")
+        / sqrt(lit(1.0) / (col("ya") + col("alpha"))
+          + lit(1.0) / (col("yb") + col("alpha"))), 6))
+      .select(col("w").as("word"), col("ya").cast("long").as("y_en"),
+        col("yb").cast("long").as("y_rest"), col("z"))
+    val top = z.orderBy(col("z").desc, col("word")).limit(10)
+      .withColumn("side", lit("en"))
+    val bot = z.orderBy(col("z").asc, col("word")).limit(10)
+      .withColumn("side", lit("rest"))
+    top.union(bot)
+      .select(col("side"), col("word"), col("y_en"), col("y_rest"), col("z"))
+      .orderBy(col("side"), col("z").desc, col("word"))
+  }
+
+  private val o286 = s"""
+    WITH words AS (
+      SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS a, w
+      FROM (SELECT lang,
+              unnest(string_split_regex(trim(text), '\\s+')) AS w
+            FROM documents)
+      WHERE length(w) >= $LoMinLen),
+    counts AS (
+      SELECT w, CAST(sum(a) AS BIGINT) AS ya,
+             CAST(sum(1 - a) AS BIGINT) AS yb
+      FROM words GROUP BY w),
+    tot AS (
+      SELECT CAST(sum(ya) AS BIGINT) AS na, CAST(sum(yb) AS BIGINT) AS nb,
+             CAST(sum(ya + yb) AS BIGINT) AS nn
+      FROM counts),
+    z AS (
+      SELECT w AS word, ya, yb,
+             round((ln((ya + alpha)
+                       / (na + $LoPriorMass - ya - alpha))
+                  - ln((yb + alpha)
+                       / (nb + $LoPriorMass - yb - alpha)))
+               / sqrt(1.0 / (ya + alpha) + 1.0 / (yb + alpha)), 6) AS z
+      FROM (SELECT c.*, t.na, t.nb,
+              $LoPriorMass * CAST(ya + yb AS DOUBLE) / t.nn AS alpha
+            FROM counts c CROSS JOIN tot t)),
+    top AS (SELECT 'en' AS side, word, ya AS y_en, yb AS y_rest, z
+            FROM z ORDER BY z DESC, word LIMIT 10),
+    bot AS (SELECT 'rest' AS side, word, ya AS y_en, yb AS y_rest, z
+            FROM z ORDER BY z ASC, word LIMIT 10)
+    SELECT * FROM (SELECT * FROM top UNION ALL SELECT * FROM bot)
+    ORDER BY side, z DESC, word"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q285_textrank_keywords", q285, Some(o285)),
+    QueryDef("q286_logodds_keyness", q286, Some(o286)),
     QueryDef("q267_kfold_balance", q267, Some(o267)),
     QueryDef("q266_quantile_normalization", q266, Some(o266)),
     QueryDef("q261_neyman_allocation", q261, Some(o261)),

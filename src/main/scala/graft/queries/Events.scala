@@ -2632,6 +2632,71 @@ object Events {
              AS auc
     FROM ranked GROUP BY seg ORDER BY seg"""
 
+  /** q284: average precision (area under the precision-recall curve) per
+    * segment — the ranking-quality eval that matters when positives are
+    * rare: q260's ROC-AUC is dominated by the huge negative class, while
+    * AP weights every point of the curve by the recall it adds. Computed
+    * as the standard step-wise estimator over descending score
+    * thresholds, AP = Σ_s (ΔR_s)·P_s = Σ_s (c⁺_s/n⁺)·(C⁺_{≥s}/C_{≥s}),
+    * one term per DISTINCT score with ties entering together (the
+    * sklearn `average_precision_score` definition). The prevalence
+    * column n⁺/n is the random-ranker baseline AP — the number AP must
+    * be read against, exactly as 0.5 anchors ROC-AUC.
+    *
+    * Scale shape (q260's discipline): scores collapse first to the
+    * distinct-(segment, score) grain — one hash aggregation carrying
+    * (count, positive count) — and both cumulative-≥ sums run over that
+    * bounded frame (o_totalprice is 2-decimal ⇒ domain-bounded); window
+    * partitions never hold corpus-sized row sets. Per-threshold
+    * precisions are exact-integer ratios in doubles; only the final
+    * order-dependent Σ rounds, at 6.
+    */
+  private def q284(s: SparkSession, d: String): DataFrame = {
+    val o = orders(s, d).select(col("o_orderpriority").as("seg"),
+      col("o_totalprice").as("score"),
+      (col("o_orderstatus") === "F").cast("long").as("pos"))
+    val wge = Window.partitionBy(col("seg")).orderBy(col("score").desc)
+    val g = o.groupBy(col("seg"), col("score"))
+      .agg(count(lit(1)).as("c"), sum(col("pos")).as("cpos"))
+      .withColumn("cge", sum(col("c")).over(wge))
+      .withColumn("cgepos", sum(col("cpos")).over(wge))
+    g.groupBy(col("seg"))
+      .agg(sum(col("c")).cast("long").as("n"),
+        sum(col("cpos")).cast("long").as("n_pos"),
+        sum(col("cpos").cast("double")
+          * (col("cgepos").cast("double") / col("cge"))).as("apn"))
+      .select(col("seg"), col("n"), col("n_pos"),
+        round(when(col("n_pos") > 0,
+          col("n_pos").cast("double") / col("n")), 6).as("prevalence"),
+        round(when(col("n_pos") > 0, col("apn") / col("n_pos")), 6)
+          .as("avg_precision"))
+      .orderBy(col("seg"))
+  }
+
+  private val o284 = """
+    WITH o AS (
+      SELECT o_orderpriority AS seg, o_totalprice AS score,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+      FROM orders),
+    g AS (
+      SELECT seg, score, count(*) AS c, sum(pos) AS cpos
+      FROM o GROUP BY seg, score),
+    r AS (
+      SELECT seg, c, cpos,
+             sum(c) OVER (PARTITION BY seg ORDER BY score DESC
+               RANGE UNBOUNDED PRECEDING) AS cge,
+             sum(cpos) OVER (PARTITION BY seg ORDER BY score DESC
+               RANGE UNBOUNDED PRECEDING) AS cgepos
+      FROM g)
+    SELECT seg, CAST(sum(c) AS BIGINT) AS n,
+           CAST(sum(cpos) AS BIGINT) AS n_pos,
+           round(CASE WHEN sum(cpos) > 0 THEN
+             CAST(sum(cpos) AS DOUBLE) / sum(c) END, 6) AS prevalence,
+           round(CASE WHEN sum(cpos) > 0 THEN
+             sum(cpos * (CAST(cgepos AS DOUBLE) / cge)) / sum(cpos)
+           END, 6) AS avg_precision
+    FROM r GROUP BY seg ORDER BY seg"""
+
   /** q263: split-conformal prediction intervals — the distribution-free
     * uncertainty wrapper (Vovk's split-conformal recipe, the modern
     * ML-ops standard) around the simplest predictor the data admits (the
@@ -2852,7 +2917,99 @@ object Events {
                      THEN 1.0 ELSE 0.0 END), 6) AS hit_rate_20pct
     FROM j GROUP BY event_type ORDER BY event_type"""
 
+  /** q283's lag horizon (ACF at lags 1..AcfMaxLag). */
+  private val AcfMaxLag = 7
+
+  /** q283: autocorrelation function of the daily per-type event series —
+    * the diagnostic that sits before every model in the time-series tier
+    * (q258 assumes weekly structure, q269 backtests lag-7 persistence,
+    * q256 assumes level shifts): r_k for k = 1..7 says which lags carry
+    * signal at all, with the lag-7 spike (or its absence) confirming or
+    * refuting the weekly hypothesis the other queries build on.
+    *
+    * Estimator: the standard sample ACF with full-series mean and
+    * variance, r_k = Σ_pairs (y_t−ȳ)(y_{t+k}−ȳ) / Σ_t (y_t−ȳ)², where
+    * pairs are the (t, t+k) day pairs BOTH present in the series (gaps
+    * align by true date arithmetic, not row adjacency). Expanding ȳ = S/n
+    * gives the all-integer form computed here:
+    * r_k = (n²·P_k − n·S·(A_k+B_k) + m_k·S²) / (n·(n·Q − S²)) with
+    * y = per-day counts, S = Σy, Q = Σy², P_k = Σ y_t·y_{t+k},
+    * A_k/B_k the pair-side sums and m_k the pair count — every term an
+    * exact 64-bit integer at any realistic day count (the n²·P term
+    * reaches 2⁶³ only near ~10¹² events/day·~10³ days; past that, swap
+    * the longs for DECIMAL(38,0) — DuckDB's HUGEINT already is), so the
+    * one final division is the only float op and both engines divide the
+    * identical integers. A constant series (zero variance) yields NULL
+    * on both sides via an explicit guard.
+    *
+    * Scale shape: one corpus-linear hash aggregation to the day grain;
+    * everything after (the ×7 lag explode, the self-join on
+    * (type, day+k), the moment rollups) operates on the bounded
+    * types×days frame.
+    */
+  private def q283(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"),
+        expr("ts DIV 1000 DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val stats = daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("s"),
+        sum(col("y") * col("y")).as("q"))
+    val a = daily
+      .select(col("event_type"), col("day"), col("y"),
+        explode(sequence(lit(1), lit(AcfMaxLag))).as("lag"))
+    val b = daily.select(col("event_type").as("btype"),
+      col("day").as("bday"), col("y").as("by"))
+    a.join(b, col("btype") === col("event_type")
+        && col("bday") === col("day") + col("lag"))
+      .groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("m"), sum(col("y") * col("by")).as("p"),
+        sum(col("y")).as("asum"), sum(col("by")).as("bsum"))
+      .join(broadcast(stats), Seq("event_type"))
+      .select(col("event_type"), col("lag"), col("n").as("n_days"),
+        col("m").as("n_pairs"),
+        round(when(col("n") * col("q") - col("s") * col("s") =!= 0L,
+          (col("n") * col("n") * col("p")
+            - col("n") * col("s") * (col("asum") + col("bsum"))
+            + col("m") * col("s") * col("s")).cast("double")
+          / (col("n") * (col("n") * col("q") - col("s") * col("s")))
+            .cast("double")), 6).as("acf"))
+      .orderBy(col("event_type"), col("lag"))
+  }
+
+  private val o283 = s"""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY event_type, day),
+    stats AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS s,
+             CAST(sum(y * y) AS BIGINT) AS q
+      FROM daily GROUP BY event_type),
+    pairs AS (
+      SELECT a.event_type, t.lag, CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(a.y * b.y) AS BIGINT) AS p,
+             CAST(sum(a.y) AS BIGINT) AS asum,
+             CAST(sum(b.y) AS BIGINT) AS bsum
+      FROM daily a
+      CROSS JOIN generate_series(1, $AcfMaxLag) AS t(lag)
+      JOIN daily b ON b.event_type = a.event_type
+                  AND b.day = a.day + t.lag
+      GROUP BY a.event_type, t.lag)
+    SELECT pr.event_type, CAST(pr.lag AS INT) AS lag,
+           st.n AS n_days, pr.m AS n_pairs,
+           round(CASE WHEN st.n * st.q - st.s * st.s <> 0 THEN
+             CAST(st.n * st.n * pr.p - st.n * st.s * (pr.asum + pr.bsum)
+                  + pr.m * st.s * st.s AS DOUBLE)
+             / CAST(st.n * (st.n * st.q - st.s * st.s) AS DOUBLE)
+           END, 6) AS acf
+    FROM pairs pr JOIN stats st ON st.event_type = pr.event_type
+    ORDER BY pr.event_type, lag"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q283_acf", q283, Some(o283)),
+    QueryDef("q284_avg_precision", q284, Some(o284)),
     QueryDef("q268_freshness_sla", q268, Some(o268)),
     QueryDef("q269_seasonal_naive_backtest", q269, Some(o269)),
     QueryDef("q264_target_encoding", q264, Some(o264)),
