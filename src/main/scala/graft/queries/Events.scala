@@ -2075,11 +2075,13 @@ object Events {
         sum(when(col("us") >= col("mid"), col("value")).otherwise(0.0))
           .as("y"))
       .withColumn("arm", pmod(col("user_id"), lit(2L)))
-    // jk must stay non-NULL even when θ is NULL (var_pop(x)=0 degenerate:
-    // both engines make θ NULL via /0→NULL, and the oracle's CROSS JOIN
-    // keeps every row — a NULL join key here would drop them all)
+    // var_pop(x)=0 degenerate: DuckDB's /0 yields NULL but Spark-4 ANSI
+    // division THROWS, so θ needs an explicit NULL guard; and jk must stay
+    // non-NULL even when θ is NULL (the oracle's CROSS JOIN keeps every
+    // row — a NULL join key here would drop them all)
     val coef = users.agg(
-      round(covar_pop(col("x"), col("y")) / var_pop(col("x")), 6)
+      round(when(var_pop(col("x")) =!= 0.0,
+        covar_pop(col("x"), col("y")) / var_pop(col("x"))), 6)
         .as("theta"),
       round(avg(col("x")), 6).as("mx"))
       .withColumn("jk",
@@ -2089,9 +2091,13 @@ object Events {
       .withColumn("ystar",
         col("y") - col("theta") * (col("x") - col("mx")))
     val vr = adj.agg(
-      round(lit(1.0) - var_pop(col("ystar")) / var_pop(col("y")), 6)
+      round(when(var_pop(col("y")) =!= 0.0,
+        lit(1.0) - var_pop(col("ystar")) / var_pop(col("y"))), 6)
         .as("var_reduction"))
-      .withColumn("jk", pmod(col("var_reduction").cast("long"), lit(1L)))
+      // same degenerate case one stage later: θ NULL propagates through
+      // ystar into var_reduction, so this jk needs the identical guard
+      .withColumn("jk",
+        pmod(coalesce(col("var_reduction").cast("long"), lit(0L)), lit(1L)))
     adj.groupBy(col("arm"))
       .agg(count(lit(1)).as("n_users"),
         round(avg(col("y")), 6).as("mean_y_raw"),

@@ -134,4 +134,62 @@ class InvariantSpec extends SparkTestBase {
       }
     }
   }
+
+  /** The broadcast-scalar join keys (`pmod(coalesce(stat, 0), 1)`) must
+    * stay non-NULL when the statistic itself degenerates to NULL — both
+    * engines NULL the value, but only a NULL JOIN KEY silently drops every
+    * output row while the oracle's CROSS JOIN keeps them (round-10
+    * ADVICE). The shared testdata never produces the degenerate inputs, so
+    * these tests synthesize them.
+    */
+  private def withTempDir(f: String => Unit): Unit = {
+    val dir = java.nio.file.Files.createTempDirectory("graft-degen")
+    try f(dir.toString)
+    finally {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(dir).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.deleteIfExists(_))
+    }
+  }
+
+  test("q249 CUPED degenerate var_pop(x)=0: arms survive with NULL theta") {
+    withTempDir { dir =>
+      import spark.implicits._
+      // every user has the same pre-period sum (value constant) -> theta =
+      // covar/0 -> NULL on both engines; ystar and var_reduction go NULL too
+      val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val t2 = java.sql.Timestamp.valueOf("2024-01-09 00:00:00")
+      (1L to 4L).flatMap(u => Seq((u * 2 - 1, t1, u, "view", 5.0, "{}"),
+          (u * 2, t2, u, "view", 5.0, "{}")))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/events.parquet")
+      val rows = SparkEntry.queries("q249_cuped")(spark, dir).collect()
+      assert(rows.length == 2, s"degenerate CUPED dropped rows: got " +
+        s"${rows.length}, want one per arm")
+      rows.foreach { r =>
+        assert(r.isNullAt(r.fieldIndex("theta")), r.toString)
+        assert(r.isNullAt(r.fieldIndex("var_reduction")), r.toString)
+        assert(r.getAs[Double]("mean_y_raw") == 5.0, r.toString)
+      }
+    }
+  }
+
+  test("q261 Neyman degenerate singleton strata: every lang row survives") {
+    withTempDir { dir =>
+      import spark.implicits._
+      // one doc per stratum -> stddev_samp NULL -> total weight NULL
+      Seq((1L, "aa bb", "en", "web", 5L), (2L, "cc dd", "fr", "web", 5L),
+          (3L, "ee ff", "de", "web", 5L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      val rows = SparkEntry.queries("q261_neyman_allocation")(spark, dir)
+        .collect()
+      assert(rows.length == 3, s"degenerate Neyman dropped rows: got " +
+        s"${rows.length}, want one per lang")
+      rows.foreach { r =>
+        assert(r.isNullAt(r.fieldIndex("sd")), r.toString)
+        assert(r.isNullAt(r.fieldIndex("alloc_frac")), r.toString)
+      }
+    }
+  }
 }
