@@ -911,9 +911,12 @@ object Corpus {
     val v = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
       .cast("long")
     documents(s, d)
+      // an empty doc (n_chars=0) has zero weight — its A-ES key is
+      // undefined: NULL on both engines (ANSI /0 would throw)
       .select(col("doc_id"), col("n_chars"),
-        round(-log((v.cast("double") + 0.5) / 4294967296.0)
-          / col("n_chars"), 8).as("aes_key"))
+        round(when(col("n_chars") > 0,
+          -log((v.cast("double") + 0.5) / 4294967296.0)
+            / col("n_chars")), 8).as("aes_key"))
       .orderBy(col("aes_key"), col("doc_id"))
       .limit(20)
   }
@@ -1437,8 +1440,11 @@ object Corpus {
         round(col("n_tokens") / col("tot_tokens").cast("double"), 6)
           .as("raw_share"),
         round(col("scaled") / col("tot_scaled"), 6).as("sample_weight"),
-        round((col("scaled") / col("tot_scaled"))
-          / (col("n_tokens") / col("tot_tokens").cast("double")), 4)
+        // an all-empty-text source has n_tokens=0: its raw share is 0 and
+        // epochs-per-pass is undefined — NULL on both engines (DuckDB's
+        // 0/0 float -> NULL; Spark-4 ANSI /0 would throw)
+        round(when(col("n_tokens") > 0, (col("scaled") / col("tot_scaled"))
+          / (col("n_tokens") / col("tot_tokens").cast("double"))), 4)
           .as("epochs_per_pass"))
       .orderBy(col("source"))
   }
@@ -2384,8 +2390,114 @@ object Corpus {
     SELECT * FROM (SELECT * FROM top UNION ALL SELECT * FROM bot)
     ORDER BY side, z DESC, word"""
 
+  /** q288's anonymity threshold (classes smaller than this are at risk). */
+  private val KAnonK = 5L
+
+  /** q288: k-anonymity / l-diversity privacy audit — the re-identification
+    * screen a corpus release runs before publishing (Sweeney 2002's
+    * k-anonymity; Machanavajjhala et al. 2007's l-diversity): treating
+    * (lang, length bucket) as the quasi-identifier an attacker could link
+    * on, every equivalence class reports its size k (a class smaller than
+    * `KAnonK` re-identifies its members), the number of distinct values
+    * the sensitive attribute (source) takes inside it (l — a class where
+    * l=1 discloses the attribute even at large k), and the dominant
+    * sensitive value's share (the homogeneity-attack readout behind
+    * t-closeness). The release decision is per-class: suppress or
+    * generalize the flagged rows.
+    *
+    * Scale shape: two nested hash aggregations — corpus-linear to the
+    * (QI, sensitive) grain, then to the QI grain; output bounded by
+    * |langs| × |length buckets|. All integers until the one rounded share;
+    * (lang, len_bucket) is a unique total order.
+    */
+  private def q288(s: SparkSession, d: String): DataFrame =
+    documents(s, d)
+      .select(col("lang"), expr("n_chars DIV 200").as("len_bucket"),
+        col("source"))
+      .groupBy(col("lang"), col("len_bucket"), col("source"))
+      .agg(count(lit(1)).as("cs"))
+      .groupBy(col("lang"), col("len_bucket"))
+      .agg(sum(col("cs")).cast("long").as("k"),
+        count(lit(1)).cast("long").as("l_div"),
+        max(col("cs")).cast("long").as("max_sens"))
+      .select(col("lang"), col("len_bucket"), col("k"), col("l_div"),
+        (col("k") < KAnonK).as("at_risk"),
+        round(col("max_sens").cast("double") / col("k"), 6)
+          .as("dominant_share"))
+      .orderBy(col("lang"), col("len_bucket"))
+
+  private val o288 = s"""
+    WITH b AS (
+      SELECT lang, n_chars // 200 AS len_bucket, source, count(*) AS cs
+      FROM documents GROUP BY 1, 2, 3)
+    SELECT lang, len_bucket, CAST(sum(cs) AS BIGINT) AS k,
+           CAST(count(*) AS BIGINT) AS l_div,
+           sum(cs) < $KAnonK AS at_risk,
+           round(CAST(max(cs) AS DOUBLE) / sum(cs), 6) AS dominant_share
+    FROM b GROUP BY 1, 2 ORDER BY lang, len_bucket"""
+
+  /** q290's privacy-loss budget ε (sensitivity-1 count queries). */
+  private val DpEps = 1.0
+
+  /** q290: differentially-private count release with DERANDOMIZED Laplace
+    * noise — the ε-DP mechanism (Dwork et al. 2006) a corpus owner applies
+    * before publishing composition statistics: each (lang, source) cell's
+    * count is released as n + Lap(Δ/ε) with sensitivity Δ=1. The noise is
+    * derandomized the way this repo derandomizes every sampler (q138's
+    * A-ES keys, q257's Poisson weights): uniform u = (md5(cell)+0.5)/2³²
+    * through the Laplace inverse CDF −b·sign(u−½)·ln(1−2|u−½|), so the
+    * release is reproducible AND auditable — true count, noisy value and
+    * per-cell absolute error ride along (a real release would drop the
+    * true columns; the audit form is the point here). u is never 0, ½ or
+    * 1 by construction (k+0.5)/2³², so the log operand stays in (0, 1] —
+    * no zero-log guard needed on either engine.
+    *
+    * Parity: one ln per CELL (a schema-bounded domain, not per row),
+    * rounded at 6 — the q286/q138 rounded-transcendental stance. Scale:
+    * one corpus-linear hash aggregation; the noise is column algebra on
+    * the bounded cell frame.
+    */
+  private def q290(s: SparkSession, d: String): DataFrame = {
+    val v = conv(substring(md5(concat_ws("|", col("lang"), col("source"))),
+      1, 8), 16, 10).cast("long")
+    val u = (v.cast("double") + 0.5) / 4294967296.0
+    val noise = -lit(1.0 / DpEps) * signum(u - 0.5) *
+      log(lit(1.0) - lit(2.0) * abs(u - 0.5))
+    documents(s, d).groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).cast("long").as("true_n"))
+      .select(col("lang"), col("source"), col("true_n"),
+        round(col("true_n") + noise, 6).as("noisy_n"),
+        round(abs(noise), 6).as("abs_err"),
+        lit(DpEps).as("epsilon"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  private val o290 = s"""
+    WITH g AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS true_n
+      FROM documents GROUP BY 1, 2),
+    h AS (
+      SELECT lang, source, true_n,
+             (list_sum(list_transform(range(1, 9), k ->
+                (strpos('0123456789abcdef',
+                   substr(md5(lang || '|' || source), k, 1)) - 1)
+                * power(16, 8 - k))) + 0.5) / 4294967296.0 AS u
+      FROM g),
+    n AS (
+      SELECT lang, source, true_n,
+             -(${1.0 / DpEps}) * sign(u - 0.5)
+               * ln(1.0 - 2.0 * abs(u - 0.5)) AS noise
+      FROM h)
+    SELECT lang, source, true_n,
+           round(true_n + noise, 6) AS noisy_n,
+           round(abs(noise), 6) AS abs_err,
+           CAST($DpEps AS DOUBLE) AS epsilon
+    FROM n ORDER BY lang, source"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q285_textrank_keywords", q285, Some(o285)),
+    QueryDef("q288_k_anonymity", q288, Some(o288)),
+    QueryDef("q290_dp_release", q290, Some(o290)),
     QueryDef("q286_logodds_keyness", q286, Some(o286)),
     QueryDef("q267_kfold_balance", q267, Some(o267)),
     QueryDef("q266_quantile_normalization", q266, Some(o266)),

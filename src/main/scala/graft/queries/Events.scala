@@ -743,15 +743,21 @@ object Events {
         .cast("long").as("conv_a"),
       sum(when(col("arm") === "B", col("converted")).otherwise(0L))
         .cast("long").as("conv_b"))
-    val crA = col("conv_a") / col("n_a").cast("double")
-    val crB = col("conv_b") / col("n_b").cast("double")
-    val pool = (col("conv_a") + col("conv_b")) /
-      (col("n_a") + col("n_b")).cast("double")
+    // degenerate arms: an empty arm (n=0) or a pooled rate of exactly 0
+    // or 1 zeroes the z denominator — DuckDB's /0 yields NULL, Spark-4
+    // ANSI throws, so both rates and z carry explicit guards
+    val crA = when(col("n_a") > 0, col("conv_a") / col("n_a").cast("double"))
+    val crB = when(col("n_b") > 0, col("conv_b") / col("n_b").cast("double"))
+    val pool = when(col("n_a") + col("n_b") > 0,
+      (col("conv_a") + col("conv_b")) /
+        (col("n_a") + col("n_b")).cast("double"))
     agg.select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
       round(crA, 6).as("cr_a"), round(crB, 6).as("cr_b"),
-      round((crA - crB) /
-        sqrt(pool * (lit(1.0) - pool) *
-          (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 6).as("z"))
+      round(when(col("n_a") > 0 && col("n_b") > 0
+          && pool > 0.0 && pool < 1.0,
+        (crA - crB) /
+          sqrt(pool * (lit(1.0) - pool) *
+            (lit(1.0) / col("n_a") + lit(1.0) / col("n_b")))), 6).as("z"))
   }
 
   private val o187 = """
@@ -2388,7 +2394,10 @@ object Events {
       .join(broadcast(repFrame), Seq("jk"))
       .withColumn("w", wgt)
       .groupBy(col("event_type"), col("rep"))
-      .agg((sum(col("w") * col("value")) / sum(col("w"))).as("rm"))
+      // a replicate whose Poisson weights all landed on 0 has no mass:
+      // NULL replicate mean on both engines (the quantile step skips it)
+      .agg(when(sum(col("w")) > 0,
+        sum(col("w") * col("value")) / sum(col("w"))).as("rm"))
     repMeans.groupBy(col("event_type"))
       .agg(count(lit(1)).as("n_reps"),
         round(avg(col("rm")), 5).as("boot_mean"),
@@ -2450,9 +2459,11 @@ object Events {
       .join(broadcast(eff.select(col("event_type"), col("dow"),
         col("dow_effect"))), Seq("event_type", "dow"))
       .groupBy(col("event_type"))
-      .agg(round(lit(1.0) -
+      // var_pop(value)=0 (constant-value type): NULL R² on both engines —
+      // DuckDB via /0 -> NULL, Spark via the guard (ANSI /0 throws)
+      .agg(round(when(var_pop(col("value")) =!= 0.0, lit(1.0) -
         var_pop(col("value") - col("level") - col("dow_effect"))
-          / var_pop(col("value")), 6).as("seasonal_r2"))
+          / var_pop(col("value"))), 6).as("seasonal_r2"))
     eff.join(broadcast(resid), Seq("event_type"))
       .select(col("event_type"), col("dow"), col("n"), col("level"),
         col("dow_effect"), col("seasonal_r2"))
@@ -2608,9 +2619,12 @@ object Events {
           .as("rank_sum_pos"))
       .select(col("seg"), col("n"), col("n_pos"),
         (col("n") - col("n_pos")).as("n_neg"),
-        round((col("rank_sum_pos")
+        // all-positive / all-negative segment: U's denominator is 0 —
+        // NULL AUC on both engines (DuckDB /0 -> NULL; ANSI would throw)
+        round(when(col("n_pos") > 0 && col("n_pos") < col("n"),
+          (col("rank_sum_pos")
             - col("n_pos").cast("double") * (col("n_pos") + 1) / 2.0)
-          / (col("n_pos").cast("double") * (col("n") - col("n_pos"))), 6)
+          / (col("n_pos").cast("double") * (col("n") - col("n_pos")))), 6)
           .as("auc"))
       .orderBy(col("seg"))
   }
@@ -2702,6 +2716,118 @@ object Events {
              sum(cpos * (CAST(cgepos AS DOUBLE) / cge)) / sum(cpos)
            END, 6) AS avg_precision
     FROM r GROUP BY seg ORDER BY seg"""
+
+  /** q287: Kruskal–Wallis H — the k-group generalization that completes
+    * the nonparametric tier (q260's Mann–Whitney compares TWO groups,
+    * q259's KS compares distributions pairwise; this one asks whether ANY
+    * of the k event types' value distributions differ in location). Ranks
+    * are global midranks over all values; H = 12/(N(N+1))·Σ n_i·(r̄_i −
+    * (N+1)/2)² with the standard tie correction C = 1 − Σ(t³−t)/(N³−N),
+    * H' = H/C (Kruskal & Wallis 1952 §5). Output: one row per type with
+    * its mean rank, the shared H / H' / df riding along (q258's shape).
+    *
+    * Exact-arithmetic stance: midranks are kept as INTEGER doubled ranks
+    * m2 = 2·below + c + 1, per-type doubled rank sums r2 = Σ c·m2 and the
+    * deviation numerators d2 = r2 − n(N+1) are exact int64 (overflow only
+    * past ~10⁹ rows — swap to DECIMAL/HUGEINT there, as is Σt³ ≤ N³); each
+    * type's variance contribution d2²/(4n) is then one deterministic IEEE
+    * square+divide of exact integers, and the k-term Σ folds in sorted
+    * type order on both engines (the q206 list-ORDER-BY trick), so H is
+    * bit-stable before its single round at 6. All-tied input drives C to
+    * 0: H' is NULL on both engines (guarded — ANSI /0 throws).
+    *
+    * Scale shape: one corpus-linear hash aggregation to the (type, value)
+    * grain; the value directory (2-decimal domain-bounded), its cumulative
+    * window, and everything after operate on bounded frames — the q152/
+    * q260 distinct-value-grain rank discipline, no per-row sort anywhere.
+    */
+  private def q287(s: SparkSession, d: String): DataFrame = {
+    val g = events(s, d).filter(col("value").isNotNull)
+      .groupBy(col("event_type"), col("value"))
+      .agg(count(lit(1)).as("c"))
+    val wv = Window.orderBy(col("value"))
+    val dir = g.groupBy(col("value")).agg(sum(col("c")).as("cv"))
+      .withColumn("cle", sum(col("cv")).over(wv))
+      .withColumn("m2",
+        lit(2L) * (col("cle") - col("cv")) + col("cv") + lit(1L))
+    val pt = g.join(dir.select(col("value"), col("m2")), Seq("value"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("c")).cast("long").as("n"),
+        sum(col("c") * col("m2")).cast("long").as("r2"))
+    val tot = dir.agg(sum(col("cv")).cast("long").as("nn"),
+        sum(col("cv") * col("cv") * col("cv") - col("cv")).cast("long")
+          .as("tie"))
+      .withColumn("jk", pmod(col("nn"), lit(1L)))
+    val terms = pt.withColumn("jk", pmod(col("n"), lit(1L)))
+      .join(broadcast(tot), Seq("jk"))
+      .withColumn("d2", col("r2") - col("n") * (col("nn") + lit(1L)))
+      .withColumn("term",
+        col("d2").cast("double") * col("d2").cast("double")
+          / (lit(4.0) * col("n")))
+    val h = terms.agg(
+        expr("""aggregate(array_sort(collect_list(struct(event_type, term))),
+          cast(0.0 as double), (a, x) -> a + x.term)""").as("st"),
+        max(col("nn")).as("nn"), max(col("tie")).as("tie"),
+        count(lit(1)).as("k"))
+      .select(
+        round(lit(12.0) * col("st")
+          / (col("nn").cast("double") * (col("nn") + lit(1L))), 6).as("h"),
+        round(when(col("tie") < col("nn") * col("nn") * col("nn") - col("nn"),
+          (lit(12.0) * col("st")
+            / (col("nn").cast("double") * (col("nn") + lit(1L))))
+          / (lit(1.0) - col("tie").cast("double")
+            / (col("nn") * col("nn") * col("nn") - col("nn")))), 6)
+          .as("h_tie_corrected"),
+        (col("k") - lit(1L)).cast("long").as("df"))
+      .withColumn("jk", pmod(col("df"), lit(1L)))
+    pt.withColumn("jk", pmod(col("n"), lit(1L)))
+      .join(broadcast(h), Seq("jk"))
+      .select(col("event_type"), col("n"),
+        round(col("r2").cast("double") / (lit(2.0) * col("n")), 6)
+          .as("mean_rank"),
+        col("h"), col("h_tie_corrected"), col("df"))
+      .orderBy(col("event_type"))
+  }
+
+  private val o287 = """
+    WITH g AS (
+      SELECT event_type, value, count(*) AS c
+      FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+    dir AS (
+      SELECT value, CAST(sum(c) AS BIGINT) AS cv FROM g GROUP BY 1),
+    dirw AS (
+      SELECT value, cv,
+             CAST(sum(cv) OVER (ORDER BY value
+               RANGE UNBOUNDED PRECEDING) AS BIGINT) AS cle
+      FROM dir),
+    m AS (SELECT value, cv, 2 * (cle - cv) + cv + 1 AS m2 FROM dirw),
+    pt AS (
+      SELECT event_type, CAST(sum(c) AS BIGINT) AS n,
+             CAST(sum(c * m2) AS BIGINT) AS r2
+      FROM g JOIN m USING (value) GROUP BY 1),
+    tot AS (
+      SELECT CAST(sum(cv) AS BIGINT) AS nn,
+             CAST(sum(cv * cv * cv - cv) AS BIGINT) AS tie
+      FROM dir),
+    terms AS (
+      SELECT event_type, n, r2, nn, tie,
+             CAST(r2 - n * (nn + 1) AS DOUBLE)
+               * (r2 - n * (nn + 1)) / (4.0 * n) AS term
+      FROM pt CROSS JOIN tot),
+    h AS (
+      SELECT list_sum(list(term ORDER BY event_type)) AS st,
+             max(nn) AS nn, max(tie) AS tie, count(*) AS k
+      FROM terms)
+    SELECT t.event_type, t.n,
+           round(CAST(t.r2 AS DOUBLE) / (2.0 * t.n), 6) AS mean_rank,
+           round(12.0 * h.st / (CAST(h.nn AS DOUBLE) * (h.nn + 1)), 6) AS h,
+           round(CASE WHEN h.tie < h.nn * h.nn * h.nn - h.nn THEN
+             (12.0 * h.st / (CAST(h.nn AS DOUBLE) * (h.nn + 1)))
+             / (1.0 - CAST(h.tie AS DOUBLE)
+                      / (h.nn * h.nn * h.nn - h.nn)) END, 6)
+             AS h_tie_corrected,
+           CAST(h.k - 1 AS BIGINT) AS df
+    FROM pt t CROSS JOIN h ORDER BY event_type"""
 
   /** q263: split-conformal prediction intervals — the distribution-free
     * uncertainty wrapper (Vovk's split-conformal recipe, the modern
@@ -2953,7 +3079,11 @@ object Events {
     * (type, day+k), the moment rollups) operates on the bounded
     * types×days frame.
     */
-  private def q283(s: SparkSession, d: String): DataFrame = {
+  /** Shared ACF frame for q283/q289: (event_type, lag, n_days, n_pairs,
+    * acf) for lags 1..maxLag, the all-integer estimator documented on
+    * q283 with the single final division rounded at 6.
+    */
+  private def acfFrame(s: SparkSession, d: String, maxLag: Int): DataFrame = {
     val daily = events(s, d)
       .groupBy(col("event_type"),
         expr("ts DIV 1000 DIV 86400000000").as("day"))
@@ -2963,7 +3093,7 @@ object Events {
         sum(col("y") * col("y")).as("q"))
     val a = daily
       .select(col("event_type"), col("day"), col("y"),
-        explode(sequence(lit(1), lit(AcfMaxLag))).as("lag"))
+        explode(sequence(lit(1), lit(maxLag))).as("lag"))
     val b = daily.select(col("event_type").as("btype"),
       col("day").as("bday"), col("y").as("by"))
     a.join(b, col("btype") === col("event_type")
@@ -2980,8 +3110,10 @@ object Events {
             + col("m") * col("s") * col("s")).cast("double")
           / (col("n") * (col("n") * col("q") - col("s") * col("s")))
             .cast("double")), 6).as("acf"))
-      .orderBy(col("event_type"), col("lag"))
   }
+
+  private def q283(s: SparkSession, d: String): DataFrame =
+    acfFrame(s, d, AcfMaxLag).orderBy(col("event_type"), col("lag"))
 
   private val o283 = s"""
     WITH daily AS (
@@ -3013,9 +3145,238 @@ object Events {
     FROM pairs pr JOIN stats st ON st.event_type = pr.event_type
     ORDER BY pr.event_type, lag"""
 
+  /** q289's recursion depth (PACF at lags 1..4). */
+  private val PacfMaxLag = 4
+
+  /** q289: partial autocorrelation function via Durbin–Levinson — the
+    * companion diagnostic to q283's ACF and the standard AR-order chooser
+    * (Box & Jenkins: the PACF of an AR(p) cuts off after lag p, where the
+    * ACF only decays): φ_kk measures the lag-k association AFTER removing
+    * everything explained by lags 1..k−1. Computed by the Levinson
+    * recursion φ_kk = (r_k − Σ φ_{k−1,j}·r_{k−j}) / (1 − Σ φ_{k−1,j}·r_j),
+    * φ_kj = φ_{k−1,j} − φ_kk·φ_{k−1,k−j}, unrolled to `PacfMaxLag`.
+    *
+    * Cross-engine parity: inputs are q283's ACF values (integer-exact up
+    * to their single rounded-at-6 division, so both engines start from
+    * IDENTICAL doubles); every recursion step re-rounds at 12 before
+    * reuse and both dialects spell the same left-to-right arithmetic, so
+    * the chain stays bit-stable (q285's iterate-on-rounded-doubles
+    * stance). A degenerate denominator (unit-root series) or a missing
+    * lag yields NULL that propagates through the remaining lags on both
+    * engines — no ANSI /0 throw, no DuckDB divergence.
+    *
+    * Scale shape: inherits q283's — one corpus-linear day rollup, then
+    * types×lags-bounded frames; the recursion itself is pure column
+    * algebra on one row per type.
+    */
+  private def q289(s: SparkSession, d: String): DataFrame = {
+    val r = acfFrame(s, d, PacfMaxLag)
+    r.groupBy(col("event_type"))
+      .agg(max(when(col("lag") === 1, col("acf"))).as("r1"),
+        max(when(col("lag") === 2, col("acf"))).as("r2"),
+        max(when(col("lag") === 3, col("acf"))).as("r3"),
+        max(when(col("lag") === 4, col("acf"))).as("r4"))
+      .withColumn("p11", col("r1"))
+      .withColumn("den2", lit(1.0) - col("p11") * col("r1"))
+      .withColumn("p22", round(when(col("den2") =!= 0.0,
+        (col("r2") - col("p11") * col("r1")) / col("den2")), 12))
+      .withColumn("p21", round(col("p11") - col("p22") * col("p11"), 12))
+      .withColumn("den3", lit(1.0)
+        - (col("p21") * col("r1") + col("p22") * col("r2")))
+      .withColumn("p33", round(when(col("den3") =!= 0.0,
+        (col("r3") - (col("p21") * col("r2") + col("p22") * col("r1")))
+          / col("den3")), 12))
+      .withColumn("p31", round(col("p21") - col("p33") * col("p22"), 12))
+      .withColumn("p32", round(col("p22") - col("p33") * col("p21"), 12))
+      .withColumn("den4", lit(1.0)
+        - (col("p31") * col("r1") + col("p32") * col("r2")
+          + col("p33") * col("r3")))
+      .withColumn("p44", round(when(col("den4") =!= 0.0,
+        (col("r4") - (col("p31") * col("r3") + col("p32") * col("r2")
+          + col("p33") * col("r1"))) / col("den4")), 12))
+      .select(col("event_type"),
+        round(col("p11"), 6).as("pacf_1"),
+        round(col("p22"), 6).as("pacf_2"),
+        round(col("p33"), 6).as("pacf_3"),
+        round(col("p44"), 6).as("pacf_4"))
+      .orderBy(col("event_type"))
+  }
+
+  private val o289 = s"""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY event_type, day),
+    stats AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS s,
+             CAST(sum(y * y) AS BIGINT) AS q
+      FROM daily GROUP BY event_type),
+    pairs AS (
+      SELECT a.event_type, t.lag, CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(a.y * b.y) AS BIGINT) AS p,
+             CAST(sum(a.y) AS BIGINT) AS asum,
+             CAST(sum(b.y) AS BIGINT) AS bsum
+      FROM daily a
+      CROSS JOIN generate_series(1, $PacfMaxLag) AS t(lag)
+      JOIN daily b ON b.event_type = a.event_type
+                  AND b.day = a.day + t.lag
+      GROUP BY a.event_type, t.lag),
+    r AS (
+      SELECT pr.event_type, pr.lag,
+             round(CASE WHEN st.n * st.q - st.s * st.s <> 0 THEN
+               CAST(st.n * st.n * pr.p - st.n * st.s * (pr.asum + pr.bsum)
+                    + pr.m * st.s * st.s AS DOUBLE)
+               / CAST(st.n * (st.n * st.q - st.s * st.s) AS DOUBLE)
+             END, 6) AS acf
+      FROM pairs pr JOIN stats st ON st.event_type = pr.event_type),
+    wide AS (
+      SELECT event_type,
+             max(CASE WHEN lag = 1 THEN acf END) AS r1,
+             max(CASE WHEN lag = 2 THEN acf END) AS r2,
+             max(CASE WHEN lag = 3 THEN acf END) AS r3,
+             max(CASE WHEN lag = 4 THEN acf END) AS r4
+      FROM r GROUP BY event_type),
+    s1 AS (SELECT *, r1 AS p11 FROM wide),
+    s2 AS (SELECT *, round(CASE WHEN 1.0 - p11 * r1 <> 0 THEN
+             (r2 - p11 * r1) / (1.0 - p11 * r1) END, 12) AS p22 FROM s1),
+    s2b AS (SELECT *, round(p11 - p22 * p11, 12) AS p21 FROM s2),
+    s3 AS (SELECT *, round(CASE WHEN 1.0 - (p21 * r1 + p22 * r2) <> 0 THEN
+             (r3 - (p21 * r2 + p22 * r1))
+             / (1.0 - (p21 * r1 + p22 * r2)) END, 12) AS p33 FROM s2b),
+    s3b AS (SELECT *, round(p21 - p33 * p22, 12) AS p31,
+                      round(p22 - p33 * p21, 12) AS p32 FROM s3),
+    s4 AS (SELECT *, round(CASE
+             WHEN 1.0 - (p31 * r1 + p32 * r2 + p33 * r3) <> 0 THEN
+             (r4 - (p31 * r3 + p32 * r2 + p33 * r1))
+             / (1.0 - (p31 * r1 + p32 * r2 + p33 * r3)) END, 12) AS p44
+           FROM s3b)
+    SELECT event_type, round(p11, 6) AS pacf_1, round(p22, 6) AS pacf_2,
+           round(p33, 6) AS pacf_3, round(p44, 6) AS pacf_4
+    FROM s4 ORDER BY event_type"""
+
+  /** q291: stratified ATE / inverse-propensity estimate — the third leg
+    * of the observational-causal tier (q249 CUPED reduces variance, q251
+    * DiD removes time trends; THIS removes confounding by a measured
+    * covariate): treatment = the user signed up, outcome = purchase value,
+    * confounder = activity level (active users both sign up AND buy more,
+    * so the naive treated-vs-control gap overstates the effect). Within
+    * each activity stratum the treated/control contrast is clean
+    * (propensity e_h constant by construction), and the ATE is the
+    * n_h-weighted mean of per-stratum contrasts over the ON-SUPPORT
+    * strata (both arms present) — Horvitz–Thompson with stratum
+    * propensities ≡ direct standardization (Lunceford & Davidian 2004).
+    * Off-support strata are EXCLUDED and reported via support_share —
+    * the positivity-violation readout a real analysis must surface.
+    *
+    * Parity: outcomes enter as exact integer cents (q156's micro-unit
+    * stance), so every stratum sum is an exact long; per-stratum means
+    * and diffs round at 6; the ≤|strata|-term ATE sum folds in sorted
+    * stratum order (q206's trick). Empty-arm strata yield NULL means via
+    * explicit guards (ANSI /0 throws; DuckDB's /0 is NULL).
+    *
+    * Scale shape: one corpus-linear hash aggregation to the user grain,
+    * one to the bounded stratum grain; everything after is column algebra
+    * on ≤|strata| rows.
+    */
+  private def q291(s: SparkSession, d: String): DataFrame = {
+    val users = events(s, d).groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_ev"),
+        max((col("event_type") === "signup").cast("int")).as("t"),
+        sum(when(col("event_type") === "purchase",
+          round(col("value") * 100).cast("long")).otherwise(0L)).as("yc"))
+      .withColumn("stratum", least(expr("n_ev DIV 5"), lit(4L)))
+    val st = users.groupBy(col("stratum"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("t")).cast("long").as("n_treated"),
+        sum(when(col("t") === 1, col("yc")).otherwise(0L)).cast("long")
+          .as("s1"),
+        sum(when(col("t") === 0, col("yc")).otherwise(0L)).cast("long")
+          .as("s0"))
+      .withColumn("n_control", col("n") - col("n_treated"))
+      .withColumn("e_hat",
+        round(col("n_treated").cast("double") / col("n"), 6))
+      .withColumn("y1_mean", round(when(col("n_treated") > 0,
+        col("s1").cast("double") / (lit(100.0) * col("n_treated"))), 6))
+      .withColumn("y0_mean", round(when(col("n_control") > 0,
+        col("s0").cast("double") / (lit(100.0) * col("n_control"))), 6))
+      .withColumn("diff",
+        round(when(col("n_treated") > 0 && col("n_control") > 0,
+          col("s1").cast("double") / (lit(100.0) * col("n_treated"))
+            - col("s0").cast("double") / (lit(100.0) * col("n_control"))),
+          6))
+      .withColumn("wdiff", when(col("diff").isNotNull,
+        col("n").cast("double") * col("diff")).otherwise(lit(0.0)))
+      .withColumn("nv", when(col("diff").isNotNull, col("n"))
+        .otherwise(lit(0L)))
+    val tot = st.agg(
+        expr("""aggregate(array_sort(collect_list(struct(stratum, wdiff))),
+          cast(0.0 as double), (a, x) -> a + x.wdiff)""").as("sw"),
+        sum(col("nv")).cast("long").as("n_valid"),
+        sum(col("n")).cast("long").as("n_all"))
+      .select(
+        round(when(col("n_valid") > 0, col("sw") / col("n_valid")), 6)
+          .as("ate"),
+        round(col("n_valid").cast("double") / col("n_all"), 6)
+          .as("support_share"),
+        pmod(coalesce(col("n_valid"), lit(0L)), lit(1L)).as("jk"))
+    st.withColumn("jk", pmod(col("n"), lit(1L)))
+      .join(broadcast(tot), Seq("jk"))
+      .select(col("stratum"), col("n"), col("n_treated"), col("n_control"),
+        col("e_hat"), col("y1_mean"), col("y0_mean"), col("diff"),
+        col("ate"), col("support_share"))
+      .orderBy(col("stratum"))
+  }
+
+  private val o291 = """
+    WITH users AS (
+      SELECT user_id, CAST(count(*) AS BIGINT) AS n_ev,
+             max(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS t,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+               THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS yc
+      FROM events GROUP BY user_id),
+    u2 AS (SELECT *, least(n_ev // 5, 4) AS stratum FROM users),
+    st AS (
+      SELECT stratum, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(t) AS BIGINT) AS n_treated,
+             CAST(sum(CASE WHEN t = 1 THEN yc ELSE 0 END) AS BIGINT) AS s1,
+             CAST(sum(CASE WHEN t = 0 THEN yc ELSE 0 END) AS BIGINT) AS s0
+      FROM u2 GROUP BY stratum),
+    st2 AS (
+      SELECT stratum, n, n_treated, n - n_treated AS n_control, s1, s0,
+             round(CAST(n_treated AS DOUBLE) / n, 6) AS e_hat,
+             round(CASE WHEN n_treated > 0 THEN
+               CAST(s1 AS DOUBLE) / (100.0 * n_treated) END, 6) AS y1_mean,
+             round(CASE WHEN n - n_treated > 0 THEN
+               CAST(s0 AS DOUBLE) / (100.0 * (n - n_treated)) END, 6)
+               AS y0_mean,
+             round(CASE WHEN n_treated > 0 AND n - n_treated > 0 THEN
+               CAST(s1 AS DOUBLE) / (100.0 * n_treated)
+               - CAST(s0 AS DOUBLE) / (100.0 * (n - n_treated)) END, 6)
+               AS diff
+      FROM st),
+    tot AS (
+      SELECT list_sum(list(CASE WHEN diff IS NOT NULL
+               THEN CAST(n AS DOUBLE) * diff ELSE 0.0 END
+               ORDER BY stratum)) AS sw,
+             CAST(sum(CASE WHEN diff IS NOT NULL THEN n ELSE 0 END)
+               AS BIGINT) AS n_valid,
+             CAST(sum(n) AS BIGINT) AS n_all
+      FROM st2)
+    SELECT s.stratum, s.n, s.n_treated, s.n_control, s.e_hat,
+           s.y1_mean, s.y0_mean, s.diff,
+           round(CASE WHEN t.n_valid > 0 THEN t.sw / t.n_valid END, 6)
+             AS ate,
+           round(CAST(t.n_valid AS DOUBLE) / t.n_all, 6) AS support_share
+    FROM st2 s CROSS JOIN tot t ORDER BY s.stratum"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q283_acf", q283, Some(o283)),
+    QueryDef("q289_pacf", q289, Some(o289)),
+    QueryDef("q291_stratified_ate", q291, Some(o291)),
     QueryDef("q284_avg_precision", q284, Some(o284)),
+    QueryDef("q287_kruskal_wallis", q287, Some(o287)),
     QueryDef("q268_freshness_sla", q268, Some(o268)),
     QueryDef("q269_seasonal_naive_backtest", q269, Some(o269)),
     QueryDef("q264_target_encoding", q264, Some(o264)),

@@ -374,7 +374,10 @@ object Sketches {
       .agg(avg(col("n_chars")).as("m"), stddev_samp(col("n_chars")).as("sd"))
     documents(s, d)
       .join(broadcast(stats), Seq("lang"))
-      .withColumn("z", (col("n_chars") - col("m")) / col("sd"))
+      // sd=0 (constant-length stratum): DuckDB /0 -> NULL drops the rows
+      // at the |z| gate; Spark-4 ANSI would THROW without the guard
+      .withColumn("z",
+        when(col("sd") =!= 0.0, (col("n_chars") - col("m")) / col("sd")))
       .filter(abs(col("z")) > 2)
       .select(col("doc_id"), col("lang"), col("n_chars"),
         round(col("z"), 4).as("z"))

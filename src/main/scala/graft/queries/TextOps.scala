@@ -775,8 +775,11 @@ object TextOps {
         sum(col("n_chars")).cast("long").as("chars"))
     val w = Window.partitionBy()
     per
+      // a lang whose docs are all empty has chars=0: fertility undefined,
+      // NULL on both engines (ANSI /0 would throw)
       .withColumn("fertility_per100",
-        round(col("bpeish_tokens") * lit(100.0) / col("chars"), 6))
+        round(when(col("chars") > 0,
+          col("bpeish_tokens") * lit(100.0) / col("chars")), 6))
       .withColumn("token_share",
         round(col("bpeish_tokens") / sum(col("bpeish_tokens")).over(w), 6))
       .orderBy(col("lang"))

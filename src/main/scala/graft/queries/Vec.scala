@@ -47,8 +47,14 @@ object Vec {
 
   private def norm(a: Column): Column = sqrt(dot(a, a))
 
-  private def cosine(a: Column, b: Column): Column =
-    dot(a, b) / (norm(a) * norm(b))
+  /** Zero-norm operands make cosine undefined: DuckDB's /0 yields NULL,
+    * Spark-4 ANSI division throws — the guard makes both engines emit
+    * NULL. Codegen CSE collapses the duplicated norm product.
+    */
+  private def cosine(a: Column, b: Column): Column = {
+    val d = norm(a) * norm(b)
+    when(d =!= 0.0, dot(a, b) / d)
+  }
 
   /** q41: top-10 nearest by cosine to the vec_id=0 embedding. */
   private def q41(s: SparkSession, d: String): DataFrame = {
@@ -840,7 +846,10 @@ object Vec {
       .select(col("vec_id"), col("vd"),
         explode(array(lit(8), lit(16), lit(32), lit(64))).as("budget"))
       .withColumn("sv", slice(col("vd"), lit(1), col("budget")))
-      .withColumn("retained", sqrt(dot(col("sv"), col("sv"))) / norm(col("vd")))
+      // zero-norm vector: retained fraction undefined -> NULL on both
+      // engines (avg skips it); ANSI /0 would throw without the guard
+      .withColumn("retained", when(norm(col("vd")) =!= 0.0,
+        sqrt(dot(col("sv"), col("sv"))) / norm(col("vd"))))
       .groupBy(col("budget"))
       .agg(count(lit(1)).as("n_vecs"),
         round(avg(col("retained")), 6).as("avg_retained"),
@@ -1059,10 +1068,12 @@ object Vec {
       .groupBy(col("label"))
       .agg(expr("transform(array_sort(collect_list(struct(i, c))), p -> p.c)")
         .as("cv"))
+    // zero-norm member or centroid: similarity undefined — excluded from
+    // the outlier ranking (and the typed-aggregator Double can't be NULL)
     val scored = e.join(cent, Seq("label"))
       .select(col("label"), col("vec_id"),
-        round(dot(col("v"), col("cv")) / (norm(col("v")) * norm(col("cv"))),
-          6).as("cos_centroid"))
+        round(cosine(col("v"), col("cv")), 6).as("cos_centroid"))
+      .filter(col("cos_centroid").isNotNull)
     val tk = new graft.functions.GroupedTopK.TopK(5).toColumn
     scored.as[(Int, Long, Double)]
       .groupByKey(_._1)
@@ -3151,7 +3162,10 @@ object Vec {
       .select(col("n_nodes"),
         expr("deg_sum DIV 2").as("n_edges"),
         col("n_wedges"), col("n_triangles").cast("long").as("n_triangles"),
-        round(lit(3.0) * col("n_triangles") / col("n_wedges"), 6)
+        // a matching-shaped graph (every degree 1) has zero wedges: the
+        // coefficient is undefined — NULL on both engines, not ANSI-throw
+        round(when(col("n_wedges") > 0,
+          lit(3.0) * col("n_triangles") / col("n_wedges")), 6)
           .as("clustering_coeff"))
     Cached.scopedTo(out, edges)
   }

@@ -174,6 +174,68 @@ class InvariantSpec extends SparkTestBase {
     }
   }
 
+  test("q163 z-screen degenerate sd=0: constant stratum drops, no throw") {
+    withTempDir { dir =>
+      import spark.implicits._
+      // all docs the same length -> stddev_samp = 0.0 exactly; DuckDB's
+      // (x-m)/0 -> NULL fails the |z| gate, Spark must NULL via the guard
+      // instead of raising ANSI DIVIDE_BY_ZERO
+      Seq((1L, "aa bb", "en", "web", 5L), (2L, "cc dd", "en", "web", 5L),
+          (3L, "ee ff", "en", "web", 5L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      val rows = SparkEntry.queries("q163_zscore_screen")(spark, dir)
+        .collect()
+      assert(rows.isEmpty, s"constant stratum flagged: ${rows.toSeq}")
+    }
+  }
+
+  test("q187/q258 degenerate events: zero conversions and zero variance") {
+    withTempDir { dir =>
+      import spark.implicits._
+      // values constant and far below the q187 conversion threshold:
+      // pooled rate = 0 (z NULL) and per-type var_pop = 0 (R^2 NULL)
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      (1L to 6L).map(i => (i, new java.sql.Timestamp(t0 + i * 86400000L),
+          i, "purchase", 5.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/events.parquet")
+      val ab = SparkEntry.queries("q187_ab_test")(spark, dir).collect()
+      assert(ab.length == 1)
+      assert(ab.head.getAs[Long]("conv_a") == 0L
+        && ab.head.getAs[Long]("conv_b") == 0L, ab.head.toString)
+      assert(ab.head.isNullAt(ab.head.fieldIndex("z")), ab.head.toString)
+      val wk = SparkEntry.queries("q258_weekly_decomposition")(spark, dir)
+        .collect()
+      assert(wk.nonEmpty, "constant-value type dropped from decomposition")
+      wk.foreach { r =>
+        assert(r.isNullAt(r.fieldIndex("seasonal_r2")), r.toString)
+      }
+    }
+  }
+
+  test("q287 KW degenerate all-tied values: H=0, tie-corrected H is NULL") {
+    withTempDir { dir =>
+      import spark.implicits._
+      // every observation shares one value -> every midrank = (N+1)/2 ->
+      // H = 0 exactly, and the tie correction C = 1 - (N^3-N)/(N^3-N) = 0
+      // makes H' undefined: NULL on both engines, not an ANSI throw
+      val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      (1L to 9L).map(i => (i, t1, i, if (i % 2 == 0) "view" else "click",
+          7.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/events.parquet")
+      val rows = SparkEntry.queries("q287_kruskal_wallis")(spark, dir)
+        .collect()
+      assert(rows.length == 2, s"want one row per type: ${rows.toSeq}")
+      rows.foreach { r =>
+        assert(r.getAs[Double]("h") == 0.0, r.toString)
+        assert(r.isNullAt(r.fieldIndex("h_tie_corrected")), r.toString)
+        assert(r.getAs[Double]("mean_rank") == 5.0, r.toString)
+      }
+    }
+  }
+
   test("q261 Neyman degenerate singleton strata: every lang row survives") {
     withTempDir { dir =>
       import spark.implicits._
