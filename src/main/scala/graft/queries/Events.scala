@@ -3371,10 +3371,181 @@ object Events {
            round(CAST(t.n_valid AS DOUBLE) / t.n_all, 6) AS support_share
     FROM st2 s CROSS JOIN tot t ORDER BY s.stratum"""
 
+  /** q292: McNemar's paired test — did the SAME users' conversion status
+    * change between the first and second half of the window? The unpaired
+    * z-test (q187) compares two different groups; McNemar conditions on
+    * the discordant pairs only (the concordant n11/n00 carry no
+    * information about change), with Edwards' continuity correction:
+    * χ² = (|b−c|−1)²/(b+c), b = converted→lapsed, c = lapsed→converted.
+    * The standard before/after readout for a product or policy change.
+    *
+    * Exact arithmetic: the split point is the integer-µs midpoint
+    * (q249's window-halving trick, broadcast as a one-row scalar), all
+    * four cells are exact counts, and the statistic is one guarded
+    * division of exact integers rounded at 6 (b+c=0 — no discordant
+    * users — is NULL on both engines; ANSI /0 throws unguarded).
+    *
+    * Scale shape: one corpus-linear hash aggregation to the user grain,
+    * one count rollup; the scalar join keys derive from columns so both
+    * stay hash joins.
+    */
+  private def q292(s: SparkSession, d: String): DataFrame = {
+    val ev = events(s, d).select(col("user_id"), tsUs.as("us"),
+      col("event_type"), col("value"))
+    val mid = ev.agg((min(col("us")) + max(col("us"))).as("mm"))
+      .select(expr("mm DIV 2").as("mid"))
+      .withColumn("jk", pmod(col("mid"), lit(1L)))
+    val conv = (col("event_type") === "purchase" && col("value") > 150)
+      .cast("int")
+    ev.withColumn("jk", pmod(col("user_id"), lit(1L)))
+      .join(broadcast(mid), Seq("jk"))
+      .groupBy(col("user_id"))
+      .agg(max(when(col("us") < col("mid"), conv).otherwise(0)).as("x1"),
+        max(when(col("us") >= col("mid"), conv).otherwise(0)).as("x2"))
+      .agg(count(lit(1)).cast("long").as("n_users"),
+        sum(when(col("x1") === 1 && col("x2") === 1, 1L).otherwise(0L))
+          .cast("long").as("n11"),
+        sum(when(col("x1") === 0 && col("x2") === 0, 1L).otherwise(0L))
+          .cast("long").as("n00"),
+        sum(when(col("x1") === 1 && col("x2") === 0, 1L).otherwise(0L))
+          .cast("long").as("b"),
+        sum(when(col("x1") === 0 && col("x2") === 1, 1L).otherwise(0L))
+          .cast("long").as("c"))
+      .select(col("n_users"), col("n11"), col("n00"), col("b"), col("c"),
+        round(when(col("b") + col("c") > 0,
+          (abs(col("b") - col("c")) - lit(1L))
+            * (abs(col("b") - col("c")) - lit(1L))
+            / (col("b") + col("c")).cast("double")), 6).as("mcnemar_chi2"))
+  }
+
+  private val o292 = """
+    WITH ev AS (
+      SELECT user_id, epoch_us(ts) AS us,
+             CASE WHEN event_type = 'purchase' AND value > 150
+                  THEN 1 ELSE 0 END AS conv
+      FROM events),
+    mid AS (SELECT (min(us) + max(us)) // 2 AS mid FROM ev),
+    u AS (
+      SELECT user_id,
+             max(CASE WHEN us < mid THEN conv ELSE 0 END) AS x1,
+             max(CASE WHEN us >= mid THEN conv ELSE 0 END) AS x2
+      FROM ev CROSS JOIN mid GROUP BY user_id)
+    SELECT CAST(count(*) AS BIGINT) AS n_users,
+           CAST(sum(CASE WHEN x1 = 1 AND x2 = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n11,
+           CAST(sum(CASE WHEN x1 = 0 AND x2 = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS n00,
+           CAST(sum(CASE WHEN x1 = 1 AND x2 = 0 THEN 1 ELSE 0 END)
+             AS BIGINT) AS b,
+           CAST(sum(CASE WHEN x1 = 0 AND x2 = 1 THEN 1 ELSE 0 END)
+             AS BIGINT) AS c,
+           round(CASE WHEN b + c > 0 THEN
+             (abs(b - c) - 1) * (abs(b - c) - 1)
+             / CAST(b + c AS DOUBLE) END, 6) AS mcnemar_chi2
+    FROM u"""
+
+  /** q293: Mann–Kendall trend test + Kendall τ-b on the daily per-type
+    * series — the nonparametric "is this metric trending?" significance
+    * readout that pairs with q246's Theil–Sen slope (MK is the test,
+    * Theil–Sen the estimator — the standard combination in environmental
+    * and ops monitoring): S = Σ_{i<j} sign(y_j − y_i) over day pairs,
+    * Var(S) = [n(n−1)(2n+5) − Σ t(t−1)(2t+5)]/18 with the tie
+    * correction, z continuity-corrected toward 0, and τ-b = S/√((n₀−n₁)n₀)
+    * (time ties impossible at the day grain, so n₂=0).
+    *
+    * Exact arithmetic: S, both variance polynomials, n₀ and n₁ are exact
+    * int64 (days per type are bounded — thousands at most — so cubes
+    * can't overflow); z and τ-b are single divisions of exact integers,
+    * rounded at 6, with the all-tied degenerate (VarS=0) NULL on both
+    * engines. The day-pair self-join is |days|²-bounded per type — time
+    * span, not data volume, so it does NOT grow with corpus size.
+    */
+  private def q293(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"),
+        expr("ts DIV 1000 DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val b = daily.select(col("event_type").as("btype"),
+      col("day").as("bday"), col("y").as("by"))
+    val sstat = daily.join(b, col("btype") === col("event_type")
+        && col("bday") > col("day"))
+      .groupBy(col("event_type"))
+      .agg(sum(when(col("by") > col("y"), 1L)
+        .when(col("by") < col("y"), -1L).otherwise(0L)).cast("long")
+        .as("s_stat"))
+    val ties = daily.groupBy(col("event_type"), col("y"))
+      .agg(count(lit(1)).as("t"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("t")).cast("long").as("n"),
+        sum(expr("t * (t - 1) DIV 2")).cast("long").as("n1"),
+        sum(col("t") * (col("t") - 1) * (lit(2L) * col("t") + 5))
+          .cast("long").as("vt"))
+    sstat.join(ties, Seq("event_type"))
+      .withColumn("n0", expr("n * (n - 1) DIV 2"))
+      .withColumn("vs18",
+        col("n") * (col("n") - 1) * (lit(2L) * col("n") + 5) - col("vt"))
+      .select(col("event_type"), col("n").as("n_days"), col("s_stat"),
+        round(col("vs18").cast("double") / 18.0, 4).as("var_s"),
+        round(when(col("vs18") > 0,
+          (col("s_stat").cast("double")
+            - signum(col("s_stat").cast("double")))
+          / sqrt(col("vs18").cast("double") / 18.0)), 6).as("z"),
+        round(when(col("n0") > col("n1"),
+          col("s_stat").cast("double")
+            / sqrt((col("n0") - col("n1")).cast("double")
+              * col("n0").cast("double"))), 6).as("tau_b"),
+        when(col("s_stat") > 0, "increasing")
+          .when(col("s_stat") < 0, "decreasing").otherwise("none")
+          .as("trend"))
+      .orderBy(col("event_type"))
+  }
+
+  private val o293 = """
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY event_type, day),
+    sstat AS (
+      SELECT a.event_type,
+             CAST(sum(CASE WHEN b.y > a.y THEN 1
+                           WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT)
+               AS s_stat
+      FROM daily a JOIN daily b ON b.event_type = a.event_type
+                               AND b.day > a.day
+      GROUP BY a.event_type),
+    tg AS (
+      SELECT event_type, y, CAST(count(*) AS BIGINT) AS t
+      FROM daily GROUP BY event_type, y),
+    ties AS (
+      SELECT event_type, CAST(sum(t) AS BIGINT) AS n,
+             CAST(sum(t * (t - 1) // 2) AS BIGINT) AS n1,
+             CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS vt
+      FROM tg GROUP BY event_type),
+    j AS (
+      SELECT s.event_type, s.s_stat, t.n, t.n1,
+             t.n * (t.n - 1) // 2 AS n0,
+             t.n * (t.n - 1) * (2 * t.n + 5) - t.vt AS vs18
+      FROM sstat s JOIN ties t ON t.event_type = s.event_type)
+    SELECT event_type, n AS n_days, s_stat,
+           round(CAST(vs18 AS DOUBLE) / 18.0, 4) AS var_s,
+           round(CASE WHEN vs18 > 0 THEN
+             (CAST(s_stat AS DOUBLE) - sign(CAST(s_stat AS DOUBLE)))
+             / sqrt(CAST(vs18 AS DOUBLE) / 18.0) END, 6) AS z,
+           round(CASE WHEN n0 > n1 THEN
+             CAST(s_stat AS DOUBLE)
+             / sqrt(CAST(n0 - n1 AS DOUBLE) * CAST(n0 AS DOUBLE)) END, 6)
+             AS tau_b,
+           CASE WHEN s_stat > 0 THEN 'increasing'
+                WHEN s_stat < 0 THEN 'decreasing'
+                ELSE 'none' END AS trend
+    FROM j ORDER BY event_type"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q283_acf", q283, Some(o283)),
     QueryDef("q289_pacf", q289, Some(o289)),
     QueryDef("q291_stratified_ate", q291, Some(o291)),
+    QueryDef("q292_mcnemar", q292, Some(o292)),
+    QueryDef("q293_mann_kendall", q293, Some(o293)),
     QueryDef("q284_avg_precision", q284, Some(o284)),
     QueryDef("q287_kruskal_wallis", q287, Some(o287)),
     QueryDef("q268_freshness_sla", q268, Some(o268)),

@@ -277,8 +277,32 @@ object Sources {
       .orderBy(col("file"), col("tensor"))
   }
 
+  /** q294: plain-text source round trip — the line-oriented log/corpus
+    * format the JSON/CSV/ORC trips don't cover: each document becomes one
+    * TAB-delimited line (tabs inside text normalized to spaces on BOTH
+    * sides, so the oracle equivalence holds by construction even on tabby
+    * corpora), written through the text sink and read back with
+    * `spark.read.text` as raw `value` lines — no schema, no quoting; the
+    * positional re-parse is the query's own responsibility, exactly as in
+    * a real log-ingestion pipeline. The replace is 1-char-for-1-char so
+    * lengths (and the shared oAgg totals) are unchanged.
+    */
+  private def q294(s: SparkSession, d: String): DataFrame = {
+    val dir = sinkDir(s, "graft_text_roundtrip")
+    documents(s, d).select(concat_ws("\t",
+        col("doc_id").cast("string"), col("lang"),
+        regexp_replace(col("text"), "\t", " ")).as("value"))
+      .write.mode("overwrite").text(dir)
+    agg(s.read.text(dir)
+      .select(split(col("value"), "\t", 3).as("p"))
+      .select(col("p").getItem(0).cast("long").as("doc_id"),
+        col("p").getItem(1).as("lang"),
+        col("p").getItem(2).as("text")))
+  }
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q277_model_tensor_catalog", q277, None),
+    QueryDef("q294_text_roundtrip", q294, Some(oAgg)),
     QueryDef("q177_corrupt_records", q177, Some(o177)),
     QueryDef("q146_schema_merge", q146, Some(o146)),
     QueryDef("q95_json_roundtrip", q95, Some(oAgg)),
