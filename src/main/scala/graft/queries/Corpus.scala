@@ -2494,10 +2494,101 @@ object Corpus {
            CAST($DpEps AS DOUBLE) AS epsilon
     FROM n ORDER BY lang, source"""
 
+  /** q295's keyword screen (RAKE's stopword stand-in, = q285's) and
+    * report size. */
+  private val RakeMinLen = 4
+  private val RakeTopK = 15
+
+  /** q295: RAKE phrase extraction (Rose et al. 2010) — the PHRASE-level
+    * keyword pass beside q285's word-level TextRank: candidate phrases are
+    * maximal runs of keyword tokens between stopword delimiters
+    * (gaps-and-islands on token positions), each word scores
+    * deg(w)/freq(w) where deg counts total phrase length over the word's
+    * occurrences (words that live in long phrases score higher), and a
+    * phrase scores the sum of its member words — the co-occurrence-aware
+    * upgrade over frequency that needs no graph iteration at all. Output:
+    * top-`RakeTopK` phrases by score with occurrence and length counts.
+    *
+    * Parity: deg/freq are exact integer ratios rounded at 12; the
+    * per-phrase sum rounds at 6 (q285's rounded-group-sum stance);
+    * (score, phrase) is a total order so the LIMIT is deterministic.
+    *
+    * Scale shape: one corpus-linear posexplode; the islands window
+    * partitions by doc_id (corpus-cardinality key — parallelism grows
+    * with documents); word stats and phrase scoring are
+    * vocabulary-/phrase-bounded aggregations.
+    */
+  private def q295(s: SparkSession, d: String): DataFrame = {
+    val toks = parallelize(s, documents(s, d))
+      .select(col("doc_id"), posexplode(wsCol).as(Seq("pos", "w")))
+    val kw = toks.filter(length(col("w")) >= RakeMinLen)
+    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val runs = kw.withColumn("island", col("pos") - row_number().over(wd))
+    val phrases = runs.groupBy(col("doc_id"), col("island"))
+      .agg(array_join(expr(
+          "transform(array_sort(collect_list(struct(pos, w))), p -> p.w)"),
+        " ").as("phrase"),
+        count(lit(1)).as("plen"))
+    val wstats = runs
+      .join(phrases.select(col("doc_id"), col("island"), col("plen")),
+        Seq("doc_id", "island"))
+      .groupBy(col("w"))
+      .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
+      .select(col("w"),
+        round(col("deg").cast("double") / col("freq"), 12).as("sc"))
+    phrases.groupBy(col("phrase"))
+      .agg(count(lit(1)).cast("long").as("n_occ"),
+        max(col("plen")).cast("long").as("n_words"))
+      .select(col("phrase"), col("n_occ"), col("n_words"),
+        explode(split(col("phrase"), " ")).as("w"))
+      .join(wstats, Seq("w"))
+      .groupBy(col("phrase"), col("n_occ"), col("n_words"))
+      .agg(round(sum(col("sc")), 6).as("rake_score"))
+      .orderBy(col("rake_score").desc, col("phrase"))
+      .limit(RakeTopK)
+  }
+
+  private val o295 = s"""
+    WITH toks AS (
+      SELECT doc_id, CAST(generate_subscripts(ws, 1) AS INT) AS pos,
+             unnest(ws) AS w
+      FROM (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+            FROM documents)),
+    kw AS (SELECT * FROM toks WHERE length(w) >= $RakeMinLen),
+    runs AS (
+      SELECT doc_id, pos, w,
+             pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos)
+               AS island
+      FROM kw),
+    phrases AS (
+      SELECT doc_id, island, string_agg(w, ' ' ORDER BY pos) AS phrase,
+             CAST(count(*) AS BIGINT) AS plen
+      FROM runs GROUP BY doc_id, island),
+    wstats AS (
+      SELECT r.w,
+             round(CAST(sum(p.plen) AS DOUBLE) / count(*), 12) AS sc
+      FROM runs r JOIN phrases p ON p.doc_id = r.doc_id
+                              AND p.island = r.island
+      GROUP BY r.w),
+    pg AS (
+      SELECT phrase, CAST(count(*) AS BIGINT) AS n_occ,
+             CAST(max(plen) AS BIGINT) AS n_words
+      FROM phrases GROUP BY phrase),
+    pw AS (
+      SELECT pg.phrase, pg.n_occ, pg.n_words,
+             unnest(string_split(pg.phrase, ' ')) AS w
+      FROM pg)
+    SELECT p.phrase, p.n_occ, p.n_words,
+           round(sum(s.sc), 6) AS rake_score
+    FROM pw p JOIN wstats s USING (w)
+    GROUP BY p.phrase, p.n_occ, p.n_words
+    ORDER BY rake_score DESC, p.phrase LIMIT $RakeTopK"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q285_textrank_keywords", q285, Some(o285)),
     QueryDef("q288_k_anonymity", q288, Some(o288)),
     QueryDef("q290_dp_release", q290, Some(o290)),
+    QueryDef("q295_rake_phrases", q295, Some(o295)),
     QueryDef("q286_logodds_keyness", q286, Some(o286)),
     QueryDef("q267_kfold_balance", q267, Some(o267)),
     QueryDef("q266_quantile_normalization", q266, Some(o266)),

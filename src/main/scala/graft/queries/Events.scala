@@ -3444,6 +3444,196 @@ object Events {
              / CAST(b + c AS DOUBLE) END, 6) AS mcnemar_chi2
     FROM u"""
 
+  /** q297: cumulative gains / lift curve at deciles — the
+    * campaign-targeting eval beside ROC-AUC (q260) and AP (q284): "if I
+    * act on the top k/10 of the population by score, what fraction of
+    * the positives do I capture (gain), and how much better than random
+    * is that (lift)?" Thresholds are the exact top-⌈k·N/10⌉ row-count
+    * cuts read off the descending cumulative counts; because ties share
+    * a score, the realized scanned count is the smallest
+    * distinct-score prefix covering the target — reported explicitly as
+    * n_scanned so the curve is honest about tie granularity.
+    *
+    * Exact arithmetic: cumulative pair (cge, cgepos) on the DISTINCT-
+    * score grain (q260's discipline — o_totalprice is 2-decimal, domain-
+    * bounded); targets ⌈k·N/10⌉ in integer math; cge is strictly
+    * increasing so each decile's cut row is unique (min_by needs no
+    * tie-break); gains/lifts are single divisions of exact integers
+    * rounded at 6, with the no-positives degenerate NULL on both engines.
+    *
+    * Scale shape: one corpus-linear aggregation to the score directory;
+    * the ×10 decile expansion and the argmin run on the bounded grain.
+    */
+  private def q297(s: SparkSession, d: String): DataFrame = {
+    val wge = Window.orderBy(col("score").desc)
+    val g = orders(s, d).select(col("o_totalprice").as("score"),
+        (col("o_orderstatus") === "F").cast("long").as("pos"))
+      .groupBy(col("score"))
+      .agg(count(lit(1)).as("c"), sum(col("pos")).as("cpos"))
+      .withColumn("cge", sum(col("c")).over(wge))
+      .withColumn("cgepos", sum(col("cpos")).over(wge))
+    val tot = g.agg(sum(col("c")).cast("long").as("nn"),
+        sum(col("cpos")).cast("long").as("npos"))
+      .withColumn("jk", pmod(col("nn"), lit(1L)))
+    g.withColumn("jk", pmod(col("cge"), lit(1L)) * lit(0L))
+      .join(broadcast(tot), Seq("jk"))
+      .select(col("cge"), col("cgepos"), col("nn"), col("npos"),
+        explode(sequence(lit(1), lit(10))).as("decile"))
+      .filter(col("cge") * 10 >= col("decile") * col("nn"))
+      .groupBy(col("decile"))
+      .agg(min_by(struct(col("cge"), col("cgepos"), col("nn"),
+        col("npos")), col("cge")).as("cut"))
+      .select(col("decile"), col("cut.cge").cast("long").as("n_scanned"),
+        col("cut.cgepos").cast("long").as("n_pos_captured"),
+        round(when(col("cut.npos") > 0,
+          col("cut.cgepos").cast("double") / col("cut.npos")), 6)
+          .as("gain"),
+        round(when(col("cut.npos") > 0,
+          (col("cut.cgepos").cast("double") / col("cut.npos"))
+            / (col("cut.cge").cast("double") / col("cut.nn"))), 6)
+          .as("lift"))
+      .orderBy(col("decile"))
+  }
+
+  private val o297 = """
+    WITH g AS (
+      SELECT o_totalprice AS score,
+             CAST(count(*) AS BIGINT) AS c,
+             CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END)
+               AS BIGINT) AS cpos
+      FROM orders GROUP BY 1),
+    r AS (
+      SELECT score, c, cpos,
+             CAST(sum(c) OVER (ORDER BY score DESC
+               RANGE UNBOUNDED PRECEDING) AS BIGINT) AS cge,
+             CAST(sum(cpos) OVER (ORDER BY score DESC
+               RANGE UNBOUNDED PRECEDING) AS BIGINT) AS cgepos
+      FROM g),
+    tot AS (
+      SELECT CAST(sum(c) AS BIGINT) AS nn,
+             CAST(sum(cpos) AS BIGINT) AS npos
+      FROM g),
+    x AS (
+      SELECT k.decile, r.cge, r.cgepos, t.nn, t.npos
+      FROM r CROSS JOIN tot t
+      CROSS JOIN generate_series(1, 10) AS k(decile)
+      WHERE r.cge * 10 >= k.decile * t.nn),
+    cut AS (
+      SELECT decile, min(cge) AS n_scanned FROM x GROUP BY decile)
+    SELECT CAST(c.decile AS INT) AS decile, c.n_scanned,
+           x.cgepos AS n_pos_captured,
+           round(CASE WHEN x.npos > 0 THEN
+             CAST(x.cgepos AS DOUBLE) / x.npos END, 6) AS gain,
+           round(CASE WHEN x.npos > 0 THEN
+             (CAST(x.cgepos AS DOUBLE) / x.npos)
+             / (CAST(x.cge AS DOUBLE) / x.nn) END, 6) AS lift
+    FROM cut c JOIN x ON x.decile = c.decile AND x.cge = c.n_scanned
+    ORDER BY decile"""
+
+  /** q296: Cohen's d / Hedges' g effect size — the MAGNITUDE readout the
+    * q187 z-test doesn't give (at corpus scale everything is
+    * "significant"; the decision-relevant number is how many pooled
+    * standard deviations the arms differ by, with Hedges' small-sample
+    * correction g = d·(1 − 3/(4n−9))): per-user purchase totals under the
+    * same md5 arm split as q187, pooled-variance standardization.
+    *
+    * Exact arithmetic: outcomes are integer cents (q156's micro-unit
+    * stance), so per-arm Σy and Σy² are exact int64 and each arm's sample
+    * variance (n·ss − s²)/(n(n−1)) is a single division of exact integers
+    * (the sums overflow int64 only past ~10⁹ users·$10⁶ totals — swap to
+    * DECIMAL/HUGEINT there); the pooled variance and d/g are fixed-order
+    * double algebra on those exact inputs, rounded at 6. Guards: an arm
+    * with n<2 has no variance, pooled sd 0 (all outcomes equal) makes d
+    * undefined — NULL on both engines (ANSI /0 throws unguarded).
+    *
+    * Scale shape: one corpus-linear hash aggregation to the user grain,
+    * one to the two arms; the effect-size algebra runs on a 2-row frame.
+    */
+  private def q296(s: SparkSession, d: String): DataFrame = {
+    val users = events(s, d).groupBy(col("user_id"))
+      .agg(sum(when(col("event_type") === "purchase",
+        round(col("value") * 100).cast("long")).otherwise(0L)).as("yc"))
+      .withColumn("arm",
+        when(substring(md5(col("user_id").cast("string")), 1, 1) < "8",
+          "A").otherwise("B"))
+    val arms = users.groupBy(col("arm"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("yc")).cast("long").as("s"),
+        sum(col("yc") * col("yc")).cast("long").as("ss"))
+      .withColumn("v", when(col("n") > 1,
+        (col("n") * col("ss") - col("s") * col("s")).cast("double")
+          / (col("n") * (col("n") - 1)).cast("double")))
+    val a = arms.filter(col("arm") === "A")
+      .select(col("n").as("n_a"), col("s").as("s_a"), col("v").as("v_a"),
+        pmod(col("n"), lit(1L)).as("jk"))
+    val b = arms.filter(col("arm") === "B")
+      .select(col("n").as("n_b"), col("s").as("s_b"), col("v").as("v_b"),
+        pmod(col("n"), lit(1L)).as("jk"))
+    a.join(broadcast(b), Seq("jk"))
+      .withColumn("vp", when(col("n_a") + col("n_b") > 2,
+        ((col("n_a") - 1).cast("double") * col("v_a")
+          + (col("n_b") - 1).cast("double") * col("v_b"))
+          / (col("n_a") + col("n_b") - 2).cast("double")))
+      .withColumn("dd", when(col("vp") > 0.0,
+        (col("s_a").cast("double") / col("n_a")
+          - col("s_b").cast("double") / col("n_b")) / sqrt(col("vp"))))
+      .select(col("n_a"), col("n_b"),
+        round(col("s_a").cast("double") / (lit(100.0) * col("n_a")), 6)
+          .as("mean_a"),
+        round(col("s_b").cast("double") / (lit(100.0) * col("n_b")), 6)
+          .as("mean_b"),
+        round(sqrt(col("vp")) / 100.0, 6).as("sd_pooled"),
+        round(col("dd"), 6).as("cohens_d"),
+        round(col("dd") * (lit(1.0) - lit(3.0)
+          / (lit(4.0) * (col("n_a") + col("n_b")) - 9)), 6).as("hedges_g"))
+  }
+
+  private val o296 = """
+    WITH users AS (
+      SELECT user_id,
+             CAST(sum(CASE WHEN event_type = 'purchase'
+               THEN CAST(round(value * 100) AS BIGINT) ELSE 0 END)
+               AS BIGINT) AS yc,
+             CASE WHEN substr(md5(CAST(max(user_id) AS VARCHAR)), 1, 1)
+                  < '8' THEN 'A' ELSE 'B' END AS arm
+      FROM events GROUP BY user_id),
+    arms AS (
+      SELECT arm, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(yc) AS BIGINT) AS s,
+             CAST(sum(yc * yc) AS BIGINT) AS ss
+      FROM users GROUP BY arm),
+    v AS (
+      SELECT arm, n, s,
+             CASE WHEN n > 1 THEN
+               CAST(n * ss - s * s AS DOUBLE)
+               / CAST(n * (n - 1) AS DOUBLE) END AS v
+      FROM arms),
+    j AS (
+      SELECT a.n AS n_a, a.s AS s_a, a.v AS v_a,
+             b.n AS n_b, b.s AS s_b, b.v AS v_b
+      FROM v a CROSS JOIN v b
+      WHERE a.arm = 'A' AND b.arm = 'B'),
+    e AS (
+      SELECT *,
+             CASE WHEN n_a + n_b > 2 THEN
+               (CAST(n_a - 1 AS DOUBLE) * v_a
+                + CAST(n_b - 1 AS DOUBLE) * v_b)
+               / CAST(n_a + n_b - 2 AS DOUBLE) END AS vp
+      FROM j),
+    f AS (
+      SELECT *,
+             CASE WHEN vp > 0.0 THEN
+               (CAST(s_a AS DOUBLE) / n_a - CAST(s_b AS DOUBLE) / n_b)
+               / sqrt(vp) END AS dd
+      FROM e)
+    SELECT n_a, n_b,
+           round(CAST(s_a AS DOUBLE) / (100.0 * n_a), 6) AS mean_a,
+           round(CAST(s_b AS DOUBLE) / (100.0 * n_b), 6) AS mean_b,
+           round(sqrt(vp) / 100.0, 6) AS sd_pooled,
+           round(dd, 6) AS cohens_d,
+           round(dd * (1.0 - 3.0 / (4.0 * (n_a + n_b) - 9)), 6) AS hedges_g
+    FROM f"""
+
   /** q293: Mann–Kendall trend test + Kendall τ-b on the daily per-type
     * series — the nonparametric "is this metric trending?" significance
     * readout that pairs with q246's Theil–Sen slope (MK is the test,
@@ -3546,6 +3736,8 @@ object Events {
     QueryDef("q291_stratified_ate", q291, Some(o291)),
     QueryDef("q292_mcnemar", q292, Some(o292)),
     QueryDef("q293_mann_kendall", q293, Some(o293)),
+    QueryDef("q296_effect_size", q296, Some(o296)),
+    QueryDef("q297_gains_lift", q297, Some(o297)),
     QueryDef("q284_avg_precision", q284, Some(o284)),
     QueryDef("q287_kruskal_wallis", q287, Some(o287)),
     QueryDef("q268_freshness_sla", q268, Some(o268)),
