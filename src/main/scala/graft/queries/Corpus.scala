@@ -2513,30 +2513,35 @@ object Corpus {
     * per-phrase sum rounds at 6 (q285's rounded-group-sum stance);
     * (score, phrase) is a total order so the LIMIT is deterministic.
     *
-    * Scale shape: one corpus-linear posexplode; the islands window
-    * partitions by doc_id (corpus-cardinality key — parallelism grows
-    * with documents); word stats and phrase scoring are
-    * vocabulary-/phrase-bounded aggregations.
+    * Scale shape: phrase assembly happens INSIDE each row's token array
+    * (a single higher-order fold — no corpus-scale window or join; the
+    * r11 shuffle audit showed the windowed formulation moving 15× its
+    * source bytes, this one moves only the vocab/phrase aggregation
+    * partials); word stats and phrase scoring are vocabulary-/phrase-
+    * bounded aggregations fed map-side.
     */
   private def q295(s: SparkSession, d: String): DataFrame = {
-    val toks = parallelize(s, documents(s, d))
-      .select(col("doc_id"), posexplode(wsCol).as(Seq("pos", "w")))
-    val kw = toks.filter(length(col("w")) >= RakeMinLen)
-    val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    val runs = kw.withColumn("island", col("pos") - row_number().over(wd))
-    val phrases = runs.groupBy(col("doc_id"), col("island"))
-      .agg(array_join(expr(
-          "transform(array_sort(collect_list(struct(pos, w))), p -> p.w)"),
-        " ").as("phrase"),
-        count(lit(1)).as("plen"))
-    val wstats = runs
-      .join(phrases.select(col("doc_id"), col("island"), col("plen")),
-        Seq("doc_id", "island"))
+    val phraseArr = expr(s"""
+      aggregate(
+        ws,
+        named_struct('ph', cast(array() as array<string>), 'cur', ''),
+        (a, w) -> if(length(w) >= $RakeMinLen,
+          named_struct('ph', a.ph,
+            'cur', if(a.cur = '', w, concat(a.cur, ' ', w))),
+          named_struct('ph',
+            if(a.cur = '', a.ph, array_append(a.ph, a.cur)), 'cur', '')),
+        a -> if(a.cur = '', a.ph, array_append(a.ph, a.cur)))""")
+    val occ = parallelize(s, documents(s, d))
+      .withColumn("ws", wsCol)
+      .select(explode(phraseArr).as("phrase"))
+      .withColumn("plen", size(split(col("phrase"), " ")).cast("long"))
+    val wstats = occ
+      .select(explode(split(col("phrase"), " ")).as("w"), col("plen"))
       .groupBy(col("w"))
       .agg(count(lit(1)).as("freq"), sum(col("plen")).as("deg"))
       .select(col("w"),
         round(col("deg").cast("double") / col("freq"), 12).as("sc"))
-    phrases.groupBy(col("phrase"))
+    occ.groupBy(col("phrase"))
       .agg(count(lit(1)).cast("long").as("n_occ"),
         max(col("plen")).cast("long").as("n_words"))
       .select(col("phrase"), col("n_occ"), col("n_words"),
