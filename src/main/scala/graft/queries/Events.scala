@@ -3145,6 +3145,94 @@ object Events {
     FROM pairs pr JOIN stats st ON st.event_type = pr.event_type
     ORDER BY pr.event_type, lag"""
 
+  /** χ²₇ 95th percentile — q298's rejection threshold at h=7, df=7. */
+  private val LbCrit95 = 14.067140
+
+  /** q298: Ljung–Box portmanteau test — the whiteness check that closes
+    * the time-series diagnostic tier (q283 reads INDIVIDUAL lags, this
+    * tests them JOINTLY): Q = n(n+2)·Σ_{k≤h} r_k²/(n−k) ~ χ²_h under the
+    * no-autocorrelation null (Ljung & Box 1978), h = `AcfMaxLag`. A
+    * series whose residual diagnostics pass lag-by-lag can still fail
+    * jointly — Q is the standard gate before trusting q269's backtest or
+    * shipping q258's decomposition. Reported with the χ²₇ 95% critical
+    * value and the rejection flag.
+    *
+    * Parity: r_k are q283's rounded-at-6 ACF values (integer-exact up to
+    * that single division), so both engines start from identical doubles;
+    * the h-term sum folds in lag order (q206's trick; the DuckDB twin
+    * uses list ORDER BY lag), and Q rounds at 6. Degenerates: a missing
+    * lag (gappy short series) or n ≤ h yields NULL via an explicit
+    * n_lags/n guard on both engines; the in-fold n−k division is guarded
+    * so ANSI can't throw on the pathological sparse-day case where a
+    * high lag exists with n ≤ k.
+    *
+    * Scale shape: inherits q283's — one corpus-linear day rollup, then
+    * types×lags-bounded column algebra.
+    */
+  private def q298(s: SparkSession, d: String): DataFrame =
+    acfFrame(s, d, AcfMaxLag)
+      .groupBy(col("event_type"))
+      .agg(max(col("n_days")).cast("long").as("n"),
+        count(col("acf")).cast("long").as("n_lags"),
+        expr("""aggregate(array_sort(collect_list(struct(lag, acf, n_days))),
+          cast(0.0 as double),
+          (a, x) -> a + if(x.n_days - x.lag > 0,
+            x.acf * x.acf / (x.n_days - x.lag),
+            cast(null as double)))""").as("ssum"))
+      .select(col("event_type"), col("n").as("n_days"), col("n_lags"),
+        round(when(col("n") > AcfMaxLag
+            && col("n_lags") === AcfMaxLag,
+          col("n").cast("double") * (col("n") + 2) * col("ssum")), 6)
+          .as("q_lb"),
+        lit(LbCrit95).as("chi2_crit_95"),
+        when(col("n") > AcfMaxLag && col("n_lags") === AcfMaxLag,
+          round(col("n").cast("double") * (col("n") + 2) * col("ssum"), 6)
+            > LbCrit95).as("reject_white_noise"))
+      .orderBy(col("event_type"))
+
+  private val o298 = s"""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY event_type, day),
+    stats AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS s,
+             CAST(sum(y * y) AS BIGINT) AS q
+      FROM daily GROUP BY event_type),
+    pairs AS (
+      SELECT a.event_type, t.lag, CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(a.y * b.y) AS BIGINT) AS p,
+             CAST(sum(a.y) AS BIGINT) AS asum,
+             CAST(sum(b.y) AS BIGINT) AS bsum
+      FROM daily a
+      CROSS JOIN generate_series(1, $AcfMaxLag) AS t(lag)
+      JOIN daily b ON b.event_type = a.event_type
+                  AND b.day = a.day + t.lag
+      GROUP BY a.event_type, t.lag),
+    r AS (
+      SELECT pr.event_type, pr.lag, st.n,
+             round(CASE WHEN st.n * st.q - st.s * st.s <> 0 THEN
+               CAST(st.n * st.n * pr.p - st.n * st.s * (pr.asum + pr.bsum)
+                    + pr.m * st.s * st.s AS DOUBLE)
+               / CAST(st.n * (st.n * st.q - st.s * st.s) AS DOUBLE)
+             END, 6) AS acf
+      FROM pairs pr JOIN stats st ON st.event_type = pr.event_type),
+    g AS (
+      SELECT event_type, CAST(max(n) AS BIGINT) AS n,
+             CAST(count(acf) AS BIGINT) AS n_lags,
+             list_sum(list(CASE WHEN n - lag > 0 THEN
+               acf * acf / (n - lag) END ORDER BY lag)) AS ssum
+      FROM r GROUP BY event_type)
+    SELECT event_type, n AS n_days, n_lags,
+           round(CASE WHEN n > $AcfMaxLag AND n_lags = $AcfMaxLag THEN
+             CAST(n AS DOUBLE) * (n + 2) * ssum END, 6) AS q_lb,
+           CAST($LbCrit95 AS DOUBLE) AS chi2_crit_95,
+           CASE WHEN n > $AcfMaxLag AND n_lags = $AcfMaxLag THEN
+             round(CAST(n AS DOUBLE) * (n + 2) * ssum, 6) > $LbCrit95
+           END AS reject_white_noise
+    FROM g ORDER BY event_type"""
+
   /** q289's recursion depth (PACF at lags 1..4). */
   private val PacfMaxLag = 4
 
@@ -3738,6 +3826,7 @@ object Events {
     QueryDef("q293_mann_kendall", q293, Some(o293)),
     QueryDef("q296_effect_size", q296, Some(o296)),
     QueryDef("q297_gains_lift", q297, Some(o297)),
+    QueryDef("q298_ljung_box", q298, Some(o298)),
     QueryDef("q284_avg_precision", q284, Some(o284)),
     QueryDef("q287_kruskal_wallis", q287, Some(o287)),
     QueryDef("q268_freshness_sla", q268, Some(o268)),
