@@ -236,6 +236,51 @@ class InvariantSpec extends SparkTestBase {
     }
   }
 
+  test("q284 AP degenerate no positives: rows survive with NULL metrics") {
+    withTempDir { dir =>
+      import spark.implicits._
+      // no 'F' order anywhere -> n_pos = 0 per segment: prevalence and
+      // average precision are undefined, NULL on both engines - the rows
+      // themselves must survive
+      Seq((1L, "1-URGENT", 10.00, "O"), (2L, "1-URGENT", 20.00, "O"),
+          (3L, "2-HIGH", 30.00, "P"))
+        .toDF("o_orderkey", "o_orderpriority", "o_totalprice",
+          "o_orderstatus")
+        .write.parquet(s"$dir/orders.parquet")
+      val rows = SparkEntry.queries("q284_avg_precision")(spark, dir)
+        .collect()
+      assert(rows.length == 2, s"want one row per segment: ${rows.toSeq}")
+      rows.foreach { r =>
+        assert(r.getAs[Long]("n_pos") == 0L, r.toString)
+        assert(r.isNullAt(r.fieldIndex("prevalence")), r.toString)
+        assert(r.isNullAt(r.fieldIndex("avg_precision")), r.toString)
+      }
+    }
+  }
+
+  test("q293 MK degenerate all-tied series: VarS=0, z and tau NULL") {
+    withTempDir { dir =>
+      import spark.implicits._
+      // one event per day for 8 days -> every daily count tied at 1:
+      // S=0, the tie correction cancels the variance exactly, z/tau_b
+      // undefined -> NULL on both engines, trend 'none'
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00").getTime
+      (0L to 7L).map(i => (i + 1, new java.sql.Timestamp(t0 + i * 86400000L),
+          i + 1, "view", 5.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/events.parquet")
+      val rows = SparkEntry.queries("q293_mann_kendall")(spark, dir)
+        .collect()
+      assert(rows.length == 1, rows.toSeq.toString)
+      val r = rows.head
+      assert(r.getAs[Long]("s_stat") == 0L, r.toString)
+      assert(r.getAs[Double]("var_s") == 0.0, r.toString)
+      assert(r.isNullAt(r.fieldIndex("z")), r.toString)
+      assert(r.isNullAt(r.fieldIndex("tau_b")), r.toString)
+      assert(r.getAs[String]("trend") == "none", r.toString)
+    }
+  }
+
   test("q261 Neyman degenerate singleton strata: every lang row survives") {
     withTempDir { dir =>
       import spark.implicits._
