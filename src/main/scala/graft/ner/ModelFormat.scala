@@ -191,6 +191,25 @@ object ModelFormat {
       !fits(hp.nLabels.toLong * hp.nEmbd))
   }
 
+  /** Overflow-safe tensor element count: product of `dims`, or -1 once it
+    * exceeds `Int.MaxValue / 4`. Each dim is individually bounded at 2^26,
+    * but four of them multiply to up to 2^104 — a plain Long fold can wrap
+    * to a small positive value that bypasses the size guard and mis-sizes
+    * the payload skip, turning a corrupt container into a garbage tensor
+    * directory instead of the documented None. Checking each partial
+    * product against the cap keeps every intermediate below 2^56.
+    */
+  private def checkedNumel(dims: Array[Int]): Long = {
+    var n = 1L
+    var i = 0
+    while (i < dims.length) {
+      n *= dims(i).toLong
+      if (n > Int.MaxValue / 4) return -1L
+      i += 1
+    }
+    n
+  }
+
   def loadFile(path: String): Option[NerModel] = {
     val f = new java.io.File(path)
     if (!f.isFile) return None
@@ -247,8 +266,8 @@ object ModelFormat {
             if (nameLen < 0 || nameLen > (1 << 16) || dims.exists(d => d < 0 || d > (1 << 26)))
               return None
             val name = new String(r.readBytes(nameLen), StandardCharsets.UTF_8)
-            val numel = dims.foldLeft(1L)(_ * _.toLong)
-            if (numel > Int.MaxValue / 4) return None
+            val numel = checkedNumel(dims)
+            if (numel < 0) return None
             if (!isKnownTensor(name, hp)) {
               // the reference seeks past tensors its model map doesn't name
               // (`src/ner_model.cpp:275-282`); storing them would waste heap
@@ -379,8 +398,8 @@ object ModelFormat {
             if (nameLen < 0 || nameLen > (1 << 16) ||
               dims.exists(d => d < 0 || d > (1 << 26))) return None
             val name = new String(r.readBytes(nameLen), StandardCharsets.UTF_8)
-            val numel = dims.foldLeft(1L)(_ * _.toLong)
-            if (numel > Int.MaxValue / 4) return None
+            val numel = checkedNumel(dims)
+            if (numel < 0) return None
             val payload = ftype match {
               case 0 => numel * 4
               case 1 => numel * 2

@@ -1992,11 +1992,17 @@ object Corpus {
         pmod(coalesce(col("tw").cast("long"), lit(0L)), lit(1L)))
     st.withColumn("jk", pmod(col("n_docs"), lit(1L)))
       .join(broadcast(tot), Seq("jk"))
+      // tw = 0 (every stratum constant: sd = 0 with n >= 2) is a NON-NULL
+      // degenerate: both divisions would throw under Spark ANSI while
+      // DuckDB's /0 and //0 yield NULL — guard to NULL explicitly (the
+      // NULL-tw singleton case already falls through `when` to NULL)
       .select(col("lang"), col("n_docs"), col("sd"),
-        round(col("w") / col("tw"), 6).as("alloc_frac"),
-        expr(s"""(2 * CAST(round(w * $NeymanBudget) AS BIGINT)
-                 + CAST(round(tw) AS BIGINT))
-                DIV (2 * CAST(round(tw) AS BIGINT))""").as("alloc_n"))
+        when(col("tw") =!= 0,
+          round(col("w") / col("tw"), 6)).as("alloc_frac"),
+        when(col("tw") =!= 0,
+          expr(s"""(2 * CAST(round(w * $NeymanBudget) AS BIGINT)
+                   + CAST(round(tw) AS BIGINT))
+                  DIV (2 * CAST(round(tw) AS BIGINT))""")).as("alloc_n"))
       .orderBy(col("lang"))
   }
 

@@ -2292,9 +2292,11 @@ object Events {
     * running pass whose partition count GROWS with types×days. Bucket
     * order refines time order and same-µs ties share a bucket, so
     * rn = bucket_offset + in-bucket row_number is integer-identical to
-    * the global row order; S re-associates (ulps) but is rounded at 6
-    * before anything compares it. The argmax itself is a `max_by`
-    * AGGREGATION (map-side combining), not a second window.
+    * the global row order; S accumulates in EXACT 1e-6-unit longs (r12)
+    * so the two-phase re-association is bit-identical to the oracle's
+    * sequential sum by algebra, not by rounding margin. The argmax
+    * itself is a `max_by` AGGREGATION (map-side combining), not a
+    * second window.
     */
   private def q256(s: SparkSession, d: String): DataFrame = {
     val dayUs = 86400000000L
@@ -2303,14 +2305,21 @@ object Events {
         col("value"))
     val mu = ev.groupBy(col("event_type"))
       .agg(round(avg(col("value")), 6).as("mu"), count(lit(1)).as("n"))
+    // deviations quantized to EXACT 1e-6-unit longs (r12, ADVICE): the
+    // two-phase prefix sum re-associates addends relative to DuckDB's
+    // sequential window sum, so a double S within ulp noise of a 0.5e-6
+    // rounding boundary could round differently across engines and flip
+    // the argmax — integer accumulation is order-independent by algebra,
+    // and the single final /1e6 is the only float op on the S path
     val dev = ev.join(broadcast(mu), Seq("event_type"))
-      .withColumn("dev", col("value") - col("mu"))
+      .withColumn("devu",
+        round((col("value") - col("mu")) * lit(1000000.0), 0).cast("long"))
       .withColumn("bucket", expr(s"us DIV $dayUs"))
     val wb = Window.partitionBy(col("event_type")).orderBy(col("bucket"))
     val boffs = dev.groupBy(col("event_type"), col("bucket"))
-      .agg(sum(col("dev")).as("bsum"), count(lit(1)).as("bcnt"))
+      .agg(sum(col("devu")).as("bsum"), count(lit(1)).as("bcnt"))
       .withColumn("boff", coalesce(sum(col("bsum")).over(
-        wb.rowsBetween(Window.unboundedPreceding, -1)), lit(0.0)))
+        wb.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .withColumn("brn", coalesce(sum(col("bcnt")).over(
         wb.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("event_type"), col("bucket"), col("boff"), col("brn"))
@@ -2318,14 +2327,13 @@ object Events {
       .orderBy(col("us"), col("event_id"))
     val cum = dev
       .withColumn("rnIn", row_number().over(wIn))
-      .withColumn("sIn", sum(col("dev")).over(
+      .withColumn("sIn", sum(col("devu")).over(
         wIn.rowsBetween(Window.unboundedPreceding, 0)))
       .join(broadcast(boffs), Seq("event_type", "bucket"))
       .withColumn("rn", (col("brn") + col("rnIn")).cast("int"))
-      .withColumn("abs_s", round(abs(col("boff") + col("sIn")), 6))
-    val k = Keys.key(
-      Keys.asc("cast(round(abs_s * 1000000) as bigint)", 16),
-      Keys.desc("rn", 10))
+      .withColumn("abs_su", abs(col("boff") + col("sIn")))
+      .withColumn("abs_s", round(col("abs_su") / lit(1000000.0), 6))
+    val k = Keys.key(Keys.asc("abs_su", 16), Keys.desc("rn", 10))
     cum.groupBy(col("event_type"))
       .agg(max(col("n")).as("n"),
         expr(s"max_by(rn, $k)").as("cp_index"),
@@ -2343,9 +2351,10 @@ object Events {
     cum AS (
       SELECT e.event_type, m.n,
              row_number() OVER w AS rn, e.us,
-             round(abs(sum(e.value - m.mu) OVER (
+             round(abs(sum(CAST(round((e.value - m.mu) * 1000000)
+                                AS BIGINT)) OVER (
                PARTITION BY e.event_type ORDER BY e.us, e.event_id
-               ROWS UNBOUNDED PRECEDING)), 6) AS abs_s
+               ROWS UNBOUNDED PRECEDING)) / 1000000.0, 6) AS abs_s
       FROM ev e JOIN mu m ON m.event_type = e.event_type
       WINDOW w AS (PARTITION BY e.event_type ORDER BY e.us, e.event_id))
     SELECT event_type, n, CAST(rn AS INT) AS cp_index, us AS cp_us,

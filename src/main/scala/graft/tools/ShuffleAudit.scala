@@ -59,14 +59,21 @@ object ShuffleAudit {
   }
 
   /** Listener delivery is asynchronous; settle = poll until two reads 200 ms
-    * apart agree (a dev-tool-grade barrier — no public waitUntilEmpty). */
+    * apart agree (a dev-tool-grade barrier — no public waitUntilEmpty).
+    * Bounded at 50 iterations (~10 s): background Spark activity ticking
+    * task-end events must not hang the audit — a capped read may bleed a
+    * few late counts into the next query, which is within this tool's
+    * measurement grade.
+    */
   private def settle(): (Long, Long, Long) = {
     var prev = (-1L, -1L, -1L)
     var cur = (inputBytes.get, shuffleWrite.get, shuffleRead.get)
-    while (cur != prev) {
+    var iters = 0
+    while (cur != prev && iters < 50) {
       prev = cur
       Thread.sleep(200)
       cur = (inputBytes.get, shuffleWrite.get, shuffleRead.get)
+      iters += 1
     }
     cur
   }

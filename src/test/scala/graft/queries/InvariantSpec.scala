@@ -299,4 +299,27 @@ class InvariantSpec extends SparkTestBase {
       }
     }
   }
+
+  test("q261 Neyman degenerate constant strata: tw=0 yields NULL allocs") {
+    withTempDir { dir =>
+      import spark.implicits._
+      // n >= 2 docs per stratum, identical n_chars within each -> sd = 0
+      // (NON-NULL) -> w = 0, tw = 0: both allocation divisions are /0 on
+      // real values — DuckDB returns NULL rows, Spark ANSI would throw
+      // without the tw guard. Every stratum must survive with NULL allocs.
+      Seq((1L, "aa bb", "en", "web", 5L), (2L, "cc dd", "en", "web", 5L),
+          (3L, "ee ff", "fr", "web", 7L), (4L, "gg hh", "fr", "web", 7L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      val rows = SparkEntry.queries("q261_neyman_allocation")(spark, dir)
+        .collect()
+      assert(rows.length == 2, s"constant-strata Neyman dropped rows: got " +
+        s"${rows.length}, want one per lang")
+      rows.foreach { r =>
+        assert(r.getAs[Double]("sd") == 0.0, r.toString)
+        assert(r.isNullAt(r.fieldIndex("alloc_frac")), r.toString)
+        assert(r.isNullAt(r.fieldIndex("alloc_n")), r.toString)
+      }
+    }
+  }
 }
