@@ -434,6 +434,86 @@ object ModelFormat {
     * re-quantization round-trip). Tensors are written in name order so the
     * output is byte-deterministic for a given model.
     */
+  /** Payload byte size of a tensor record with on-disk type `ftype` and
+    * shape `dims` under the container's storage rules, or -1 if the
+    * combination is invalid (empty/absurd dims, overflowing element count,
+    * Q4_0 numel not block-aligned, unknown ftype). The `ggml` V2 sink
+    * validates incoming rows against this before serializing.
+    */
+  def payloadSize(ftype: Int, dims: Array[Int]): Long = {
+    if (dims.isEmpty || dims.length > 4 ||
+      dims.exists(d => d <= 0 || d > (1 << 26))) return -1L
+    val numel = checkedNumel(dims)
+    if (numel < 0) return -1L
+    ftype match {
+      case 0 => numel * 4
+      case 1 => numel * 2
+      case 2 => if (numel % 32 == 0) numel / 32 * 18 else -1L
+      case _ => -1L
+    }
+  }
+
+  /** Serialize one tensor record (the repeating unit after the vocab
+    * section — `int32 n_dims, name_len, ftype; dims; name; payload`) to
+    * `out`. Record layout per the reference writer
+    * (`scripts/convert_ner_to_ggml.py:84-89`); records are self-describing
+    * and order-independent (the loader is name-keyed), which is what lets
+    * the V2 sink stage them per-task and concatenate at commit.
+    */
+  def writeTensorRecord(out: java.io.DataOutputStream, name: String,
+      dims: Array[Int], ftype: Int, payload: Array[Byte]): Unit = {
+    val expect = payloadSize(ftype, dims)
+    require(expect >= 0, s"tensor '$name': invalid ftype=$ftype dims=" +
+      dims.mkString("[", ",", "]"))
+    require(payload.length == expect, s"tensor '$name': payload is " +
+      s"${payload.length} bytes, dtype/shape require $expect")
+    val nb = name.getBytes(StandardCharsets.UTF_8)
+    require(nb.length <= (1 << 16), s"tensor name too long: $name")
+    def i32(v: Int): Unit = out.writeInt(Integer.reverseBytes(v))
+    i32(dims.length)
+    i32(nb.length)
+    i32(ftype)
+    dims.foreach(i32)
+    out.write(nb)
+    out.write(payload)
+  }
+
+  /** Copy the container prologue (magic, hparams, vocab) of `template`
+    * verbatim into `out` and return the hparams. The V2 sink writes tensor
+    * rows; the tokenizer half of a container comes from an existing model —
+    * the model-surgery workflow (quantize/prune/patch tensors, keep vocab).
+    * Throws on a container `template` that fails the same validation gates
+    * as [[load]]/[[scanMeta]] — a sink must fail loudly, not emit garbage.
+    */
+  def copyHeader(template: String, out: java.io.OutputStream): NerHparams = {
+    val in = new DataInputStream(new BufferedInputStream(
+      new FileInputStream(template)))
+    try {
+      def i32(): Int = {
+        val v = Integer.reverseBytes(in.readInt())
+        val b = Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte,
+          (v >> 24).toByte)
+        out.write(b)
+        v
+      }
+      require(i32() == Magic, s"not a ggml container: $template")
+      val hp = NerHparams(i32(), i32(), i32(), i32(), i32(), i32(), i32(),
+        i32())
+      require(validHparams(hp), s"invalid hparams in template: $template")
+      var i = 0
+      while (i < hp.nVocab) {
+        val len = i32()
+        require(len >= 0 && len <= (1 << 20),
+          s"corrupt vocab entry in template: $template")
+        val b = new Array[Byte](len)
+        in.readFully(b)
+        out.write(b)
+        i += 1
+      }
+      hp
+    } finally in.close()
+  }
+
   def write(model: NerModel, path: String): Unit = {
     val out = new java.io.DataOutputStream(new java.io.BufferedOutputStream(
       new java.io.FileOutputStream(path)))

@@ -5,9 +5,10 @@ import java.util.{Map => JMap}
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, WriteBuilder}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, IsNotNull, StringStartsWith}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -61,11 +62,19 @@ class GgmlTensorSource extends TableProvider with DataSourceRegister {
   override def shortName(): String = "ggml"
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
-    GgmlTensorSource.Schema
+    if (options.getBoolean("payload", false)) GgmlTensorSource.PayloadSchema
+    else GgmlTensorSource.Schema
+
+  /** True so the write path hands the incoming frame's schema to
+    * [[getTable]] — the sink's row schema (tensor/shape/dtype/payload) is
+    * narrower than the read catalog, and output resolution validates
+    * against the table schema.
+    */
+  override def supportsExternalMetadata(): Boolean = true
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: JMap[String, String]): Table =
-    new GgmlTable(GgmlTensorSource.resolveFiles(properties.get("path")))
+    new GgmlTable(properties.get("path"), schema)
 }
 
 object GgmlTensorSource {
@@ -81,6 +90,16 @@ object GgmlTensorSource {
     StructField("data_offset", LongType, nullable = false),
     StructField("linear", BooleanType, nullable = false)
   ))
+
+  /** Read schema under `.option("payload", "true")` (r12): adds the raw
+    * on-disk payload bytes per tensor — the read half of a sink round trip
+    * (scan a container with payloads, transform, write a new container).
+    * Payload bytes are fetched by offset (RandomAccessFile) only for rows
+    * that survive the pushed filters AND only when the column is required —
+    * the default catalog scan still never touches them.
+    */
+  val PayloadSchema: StructType = StructType(
+    Schema.fields :+ StructField("payload", BinaryType, nullable = false))
 
   /** A directory lists its `*.bin` members (sorted — deterministic partition
     * order); a file is itself. Resolution happens once at table creation on
@@ -125,21 +144,24 @@ object GgmlTensorSource {
   }
 }
 
-private[sources] class GgmlTable(files: Seq[String])
-    extends Table with SupportsRead {
-  override def name(): String = s"ggml(${files.mkString(",")})"
-  override def schema(): StructType = GgmlTensorSource.Schema
+private[sources] class GgmlTable(path: String, tableSchema: StructType)
+    extends Table with SupportsRead with SupportsWrite {
+  override def name(): String = s"ggml($path)"
+  override def schema(): StructType = tableSchema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new GgmlScanBuilder(files)
+    new GgmlScanBuilder(GgmlTensorSource.resolveFiles(path), tableSchema)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GgmlWriteBuilder(path, info)
 }
 
-private[sources] class GgmlScanBuilder(files: Seq[String])
-    extends ScanBuilder
+private[sources] class GgmlScanBuilder(files: Seq[String],
+    tableSchema: StructType) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
-  private var required: StructType = GgmlTensorSource.Schema
+  private var required: StructType = tableSchema
   private var pushed: Array[Filter] = Array.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
@@ -195,6 +217,17 @@ private[sources] class GgmlReaderFactory(required: StructType,
 private[sources] class GgmlReader(file: String, required: StructType,
     filters: Array[Filter]) extends PartitionReader[InternalRow] {
 
+  // opened only if a surviving row actually needs the payload column —
+  // the catalog scan keeps its payloads-never-read property
+  private var raf: java.io.RandomAccessFile = _
+  private def payloadOf(offset: Long, len: Long): Array[Byte] = {
+    if (raf == null) raf = new java.io.RandomAccessFile(file, "r")
+    val b = new Array[Byte](len.toInt)
+    raf.seek(offset)
+    raf.readFully(b)
+    b
+  }
+
   private val rows: Iterator[InternalRow] = {
     val meta = ModelFormat.scanFile(file).getOrElse(
       throw new IllegalArgumentException(
@@ -227,6 +260,7 @@ private[sources] class GgmlReader(file: String, required: StructType,
           case "payload_bytes" => t.payloadBytes
           case "data_offset" => t.dataOffset
           case "linear" => ModelFormat.isLinearWeight(t.name)
+          case "payload" => payloadOf(t.dataOffset, t.payloadBytes)
         }
         new GenericInternalRow(vals): InternalRow
       }
@@ -237,5 +271,5 @@ private[sources] class GgmlReader(file: String, required: StructType,
     if (rows.hasNext) { cur = rows.next(); true } else false
   }
   override def get(): InternalRow = cur
-  override def close(): Unit = ()
+  override def close(): Unit = if (raf != null) raf.close()
 }

@@ -148,6 +148,82 @@ class GgmlTensorSourceSpec extends SparkTestBase {
     assert(pre.length === 2) // f32.bin, f16.bin
   }
 
+  test("V2 sink (r12): payload scan -> write(ggml) rebuilds the container " +
+      "byte-identically; catalog round-trips through q277's scan shape") {
+    val src = s"$dir/q4.bin"
+    val d = Files.createTempDirectory("ggml-sink").toFile
+    d.deleteOnExit()
+    val target = s"$d/rebuilt.bin"
+    spark.read.format("ggml").option("payload", "true").load(src)
+      .select("tensor", "shape", "dtype", "payload")
+      .repartition(1).sortWithinPartitions("tensor")
+      .write.format("ggml").option("template", src)
+      .mode("overwrite").save(target)
+    // ModelFormat.write emits records name-sorted and the template donates
+    // the prologue verbatim, so a name-sorted single-partition rewrite is
+    // byte-for-byte the source container
+    assert(java.util.Arrays.equals(
+      Files.readAllBytes(new java.io.File(src).toPath),
+      Files.readAllBytes(new java.io.File(target).toPath)),
+      "rebuilt container differs from its source bytes")
+    // and the loader half agrees end-to-end
+    val back = ModelFormat.loadFile(target).get
+    val orig = SyntheticModel.loadedQ4.model
+    assert(back.hparams === orig.hparams)
+    assert(back.tensors.keySet === orig.tensors.keySet)
+  }
+
+  test("V2 sink: append mode adds tensor records to an existing container") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("ggml-append").toFile
+    d.deleteOnExit()
+    val target = s"$d/grow.bin"
+    ModelFormat.write(SyntheticModel.loaded.model, target)
+    val before = spark.read.format("ggml").load(target).count()
+    val payload = Array.tabulate(32)(i =>
+      java.lang.Float.floatToIntBits(i.toFloat))
+      .flatMap(v => Array[Byte](v.toByte, (v >> 8).toByte, (v >> 16).toByte,
+        (v >> 24).toByte))
+    Seq(("patch.extra_tensor", Seq(32), "F32", payload))
+      .toDF("tensor", "shape", "dtype", "payload")
+      .write.format("ggml").mode("append").save(target) // no template needed
+    val after = spark.read.format("ggml").load(target)
+    assert(after.count() === before + 1)
+    val row = after.where(col("tensor") === "patch.extra_tensor")
+      .select("dtype", "numel", "payload_bytes").collect().head
+    assert((row.getString(0), row.getLong(1), row.getLong(2)) ===
+      ("F32", 32L, 128L))
+    // the loader still reads the container (unknown record name-skipped)
+    assert(ModelFormat.loadFile(target).isDefined)
+  }
+
+  test("V2 sink: invalid payloads and a missing template fail loudly") {
+    import spark.implicits._
+    val d = Files.createTempDirectory("ggml-sink-err").toFile
+    d.deleteOnExit()
+    def messages(e: Throwable): String =
+      Iterator.iterate[Throwable](e)(_.getCause).takeWhile(_ != null)
+        .take(8).flatMap(t => Option(t.getMessage)).mkString(" | ")
+    // payload length disagreeing with dtype/shape
+    val e1 = intercept[Throwable] {
+      Seq(("t", Seq(32), "F32", Array[Byte](1, 2, 3)))
+        .toDF("tensor", "shape", "dtype", "payload")
+        .write.format("ggml").option("template", s"$dir/f32.bin")
+        .mode("overwrite").save(s"$d/bad1.bin")
+    }
+    assert(messages(e1).contains("payload is 3 bytes"), messages(e1))
+    // fresh container without a template
+    val e2 = intercept[Throwable] {
+      Seq(("t", Seq(1), "F32", Array[Byte](0, 0, 0, 0)))
+        .toDF("tensor", "shape", "dtype", "payload")
+        .write.format("ggml").mode("append").save(s"$d/bad2.bin")
+    }
+    assert(messages(e2).contains("template"), messages(e2))
+    // a failed write must not leave a half-written target
+    assert(!new java.io.File(s"$d/bad1.bin").exists())
+    assert(!new java.io.File(s"$d/bad2.bin").exists())
+  }
+
   test("a malformed container fails the scan loudly, naming the file") {
     val d = Files.createTempDirectory("ggml-bad").toFile
     d.deleteOnExit()
