@@ -416,17 +416,39 @@ object Corpus {
     * cluster run raises the shard count with the executor count. The bin of
     * a doc is `cumulative-tokens-before DIV 512` (concat-and-split: a doc
     * may straddle bins; every bin except a shard's last is exactly full),
-    * a running-sum window per shard — shuffle once, sort within shard.
+    * a running sum per shard.
+    *
+    * Scale shape (rewritten r12 — the structural window-discipline walk
+    * flagged the original single window per 8-way shard as exactly the
+    * O(1)-partition row-rank class it polices): the per-shard running sum
+    * is TWO-PHASE, the q256/q271 prefix-sum recipe — doc_id-block partials
+    * (one hash aggregation), cumulative block offsets over the
+    * shards×blocks frame, and a within-(shard, block) running pass whose
+    * partition count GROWS with the corpus. Offsets join back
+    * co-partitioned on (shard, block) — never broadcast, the block frame
+    * grows with data. Block order refines doc_id order, so
+    * cum_before = block_offset + in-block running sum is integer-identical
+    * to the single-window form and the oracle is unchanged.
     */
   private def q103(s: SparkSession, d: String): DataFrame = {
     val binSize = 512
-    val w = Window.partitionBy(col("shard")).orderBy(col("doc_id"))
-      .rowsBetween(Window.unboundedPreceding, -1)
-    documents(s, d)
+    val blockW = 1024L
+    val t = documents(s, d)
       .select(col("doc_id"), pmod(col("doc_id"), lit(8)).as("shard"),
-        size(wsCol).as("n_tok"))
-      .withColumn("cum_before",
-        coalesce(sum(col("n_tok")).over(w), lit(0L)))
+        size(wsCol).as("n_tok"),
+        expr(s"doc_id DIV $blockW").as("block"))
+    val wb = Window.partitionBy(col("shard")).orderBy(col("block"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val boffs = t.groupBy(col("shard"), col("block"))
+      .agg(sum(col("n_tok")).as("bsum"))
+      .withColumn("boff", coalesce(sum(col("bsum")).over(wb), lit(0L)))
+      .select(col("shard"), col("block"), col("boff"))
+    val wIn = Window.partitionBy(col("shard"), col("block"))
+      .orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t.withColumn("s_in", coalesce(sum(col("n_tok")).over(wIn), lit(0L)))
+      .join(boffs, Seq("shard", "block"))
+      .withColumn("cum_before", col("boff") + col("s_in"))
       .withColumn("bin", expr(s"cum_before DIV $binSize"))
       .groupBy(col("shard"), col("bin"))
       .agg(count(lit(1)).as("n_docs"),

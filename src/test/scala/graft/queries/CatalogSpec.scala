@@ -86,23 +86,12 @@ class CatalogSpec extends SparkTestBase {
     //       split, not a full sort — q105's top-3-per-stratum shape; or
     //   (d) a Limit sits beneath — the window input is ≤ a literal k rows
     //       (q164's rank-over-top-20 shape).
-    // Catalog-wide so the class cannot recur silently (the DocsFreshnessSpec
-    // stance). Plan-only, no execution.
-    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LogicalPlan, WindowGroupLimit, Window => LWindow}
-    val bounded = Set("event_type", "seg", "t", "source", "lang", "arm",
-      "o_orderpriority", "o_orderstatus", "l_returnflag", "l_linestatus")
-    // true iff some LEAF relation reaches this point at row grain — i.e.
-    // without an Aggregate / WindowGroupLimit / Limit on ITS path. An
-    // Aggregate on a sibling join branch (the ubiquitous broadcast
-    // pmod-join of an aggregated scalar frame) must NOT whitewash the
-    // raw fact side, so this is per-path, not collectFirst-anywhere.
-    def rowGrainLeaks(p: LogicalPlan): Boolean = p match {
-      case _: Aggregate => false
-      case _: WindowGroupLimit => false
-      case _: GlobalLimit => false
-      case leaf if leaf.children.isEmpty => true
-      case other => other.children.exists(rowGrainLeaks)
-    }
+    // Boundedness is derived STRUCTURALLY (r12; the r11 form was a bare
+    // name list a fresh `bin`/`fold`/`tier` column would slip past — see
+    // the planted-case test below): each partition expression is resolved
+    // through the plan's Alias definitions to its origin and given a
+    // domain-cardinality estimate. Catalog-wide so the class cannot recur
+    // silently (the DocsFreshnessSpec stance). Plan-only, no execution.
     // Shapes the per-path walk cannot express, each individually argued:
     //  - q200: its two rank windows run over the ≤20-row candidate-FETCH
     //    join (BM25 top-20 Limit on the key side; the embeddings scan only
@@ -113,31 +102,61 @@ class CatalogSpec extends SparkTestBase {
     val violations = Seq.newBuilder[String]
     for ((q, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
         if !allowlisted.contains(q)) {
-      val plan = fn(spark, sf()).queryExecution.optimizedPlan
-      plan.foreach {
-        case w: LWindow =>
-          // a partition expression is bounded if it is a literal (no
-          // attribute references — e.g. partitionBy(lit(0)), a de-facto
-          // global sort) or references only bounded-cardinality columns
-          val boundedOnly = w.partitionSpec.forall(e =>
-            e.references.isEmpty ||
-              e.references.toSeq.map(_.name).forall(bounded.contains))
-          if (boundedOnly && rowGrainLeaks(w.child)) {
-            val partNames =
-              w.partitionSpec.flatMap(_.references.toSeq.map(_.name)).distinct
-            violations += s"$q: Window partitioned by ${
-              if (partNames.isEmpty) "NOTHING (global sort / literal)"
-              else partNames.mkString(",")
-            }"
-          }
-        case _ =>
-      }
+      WindowDiscipline
+        .violations(fn(spark, sf()).queryExecution.optimizedPlan)
+        .foreach(v => violations += s"$q: $v")
     }
     assert(violations.result().isEmpty,
       "Windows partitioned by an O(1)-cardinality key directly over an " +
         "unaggregated scan — an O(1)-task terabyte sort at 100 TB; use " +
         "the distinct-value-grain cumulative-count pattern (q152) " +
         "instead:\n" + violations.result().mkString("\n"))
+  }
+
+  test("the window-discipline walk catches DERIVED bounded keys the name " +
+      "list misses (planted bin / tier cases)") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val docs = graft.queries.Tables.documents(spark, sf())
+    def flagged(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      WindowDiscipline.violations(df.queryExecution.optimizedPlan)
+    // a 10-way pmod bucket under a fresh name over the raw scan — the
+    // r11 name list passed this silently
+    val binned = docs
+      .withColumn("bin", pmod(col("doc_id"), lit(10)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("bin")).orderBy(col("doc_id"))))
+    assert(flagged(binned).nonEmpty, "planted pmod bin not flagged")
+    // a two-valued CASE tier (all-literal branches) — same trap via when()
+    val tiered = docs
+      .withColumn("tier", when(col("n_chars") > 100, "long")
+        .otherwise("short"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("tier")).orderBy(col("doc_id"))))
+    assert(flagged(tiered).nonEmpty, "planted CASE tier not flagged")
+    // composite of two bounded derivations stays bounded (product, capped)
+    val composite = docs
+      .withColumn("bin", pmod(col("doc_id"), lit(4)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("bin"), col("lang")).orderBy(col("doc_id"))))
+    assert(flagged(composite).nonEmpty, "planted bounded composite not flagged")
+    // sanity on the safe shapes: an unbounded key passes...
+    val byDoc = docs.withColumn("rn", row_number().over(
+      Window.partitionBy(col("doc_id")).orderBy(col("n_chars"))))
+    assert(flagged(byDoc).isEmpty, "unbounded doc_id key wrongly flagged")
+    // ...an aggregate beneath passes even with a bounded key...
+    val agg = docs.groupBy(col("lang"), col("n_chars"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(col("n_chars"))))
+    assert(flagged(agg).isEmpty, "aggregate-beneath shape wrongly flagged")
+    // ...and a WIDE pmod (>= the parallelism cap, q170's 4096 prefix
+    // buckets) is the documented scale-safe decomposition
+    val wide = docs
+      .withColumn("bkt", pmod(col("doc_id"), lit(4096)))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("bkt")).orderBy(col("doc_id"))))
+    assert(flagged(wide).isEmpty, "4096-way bucket wrongly flagged")
   }
 
   test("join-heavy plans survive a scale-representative broadcast threshold") {
@@ -402,5 +421,126 @@ class CatalogSpec extends SparkTestBase {
     val distinctTexts = Tables.documents(spark, sf())
       .select("text").distinct().count()
     assert(total == distinctTexts)
+  }
+}
+
+/** Structural window-discipline analyzer (r12). Replaces the r11 bare
+  * name list: each Window partition expression is resolved through the
+  * plan's Alias definitions to its origin and given a DOMAIN-CARDINALITY
+  * estimate; a window is a violation when every partition expression is
+  * bounded (product under [[WindowDiscipline.Cap]]) AND some leaf relation
+  * reaches it at row grain (no Aggregate / WindowGroupLimit / Limit on
+  * that path). Estimation rules:
+  *   - literal / no-reference expression → 1 (a de-facto global sort);
+  *   - boolean-typed expression → 3 (true/false/null), whatever its refs;
+  *   - `pmod(x, k)` / `x % k` with literal k → k-bounded regardless of x
+  *     (the `bin` trap);
+  *   - CASE WHEN with all-literal branch values → #branches + 1 (the
+  *     `tier` trap via when/otherwise);
+  *   - an attribute resolves to its Alias definition anywhere in the plan;
+  *     a source column falls back to the known-bounded-domain name list
+  *     (nominal domain 16);
+  *   - any other expression whose references are ALL bounded → capped
+  *     product (a deterministic function of bounded inputs is bounded);
+  *   - aggregate results and everything else → unbounded (safe: aggregate
+  *     paths are cleared by the row-grain walk itself).
+  * Bounded means "under [[Cap]]": a >= Cap-way derived bucketing (q170's
+  * 4096 md5-prefix buckets) is the documented scale-safe decomposition,
+  * not a violation.
+  */
+private[queries] object WindowDiscipline {
+  import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, CaseWhen, Cast, Expression, ExprId, Literal, Pmod, Remainder}
+  import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+  import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, GlobalLimit, LogicalPlan, WindowGroupLimit, Window => LWindow}
+  import org.apache.spark.sql.types.BooleanType
+
+  /** Partition-count floor under which a key is "O(1) vs corpus". */
+  val Cap = 256L
+
+  /** Source columns with bounded domains by schema contract (fallback when
+    * an attribute has no Alias definition in the plan). */
+  val BoundedNames: Set[String] = Set("event_type", "seg", "t", "source",
+    "lang", "arm", "o_orderpriority", "o_orderstatus", "l_returnflag",
+    "l_linestatus")
+
+  private def litLong(e: Expression): Option[Long] = e match {
+    case Literal(v: Int, _) => Some(v.toLong)
+    case Literal(v: Long, _) => Some(v)
+    case Literal(v: Short, _) => Some(v.toLong)
+    case Literal(v: Byte, _) => Some(v.toLong)
+    case _ => None
+  }
+
+  def violations(plan: LogicalPlan): Seq[String] = {
+    val defs: Map[ExprId, Expression] = plan.collect { case node =>
+      node.expressions.flatMap(_.collect { case a: Alias => a.exprId -> a.child })
+    }.flatten.toMap
+
+    def bound(e: Expression, seen: Set[ExprId]): Option[Long] = e match {
+      case _: Literal => Some(1L)
+      case a: Alias => bound(a.child, seen)
+      case c: Cast => bound(c.child, seen)
+      case _: AggregateExpression => None
+      case p: Pmod =>
+        litLong(p.right).map(k => math.max(1L, math.abs(k)))
+          .orElse(generic(p, seen))
+      case r: Remainder =>
+        litLong(r.right).map(k => math.max(1L, 2L * math.abs(k) - 1L))
+          .orElse(generic(r, seen))
+      case cw: CaseWhen
+          if (cw.branches.map(_._2) ++ cw.elseValue)
+            .forall(_.isInstanceOf[Literal]) =>
+        Some(cw.branches.size + 1L)
+      case a: Attribute =>
+        if (seen.contains(a.exprId)) None
+        else defs.get(a.exprId) match {
+          case Some(d) => bound(d, seen + a.exprId)
+          case None => if (BoundedNames.contains(a.name)) Some(16L) else None
+        }
+      case _ if e.dataType == BooleanType => Some(3L)
+      case other => generic(other, seen)
+    }
+
+    def generic(e: Expression, seen: Set[ExprId]): Option[Long] = {
+      val refs = e.references.toSeq
+      if (refs.isEmpty) Some(1L)
+      else {
+        val bs = refs.map(bound(_, seen))
+        if (bs.forall(_.isDefined))
+          Some(bs.flatten.foldLeft(1L)((acc, b) => math.min(Cap, acc * b)))
+        else None
+      }
+    }
+
+    // true iff some LEAF relation reaches this point at row grain — i.e.
+    // without an Aggregate / WindowGroupLimit / Limit on ITS path. An
+    // Aggregate on a sibling join branch (the ubiquitous broadcast
+    // pmod-join of an aggregated scalar frame) must NOT whitewash the
+    // raw fact side, so this is per-path, not collectFirst-anywhere.
+    def rowGrainLeaks(p: LogicalPlan): Boolean = p match {
+      case _: Aggregate => false
+      case _: WindowGroupLimit => false
+      case _: GlobalLimit => false
+      case leaf if leaf.children.isEmpty => true
+      case other => other.children.exists(rowGrainLeaks)
+    }
+
+    val out = Seq.newBuilder[String]
+    plan.foreach {
+      case w: LWindow =>
+        val partBounds = w.partitionSpec.map(bound(_, Set.empty))
+        val boundedOnly = partBounds.forall(_.isDefined) &&
+          partBounds.flatten.foldLeft(1L)((a, b) => math.min(Cap, a * b)) < Cap
+        if (boundedOnly && rowGrainLeaks(w.child)) {
+          val partNames =
+            w.partitionSpec.flatMap(_.references.toSeq.map(_.name)).distinct
+          out += s"Window partitioned by ${
+            if (partNames.isEmpty) "NOTHING (global sort / literal)"
+            else partNames.mkString(",")
+          } (domain estimate ${partBounds.flatten.product})"
+        }
+      case _ =>
+    }
+    out.result()
   }
 }
