@@ -38,6 +38,14 @@ import graft.ner.ModelFormat
   * round-trips through [[graft.ner.ModelFormat.load]] (the repo's
   * loader) — `ConvertHfSpec` pins that end-to-end.
   *
+  * Supported weight format: `model.safetensors` ONLY. The reference
+  * script accepts anything `torch.load` can open (notably the legacy
+  * `pytorch_model.bin` pickle-zip), but that format IS a Python pickle —
+  * parsing it outside Python means reimplementing pickle opcode
+  * semantics, and HF has shipped safetensors as the default artifact
+  * since 2023. A legacy checkpoint converts by re-saving once:
+  * `model.save_pretrained(dir, safe_serialization=True)`.
+  *
   * Usage: `runMain graft.tools.ConvertHf <hf_model_dir> <out.bin> [ftype]`
   * (ftype 1 = F16 linears, the script's default; 0 = all F32).
   */
