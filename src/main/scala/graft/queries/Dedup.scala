@@ -334,9 +334,25 @@ object Dedup {
         .groupBy(col("doc"))
         .agg(min(col("lab")).as("lab"),
           min(when(col("own"), col("lab"))).as("own_lab"))
+      // pointer jumping (r12): shortcut each doc's label to its LABEL's
+      // label — every label value is itself a node of the component, so
+      // one extra |V|-row self-join per round doubles how far a low label
+      // has travelled, making convergence O(log diameter) instead of
+      // O(diameter). The r12 sf1 measurement is what forced this: a
+      // re-rolled 10x corpus drew a denser near-dup graph whose longest
+      // component exceeded the 20-round cap under plain propagation — the
+      // near-clique diameter argument below holds for TYPICAL thresholded
+      // graphs but is not a guarantee, and at 100 TB the cap must bound
+      // ROUNDS, not the reachable diameter (2^20 diameter under jumping).
+      val jumped = next.as("a")
+        .join(next.select(col("doc").as("jd"), col("lab").as("jlab")).as("b"),
+          col("a.lab") === col("b.jd"), "left")
+        .select(col("a.doc").as("doc"),
+          least(col("a.lab"), coalesce(col("jlab"), col("a.lab"))).as("lab"),
+          col("a.own_lab").as("own_lab"))
         .localCheckpoint(true)
-      changed = next.filter(col("lab") < col("own_lab")).count()
-      labels = next.select(col("doc"), col("lab"))
+      changed = jumped.filter(col("lab") < col("own_lab")).count()
+      labels = jumped.select(col("doc"), col("lab"))
       iter += 1
     }
     // fail loudly if a pathological long chain exceeded the iteration cap:
@@ -344,7 +360,7 @@ object Dedup {
     // oracle to catch it at production scale
     require(changed == 0,
       s"label propagation did not converge in $iter iterations " +
-        "(component diameter exceeds cap) — raise the cap for this corpus")
+        "(component diameter exceeds 2^$iter) — raise the cap for this corpus")
     labels
   }
 
