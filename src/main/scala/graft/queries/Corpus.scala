@@ -2367,11 +2367,18 @@ object Corpus {
       .join(broadcast(tot), Seq("jk"))
       .withColumn("alpha",
         lit(LoPriorMass) * (col("ya") + col("yb")).cast("double") / col("nn"))
-      .withColumn("delta",
+      // single-distinct-word degenerate (r12 audit): when one word IS the
+      // whole corpus, alpha = α₀ exactly and na − ya = 0, so the log-ratio
+      // denominator is exactly 0 — DuckDB's /0 yields NULL (→ NULL z),
+      // Spark ANSI would throw. The denominators are never negative
+      // (na >= ya, alpha <= α₀), so > 0 is the full guard.
+      .withColumn("delta", when(
+        (col("na") + lit(LoPriorMass) - col("ya") - col("alpha")) > 0 &&
+          (col("nb") + lit(LoPriorMass) - col("yb") - col("alpha")) > 0,
         log((col("ya") + col("alpha"))
           / (col("na") + lit(LoPriorMass) - col("ya") - col("alpha")))
         - log((col("yb") + col("alpha"))
-          / (col("nb") + lit(LoPriorMass) - col("yb") - col("alpha"))))
+          / (col("nb") + lit(LoPriorMass) - col("yb") - col("alpha")))))
       .withColumn("z", round(col("delta")
         / sqrt(lit(1.0) / (col("ya") + col("alpha"))
           + lit(1.0) / (col("yb") + col("alpha"))), 6))

@@ -213,6 +213,20 @@ object Dedup {
              > len(string_split_regex(trim(text), '\s+'))
       THEN (1 << k) ELSE 0 END)) AS INT)"""
 
+  /** o102's 60-bit twin of [[oSimhashExpr]] (r12): same bit recipe through
+    * md5 hex digit 14; 60 bits keep the BIGINT sign clear so the
+    * fingerprint assembles as a plain sum of `1::BIGINT << k` terms.
+    */
+  private val oSimhash64Expr = """
+    CAST(list_sum(list_transform(range(0, 60), k ->
+      CASE WHEN 2 * len(list_filter(list_transform(
+                 string_split_regex(trim(text), '\s+'), w -> md5(w)),
+             h -> (((strpos('0123456789abcdef',
+                      substr(h, (k // 4) + 1, 1)) - 1) >> (3 - (k % 4))) & 1)
+                  = 1))
+             > len(string_split_regex(trim(text), '\s+'))
+      THEN (1::BIGINT << k) ELSE 0::BIGINT END)) AS BIGINT)"""
+
   /** q39: SimHash near-dup groups — fingerprints shared by >1 document. */
   private def q39(s: SparkSession, d: String): DataFrame =
     parallelize(s, documents(s, d))
@@ -381,14 +395,20 @@ object Dedup {
 
   /** q102: SimHash neighbors within hamming distance <= 2 — the radius
     * search q39's exact-fingerprint grouping (hamming-0) cannot express.
-    * Scale design is bit-band LSH by pigeonhole: split the 16-bit
-    * fingerprint into k+1 = 3 disjoint bands (6/5/5 bits); two fingerprints
-    * differing in <= 2 bits must agree EXACTLY on at least one band, so an
-    * equi-join per band finds every such pair with zero false negatives.
-    * Candidates are then verified with `bit_count(xor)` — pair work is
-    * bounded by band-bucket population (2^5..2^6 buckets per band here;
-    * for a w-bit fingerprint at corpus scale, band count is k+1 and band
-    * width w/(k+1) grows with w, exactly the banded-MinHash trade).
+    * Scale design is bit-band LSH by pigeonhole: split the fingerprint
+    * into k+1 = 3 disjoint bands; two fingerprints differing in <= 2 bits
+    * must agree EXACTLY on at least one band, so an equi-join per band
+    * finds every such pair with zero false negatives. Candidates are then
+    * verified with `bit_count(xor)`.
+    *
+    * Fingerprint width is the scale lever, and it is MEASURED, not argued
+    * (r12): on the 16-bit fingerprint (2^5–2^6 buckets per band) the
+    * two-decade scale curve read q102 at 22.6× for 10× rows — candidates
+    * grow ~n²/buckets, the catalog's one super-linear entry. Rebuilt on
+    * the 60-bit [[graft.functions.SimHash64Expression]] with 3 × 20-bit
+    * bands (2^20 buckets per band, a ~2^15 candidate reduction); a still
+    * larger corpus widens the fingerprint and bands again, exactly the
+    * banded-MinHash trade.
     */
   private def q102(s: SparkSession, d: String): DataFrame = {
     // persist: fps feeds the band self-join (both sides) and two
@@ -397,13 +417,13 @@ object Dedup {
     // q38/q47/q104; Bench/Verify clearCache per query)
     val fps = parallelize(s, documents(s, d))
       .select(col("doc_id"),
-        graft.functions.SimHashExpression.simhash(col("text")).as("fp"))
+        graft.functions.SimHash64Expression.simhash64(col("text")).as("fp"))
       .persist()
     val bands = fps.select(col("doc_id"),
       posexplode(array(
-        shiftright(col("fp"), 10).bitwiseAND(lit(63)),
-        shiftright(col("fp"), 5).bitwiseAND(lit(31)),
-        col("fp").bitwiseAND(lit(31)))).as(Seq("band_pos", "bval")))
+        shiftright(col("fp"), 40).bitwiseAND(lit(1048575L)),
+        shiftright(col("fp"), 20).bitwiseAND(lit(1048575L)),
+        col("fp").bitwiseAND(lit(1048575L)))).as(Seq("band_pos", "bval")))
     val cands = bands.as("x")
       .join(bands.as("y"),
         col("x.band_pos") === col("y.band_pos") &&
@@ -423,12 +443,12 @@ object Dedup {
   }
 
   private def o102: String =
-    s"""WITH fp AS (SELECT doc_id, $oSimhashExpr AS fp FROM documents),
+    s"""WITH fp AS (SELECT doc_id, $oSimhash64Expr AS fp FROM documents),
        bands AS (
          SELECT doc_id, band_pos,
-                CASE band_pos WHEN 0 THEN (fp >> 10) & 63
-                              WHEN 1 THEN (fp >> 5) & 31
-                              ELSE fp & 31 END AS bval
+                CASE band_pos WHEN 0 THEN (fp >> 40) & 1048575
+                              WHEN 1 THEN (fp >> 20) & 1048575
+                              ELSE fp & 1048575 END AS bval
          FROM fp, (SELECT unnest([0, 1, 2]) AS band_pos) bp),
        cand AS (
          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b

@@ -3242,6 +3242,158 @@ object Events {
            END AS reject_white_noise
     FROM g ORDER BY event_type"""
 
+  /** CCF lag window for q299 (days; negative = views lag purchases). */
+  private val CcfMaxLag = 7
+
+  /** q299: cross-correlation function between the 'view' and 'purchase'
+    * daily series at lags −7..+7 — the lead/lag diagnostic beneath
+    * funnel/attribution analyses (does view traffic LEAD purchases, and by
+    * how many days?) and the cross-series companion to q283's ACF. Sample
+    * CCF convention: r(k) = Σ_pairs (x_t − μ_x)(y_{t+k} − μ_y) normalized
+    * by the FULL-series moment products, pairs taken gap-aware on true
+    * dates (a missing day pairs with nothing — never positional).
+    *
+    * Cross-engine: the numerator expands to exact int64 —
+    * nx·ny·p − nx·sy·xsum − ny·sx·ysum + m·sx·sy — and the denominator
+    * is sqrt(nx·ny)·sqrt(varx_int·vary_int) where each var_int = n·q − s²
+    * is exact int64 widened to double BEFORE the product (the int product
+    * can exceed int64; the double product is identical IEEE on both
+    * engines). One division + two correctly-rounded sqrts are the only
+    * float ops; zero-variance degenerates NULL via the same guard on both
+    * engines. Scale shape: q283's — one corpus-linear day rollup, then a
+    * days×lags-bounded pair join and bounded column algebra.
+    */
+  private def q299(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"),
+        expr("ts DIV 1000 DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("y"))
+    val x = daily.filter(col("event_type") === "view")
+      .select(col("day").as("xday"), col("y").as("xy"))
+      .withColumn("lag", explode(sequence(lit(-CcfMaxLag), lit(CcfMaxLag))))
+    val yv = daily.filter(col("event_type") === "purchase")
+      .select(col("day").as("yday"), col("y").as("yy"))
+    val pairs = x.join(yv, col("yday") === col("xday") + col("lag"))
+      .groupBy(col("lag"))
+      .agg(count(lit(1)).as("m"), sum(col("xy") * col("yy")).as("p"),
+        sum(col("xy")).as("xsum"), sum(col("yy")).as("ysum"))
+    val stx = daily.filter(col("event_type") === "view")
+      .agg(count(lit(1)).as("nx"), sum(col("y")).as("sxv"),
+        sum(col("y") * col("y")).as("qx"))
+      .withColumn("jk", pmod(col("nx"), lit(1L)))
+    val sty = daily.filter(col("event_type") === "purchase")
+      .agg(count(lit(1)).as("ny"), sum(col("y")).as("syv"),
+        sum(col("y") * col("y")).as("qy"))
+      .withColumn("jk", pmod(col("ny"), lit(1L)))
+    pairs.withColumn("jk", pmod(col("m"), lit(1L)))
+      .join(broadcast(stx), Seq("jk")).join(broadcast(sty), Seq("jk"))
+      .withColumn("varx", col("nx") * col("qx") - col("sxv") * col("sxv"))
+      .withColumn("vary", col("ny") * col("qy") - col("syv") * col("syv"))
+      .select(col("lag").cast("int").as("lag"), col("m").as("n_pairs"),
+        round(when(col("varx") > 0 && col("vary") > 0,
+          (col("nx") * col("ny") * col("p")
+            - col("nx") * col("syv") * col("xsum")
+            - col("ny") * col("sxv") * col("ysum")
+            + col("m") * col("sxv") * col("syv")).cast("double")
+          / (sqrt((col("nx") * col("ny")).cast("double"))
+            * sqrt(col("varx").cast("double") * col("vary").cast("double")))),
+          6).as("ccf"))
+      .orderBy(col("lag"))
+  }
+
+  private val o299 = s"""
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY event_type, day),
+    stx AS (SELECT CAST(count(*) AS BIGINT) AS nx,
+                   CAST(sum(y) AS BIGINT) AS sxv,
+                   CAST(sum(y * y) AS BIGINT) AS qx
+            FROM daily WHERE event_type = 'view'),
+    sty AS (SELECT CAST(count(*) AS BIGINT) AS ny,
+                   CAST(sum(y) AS BIGINT) AS syv,
+                   CAST(sum(y * y) AS BIGINT) AS qy
+            FROM daily WHERE event_type = 'purchase'),
+    pairs AS (
+      SELECT t.lag, CAST(count(*) AS BIGINT) AS m,
+             CAST(sum(x.y * v.y) AS BIGINT) AS p,
+             CAST(sum(x.y) AS BIGINT) AS xsum,
+             CAST(sum(v.y) AS BIGINT) AS ysum
+      FROM (SELECT * FROM daily WHERE event_type = 'view') x
+      CROSS JOIN generate_series(-$CcfMaxLag, $CcfMaxLag) AS t(lag)
+      JOIN (SELECT * FROM daily WHERE event_type = 'purchase') v
+        ON v.day = x.day + t.lag
+      GROUP BY t.lag)
+    SELECT CAST(pr.lag AS INT) AS lag, pr.m AS n_pairs,
+           round(CASE WHEN stx.nx * stx.qx - stx.sxv * stx.sxv > 0
+                       AND sty.ny * sty.qy - sty.syv * sty.syv > 0 THEN
+             CAST(stx.nx * sty.ny * pr.p - stx.nx * sty.syv * pr.xsum
+                  - sty.ny * stx.sxv * pr.ysum
+                  + pr.m * stx.sxv * sty.syv AS DOUBLE)
+             / (sqrt(CAST(stx.nx * sty.ny AS DOUBLE))
+                * sqrt(CAST(stx.nx * stx.qx - stx.sxv * stx.sxv AS DOUBLE)
+                       * CAST(sty.ny * sty.qy - sty.syv * sty.syv
+                              AS DOUBLE)))
+           END, 6) AS ccf
+    FROM pairs pr, stx, sty ORDER BY lag"""
+
+  /** q302: index of dispersion (Fano factor) + burstiness coefficient per
+    * event type over the daily-count series — the overdispersion
+    * diagnostic beneath the anomaly tier: Poisson-like traffic has
+    * var/mean ≈ 1; var/mean ≫ 1 marks bursty arrivals that make q232's
+    * z-flags fire in clumps, and Goh–Barabási's B = (σ − μ)/(σ + μ)
+    * ∈ (−1, 1) is the bounded form (−1 regular, 0 Poisson-ish, → 1
+    * bursty).
+    *
+    * Cross-engine: population variance and mean stay exact-rational —
+    * fano = n·(n·q − s²) / (n²·s) folds integer-exactly into one double
+    * division; B's σ is one correctly-rounded sqrt of an exact rational.
+    * Zero-mean (no events) cannot occur on a grouped row; constant series
+    * (σ = 0) gives fano 0 / B −1 exactly on both engines.
+    * Scale shape: one corpus-linear day rollup, then a types-bounded
+    * aggregation — nothing further touches the corpus.
+    */
+  private def q302(s: SparkSession, d: String): DataFrame = {
+    val daily = events(s, d)
+      .groupBy(col("event_type"),
+        expr("ts DIV 1000 DIV 86400000000").as("day"))
+      .agg(count(lit(1)).as("y"))
+    daily.groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("s"),
+        sum(col("y") * col("y")).as("q"))
+      .withColumn("vnum", col("n") * col("q") - col("s") * col("s"))
+      .select(col("event_type"), col("n").as("n_days"),
+        round(col("s").cast("double") / col("n"), 6).as("mean_daily"),
+        round((col("n") * col("vnum")).cast("double")
+          / (col("n") * col("n") * col("s")).cast("double"), 6).as("fano"),
+        round((sqrt(col("vnum").cast("double")) / col("n") - col("s")
+            .cast("double") / col("n"))
+          / (sqrt(col("vnum").cast("double")) / col("n") + col("s")
+            .cast("double") / col("n")), 6).as("burstiness"))
+      .orderBy(col("event_type"))
+  }
+
+  private val o302 = """
+    WITH daily AS (
+      SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+             CAST(count(*) AS BIGINT) AS y
+      FROM events GROUP BY event_type, day),
+    st AS (
+      SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(y) AS BIGINT) AS s,
+             CAST(sum(y * y) AS BIGINT) AS q
+      FROM daily GROUP BY event_type)
+    SELECT event_type, n AS n_days,
+           round(CAST(s AS DOUBLE) / n, 6) AS mean_daily,
+           round(CAST(n * (n * q - s * s) AS DOUBLE)
+                 / CAST(n * n * s AS DOUBLE), 6) AS fano,
+           round((sqrt(CAST(n * q - s * s AS DOUBLE)) / n
+                  - CAST(s AS DOUBLE) / n)
+                 / (sqrt(CAST(n * q - s * s AS DOUBLE)) / n
+                    + CAST(s AS DOUBLE) / n), 6) AS burstiness
+    FROM st ORDER BY event_type"""
+
+
   /** q289's recursion depth (PACF at lags 1..4). */
   private val PacfMaxLag = 4
 
@@ -3836,6 +3988,8 @@ object Events {
     QueryDef("q296_effect_size", q296, Some(o296)),
     QueryDef("q297_gains_lift", q297, Some(o297)),
     QueryDef("q298_ljung_box", q298, Some(o298)),
+    QueryDef("q299_ccf_lead_lag", q299, Some(o299)),
+    QueryDef("q302_fano_burstiness", q302, Some(o302)),
     QueryDef("q284_avg_precision", q284, Some(o284)),
     QueryDef("q287_kruskal_wallis", q287, Some(o287)),
     QueryDef("q268_freshness_sla", q268, Some(o268)),

@@ -863,6 +863,114 @@ object TextOps {
            round(share_after - share_before, 6) AS share_shift
     FROM shares ORDER BY lang, source"""
 
+  /** q300: mutual information between the corpus's two categorical
+    * dimensions (lang x source) — the one-number association audit behind
+    * q124's per-source KL: MI = Σ p(l,s)·ln(p(l,s)/(p(l)p(s))), 0 iff the
+    * language mix is source-independent (a balanced crawl), large when
+    * feeds are language-siloed — the signal that per-source language
+    * rebalancing (q94/q167) will actually change the corpus.
+    *
+    * Cross-engine: counts and marginals are exact int64; each cell's
+    * ln argument n·nn/(nl·ns) is a ratio of exact ints (> 0 always, no
+    * guard needed) and the per-cell contribution is rounded at 12 before
+    * the total folds in (lang, source) order on the bounded cell frame
+    * (the q206/q298 sorted-fold recipe), so both engines sum identical
+    * doubles; MI rounds at 6. Scale shape: one corpus-linear hash
+    * aggregation to the (lang, source) grain, everything after bounded by
+    * the categorical domain.
+    */
+  private def q300(s: SparkSession, d: String): DataFrame = {
+    val cells = documents(s, d)
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+    val ml = cells.groupBy(col("lang")).agg(sum(col("n")).as("nl"))
+    val ms = cells.groupBy(col("source")).agg(sum(col("n")).as("ns"))
+    val tot = cells.agg(sum(col("n")).as("nn"))
+      .withColumn("jk", pmod(col("nn"), lit(1L)))
+    val c = cells
+      .join(broadcast(ml), Seq("lang")).join(broadcast(ms), Seq("source"))
+      .withColumn("jk", pmod(col("n"), lit(1L)))
+      .join(broadcast(tot), Seq("jk"))
+      .withColumn("contrib",
+        round((col("n").cast("double") / col("nn"))
+          * log((col("n") * col("nn")).cast("double")
+            / (col("nl") * col("ns")).cast("double")), 12))
+    val mi = c.agg(expr(
+      """aggregate(array_sort(collect_list(struct(lang, source, contrib))),
+         cast(0.0 as double), (a, x) -> a + x.contrib)""").as("mi_raw"))
+      .select(round(col("mi_raw"), 6).as("mi"),
+        pmod(coalesce(round(col("mi_raw")).cast("long"), lit(0L)), lit(1L))
+          .as("jk"))
+    c.join(broadcast(mi), Seq("jk"))
+      .select(col("lang"), col("source"), col("n").cast("long").as("n_docs"),
+        round(col("contrib"), 8).as("mi_contrib"), col("mi"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  private val o300 = """
+    WITH cells AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS n
+      FROM documents GROUP BY lang, source),
+    ml AS (SELECT lang, CAST(sum(n) AS BIGINT) AS nl FROM cells GROUP BY lang),
+    ms AS (SELECT source, CAST(sum(n) AS BIGINT) AS ns
+           FROM cells GROUP BY source),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM cells),
+    c AS (
+      SELECT cells.lang, cells.source, n,
+             round((CAST(n AS DOUBLE) / nn)
+               * ln(CAST(n * nn AS DOUBLE) / CAST(nl * ns AS DOUBLE)), 12)
+               AS contrib
+      FROM cells JOIN ml USING (lang) JOIN ms USING (source), tot),
+    mi AS (SELECT round(list_sum(
+             list(contrib ORDER BY lang, source)), 6) AS mi FROM c)
+    SELECT lang, source, n AS n_docs, round(contrib, 8) AS mi_contrib, mi.mi
+    FROM c, mi ORDER BY lang, source"""
+
+  /** q301: Yule's K lexical-diversity characteristic per source — the
+    * repetitiveness fingerprint of a feed (Yule 1944): K = 10^4·(Σ_w m_w²
+    * − N)/N² over the word-frequency spectrum; K is length-insensitive
+    * (unlike type-token ratio) and rises sharply for template/boilerplate
+    * feeds — the corpus-linguistics companion to q243's Zipf slope and
+    * q155's boilerplate fraction.
+    *
+    * Cross-engine: the spectrum moments are exact int64 and K is ONE
+    * division of exact ints, rounded at 6 — bit-stable by construction.
+    * Scale shape: one corpus-linear explode + hash aggregation to the
+    * (source, word) grain, then a sources-bounded rollup.
+    */
+  private def q301(s: SparkSession, d: String): DataFrame = {
+    val tf = parallelize(s, documents(s, d))
+      .select(col("source"), explode(wsTokens).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("m"))
+    tf.groupBy(col("source"))
+      .agg(sum(col("m")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("vocab"),
+        sum(col("m") * col("m")).as("m2"))
+      .select(col("source"), col("n_tokens"), col("vocab"),
+        round(lit(10000.0) * (col("m2") - col("n_tokens")).cast("double")
+          / (col("n_tokens") * col("n_tokens")).cast("double"), 6)
+          .as("yule_k"))
+      .orderBy(col("source"))
+  }
+
+  private val o301 = """
+    WITH tf AS (
+      SELECT source, w, count(*) AS m
+      FROM (SELECT source,
+              unnest(string_split_regex(trim(text), '\s+')) AS w
+            FROM documents)
+      WHERE length(w) > 0
+      GROUP BY source, w),
+    st AS (
+      SELECT source, CAST(sum(m) AS BIGINT) AS nt,
+             CAST(count(*) AS BIGINT) AS v,
+             CAST(sum(m * m) AS BIGINT) AS m2
+      FROM tf GROUP BY source)
+    SELECT source, nt AS n_tokens, v AS vocab,
+           round(10000.0 * CAST(m2 - nt AS DOUBLE)
+                 / CAST(nt * nt AS DOUBLE), 6) AS yule_k
+    FROM st ORDER BY source"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q220_calibration_ece", q220, Some(o220)),
     QueryDef("q235_token_runs", q235, Some(o235)),
@@ -881,5 +989,7 @@ object TextOps {
     QueryDef("q35_exact_dedup", q35, Some(o35)),
     QueryDef("q48_rolling_fingerprint", q48, Some(o48)),
     QueryDef("q273_token_budget", q273, Some(o273)),
-    QueryDef("q274_dedup_shift", q274, Some(o274)))
+    QueryDef("q274_dedup_shift", q274, Some(o274)),
+    QueryDef("q300_lang_source_mi", q300, Some(o300)),
+    QueryDef("q301_yule_k", q301, Some(o301)))
 }

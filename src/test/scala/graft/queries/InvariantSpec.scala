@@ -300,6 +300,28 @@ class InvariantSpec extends SparkTestBase {
     }
   }
 
+  test("q286 log-odds degenerate single-word corpus: zero log-ratio " +
+      "denominator yields NULL z") {
+    withTempDir { dir =>
+      import spark.implicits._
+      // one distinct word IS the whole corpus: alpha = α₀ exactly and
+      // na − ya = 0, so the en-side log denominator is exactly 0 —
+      // DuckDB /0 → NULL → ln(NULL) → NULL z; Spark ANSI would throw
+      // without the r12 guard. (Word must satisfy the length screen.)
+      Seq((1L, "wonderful wonderful", "en", "web", 19L),
+          (2L, "wonderful", "en", "web", 9L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      val rows = SparkEntry.queries("q286_logodds_keyness")(spark, dir)
+        .collect()
+      assert(rows.nonEmpty, "degenerate corpus dropped all rows")
+      rows.foreach { r =>
+        assert(r.getAs[String]("word") == "wonderful", r.toString)
+        assert(r.isNullAt(r.fieldIndex("z")), r.toString)
+      }
+    }
+  }
+
   test("q261 Neyman degenerate constant strata: tw=0 yields NULL allocs") {
     withTempDir { dir =>
       import spark.implicits._
