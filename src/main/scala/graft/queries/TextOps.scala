@@ -971,6 +971,256 @@ object TextOps {
                  / CAST(nt * nt AS DOUBLE), 6) AS yule_k
     FROM st ORDER BY source"""
 
+  /** q303: Good–Turing frequency-of-frequencies spectrum per source — the
+    * smoothing diagnostic beneath q213's Kneser–Ney perplexity: n_m = number
+    * of word types seen exactly m times, the Simple Good–Turing adjusted
+    * count m* = (m+1)·n_{m+1}/n_m (Good 1953; Gale–Sampson 1995), and the
+    * unseen-probability mass p0 = n_1/N — the quantity that says how much
+    * of a feed's vocabulary a model has NOT yet seen (high p0 = open
+    * vocabulary / noisy feed; near-zero = templated).
+    *
+    * Cross-engine: the spectrum is exact int64 counting; m* and p0 are one
+    * double division of exact ints each, rounded at 6 — bit-stable by
+    * construction; the m+1 shift with no n_{m+1} row yields NULL on both
+    * engines (left join). Scale shape: one corpus-linear explode + hash
+    * aggregation to the (source, word) grain, then everything lives on the
+    * frequency-spectrum frame — |distinct frequencies| grows ~O(√N)
+    * (Zipfian corpora), so the self-join and the per-source rollup are
+    * derived-frame-bounded, never corpus-joins.
+    */
+  private def q303(s: SparkSession, d: String): DataFrame = {
+    val tf = parallelize(s, documents(s, d))
+      .select(col("source"), explode(wsTokens).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("m"))
+    val fof = tf.groupBy(col("source"), col("m"))
+      .agg(count(lit(1)).as("n_m"))
+    val tot = fof.groupBy(col("source")).agg(
+      sum(col("m") * col("n_m")).cast("long").as("n_tokens"),
+      sum(col("n_m")).cast("long").as("vocab"),
+      coalesce(sum(when(col("m") === 1, col("n_m"))), lit(0L)).cast("long")
+        .as("n1"))
+    val nxt = fof.select(col("source"), (col("m") - 1).as("m"),
+      col("n_m").as("n_next"))
+    fof.filter(col("m") <= 8)
+      .join(nxt, Seq("source", "m"), "left")
+      .join(broadcast(tot), Seq("source"))
+      .select(col("source"), col("m"), col("n_m"),
+        round((col("m") + 1) * col("n_next").cast("double") / col("n_m"), 6)
+          .as("m_star"),
+        col("n_tokens"), col("vocab"),
+        round(col("n1").cast("double") / col("n_tokens"), 6).as("p0_unseen"))
+      .orderBy(col("source"), col("m"))
+  }
+
+  private val o303 = """
+    WITH tf AS (
+      SELECT source, w, count(*) AS m
+      FROM (SELECT source,
+              unnest(string_split_regex(trim(text), '\s+')) AS w
+            FROM documents)
+      WHERE length(w) > 0 GROUP BY source, w),
+    fof AS (SELECT source, m, CAST(count(*) AS BIGINT) AS n_m
+            FROM tf GROUP BY source, m),
+    tot AS (SELECT source, CAST(sum(m * n_m) AS BIGINT) AS n_tokens,
+                   CAST(sum(n_m) AS BIGINT) AS vocab,
+                   CAST(COALESCE(sum(CASE WHEN m = 1 THEN n_m END), 0)
+                     AS BIGINT) AS n1
+            FROM fof GROUP BY source)
+    SELECT f.source, f.m, f.n_m,
+           round((f.m + 1) * CAST(nx.n_m AS DOUBLE) / f.n_m, 6) AS m_star,
+           t.n_tokens, t.vocab,
+           round(CAST(t.n1 AS DOUBLE) / t.n_tokens, 6) AS p0_unseen
+    FROM fof f
+    LEFT JOIN fof nx ON nx.source = f.source AND nx.m = f.m + 1
+    JOIN tot t ON t.source = f.source
+    WHERE f.m <= 8 ORDER BY f.source, f.m"""
+
+  /** q304: Heaps'-law vocabulary-growth curve — cumulative distinct
+    * vocabulary vs cumulative tokens at ten doc-id checkpoints, plus the
+    * fitted Heaps exponent β from ln V ~ β·ln N (Heaps 1978; β ≈ 0.4–0.6
+    * for natural text, near 1 for id-like/noisy feeds, near 0 for
+    * templates) — the open-vocabulary growth audit that says how fast a
+    * tokenizer's OOV surface expands as the corpus scales.
+    *
+    * Scale shape: "cumulative distinct" is NOT computed by a running
+    * window — each word reduces to its FIRST doc_id (one corpus-linear
+    * explode + min-aggregation at the word grain), both words and docs
+    * bucket into 10 deterministic doc-id ranges, and the only windows are
+    * prefix sums over the 10-row aggregated frame (Aggregate-beneath safe
+    * shape). Cross-engine: all counts exact int64, bucket = integer DIV;
+    * β is regr_slope over ln of exact ints on the 10-row frame, rounded
+    * at 4 (the q243 recipe — last-ulp ln noise cannot reach the 4th
+    * decimal through a 10-point slope).
+    */
+  private def q304(s: SparkSession, d: String): DataFrame = {
+    val docs = parallelize(s, documents(s, d))
+      .select(col("doc_id"), wsTokens.as("toks"))
+      .select(col("doc_id"),
+        size(filter(col("toks"), w => length(w) > 0)).as("ntok"))
+    val mx = documents(s, d).agg(max(col("doc_id")).as("maxid"))
+      .withColumn("jk", pmod(col("maxid"), lit(1L)))
+    val db = docs.withColumn("jk", pmod(col("doc_id"), lit(1L)))
+      .join(broadcast(mx), Seq("jk"))
+      .withColumn("bucket", expr("(doc_id * 10) DIV (maxid + 1)"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("docs_b"), sum(col("ntok")).cast("long").as("toks_b"))
+    val nv = parallelize(s, documents(s, d))
+      .select(col("doc_id"), explode(wsTokens).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("w")).agg(min(col("doc_id")).as("fd"))
+      .withColumn("jk", pmod(col("fd"), lit(1L)))
+      .join(broadcast(mx), Seq("jk"))
+      .withColumn("bucket", expr("(fd * 10) DIV (maxid + 1)"))
+      .groupBy(col("bucket")).agg(count(lit(1)).as("new_vocab"))
+    val o = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val c = db.join(nv, Seq("bucket"), "left")
+      .withColumn("new_vocab", coalesce(col("new_vocab"), lit(0L)))
+      .withColumn("cum_docs", sum(col("docs_b")).over(o).cast("long"))
+      .withColumn("cum_tokens", sum(col("toks_b")).over(o).cast("long"))
+      .withColumn("cum_vocab", sum(col("new_vocab")).over(o).cast("long"))
+    val beta = c.agg(round(expr(
+      """regr_slope(
+           CASE WHEN cum_vocab > 0 AND cum_tokens > 0
+                THEN ln(CAST(cum_vocab AS DOUBLE)) END,
+           CASE WHEN cum_vocab > 0 AND cum_tokens > 0
+                THEN ln(CAST(cum_tokens AS DOUBLE)) END)"""), 4)
+      .as("heaps_beta"))
+      .withColumn("jk", pmod(coalesce(round(col("heaps_beta")).cast("long"),
+        lit(0L)), lit(1L)))
+    c.withColumn("jk", pmod(col("bucket"), lit(1L)))
+      .join(broadcast(beta), Seq("jk"))
+      .select(col("bucket"), col("docs_b"), col("toks_b"), col("new_vocab"),
+        col("cum_docs"), col("cum_tokens"), col("cum_vocab"),
+        col("heaps_beta"))
+      .orderBy(col("bucket"))
+  }
+
+  private val o304 = """
+    WITH d AS (
+      SELECT doc_id,
+             len(list_filter(string_split_regex(trim(text), '\s+'),
+                 w -> length(w) > 0)) AS ntok
+      FROM documents),
+    mx AS (SELECT max(doc_id) AS maxid FROM documents),
+    db AS (SELECT (doc_id * 10) // (maxid + 1) AS bucket,
+                  CAST(count(*) AS BIGINT) AS docs_b,
+                  CAST(sum(ntok) AS BIGINT) AS toks_b
+           FROM d, mx GROUP BY 1),
+    wv AS (SELECT w, min(doc_id) AS fd
+           FROM (SELECT doc_id,
+                   unnest(string_split_regex(trim(text), '\s+')) AS w
+                 FROM documents)
+           WHERE length(w) > 0 GROUP BY w),
+    nv AS (SELECT (fd * 10) // (maxid + 1) AS bucket,
+                  CAST(count(*) AS BIGINT) AS new_vocab
+           FROM wv, mx GROUP BY 1),
+    f AS (SELECT db.bucket, docs_b, toks_b,
+                 COALESCE(new_vocab, 0) AS new_vocab
+          FROM db LEFT JOIN nv USING (bucket)),
+    c AS (SELECT bucket, docs_b, toks_b, new_vocab,
+                 CAST(sum(docs_b) OVER o AS BIGINT) AS cum_docs,
+                 CAST(sum(toks_b) OVER o AS BIGINT) AS cum_tokens,
+                 CAST(sum(new_vocab) OVER o AS BIGINT) AS cum_vocab
+          FROM f
+          WINDOW o AS (ORDER BY bucket
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+    b AS (SELECT round(regr_slope(
+            CASE WHEN cum_vocab > 0 AND cum_tokens > 0
+                 THEN ln(CAST(cum_vocab AS DOUBLE)) END,
+            CASE WHEN cum_vocab > 0 AND cum_tokens > 0
+                 THEN ln(CAST(cum_tokens AS DOUBLE)) END), 4) AS heaps_beta
+          FROM c)
+    SELECT bucket, docs_b, toks_b, new_vocab,
+           cum_docs, cum_tokens, cum_vocab, heaps_beta
+    FROM c, b ORDER BY bucket"""
+
+  /** q305: readability screen — Flesch–Kincaid-style grade level per
+    * (lang, source) cell from exact surface counts: sentences = runs of
+    * `[.!?]`, words = non-empty whitespace tokens, syllables ≈ vowel-group
+    * runs (the standard orthographic proxy; Kincaid et al. 1975 grade =
+    * 0.39·words/sentence + 11.8·syllables/word − 15.59). A quality screen
+    * beside q33: too-low grades flag fragment/listing feeds, too-high flag
+    * run-on boilerplate; `pct_hard` = share of docs at college grade (≥12).
+    *
+    * Cross-engine: all three counts are exact regex-run integers (Java
+    * regex and RE2 agree on these ASCII character classes); the per-doc
+    * grade is a fixed sequence of IEEE double ops on exact ints —
+    * bit-identical on both engines, so the ≥12 comparison and the
+    * cell-level micro-average (one division per term on exact int sums)
+    * cannot diverge. Sentence-less docs count as one sentence
+    * (greatest(sents,1), both sides); wordless docs are unscored (NULL,
+    * never an ANSI /0). Scale shape: one per-row map + one hash
+    * aggregation to the bounded (lang, source) grain — shuffle-free but
+    * for the final rollup.
+    */
+  private def q305(s: SparkSession, d: String): DataFrame = {
+    val per = parallelize(s, documents(s, d)).select(
+      col("lang"), col("source"),
+      size(expr("regexp_extract_all(text, '[.!?]+', 0)")).cast("long")
+        .as("sents"),
+      size(filter(wsTokens, w => length(w) > 0)).cast("long").as("words"),
+      size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+        .cast("long").as("sylls"))
+      .withColumn("fk", when(col("words") > 0,
+        lit(0.39) * col("words") / greatest(col("sents"), lit(1L))
+          + lit(11.8) * col("sylls") / col("words") - lit(15.59)))
+    per.groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("words") > 0, 1L).otherwise(0L)).cast("long")
+          .as("n_scored"),
+        sum(col("words")).cast("long").as("tot_words"),
+        sum(greatest(col("sents"), lit(1L))).cast("long").as("tot_sentences"),
+        sum(col("sylls")).cast("long").as("tot_syllables"),
+        sum(when(col("fk") >= 12.0, 1L).otherwise(0L)).cast("long")
+          .as("n_hard"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_scored"),
+        col("tot_words"), col("tot_sentences"), col("tot_syllables"),
+        round(when(col("tot_words") > 0,
+          lit(0.39) * col("tot_words") / col("tot_sentences")
+            + lit(11.8) * col("tot_syllables") / col("tot_words")
+            - lit(15.59)), 4).as("fk_grade"),
+        round(when(col("n_scored") > 0,
+          col("n_hard").cast("double") / col("n_scored")), 4).as("pct_hard"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  private val o305 = """
+    WITH per AS (
+      SELECT lang, source,
+             CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT)
+               AS sents,
+             CAST(len(list_filter(string_split_regex(trim(text), '\s+'),
+                  w -> length(w) > 0)) AS BIGINT) AS words,
+             CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+               AS BIGINT) AS sylls
+      FROM documents),
+    fk AS (
+      SELECT lang, source, sents, words, sylls,
+             CASE WHEN words > 0 THEN
+               0.39 * CAST(words AS DOUBLE) / greatest(sents, 1)
+                 + 11.8 * CAST(sylls AS DOUBLE) / words - 15.59 END AS fk
+      FROM per)
+    SELECT lang, source, CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN words > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_scored,
+           CAST(sum(words) AS BIGINT) AS tot_words,
+           CAST(sum(greatest(sents, 1)) AS BIGINT) AS tot_sentences,
+           CAST(sum(sylls) AS BIGINT) AS tot_syllables,
+           round(CASE WHEN sum(words) > 0 THEN
+             0.39 * CAST(sum(words) AS DOUBLE)
+                  / CAST(sum(greatest(sents, 1)) AS BIGINT)
+               + 11.8 * CAST(sum(sylls) AS DOUBLE)
+                      / CAST(sum(words) AS BIGINT) - 15.59 END, 4)
+             AS fk_grade,
+           round(CASE WHEN sum(CASE WHEN words > 0 THEN 1 ELSE 0 END) > 0
+             THEN CAST(sum(CASE WHEN fk >= 12.0 THEN 1 ELSE 0 END)
+                    AS DOUBLE)
+                  / sum(CASE WHEN words > 0 THEN 1 ELSE 0 END) END, 4)
+             AS pct_hard
+    FROM fk GROUP BY lang, source ORDER BY lang, source"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q220_calibration_ece", q220, Some(o220)),
     QueryDef("q235_token_runs", q235, Some(o235)),
@@ -991,5 +1241,8 @@ object TextOps {
     QueryDef("q273_token_budget", q273, Some(o273)),
     QueryDef("q274_dedup_shift", q274, Some(o274)),
     QueryDef("q300_lang_source_mi", q300, Some(o300)),
-    QueryDef("q301_yule_k", q301, Some(o301)))
+    QueryDef("q301_yule_k", q301, Some(o301)),
+    QueryDef("q303_good_turing", q303, Some(o303)),
+    QueryDef("q304_heaps_law", q304, Some(o304)),
+    QueryDef("q305_readability", q305, Some(o305)))
 }

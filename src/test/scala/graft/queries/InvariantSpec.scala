@@ -344,4 +344,67 @@ class InvariantSpec extends SparkTestBase {
       }
     }
   }
+
+  test("q303 Good-Turing degenerate no-hapax corpus: p0 = 0, top-m m* NULL") {
+    withTempDir { dir =>
+      import spark.implicits._
+      // every word occurs exactly twice -> n_1 = 0 (p0 exactly 0) and the
+      // spectrum has a single row m=2 with no m=3 neighbor -> m* NULL on
+      // both engines (left-join miss), never an ANSI /0.
+      Seq((1L, "aa bb", "en", "web", 5L), (2L, "aa bb", "en", "web", 5L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      val rows = SparkEntry.queries("q303_good_turing")(spark, dir).collect()
+      assert(rows.length == 1, s"want the single m=2 spectrum row: " +
+        rows.mkString("; "))
+      val r = rows.head
+      assert(r.getAs[Long]("m") == 2 && r.getAs[Long]("n_m") == 2, r.toString)
+      assert(r.isNullAt(r.fieldIndex("m_star")), r.toString)
+      assert(r.getAs[Double]("p0_unseen") == 0.0, r.toString)
+    }
+  }
+
+  test("q304 Heaps degenerate single-doc corpus: one bucket, beta NULL") {
+    withTempDir { dir =>
+      import spark.implicits._
+      // one document -> one populated bucket -> regr_slope over a single
+      // (ln N, ln V) point has zero x-variance: NULL beta on both engines,
+      // never a throw; cumulative counters still exact.
+      Seq((5L, "aa bb cc", "en", "web", 8L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      val rows = SparkEntry.queries("q304_heaps_law")(spark, dir).collect()
+      assert(rows.length == 1, rows.mkString("; "))
+      val r = rows.head
+      assert(r.getAs[Long]("cum_docs") == 1 && r.getAs[Long]("cum_tokens") == 3
+        && r.getAs[Long]("cum_vocab") == 3, r.toString)
+      assert(r.isNullAt(r.fieldIndex("heaps_beta")), r.toString)
+    }
+  }
+
+  test("q305 readability degenerates: wordless docs unscored, " +
+      "sentence-less docs count one sentence") {
+    withTempDir { dir =>
+      import spark.implicits._
+      // cell (en, empty): only whitespace text -> words = 0 -> n_scored 0,
+      // fk_grade and pct_hard NULL (never an ANSI /0);
+      // cell (en, nodots): words but zero [.!?] runs -> greatest(sents,1)
+      // keeps the grade defined with tot_sentences = n_docs.
+      Seq((1L, "   ", "en", "empty", 3L),
+          (2L, "plain words with no stops", "en", "nodots", 25L),
+          (3L, "more plain words here", "en", "nodots", 21L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      val rows = SparkEntry.queries("q305_readability")(spark, dir).collect()
+      assert(rows.length == 2, rows.mkString("; "))
+      val empty = rows.find(_.getAs[String]("source") == "empty").get
+      assert(empty.getAs[Long]("n_scored") == 0, empty.toString)
+      assert(empty.isNullAt(empty.fieldIndex("fk_grade")), empty.toString)
+      assert(empty.isNullAt(empty.fieldIndex("pct_hard")), empty.toString)
+      val nd = rows.find(_.getAs[String]("source") == "nodots").get
+      assert(nd.getAs[Long]("tot_sentences") == nd.getAs[Long]("n_docs"),
+        nd.toString)
+      assert(!nd.isNullAt(nd.fieldIndex("fk_grade")), nd.toString)
+    }
+  }
 }
