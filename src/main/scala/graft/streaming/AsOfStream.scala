@@ -26,7 +26,12 @@ import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode
   * State is O(1) per key — ONE (feature time, value) pair plus the key's
   * event-time high watermark — because rows are applied in event-time
   * order (sorted within each micro-batch; cross-batch order is the replay
-  * contract shared by every stream in this tier). Keys silent past
+  * contract shared by every stream in this tier). Cross-SOURCE delivery is
+  * part of that contract: a fact processed in an earlier micro-batch than
+  * an older feature (feature-pipeline lag) enriches as None — Append mode
+  * cannot retract — so a parity replay must feed both inputs their chunk
+  * atomically per batch (the spec drives both sides from one tagged-union
+  * source for exactly this reason). Keys silent past
   * `retireUs` of event time are GC'd by event-time timeout: a fact row
   * also refreshes its key's liveness, so an actively-served entity never
   * loses its profile to the horizon — only fully-idle keys do (and a

@@ -36,22 +36,32 @@ class AsOfStreamSpec extends SparkTestBase {
     val cuts = (1 to 6)
       .map(i => allTs(math.min(allTs.length - 1, i * allTs.length / 7)))
       .distinct :+ Long.MaxValue
-    val fIn = MemoryStream[(Long, Long, Long)]
-    val ftIn = MemoryStream[(Long, Long, Double)]
+    // ONE tagged-union source split into the two attach inputs: the query
+    // triggers continuously from start(), so two separate MemoryStreams
+    // would race — a micro-batch can fire between the two addData calls
+    // and process a chunk's facts before its features reach state (seen
+    // live: chunk-1 purchases enriched None under machine load). Feeding
+    // both sides from one source makes each chunk's cross-source delivery
+    // atomic per batch, which is exactly the coordinated event-time replay
+    // the operator's contract requires of a backfill.
+    val in = MemoryStream[(Long, Int, Long, Long, Double)]
+    val both = in.toDS().toDF("key", "side", "event_id", "ts_us", "value")
     // history replay: parity needs no mid-stream retirement (the default
     // horizon is an ingest-cadence knob, not part of the join contract)
     val out = AsOfStream.attach(
-      fIn.toDS().toDF("key", "event_id", "ts_us"),
-      ftIn.toDS().toDF("key", "ts_us", "value"),
+      both.filter(col("side") === 0).select("key", "event_id", "ts_us"),
+      both.filter(col("side") === 1).select("key", "ts_us", "value"),
       toleranceUs = tolerance, retireUs = 3650L * 86400000000L)
     val query = out.toDF().writeStream.format("memory").queryName(name)
       .outputMode(OutputMode.Append()).start()
     try {
       var lo = Long.MinValue
       cuts.foreach { hi =>
-        fIn.addData(purchases.filter(p => p._3 >= lo && p._3 < hi).toSeq)
-        ftIn.addData(views.filter(v => v._2 >= lo && v._2 < hi)
-          .map(v => (v._1, v._2, v._2.toDouble)).toSeq)
+        in.addData(
+          purchases.filter(p => p._3 >= lo && p._3 < hi)
+            .map(p => (p._1, 0, p._2, p._3, 0.0)).toSeq ++
+          views.filter(v => v._2 >= lo && v._2 < hi)
+            .map(v => (v._1, 1, 0L, v._2, v._2.toDouble)).toSeq)
         query.processAllAvailable()
         lo = hi
       }
