@@ -3979,7 +3979,102 @@ object Events {
                 ELSE 'none' END AS trend
     FROM j ORDER BY event_type"""
 
+  /** q309: Cochran–Armitage test for trend (Cochran 1954; Armitage 1955)
+    * — does purchase propensity rise MONOTONICALLY with view exposure?
+    * The dose-response upgrade over q187's two-arm z test: user-days are
+    * binned by that day's view count (scores w_t = t, capped at 4+), the
+    * response is "purchased that day", and the statistic weighs the
+    * per-tier conversion rates by the ordered scores — a significant z
+    * with rising rates is the engagement→conversion dose curve a
+    * recommender team gates releases on.
+    *
+    * Scale shape: one hash aggregation to the (user, day) grain
+    * (unbounded, partitioned by user — the corpus-linear pass), then the
+    * 5-row tier frame carries everything; the trend algebra runs on the
+    * tiny frame. Cross-engine: all tier sums are exact int64; z is a
+    * fixed dag of double ops on those exact ints (every +,−,×,÷,sqrt
+    * IEEE-identical on identical inputs — no cross-row float summation
+    * anywhere), rounded at 6 for presentation only; the degenerate
+    * variance (all one tier, or conversion rate exactly 0 or 1) yields
+    * NULL on both engines (Spark ANSI guard ↔ DuckDB CASE).
+    */
+  private def q309(s: SparkSession, d: String): DataFrame = {
+    val dayUs = 86400000000L
+    val ud = events(s, d)
+      .select(col("user_id"), expr(s"(ts DIV 1000) DIV $dayUs").as("day"),
+        col("event_type"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(sum(when(col("event_type") === "view", 1L).otherwise(0L))
+        .as("views"),
+        max(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("conv"))
+    val tiers = ud.select(least(col("views"), lit(4L)).as("tier"),
+      col("conv"))
+      .groupBy(col("tier"))
+      .agg(count(lit(1)).as("n_t"), sum(col("conv")).cast("long").as("r_t"))
+    val tot = tiers.groupBy(pmod(col("tier"), lit(1)).as("jk"))
+      .agg(sum(col("n_t")).cast("long").as("n"),
+        sum(col("r_t")).cast("long").as("r"),
+        sum(col("tier") * col("n_t")).cast("long").as("snw"),
+        sum(col("tier") * col("r_t")).cast("long").as("srw"),
+        sum(col("tier") * col("tier") * col("n_t")).cast("long").as("snw2"))
+      .withColumn("pbar", col("r").cast("double") / col("n"))
+      .withColumn("num",
+        col("srw").cast("double") - col("pbar") * col("snw"))
+      .withColumn("vart", col("pbar") * (lit(1.0) - col("pbar"))
+        * (col("snw2").cast("double")
+          - col("snw").cast("double") * col("snw") / col("n")))
+      .select(col("jk"), col("n"), col("r"),
+        round(when(col("vart") > 0.0, col("num") / sqrt(col("vart"))), 6)
+          .as("z_trend"))
+    tiers.withColumn("jk", pmod(col("tier"), lit(1)))
+      .join(broadcast(tot), Seq("jk"))
+      .select(col("tier"), col("n_t"), col("r_t"),
+        round(when(col("n_t") > 0,
+          col("r_t").cast("double") / col("n_t")), 6).as("rate"),
+        col("n").as("n_total"), col("r").as("r_total"), col("z_trend"))
+      .orderBy(col("tier"))
+  }
+
+  private val o309 = """
+    WITH ud AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+             CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+               AS BIGINT) AS views,
+             CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS BIGINT) AS conv
+      FROM events GROUP BY user_id, epoch_us(ts) // 86400000000),
+    tiers AS (
+      SELECT least(views, 4) AS tier, CAST(count(*) AS BIGINT) AS n_t,
+             CAST(sum(conv) AS BIGINT) AS r_t
+      FROM ud GROUP BY 1),
+    tot AS (
+      SELECT CAST(sum(n_t) AS BIGINT) AS n, CAST(sum(r_t) AS BIGINT) AS r,
+             CAST(sum(tier * n_t) AS BIGINT) AS snw,
+             CAST(sum(tier * r_t) AS BIGINT) AS srw,
+             CAST(sum(tier * tier * n_t) AS BIGINT) AS snw2
+      FROM tiers),
+    z AS (
+      SELECT n, r,
+             round(CASE WHEN (CAST(r AS DOUBLE) / n)
+                          * (1.0 - CAST(r AS DOUBLE) / n)
+                          * (CAST(snw2 AS DOUBLE)
+                             - CAST(snw AS DOUBLE) * snw / n) > 0 THEN
+               (CAST(srw AS DOUBLE) - (CAST(r AS DOUBLE) / n) * snw)
+               / sqrt((CAST(r AS DOUBLE) / n)
+                      * (1.0 - CAST(r AS DOUBLE) / n)
+                      * (CAST(snw2 AS DOUBLE)
+                         - CAST(snw AS DOUBLE) * snw / n)) END, 6)
+               AS z_trend
+      FROM tot)
+    SELECT t.tier, t.n_t, t.r_t,
+           round(CASE WHEN t.n_t > 0 THEN
+             CAST(t.r_t AS DOUBLE) / t.n_t END, 6) AS rate,
+           z.n AS n_total, z.r AS r_total, z.z_trend
+    FROM tiers t, z ORDER BY t.tier"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q309_cochran_armitage", q309, Some(o309)),
     QueryDef("q283_acf", q283, Some(o283)),
     QueryDef("q289_pacf", q289, Some(o289)),
     QueryDef("q291_stratified_ate", q291, Some(o291)),

@@ -1221,6 +1221,147 @@ object TextOps {
              AS pct_hard
     FROM fk GROUP BY lang, source ORDER BY lang, source"""
 
+  /** q306: species-richness estimators per source — Chao1's lower bound on
+    * the TRUE vocabulary size (Chao 1984, bias-corrected form so n2=0 is
+    * defined), Good's sample-coverage estimate 1 − n1/N (Good 1953), and
+    * the unbiased Gini–Simpson diversity 1 − Σm(m−1)/(N(N−1)) (Simpson
+    * 1949) — together the "how much vocabulary is still unseen" audit that
+    * complements q303's Good–Turing spectrum and q304's Heaps curve: Chao1
+    * far above the observed vocab means the tokenizer's OOV surface is
+    * still growing; coverage near 1 with low diversity means a templated
+    * feed.
+    *
+    * Cross-engine: everything is exact int64 counting at the (source, word)
+    * grain; each statistic is ONE double division of exact integers
+    * (IEEE-identical in both engines), rounded at 6. Scale shape: one
+    * corpus-linear explode + hash aggregation to the (source, word) grain
+    * with map-side combine, then the source-grain rollup — no joins, no
+    * windows, nothing pairwise. The Σm(m−1) and N(N−1) products stay in
+    * int64 through ~10^9-token sources; beyond that the ratio form drops
+    * to double (documented, not hit at any test SF).
+    */
+  private def q306(s: SparkSession, d: String): DataFrame = {
+    val tf = parallelize(s, documents(s, d))
+      .select(col("source"), explode(wsTokens).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("m"))
+    tf.groupBy(col("source"))
+      .agg(sum(col("m")).cast("long").as("n_tokens"),
+        count(lit(1)).cast("long").as("vocab"),
+        coalesce(sum(when(col("m") === 1, 1L)), lit(0L)).cast("long")
+          .as("n1"),
+        coalesce(sum(when(col("m") === 2, 1L)), lit(0L)).cast("long")
+          .as("n2"),
+        sum(col("m") * (col("m") - 1)).cast("long").as("mm1"))
+      .select(col("source"), col("n_tokens"), col("vocab"), col("n1"),
+        col("n2"),
+        round(col("vocab") + col("n1").cast("double") * (col("n1") - 1)
+          / (lit(2.0) * (col("n2") + 1)), 6).as("chao1"),
+        round(lit(1.0) - col("n1").cast("double") / col("n_tokens"), 6)
+          .as("good_coverage"),
+        round(when(col("n_tokens") > 1, lit(1.0) - col("mm1").cast("double")
+          / (col("n_tokens") * (col("n_tokens") - 1))), 6)
+          .as("gini_simpson"))
+      .orderBy(col("source"))
+  }
+
+  private val o306 = """
+    WITH tf AS (
+      SELECT source, w, count(*) AS m
+      FROM (SELECT source,
+              unnest(string_split_regex(trim(text), '\s+')) AS w
+            FROM documents)
+      WHERE length(w) > 0 GROUP BY source, w),
+    st AS (
+      SELECT source, CAST(sum(m) AS BIGINT) AS nt,
+             CAST(count(*) AS BIGINT) AS v,
+             CAST(COALESCE(sum(CASE WHEN m = 1 THEN 1 END), 0) AS BIGINT)
+               AS n1,
+             CAST(COALESCE(sum(CASE WHEN m = 2 THEN 1 END), 0) AS BIGINT)
+               AS n2,
+             CAST(sum(m * (m - 1)) AS BIGINT) AS mm1
+      FROM tf GROUP BY source)
+    SELECT source, nt AS n_tokens, v AS vocab, n1, n2,
+           round(v + CAST(n1 AS DOUBLE) * (n1 - 1) / (2.0 * (n2 + 1)), 6)
+             AS chao1,
+           round(1.0 - CAST(n1 AS DOUBLE) / nt, 6) AS good_coverage,
+           round(CASE WHEN nt > 1 THEN
+             1.0 - CAST(mm1 AS DOUBLE) / (nt * (nt - 1)) END, 6)
+             AS gini_simpson
+    FROM st ORDER BY source"""
+
+  /** q307: Jensen–Shannon divergence between every source pair's unigram
+    * word distribution (Lin 1991) — the symmetric, bounded (≤ ln 2)
+    * "how different are these two feeds" number behind mixture design:
+    * near-0 pairs are redundant feeds (dedup cross-source, see q156),
+    * near-ln2 pairs are disjoint registers worth separate mixing weights
+    * (q94/q167). Complements q124 (each source vs the global mix over the
+    * LANG dimension) by comparing sources pairwise over the full vocab.
+    *
+    * Decomposition that never materializes the union vocabulary: over
+    * words COMMON to the pair, core = Σ p·ln(2p/(p+q)) + q·ln(2q/(p+q));
+    * each side's words ABSENT from the other contribute exactly
+    * ln2 · (1 − Σ_common p), so JSD = core/2 + ln2·((1−Σp)+(1−Σq))/2 —
+    * the inner equi-join at the WORD grain (shuffle partitioned by w) is
+    * the only pairwise structure, and a word's fan-out is bounded by
+    * (sources choose 2), a schema dimension. Cross-engine: p, q are exact
+    * int ratios (identical doubles); the ln terms are consumed only
+    * inside the final per-pair ROUNDED aggregate (round 6) per the
+    * transcendental parity rule; arguments are strictly positive by
+    * construction (counts ≥ 1), so neither engine's ln(0) hazard is
+    * reachable.
+    */
+  private def q307(s: SparkSession, d: String): DataFrame = {
+    val tf = parallelize(s, documents(s, d))
+      .select(col("source"), explode(wsTokens).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("source"), col("w")).agg(count(lit(1)).as("m"))
+    val st = tf.groupBy(col("source"))
+      .agg(sum(col("m")).cast("long").as("nt"))
+    val p = tf.join(broadcast(st), Seq("source"))
+      .select(col("source"), col("w"),
+        (col("m").cast("double") / col("nt")).as("pr"))
+    val a = p.select(col("source").as("sa"), col("w"), col("pr").as("pa"))
+    val b = p.select(col("source").as("sb"), col("w"), col("pr").as("pb"))
+    a.join(b, Seq("w")).filter(col("sa") < col("sb"))
+      .groupBy(col("sa").as("source_a"), col("sb").as("source_b"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(col("pa") * log(lit(2.0) * col("pa") / (col("pa") + col("pb")))
+          + col("pb")
+            * log(lit(2.0) * col("pb") / (col("pa") + col("pb"))))
+          .as("core"),
+        sum(col("pa")).as("ca"), sum(col("pb")).as("cb"))
+      .select(col("source_a"), col("source_b"), col("n_common"),
+        round(lit(0.5) * col("core") + lit(0.5) * log(lit(2.0))
+          * ((lit(1.0) - col("ca")) + (lit(1.0) - col("cb"))), 6)
+          .as("jsd"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  private val o307 = """
+    WITH tf AS (
+      SELECT source, w, count(*) AS m
+      FROM (SELECT source,
+              unnest(string_split_regex(trim(text), '\s+')) AS w
+            FROM documents)
+      WHERE length(w) > 0 GROUP BY source, w),
+    st AS (SELECT source, CAST(sum(m) AS BIGINT) AS nt
+           FROM tf GROUP BY source),
+    p AS (SELECT tf.source, w, CAST(m AS DOUBLE) / nt AS pr
+          FROM tf JOIN st ON st.source = tf.source),
+    pairs AS (
+      SELECT a.source AS source_a, b.source AS source_b,
+             CAST(count(*) AS BIGINT) AS n_common,
+             sum(a.pr * ln(2.0 * a.pr / (a.pr + b.pr))
+                 + b.pr * ln(2.0 * b.pr / (a.pr + b.pr))) AS core,
+             sum(a.pr) AS ca, sum(b.pr) AS cb
+      FROM p a JOIN p b ON a.w = b.w AND a.source < b.source
+      GROUP BY 1, 2)
+    SELECT source_a, source_b, n_common,
+           round(0.5 * core
+                 + 0.5 * ln(2.0) * ((1.0 - ca) + (1.0 - cb)), 6) AS jsd
+    FROM pairs ORDER BY source_a, source_b"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q220_calibration_ece", q220, Some(o220)),
     QueryDef("q235_token_runs", q235, Some(o235)),
@@ -1244,5 +1385,7 @@ object TextOps {
     QueryDef("q301_yule_k", q301, Some(o301)),
     QueryDef("q303_good_turing", q303, Some(o303)),
     QueryDef("q304_heaps_law", q304, Some(o304)),
-    QueryDef("q305_readability", q305, Some(o305)))
+    QueryDef("q305_readability", q305, Some(o305)),
+    QueryDef("q306_species_richness", q306, Some(o306)),
+    QueryDef("q307_js_divergence", q307, Some(o307)))
 }

@@ -3504,7 +3504,113 @@ object Vec {
     ORDER BY iter"""
   }
 
+  /** q308: top principal direction of the embedding cloud by centered
+    * power iteration (von Mises–Pollaczek-Geiringer 1929; the classic
+    * first step of a PCA/whitening pass over an embedding column) — the
+    * spectrum audit behind q197's geometry report: a dominant
+    * `explained_ratio` means the embeddings collapsed toward one axis
+    * (anisotropy — common after contrastive training, Ethayarajh 2019)
+    * and ANN recall (q176) degrades; loadings show WHICH dimensions carry
+    * it. Three iterations from the exact-unit seed v0 = (1/8,…,1/8)
+    * (64·(1/8)² = 1), enough for the tested clouds' spectral gaps.
+    *
+    * Spark-shape: the distributed matvec — explode to the (vec, dim) cell
+    * grain ONCE (localCheckpoint-truncated, reused by all iterations),
+    * then per iteration u = Xv is a broadcast of the 64-row v frame + a
+    * vec-grain hash aggregation, and w = Xᵀu is a co-partitioned join on
+    * vec_id + a 64-group aggregation with map-side combine — linear in
+    * cells, no all-pairs Gram matrix, the textbook cluster layout for
+    * tall-skinny PCA. Cross-engine: every cross-ROW float sum (μ, u, w,
+    * λ, total variance) is rounded at 6 the moment it is produced, so
+    * each iteration consumes exact decimal inputs and the engines' sum
+    * orders cannot drift past the boundary (q244's trained-PQ recipe);
+    * all per-cell products/divisions are IEEE-exact on identical inputs.
+    * The norm and ratio divisions are degenerate-guarded (all-constant
+    * cloud ⇒ s2 = 0 ⇒ NULL on both engines, ANSI-safe).
+    */
+  private def q308(s: SparkSession, d: String): DataFrame = {
+    val e = parallelize(s, embeddings(s, d))
+      .select(col("vec_id"), posexplode(col("embedding")))
+      .select(col("vec_id"), (col("pos") + 1).as("j"),
+        col("col").cast("double").as("x"))
+    val mu = e.groupBy(col("j")).agg(round(avg(col("x")), 6).as("mu"))
+    val c = e.join(broadcast(mu), Seq("j"))
+      .select(col("vec_id"), col("j"), (col("x") - col("mu")).as("x"))
+      .localCheckpoint(true)
+    def step(v: DataFrame): DataFrame = {
+      val u = c.join(broadcast(v), Seq("j"))
+        .groupBy(col("vec_id"))
+        .agg(round(sum(col("x") * col("v")), 6).as("u"))
+      val w = c.join(u, Seq("vec_id"))
+        .groupBy(col("j")).agg(round(sum(col("x") * col("u")), 6).as("w"))
+      val s2 = w.groupBy(pmod(col("j"), lit(1)).as("jk"))
+        .agg(sum(col("w") * col("w")).as("s2"))
+      w.withColumn("jk", pmod(col("j"), lit(1)))
+        .join(broadcast(s2), Seq("jk"))
+        .select(col("j"),
+          when(col("s2") =!= 0.0, round(col("w") / sqrt(col("s2")), 6))
+            .as("v"))
+    }
+    val v0 = s.range(1, 65)
+      .select(col("id").cast("int").as("j"), lit(0.125).as("v"))
+    val v3 = step(step(step(v0))).localCheckpoint(true)
+    val uf = c.join(broadcast(v3), Seq("j"))
+      .groupBy(col("vec_id"))
+      .agg(round(sum(col("x") * col("v")), 6).as("u"))
+    val lam = uf.groupBy(pmod(col("vec_id"), lit(1)).as("jk"))
+      .agg(round(avg(col("u") * col("u")), 6).as("lambda"))
+    val tss = c.groupBy(pmod(col("vec_id"), lit(1)).as("jk"))
+      .agg(round(avg(col("x") * col("x")) * lit(64), 6).as("tss"))
+    v3.withColumn("jk", pmod(col("j"), lit(1)))
+      .join(broadcast(lam), Seq("jk"))
+      .join(broadcast(tss), Seq("jk"))
+      .select(col("j").as("dim"), col("v").as("loading"), col("lambda"),
+        round(when(col("tss") =!= 0.0, col("lambda") / col("tss")), 6)
+          .as("explained_ratio"))
+      .orderBy(col("dim"))
+  }
+
+  private val o308 = {
+    def iter(n: Int, vPrev: String): String = s"""
+    u$n AS (SELECT vec_id, round(sum(c.x * $vPrev.v), 6) AS u
+            FROM c JOIN $vPrev ON $vPrev.j = c.j GROUP BY vec_id),
+    w$n AS (SELECT j, round(sum(c.x * u$n.u), 6) AS w
+            FROM c JOIN u$n ON u$n.vec_id = c.vec_id GROUP BY j),
+    n$n AS (SELECT sum(w * w) AS s2 FROM w$n),
+    v$n AS (SELECT j, CASE WHEN s2 <> 0 THEN round(w / sqrt(s2), 6) END
+              AS v
+            FROM w$n, n$n)"""
+    s"""
+    WITH e AS (
+      SELECT vec_id, j, CAST(x AS DOUBLE) AS x
+      FROM (SELECT vec_id, unnest(embedding) AS x,
+                   generate_subscripts(embedding, 1) AS j
+            FROM embeddings)),
+    mu AS (SELECT j, round(avg(x), 6) AS mu FROM e GROUP BY j),
+    c AS (SELECT vec_id, e.j, e.x - mu.mu AS x
+          FROM e JOIN mu ON mu.j = e.j),
+    u1 AS (SELECT vec_id, round(sum(x * 0.125), 6) AS u
+           FROM c GROUP BY vec_id),
+    w1 AS (SELECT j, round(sum(c.x * u1.u), 6) AS w
+           FROM c JOIN u1 ON u1.vec_id = c.vec_id GROUP BY j),
+    n1 AS (SELECT sum(w * w) AS s2 FROM w1),
+    v1 AS (SELECT j, CASE WHEN s2 <> 0 THEN round(w / sqrt(s2), 6) END AS v
+           FROM w1, n1),
+    ${iter(2, "v1")},
+    ${iter(3, "v2")},
+    uf AS (SELECT vec_id, round(sum(c.x * v3.v), 6) AS u
+           FROM c JOIN v3 ON v3.j = c.j GROUP BY vec_id),
+    lam AS (SELECT round(avg(u * u), 6) AS lambda FROM uf),
+    ts AS (SELECT round(avg(x * x) * 64, 6) AS tss FROM c)
+    SELECT CAST(v3.j AS INT) AS dim, v3.v AS loading,
+           lam.lambda AS lambda,
+           round(CASE WHEN ts.tss <> 0 THEN lam.lambda / ts.tss END, 6)
+             AS explained_ratio
+    FROM v3, lam, ts ORDER BY dim"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q308_power_iteration_pca", q308, Some(o308)),
     QueryDef("q278_grid_dbscan", q278, Some(o278)),
     QueryDef("q279_kcenter_coreset", q279, Some(o279)),
     QueryDef("q262_topic_coherence", q262, Some(o262)),

@@ -407,4 +407,86 @@ class InvariantSpec extends SparkTestBase {
       assert(!nd.isNullAt(nd.fieldIndex("fk_grade")), nd.toString)
     }
   }
+
+  test("q306 richness degenerates: singleton source, nt=1 gini NULL") {
+    withTempDir { dir =>
+      import spark.implicits._
+      // source 'one': a single one-word doc -> nt = 1: gini_simpson's
+      // N(N-1) denominator is exactly 0 -> NULL on both engines (never an
+      // ANSI /0); chao1 = V + n1(n1-1)/(2(n2+1)) = 1 + 0 = 1 (n2=0 is
+      // defined in the bias-corrected form); coverage = 1 - 1/1 = 0.
+      Seq((1L, "solo", "en", "one", 4L),
+          (2L, "aa bb aa", "en", "two", 8L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      val rows = SparkEntry.queries("q306_species_richness")(spark, dir)
+        .collect()
+      assert(rows.length == 2, rows.mkString("; "))
+      val one = rows.find(_.getAs[String]("source") == "one").get
+      assert(one.getAs[Long]("n_tokens") == 1L, one.toString)
+      assert(one.getAs[Double]("chao1") == 1.0, one.toString)
+      assert(one.getAs[Double]("good_coverage") == 0.0, one.toString)
+      assert(one.isNullAt(one.fieldIndex("gini_simpson")), one.toString)
+      val two = rows.find(_.getAs[String]("source") == "two").get
+      // aa:2 bb:1 -> N=3, mm1=2, gini = 1 - 2/6
+      assert(two.getAs[Double]("gini_simpson") == 0.666667, two.toString)
+    }
+  }
+
+  test("q307 JSD degenerate: disjoint vocabularies emit no pair row") {
+    withTempDir { dir =>
+      import spark.implicits._
+      // zero common words -> the word-grain inner join is empty on both
+      // engines; the pair is OMITTED (JSD would be exactly ln 2), not a
+      // NULL row and not a throw — documented contract
+      Seq((1L, "aa bb", "en", "s1", 5L), (2L, "cc dd", "en", "s2", 5L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      val rows = SparkEntry.queries("q307_js_divergence")(spark, dir)
+        .collect()
+      assert(rows.isEmpty, rows.mkString("; "))
+    }
+  }
+
+  test("q308 power iteration degenerate: constant cloud NULLs, no throw") {
+    withTempDir { dir =>
+      import spark.implicits._
+      // every vector identical with exact 6-decimal components -> the
+      // per-dim mean is exact, the centered cells are exactly 0, w = 0,
+      // s2 = 0: the norm and explained-ratio divisions must NULL (both
+      // engines), never raise ANSI DIVIDE_BY_ZERO
+      (1L to 3L).map(i => (i, Array.fill(64)(0.5f), 0))
+        .toDF("vec_id", "embedding", "label")
+        .write.parquet(s"$dir/embeddings.parquet")
+      val rows = SparkEntry.queries("q308_power_iteration_pca")(spark, dir)
+        .collect()
+      assert(rows.length == 64, s"want 64 dims, got ${rows.length}")
+      rows.foreach { r =>
+        assert(r.isNullAt(r.fieldIndex("loading")), r.toString)
+        assert(r.isNullAt(r.fieldIndex("lambda")), r.toString)
+        assert(r.isNullAt(r.fieldIndex("explained_ratio")), r.toString)
+      }
+    }
+  }
+
+  test("q309 trend degenerates: single tier and zero responders -> z NULL") {
+    withTempDir { dir =>
+      import spark.implicits._
+      // every user-day has exactly 0 views (tier 0 only) and no purchases:
+      // p̄ = 0 AND the score spread Σnw² - (Σnw)²/N = 0 — the variance is
+      // 0 twice over, z_trend must be NULL on both engines, tier rows kept
+      val t1 = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
+      (1L to 5L).map(i => (i, t1, i, "click", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/events.parquet")
+      val rows = SparkEntry.queries("q309_cochran_armitage")(spark, dir)
+        .collect()
+      assert(rows.length == 1, rows.mkString("; "))
+      val r = rows.head
+      assert(r.getAs[Long]("tier") == 0L, r.toString)
+      assert(r.getAs[Long]("n_t") == 5L, r.toString)
+      assert(r.getAs[Double]("rate") == 0.0, r.toString)
+      assert(r.isNullAt(r.fieldIndex("z_trend")), r.toString)
+    }
+  }
 }
