@@ -344,7 +344,104 @@ object Graph {
        HAVING count(*) > 0
        ORDER BY dist"""
 
+  /** q310: k-core peeling trajectory of the co-purchase graph (Seidman
+    * 1983) — iteratively remove vertices with degree < k until the k-core
+    * remains. The density skeleton behind q136/q137/q282: the 3-core is
+    * the part of the catalog where co-purchase structure is DENSE enough
+    * for collaborative filtering and triangle-based similarity to mean
+    * anything; the peel trajectory (vertices/edges after each round) shows
+    * how much of the graph is periphery.
+    *
+    * Both engines run the SAME fixed [[KCoreRounds]]-round unrolled peel
+    * (a bounded-depth prefix of the fixpoint — the trajectory has
+    * converged when two consecutive rows agree: sf0.1's sparse graph
+    * empties by round 2, sf0.01's denser one is still shedding periphery
+    * at round 5; full-fixpoint coreness would use the q97
+    * convergence-loop discipline, traded here for an exactly-pairable
+    * unrolled oracle). Scale
+    * shape: each round is two vertex-key equi-joins (edge ⋈ alive on both
+    * endpoints) + one hash aggregation — work ∝ surviving incident edges,
+    * never vertices²; the edge list is the support-≥2 graph (q136's
+    * bounded-by-repeated-co-purchases argument). All counts exact int64.
+    */
+  private val KCoreK = 3
+  private val KCoreRounds = 5
+
+  private def q310(s: SparkSession, d: String): DataFrame = {
+    val op = lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val e0 = op.as("x")
+      .join(op.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= TriangleSupport)
+      .select(col("a"), col("b"))
+    val edges = e0
+      .union(e0.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    def survivors(alive: DataFrame): DataFrame =
+      edges
+        .join(alive.select(col("v").as("a")), Seq("a"))
+        .join(alive.select(col("v").as("b")), Seq("b"))
+    def statsRow(r: Int, alive: DataFrame): DataFrame =
+      survivors(alive)
+        .agg(coalesce(countDistinct(col("a")), lit(0L)).as("n_vertices"),
+          expr("count(1) DIV 2").as("n_edges"))
+        .select(lit(r).as("round"), col("n_vertices"), col("n_edges"))
+    var alive = edges.select(col("a").as("v")).distinct()
+      .localCheckpoint(true)
+    var out = statsRow(0, alive)
+    for (r <- 1 to KCoreRounds) {
+      alive = survivors(alive)
+        .groupBy(col("a")).agg(count(lit(1)).as("c"))
+        .filter(col("c") >= KCoreK)
+        .select(col("a").as("v"))
+        .localCheckpoint(true)
+      out = out.union(statsRow(r, alive))
+    }
+    out.orderBy(col("round"))
+  }
+
+  /** Every CTE is `MATERIALIZED`: each `a_r` is referenced three times
+    * (both endpoint joins of `s_{r+1}` plus the report row), so DuckDB's
+    * default CTE INLINING re-evaluates the whole peel prefix per
+    * reference — ~3^rounds copies of the base pairing join (measured:
+    * the inlined form ran minutes at sf0.1; materialized, seconds).
+    */
+  private def o310: String = {
+    val rounds = (1 to KCoreRounds).map { r =>
+      s"""s$r AS MATERIALIZED (SELECT e.a, e.b FROM edges e
+            JOIN a${r - 1} x ON x.v = e.a JOIN a${r - 1} y ON y.v = e.b),
+          a$r AS MATERIALIZED (SELECT a AS v FROM s$r GROUP BY a
+                  HAVING count(*) >= $KCoreK)"""
+    }.mkString(",\n       ")
+    val rows = (0 to KCoreRounds).map { r =>
+      val src = if (r < KCoreRounds) s"s${r + 1}"
+        else s"""(SELECT e.a, e.b FROM edges e
+             JOIN a$KCoreRounds x ON x.v = e.a
+             JOIN a$KCoreRounds y ON y.v = e.b) t"""
+      s"""SELECT $r AS round,
+            CAST(COALESCE(count(DISTINCT a), 0) AS BIGINT) AS n_vertices,
+            count(*) // 2 AS n_edges
+          FROM $src"""
+    }.mkString("\n       UNION ALL\n       ")
+    s"""WITH op AS MATERIALIZED (
+         SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       e0 AS MATERIALIZED (
+         SELECT x.p AS a, y.p AS b
+         FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+         GROUP BY 1, 2 HAVING count(*) >= $TriangleSupport),
+       edges AS MATERIALIZED (
+         SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+       a0 AS MATERIALIZED (SELECT DISTINCT a AS v FROM edges),
+       $rounds
+       $rows
+       ORDER BY round"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q310_kcore_peel", q310, Some(o310)),
     QueryDef("q136_triangle_count", q136, Some(o136)),
     QueryDef("q137_copurchase_similarity", q137, Some(o137)),
     QueryDef("q282_bfs_distances", q282, Some(o282)),
