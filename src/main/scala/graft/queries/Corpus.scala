@@ -2624,7 +2624,251 @@ object Corpus {
     GROUP BY p.phrase, p.n_occ, p.n_words
     ORDER BY rake_score DESC, p.phrase LIMIT $RakeTopK"""
 
+  /** q314: Burrows' Delta stylometry (Burrows 2002) — per-source profiles
+    * over the [[DeltaMarkers]] most frequent corpus words (the
+    * "function words" of authorship attribution), z-scored across
+    * sources, with Delta(s1,s2) = mean |z1−z2| for every source pair.
+    * In a training-data pipeline this is the source-attribution /
+    * style-drift detector: a pair with near-zero Delta is stylistically
+    * interchangeable (candidate for mixing-weight merging, q94), a
+    * source whose Delta to everything jumps between snapshots changed
+    * its generator.
+    *
+    * Scale shape: one corpus-linear tokenize+count to the (source, word)
+    * grain, marker selection is a global TakeOrdered over the
+    * vocabulary-bounded word frame, and everything after lives on the
+    * markers × sources frame (bounded) — the corpus is touched once.
+    * Cross-engine: counts exact int64; rates are single double divisions;
+    * the mean/sd/Delta sums run over bounded frames (≤ sources rows) and
+    * land rounded at 6 — far above summation-order ulps; sd=0 markers
+    * (identical rate everywhere) contribute NULL z on both engines and
+    * drop out of Delta via AVG's null-skip.
+    */
+  private val DeltaMarkers = 8
+
+  private def q314(s: SparkSession, d: String): DataFrame = {
+    val tf = documents(s, d)
+      .select(col("source"), explode(wsCol).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("source"), col("w"))
+      .agg(count(lit(1)).cast("long").as("m"))
+      .localCheckpoint(true)
+    val markers = tf.groupBy(col("w"))
+      .agg(sum(col("m")).as("cm"))
+      .orderBy(col("cm").desc, col("w")).limit(DeltaMarkers)
+      .select(col("w"))
+    val st = tf.groupBy(col("source")).agg(sum(col("m")).as("nt"))
+    val rates = tf.join(broadcast(markers), Seq("w"))
+      .join(st, Seq("source"))
+      .select(col("source"), col("w"),
+        (col("m").cast("double") * lit(1000.0) / col("nt")).as("r"))
+    val ms = rates.groupBy(col("w"))
+      .agg(count(lit(1)).as("ns"), sum(col("r")).as("sr"),
+        sum(col("r") * col("r")).as("srr"))
+      .select(col("w"), (col("sr") / col("ns")).as("mu"),
+        when(col("ns") > 1,
+          sqrt(greatest(
+            (col("srr") - col("sr") * col("sr") / col("ns"))
+              / (col("ns") - lit(1L)), lit(0.0)))).as("sd"))
+    val z = rates.join(broadcast(ms), Seq("w"))
+      .select(col("source"), col("w"),
+        when(col("sd") > 0.0, (col("r") - col("mu")) / col("sd")).as("z"))
+    z.as("x")
+      .join(z.as("y"),
+        col("x.w") === col("y.w") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("source_a"), col("y.source").as("source_b"))
+      .agg(count(col("x.z") - col("y.z")).as("n_markers"),
+        round(avg(abs(col("x.z") - col("y.z"))), 6).as("delta"))
+      .orderBy(col("source_a"), col("source_b"))
+  }
+
+  private val o314 = s"""
+    WITH tf AS MATERIALIZED (
+      SELECT source, w, CAST(count(*) AS BIGINT) AS m
+      FROM (SELECT source,
+              unnest(string_split_regex(trim(text), '\\s+')) AS w
+            FROM documents)
+      WHERE length(w) > 0 GROUP BY source, w),
+    markers AS (
+      SELECT w FROM (SELECT w, CAST(sum(m) AS BIGINT) AS cm
+                     FROM tf GROUP BY w)
+      ORDER BY cm DESC, w LIMIT $DeltaMarkers),
+    st AS (SELECT source, CAST(sum(m) AS BIGINT) AS nt
+           FROM tf GROUP BY source),
+    rates AS MATERIALIZED (
+      SELECT source, w, CAST(m AS DOUBLE) * 1000.0 / nt AS r
+      FROM tf JOIN markers USING (w) JOIN st USING (source)),
+    ms AS (
+      SELECT w, sr / ns AS mu,
+             CASE WHEN ns > 1 THEN
+               sqrt(greatest((srr - sr * sr / ns) / (ns - 1), 0.0)) END
+               AS sd
+      FROM (SELECT w, CAST(count(*) AS BIGINT) AS ns, sum(r) AS sr,
+                   sum(r * r) AS srr
+            FROM rates GROUP BY w)),
+    z AS MATERIALIZED (
+      SELECT source, w,
+             CASE WHEN sd > 0.0 THEN (r - mu) / sd END AS z
+      FROM rates JOIN ms USING (w))
+    SELECT x.source AS source_a, y.source AS source_b,
+           CAST(count(x.z - y.z) AS BIGINT) AS n_markers,
+           round(avg(abs(x.z - y.z)), 6) AS delta
+    FROM z x JOIN z y ON x.w = y.w AND x.source < y.source
+    GROUP BY 1, 2 ORDER BY source_a, source_b"""
+
+  /** q317: MMR — maximal marginal relevance re-ranking (Carbonell &
+    * Goldstein 1998) over the BM25 top-[[MmrPool]] candidate pool:
+    * greedily select [[MmrK]] results maximizing
+    * λ·relevance − (1−λ)·max-similarity-to-already-selected (λ=0.5,
+    * token-set Jaccard as the redundancy measure). THE retrieval-
+    * diversity operator: q131 returns five near-duplicates of the best
+    * hit, MMR returns the best hit plus four that add information —
+    * what a RAG pipeline actually wants in its context window.
+    *
+    * Exactness design: the greedy objective runs in exact int64 — BM25
+    * scores arrive rounded at 5 (q131's contract) and are snapped to
+    * rel_li = round(bm25·1e5); the redundancy penalty is
+    * (1e5·|A∩B|) DIV |A∪B| (integer Jaccard in the same scale); each
+    * argmax breaks ties by MIN doc_id. Zero float comparisons anywhere
+    * in the selection loop, so the unrolled DuckDB oracle pairs
+    * bit-for-bit.
+    *
+    * Scale shape: stage 1 is q131's corpus-linear scoring; everything
+    * after (token sets, 20×20 pairwise Jaccard, K unrolled greedy
+    * rounds) lives on the candidate-bounded frame — selection cost is
+    * O(pool²·K), corpus-independent. Pool frames are localCheckpointed
+    * once so the K rounds never re-run stage 1.
+    */
+  private val MmrPool = 20
+  private val MmrK = 5
+
+  private def q317(s: SparkSession, d: String): DataFrame = {
+    val cand = bm25Scored(s, d)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(MmrPool)
+      .select(col("doc_id"),
+        round(col("bm25") * lit(1e5)).cast("long").as("rel_li"))
+      .localCheckpoint(true)
+    val toks = documents(s, d)
+      .join(cand.select(col("doc_id")), Seq("doc_id"))
+      .select(col("doc_id"), explode(wsCol).as("w"))
+      .filter(length(col("w")) > 0)
+      .distinct()
+      .localCheckpoint(true)
+    val sizes = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+    val half = toks.as("x")
+      .join(toks.as("y"),
+        col("x.w") === col("y.w") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("da"), col("y.doc_id").as("db"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("doc_id").as("da"), col("sz").as("sza")),
+        Seq("da"))
+      .join(sizes.select(col("doc_id").as("db"), col("sz").as("szb")),
+        Seq("db"))
+      .select(col("da"), col("db"),
+        expr("(100000 * inter) DIV (sza + szb - inter)").as("pen"))
+    val pairs = half
+      .union(half.select(col("db").as("da"), col("da").as("db"),
+        col("pen")))
+      .localCheckpoint(true)
+    var sel = cand
+      .orderBy(col("rel_li").desc, col("doc_id")).limit(1)
+      .select(col("doc_id"), col("rel_li"),
+        col("rel_li").as("mmr_li"), lit(1).as("sel_rank"))
+    for (r <- 2 to MmrK) {
+      val pens = pairs
+        .join(sel.select(col("doc_id").as("db")), Seq("db"))
+        .groupBy(col("da").as("doc_id")).agg(max(col("pen")).as("p"))
+      val pick = cand
+        .join(sel.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .join(pens, Seq("doc_id"), "left")
+        .select(col("doc_id"), col("rel_li"),
+          (col("rel_li") - coalesce(col("p"), lit(0L))).as("mmr_li"))
+        .orderBy(col("mmr_li").desc, col("doc_id")).limit(1)
+        .select(col("doc_id"), col("rel_li"), col("mmr_li"),
+          lit(r).as("sel_rank"))
+      sel = sel.union(pick)
+    }
+    sel.orderBy(col("sel_rank"))
+  }
+
+  /** Unrolled greedy oracle; cumulative selection frames are referenced
+    * by the next round's penalty join, anti filter, AND the final
+    * readout → `AS MATERIALIZED` (the q310 CTE-inlining lesson).
+    */
+  private def o317: String = {
+    val base = s"""
+    WITH cand AS MATERIALIZED (
+      SELECT doc_id, CAST(round(bm25 * 1e5) AS BIGINT) AS rel_li
+      FROM (
+        WITH docs AS (
+          SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+          FROM documents),
+        stats AS (SELECT count(*) AS n_docs, avg(len(ws)) AS avgdl
+                  FROM docs),
+        toks AS (
+          SELECT doc_id, CAST(len(ws) AS BIGINT) AS dl, unnest(ws) AS term
+          FROM docs),
+        tf AS (
+          SELECT doc_id, term, count(*) AS tf, max(dl) AS dl
+          FROM toks WHERE term IN ('spark', 'hash', 'merge')
+          GROUP BY doc_id, term),
+        df AS (SELECT term, count(*) AS df FROM tf GROUP BY term)
+        SELECT doc_id,
+               round(sum(
+                 ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+                   * tf * ${Bm25K1 + 1.0}
+                   / (tf + $Bm25K1 * (${1.0 - Bm25B}
+                        + $Bm25B * dl / avgdl))
+               ), 5) AS bm25
+        FROM tf JOIN df USING (term), stats
+        GROUP BY doc_id
+        ORDER BY bm25 DESC, doc_id LIMIT $MmrPool)),
+    ctoks AS MATERIALIZED (
+      SELECT DISTINCT doc_id, w
+      FROM (SELECT doc_id,
+              unnest(string_split_regex(trim(text), '\\s+')) AS w
+            FROM documents
+            WHERE doc_id IN (SELECT doc_id FROM cand))
+      WHERE length(w) > 0),
+    csz AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS sz
+            FROM ctoks GROUP BY doc_id),
+    halfp AS (
+      SELECT x.doc_id AS da, y.doc_id AS db,
+             (100000 * count(*)) // (za.sz + zb.sz - count(*)) AS pen
+      FROM ctoks x JOIN ctoks y
+        ON x.w = y.w AND x.doc_id < y.doc_id
+      JOIN csz za ON za.doc_id = x.doc_id
+      JOIN csz zb ON zb.doc_id = y.doc_id
+      GROUP BY x.doc_id, y.doc_id, za.sz, zb.sz),
+    pairs AS MATERIALIZED (
+      SELECT da, db, pen FROM halfp
+      UNION ALL SELECT db AS da, da AS db, pen FROM halfp),
+    s1 AS MATERIALIZED (
+      SELECT doc_id, rel_li, rel_li AS mmr_li, 1 AS sel_rank
+      FROM cand ORDER BY rel_li DESC, doc_id LIMIT 1)"""
+    val rounds = (2 to MmrK).map { r =>
+      s"""p$r AS (SELECT da AS doc_id, max(pen) AS p
+            FROM pairs JOIN s${r - 1} sl ON sl.doc_id = pairs.db
+            GROUP BY da),
+          pk$r AS MATERIALIZED (
+            SELECT doc_id, rel_li, mmr_li, $r AS sel_rank FROM (
+              SELECT c.doc_id, c.rel_li,
+                     c.rel_li - COALESCE(p$r.p, 0) AS mmr_li
+              FROM cand c LEFT JOIN p$r USING (doc_id)
+              WHERE c.doc_id NOT IN (SELECT doc_id FROM s${r - 1}))
+            ORDER BY mmr_li DESC, doc_id LIMIT 1),
+          s$r AS MATERIALIZED (
+            SELECT * FROM s${r - 1} UNION ALL SELECT * FROM pk$r)"""
+    }.mkString(",\n       ")
+    s"""$base,
+       $rounds
+       SELECT sel_rank, doc_id, rel_li, mmr_li
+       FROM s$MmrK ORDER BY sel_rank"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q314_burrows_delta", q314, Some(o314)),
+    QueryDef("q317_mmr_rerank", q317, Some(o317)),
     QueryDef("q285_textrank_keywords", q285, Some(o285)),
     QueryDef("q288_k_anonymity", q288, Some(o288)),
     QueryDef("q290_dp_release", q290, Some(o290)),

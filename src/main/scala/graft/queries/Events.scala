@@ -4073,7 +4073,185 @@ object Events {
            z.n AS n_total, z.r AS r_total, z.z_trend
     FROM tiers t, z ORDER BY t.tier"""
 
+  /** q318: SPRT — Wald's sequential probability ratio test (Wald 1945)
+    * as a per-arm daily monitoring walk: cumulative log-likelihood ratio
+    * of H1: p=[[SprtP1]] vs H0: p=[[SprtP0]] over user-day conversion
+    * trials, with accept/continue decisions at the α=β=0.05 boundaries
+    * ±ln(19). The "peeking-safe" sequential companion to q187's
+    * fixed-horizon z test: the day a release gate may legitimately stop
+    * the experiment is the first boundary crossing, and the walk shows
+    * it.
+    *
+    * Exactness design: the LLR increments are counts × CONSTANTS —
+    * both ln-ratios and the boundaries are snapped to integer
+    * micro-units at COMPILE time and embedded as the same int64
+    * literals in both engines, so the cumulative walk
+    * conv·la + (n−conv)·lb is an exact integer prefix sum and every
+    * decision is an exact-int comparison. The display llr divides by
+    * 1e6 and rounds at 6 for presentation only.
+    *
+    * Scale shape: one corpus-linear hash aggregation to the (user, day)
+    * trial grain, a second to the (arm, day) frame (bounded: 2 arms ×
+    * observed days); the prefix-sum window runs on that AGGREGATED
+    * day-grain frame (the spec-sanctioned q152 shape), never over raw
+    * events.
+    */
+  private val SprtP0 = 0.02
+  private val SprtP1 = 0.04
+  private val SprtLa = math.round(math.log(SprtP1 / SprtP0) * 1e6)
+  private val SprtLb =
+    math.round(math.log((1.0 - SprtP1) / (1.0 - SprtP0)) * 1e6)
+  private val SprtUp = math.round(math.log(19.0) * 1e6)
+
+  private def q318(s: SparkSession, d: String): DataFrame = {
+    val dayUs = 86400000000L
+    val ud = events(s, d)
+      .select(col("user_id"), expr(s"(ts DIV 1000) DIV $dayUs").as("day"),
+        col("event_type"), col("value"))
+      .groupBy(col("user_id"), col("day"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 150,
+        1L).otherwise(0L)).as("conv"))
+      .withColumn("arm",
+        when(substring(md5(col("user_id").cast("string")), 1, 1) < "8", "A")
+          .otherwise("B"))
+    val dayAgg = ud.groupBy(col("arm"), col("day"))
+      .agg(count(lit(1)).as("trials"), sum(col("conv")).as("convs"))
+    val w = Window.partitionBy(col("arm")).orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    dayAgg
+      .withColumn("n_cum", sum(col("trials")).over(w))
+      .withColumn("conv_cum", sum(col("convs")).over(w))
+      .withColumn("llr_li", col("conv_cum") * lit(SprtLa)
+        + (col("n_cum") - col("conv_cum")) * lit(SprtLb))
+      .select(col("arm"), col("day"), col("n_cum"), col("conv_cum"),
+        round(col("llr_li").cast("double") / lit(1e6), 6).as("llr"),
+        when(col("llr_li") >= SprtUp, "accept_h1")
+          .when(col("llr_li") <= -SprtUp, "accept_h0")
+          .otherwise("continue").as("decision"))
+      .orderBy(col("arm"), col("day"))
+  }
+
+  private val o318 = s"""
+    WITH ud AS (
+      SELECT user_id, epoch_us(ts) // 86400000000 AS day,
+             CAST(max(CASE WHEN event_type = 'purchase' AND value > 150
+               THEN 1 ELSE 0 END) AS BIGINT) AS conv
+      FROM events GROUP BY user_id, epoch_us(ts) // 86400000000),
+    armed AS (
+      SELECT CASE WHEN substring(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+               THEN 'A' ELSE 'B' END AS arm,
+             day, conv
+      FROM ud),
+    dayagg AS (
+      SELECT arm, day, CAST(count(*) AS BIGINT) AS trials,
+             CAST(sum(conv) AS BIGINT) AS convs
+      FROM armed GROUP BY arm, day),
+    cum AS (
+      SELECT arm, day, trials, convs,
+             CAST(sum(trials) OVER (PARTITION BY arm ORDER BY day
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS n_cum,
+             CAST(sum(convs) OVER (PARTITION BY arm ORDER BY day
+               ROWS UNBOUNDED PRECEDING) AS BIGINT) AS conv_cum
+      FROM dayagg)
+    SELECT arm, day, n_cum, conv_cum,
+           round(CAST(conv_cum * $SprtLa
+             + (n_cum - conv_cum) * $SprtLb AS DOUBLE) / 1e6, 6) AS llr,
+           CASE WHEN conv_cum * $SprtLa + (n_cum - conv_cum) * $SprtLb
+                  >= $SprtUp THEN 'accept_h1'
+                WHEN conv_cum * $SprtLa + (n_cum - conv_cum) * $SprtLb
+                  <= -$SprtUp THEN 'accept_h0'
+                ELSE 'continue' END AS decision
+    FROM cum ORDER BY arm, day"""
+
+  /** q319: entropy rate of the empirical event-type Markov chain
+    * (Shannon 1948, ch. 7) — per-state conditional entropies
+    * H_i = −Σ_j P_ij ln P_ij weighted by the empirical state
+    * distribution π, beside the zeroth-order entropy H0 = −Σ π ln π.
+    * H0 − H_rate is the predictability the first-order structure buys:
+    * the one-number answer to "do sessions have sequential structure
+    * worth modeling?" — the information-theoretic summary of q189's
+    * transition matrix (and the companion to q302's burstiness).
+    *
+    * Scale shape: the per-user lead() window (unbounded key — q189's
+    * sanctioned shape) collapses map-side to the types×types cell frame;
+    * every entropy sum runs over that bounded frame. Transcendental
+    * aggregates over ≤ types² cells, rounded at 6 (the q307 convention).
+    */
+  private def q319(s: SparkSession, d: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(tsUs, col("event_id"))
+    val pairs = events(s, d)
+      .withColumn("next_type", lead(col("event_type"), 1).over(w))
+      .filter(col("next_type").isNotNull)
+      .groupBy(col("event_type").as("cur"), col("next_type").as("nxt"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("cur")).agg(sum(col("n")).as("n_cur"))
+    val nn = totals.groupBy(pmod(col("n_cur"), lit(1L)).as("jk"))
+      .agg(sum(col("n_cur")).as("nn"))
+    val hcond = pairs.join(broadcast(totals), Seq("cur"))
+      .groupBy(col("cur"))
+      .agg((-sum((col("n").cast("double") / col("n_cur"))
+        * log(col("n").cast("double") / col("n_cur")))).as("hc"))
+    val states = totals.join(broadcast(hcond), Seq("cur"))
+      .withColumn("jk", pmod(col("n_cur"), lit(1L)))
+      .join(broadcast(nn), Seq("jk"))
+    val perState = states.select(col("cur").as("state"),
+      round(col("n_cur").cast("double") / col("nn"), 6).as("pi"),
+      round(col("hc"), 6).as("h_cond"))
+    val summary = states.groupBy(col("jk"))
+      .agg(sum((col("n_cur").cast("double") / col("nn")) * col("hc"))
+        .as("hr"),
+        (-sum((col("n_cur").cast("double") / col("nn"))
+          * log(col("n_cur").cast("double") / col("nn")))).as("h0"))
+    perState
+      .union(summary.select(lit("zz_order0").as("state"),
+        lit(1.0).as("pi"), round(col("h0"), 6).as("h_cond")))
+      .union(summary.select(lit("zz_rate").as("state"),
+        lit(1.0).as("pi"), round(col("hr"), 6).as("h_cond")))
+      .orderBy(col("state"))
+  }
+
+  private val o319 = """
+    WITH pairs AS (
+      SELECT event_type AS cur, next_type AS nxt,
+             CAST(count(*) AS BIGINT) AS n
+      FROM (
+        SELECT event_type,
+               lead(event_type) OVER (PARTITION BY user_id
+                 ORDER BY epoch_us(ts), event_id) AS next_type
+        FROM events)
+      WHERE next_type IS NOT NULL
+      GROUP BY cur, nxt),
+    tot AS (SELECT cur, CAST(sum(n) AS BIGINT) AS n_cur FROM pairs
+            GROUP BY cur),
+    nn AS (SELECT CAST(sum(n_cur) AS BIGINT) AS nn FROM tot),
+    hcond AS (
+      SELECT cur,
+             -sum((CAST(n AS DOUBLE) / n_cur)
+                  * ln(CAST(n AS DOUBLE) / n_cur)) AS hc
+      FROM pairs JOIN tot USING (cur) GROUP BY cur),
+    states AS (
+      SELECT cur, n_cur, hc, nn
+      FROM tot JOIN hcond USING (cur), nn),
+    summary AS (
+      SELECT sum((CAST(n_cur AS DOUBLE) / nn) * hc) AS hr,
+             -sum((CAST(n_cur AS DOUBLE) / nn)
+                  * ln(CAST(n_cur AS DOUBLE) / nn)) AS h0
+      FROM states)
+    SELECT cur AS state,
+           round(CAST(n_cur AS DOUBLE) / nn, 6) AS pi,
+           round(hc, 6) AS h_cond
+    FROM states
+    UNION ALL
+    SELECT 'zz_order0' AS state, 1.0 AS pi, round(h0, 6) AS h_cond
+    FROM summary
+    UNION ALL
+    SELECT 'zz_rate' AS state, 1.0 AS pi, round(hr, 6) AS h_cond
+    FROM summary
+    ORDER BY state"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q318_sprt_monitor", q318, Some(o318)),
+    QueryDef("q319_markov_entropy", q319, Some(o319)),
     QueryDef("q309_cochran_armitage", q309, Some(o309)),
     QueryDef("q283_acf", q283, Some(o283)),
     QueryDef("q289_pacf", q289, Some(o289)),

@@ -440,7 +440,214 @@ object Graph {
        ORDER BY round"""
   }
 
+  /** q313: HITS hubs & authorities (Kleinberg 1999) on the bipartite
+    * customer→part purchase graph — authority parts are the catalog
+    * staples bought by broad-basket ("hub") customers; the
+    * link-analysis complement to q119's PageRank and the classic seed
+    * ranking for recommendation candidates.
+    *
+    * Exactness design: the iterates run UNNORMALIZED in exact int64 —
+    * a_p^(0)=1, h_c = Σ a_p, a_p = Σ h_c for [[HitsRounds]] full rounds.
+    * Per-iteration L2/L1 normalization only rescales by a positive
+    * scalar, so the unnormalized iterate is exactly proportional to the
+    * normalized one: the RANKING is identical and score/max(score)
+    * (reported, rounded at 6) equals the max-normalized HITS score —
+    * with zero cross-row floating-point summation anywhere. Magnitudes:
+    * after 2 full rounds values are bounded by maxdeg² · E (≲1e12 at
+    * sf1-like degrees), far inside int64; Spark ANSI would throw on a
+    * true overflow rather than wrap.
+    *
+    * Scale shape: each half-round is one equi-join of the edge list with
+    * the |V|-sized score frame (shuffle on the vertex key, corpus-linear)
+    * + one hash aggregation; the top-15-per-side readout is a global
+    * TakeOrdered, never a window. The edge list is the DISTINCT (c,p)
+    * incidence — one corpus pass.
+    */
+  private val HitsRounds = 2
+  private val HitsTopK = 15
+
+  private def q313(s: SparkSession, d: String): DataFrame = {
+    val inc = lineitem(s, d)
+      .join(orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_custkey").as("c"), col("l_partkey").as("p"))
+      .distinct()
+      .localCheckpoint(true)
+    // a^(0) = 1 for every part → h^(1) is just the customer degree.
+    var hub = inc.groupBy(col("c")).agg(count(lit(1)).as("h"))
+    var auth = inc.join(hub, Seq("c"))
+      .groupBy(col("p")).agg(sum(col("h")).as("a"))
+    for (_ <- 2 to HitsRounds) {
+      hub = inc.join(auth, Seq("p"))
+        .groupBy(col("c")).agg(sum(col("a")).as("h"))
+      auth = inc.join(hub, Seq("c"))
+        .groupBy(col("p")).agg(sum(col("h")).as("a"))
+    }
+    val aMax = auth.groupBy(pmod(col("a"), lit(1L)).as("jk"))
+      .agg(max(col("a")).as("amax"))
+    val hMax = hub.groupBy(pmod(col("h"), lit(1L)).as("jk"))
+      .agg(max(col("h")).as("hmax"))
+    val topAuth = auth
+      .orderBy(col("a").desc, col("p")).limit(HitsTopK)
+      .withColumn("jk", pmod(col("a"), lit(1L)))
+      .join(broadcast(aMax), Seq("jk"))
+      .select(lit("authority").as("side"), col("p").as("id"),
+        col("a").as("score_raw"),
+        round(col("a").cast("double") / col("amax"), 6).as("score_norm"))
+    val topHub = hub
+      .orderBy(col("h").desc, col("c")).limit(HitsTopK)
+      .withColumn("jk", pmod(col("h"), lit(1L)))
+      .join(broadcast(hMax), Seq("jk"))
+      .select(lit("hub").as("side"), col("c").as("id"),
+        col("h").as("score_raw"),
+        round(col("h").cast("double") / col("hmax"), 6).as("score_norm"))
+    topAuth.union(topHub)
+      .orderBy(col("side"), col("score_raw").desc, col("id"))
+  }
+
+  private val o313 = s"""
+    WITH inc AS MATERIALIZED (
+      SELECT DISTINCT o_custkey AS c, l_partkey AS p
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+    h1 AS MATERIALIZED (
+      SELECT c, CAST(count(*) AS BIGINT) AS h FROM inc GROUP BY c),
+    a1 AS MATERIALIZED (
+      SELECT p, CAST(sum(h) AS BIGINT) AS a
+      FROM inc JOIN h1 USING (c) GROUP BY p),
+    h2 AS MATERIALIZED (
+      SELECT c, CAST(sum(a) AS BIGINT) AS h
+      FROM inc JOIN a1 USING (p) GROUP BY c),
+    a2 AS MATERIALIZED (
+      SELECT p, CAST(sum(h) AS BIGINT) AS a
+      FROM inc JOIN h2 USING (c) GROUP BY p),
+    amax AS (SELECT max(a) AS amax FROM a2),
+    hmax AS (SELECT max(h) AS hmax FROM h2),
+    ta AS (SELECT 'authority' AS side, p AS id, a AS score_raw,
+                  round(CAST(a AS DOUBLE) / amax, 6) AS score_norm
+           FROM a2, amax ORDER BY a DESC, p LIMIT $HitsTopK),
+    th AS (SELECT 'hub' AS side, c AS id, h AS score_raw,
+                  round(CAST(h AS DOUBLE) / hmax, 6) AS score_norm
+           FROM h2, hmax ORDER BY h DESC, c LIMIT $HitsTopK)
+    SELECT * FROM (SELECT * FROM ta UNION ALL SELECT * FROM th)
+    ORDER BY side, score_raw DESC, id"""
+
+  /** q315: semi-supervised label propagation (Zhu–Ghahramani 2002 /
+    * Raghavan 2007 LPA) over the co-purchase support graph — seed 10% of
+    * parts with their manufacturer, propagate by synchronous
+    * majority-of-labeled-neighbors for [[LpaRounds]] rounds (seeds
+    * clamped), report the per-round label census. The cheap
+    * community/metadata-completion pass a catalog pipeline runs when
+    * most items lack curated attributes: coverage per round IS the
+    * "how much metadata can the graph recover" curve.
+    *
+    * Determinism: updates are fully synchronous (round r reads only
+    * round r−1), the majority vote breaks count ties by MIN label, and
+    * everything is exact int/string work — no floats anywhere, so the
+    * unrolled DuckDB oracle pairs bit-for-bit.
+    *
+    * Scale shape: each round is one edge ⋈ labels equi-join (shuffle on
+    * the vertex key, work ∝ labeled incident edges) + two hash
+    * aggregations (per-(v,label) counts, per-v max) — the
+    * arg-max-per-key decomposition, never a window; the loop carries
+    * localCheckpoint-truncated lineage like q97/q310. Census frames are
+    * label-bounded.
+    */
+  private val LpaRounds = 2
+
+  private def q315(s: SparkSession, d: String): DataFrame = {
+    val op = lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
+      .distinct()
+    val e0 = op.as("x")
+      .join(op.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= TriangleSupport)
+      .select(col("a"), col("b"))
+    val edges = e0
+      .union(e0.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint(true)
+    val verts = edges.select(col("a").as("v")).distinct()
+      .localCheckpoint(true)
+    val seeds = part(s, d)
+      .select(col("p_partkey").as("v"), col("p_brand").as("lab"))
+      .filter(pmod(col("v"), lit(10L)) === 0L)
+      .join(verts, Seq("v"))
+      .localCheckpoint(true)
+    def census(r: Int, labels: DataFrame): DataFrame =
+      labels.groupBy(col("lab")).agg(count(lit(1)).as("n_nodes"))
+        .select(lit(r).as("round"), col("lab"), col("n_nodes"))
+        .union(verts.join(labels, Seq("v"), "left_anti")
+          .agg(count(lit(1)).as("n_nodes"))
+          .select(lit(r).as("round"), lit("zz_unlabeled").as("lab"),
+            col("n_nodes")))
+    var labels = seeds
+    var out = census(0, labels)
+    for (r <- 1 to LpaRounds) {
+      val cnt = edges
+        .join(labels.select(col("v").as("b"), col("lab")), Seq("b"))
+        .groupBy(col("a").as("v"), col("lab"))
+        .agg(count(lit(1)).as("cnt"))
+      val vm = cnt.groupBy(col("v")).agg(max(col("cnt")).as("mc"))
+      val picked = cnt.join(vm, Seq("v"))
+        .filter(col("cnt") === col("mc"))
+        .groupBy(col("v")).agg(min(col("lab")).as("lab"))
+      labels = seeds
+        .union(picked.join(seeds.select(col("v")), Seq("v"), "left_anti"))
+        .localCheckpoint(true)
+      out = out.union(census(r, labels))
+    }
+    out.orderBy(col("round"), col("lab"))
+  }
+
+  /** Unrolled synchronous LPA oracle; every round frame is referenced
+    * by the next round AND its census row, so `AS MATERIALIZED`
+    * everywhere (the q310 CTE-inlining lesson).
+    */
+  private def o315: String = {
+    val rounds = (1 to LpaRounds).map { r =>
+      s"""c$r AS (SELECT e.a AS v, l.lab, count(*) AS cnt
+              FROM edges e JOIN l${r - 1} l ON l.v = e.b GROUP BY 1, 2),
+          m$r AS (SELECT v, max(cnt) AS mc FROM c$r GROUP BY v),
+          p$r AS (SELECT c$r.v, min(c$r.lab) AS lab
+              FROM c$r JOIN m$r ON m$r.v = c$r.v AND c$r.cnt = m$r.mc
+              GROUP BY c$r.v),
+          l$r AS MATERIALIZED (
+              SELECT v, lab FROM seeds
+              UNION ALL
+              SELECT v, lab FROM p$r
+              WHERE v NOT IN (SELECT v FROM seeds))"""
+    }.mkString(",\n       ")
+    val rows = (0 to LpaRounds).map { r =>
+      s"""SELECT $r AS round, lab, CAST(count(*) AS BIGINT) AS n_nodes
+          FROM l$r GROUP BY lab
+          UNION ALL
+          SELECT $r AS round, 'zz_unlabeled' AS lab,
+                 CAST(count(*) AS BIGINT) AS n_nodes
+          FROM verts WHERE v NOT IN (SELECT v FROM l$r)"""
+    }.mkString("\n       UNION ALL\n       ")
+    s"""WITH op AS MATERIALIZED (
+         SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       e0 AS MATERIALIZED (
+         SELECT x.p AS a, y.p AS b
+         FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+         GROUP BY 1, 2 HAVING count(*) >= $TriangleSupport),
+       edges AS MATERIALIZED (
+         SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+       verts AS MATERIALIZED (SELECT DISTINCT a AS v FROM edges),
+       seeds AS MATERIALIZED (
+         SELECT v, lab FROM (
+           SELECT p_partkey AS v, p_brand AS lab FROM part
+           WHERE p_partkey % 10 = 0) sp
+         JOIN verts USING (v)),
+       l0 AS MATERIALIZED (SELECT v, lab FROM seeds),
+       $rounds
+       $rows
+       ORDER BY round, lab"""
+  }
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q313_hits_scores", q313, Some(o313)),
+    QueryDef("q315_label_propagation", q315, Some(o315)),
     QueryDef("q310_kcore_peel", q310, Some(o310)),
     QueryDef("q136_triangle_count", q136, Some(o136)),
     QueryDef("q137_copurchase_similarity", q137, Some(o137)),

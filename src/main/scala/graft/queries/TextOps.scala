@@ -1362,7 +1362,454 @@ object TextOps {
                  + 0.5 * ln(2.0) * ((1.0 - ca) + (1.0 - cb)), 6) AS jsd
     FROM pairs ORDER BY source_a, source_b"""
 
+  /** q311: per-language multiple OLS regression with diagnostics — the
+    * closed-form normal-equations fit every pipeline dashboard wants
+    * ("how much of document length do token count and max word length
+    * explain, per language?"): y = n_chars on x1 = whitespace-token count,
+    * x2 = longest-token length; slopes, intercept, R², adjusted R².
+    *
+    * Scale shape: ONE corpus-linear hash aggregation to ten exact integer
+    * moment sums per language (bounded frame); the 2-predictor solve is
+    * Cramer's rule on the centered 2×2 system — a fixed dag of double ops
+    * per language row, no iteration, no second pass. This is the pattern
+    * that scales OLS to 100 TB: moments distribute, algebra doesn't
+    * touch the corpus.
+    *
+    * Cross-engine: per-row features and all ten moments are exact int64
+    * (Spark sum(long) ↔ DuckDB HUGEINT, both cast to double only at the
+    * algebra step); the double dag is IEEE-identical on identical inputs.
+    * Degenerate guards on BOTH sides: singular system (det=0, e.g. a
+    * constant predictor) → NULL slopes, zero response variance → NULL R²,
+    * n<=3 → NULL adjusted R² (Spark ANSI would otherwise throw on the
+    * /0 where DuckDB yields NULL).
+    */
+  private def q311(s: SparkSession, d: String): DataFrame = {
+    val feats = documents(s, d).select(
+      col("lang"),
+      col("n_chars").cast("long").as("y"),
+      size(wsTokens).cast("long").as("x1"),
+      array_max(transform(wsTokens, w => length(w))).cast("long").as("x2"))
+    val sums = feats.groupBy(col("lang")).agg(
+      count(lit(1)).as("n"),
+      sum(col("x1")).as("sx1"), sum(col("x2")).as("sx2"),
+      sum(col("y")).as("sy"),
+      sum(col("x1") * col("x1")).as("sx11"),
+      sum(col("x2") * col("x2")).as("sx22"),
+      sum(col("x1") * col("x2")).as("sx12"),
+      sum(col("x1") * col("y")).as("sx1y"),
+      sum(col("x2") * col("y")).as("sx2y"),
+      sum(col("y") * col("y")).as("syy"))
+    val nd = col("n").cast("double")
+    val cent = sums.select(col("lang"), col("n"),
+      col("sx1").cast("double").as("dx1"), col("sx2").cast("double").as("dx2"),
+      col("sy").cast("double").as("dy"),
+      (col("sx11").cast("double") - col("sx1").cast("double")
+        * col("sx1").cast("double") / nd).as("s11"),
+      (col("sx22").cast("double") - col("sx2").cast("double")
+        * col("sx2").cast("double") / nd).as("s22"),
+      (col("sx12").cast("double") - col("sx1").cast("double")
+        * col("sx2").cast("double") / nd).as("s12"),
+      (col("sx1y").cast("double") - col("sx1").cast("double")
+        * col("sy").cast("double") / nd).as("s1y"),
+      (col("sx2y").cast("double") - col("sx2").cast("double")
+        * col("sy").cast("double") / nd).as("s2y"),
+      (col("syy").cast("double") - col("sy").cast("double")
+        * col("sy").cast("double") / nd).as("syyc"))
+      .withColumn("det", col("s11") * col("s22") - col("s12") * col("s12"))
+      .withColumn("b1", when(col("det") =!= 0.0,
+        (col("s22") * col("s1y") - col("s12") * col("s2y")) / col("det")))
+      .withColumn("b2", when(col("det") =!= 0.0,
+        (col("s11") * col("s2y") - col("s12") * col("s1y")) / col("det")))
+      .withColumn("r2raw", when(col("syyc") =!= 0.0,
+        (col("b1") * col("s1y") + col("b2") * col("s2y")) / col("syyc")))
+    cent.select(col("lang"), col("n"),
+      round((col("dy") - col("b1") * col("dx1") - col("b2") * col("dx2"))
+        / nd, 4).as("b0"),
+      round(col("b1"), 6).as("b1"), round(col("b2"), 6).as("b2"),
+      round(col("r2raw"), 6).as("r2"),
+      round(when(col("n") > 3, lit(1.0) - (lit(1.0) - col("r2raw"))
+        * (nd - lit(1.0)) / (nd - lit(3.0))), 6).as("adj_r2"))
+      .orderBy(col("lang"))
+  }
+
+  private val o311 = """
+    WITH feats AS (
+      SELECT lang, CAST(n_chars AS BIGINT) AS y,
+             CAST(len(string_split_regex(trim(text), '\s+')) AS BIGINT)
+               AS x1,
+             CAST(list_max(list_transform(
+               string_split_regex(trim(text), '\s+'),
+               w -> length(w))) AS BIGINT) AS x2
+      FROM documents),
+    sums AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(x1) AS BIGINT) AS sx1, CAST(sum(x2) AS BIGINT) AS sx2,
+             CAST(sum(y) AS BIGINT) AS sy,
+             CAST(sum(x1 * x1) AS BIGINT) AS sx11,
+             CAST(sum(x2 * x2) AS BIGINT) AS sx22,
+             CAST(sum(x1 * x2) AS BIGINT) AS sx12,
+             CAST(sum(x1 * y) AS BIGINT) AS sx1y,
+             CAST(sum(x2 * y) AS BIGINT) AS sx2y,
+             CAST(sum(y * y) AS BIGINT) AS syy
+      FROM feats GROUP BY lang),
+    cent AS (
+      SELECT lang, n,
+             CAST(sx1 AS DOUBLE) AS dx1, CAST(sx2 AS DOUBLE) AS dx2,
+             CAST(sy AS DOUBLE) AS dy,
+             CAST(sx11 AS DOUBLE) - CAST(sx1 AS DOUBLE)
+               * CAST(sx1 AS DOUBLE) / CAST(n AS DOUBLE) AS s11,
+             CAST(sx22 AS DOUBLE) - CAST(sx2 AS DOUBLE)
+               * CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE) AS s22,
+             CAST(sx12 AS DOUBLE) - CAST(sx1 AS DOUBLE)
+               * CAST(sx2 AS DOUBLE) / CAST(n AS DOUBLE) AS s12,
+             CAST(sx1y AS DOUBLE) - CAST(sx1 AS DOUBLE)
+               * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS s1y,
+             CAST(sx2y AS DOUBLE) - CAST(sx2 AS DOUBLE)
+               * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS s2y,
+             CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE)
+               * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS syyc
+      FROM sums),
+    fit AS (
+      SELECT lang, n, dx1, dx2, dy, s1y, s2y, syyc,
+             s11 * s22 - s12 * s12 AS det,
+             CASE WHEN s11 * s22 - s12 * s12 <> 0.0 THEN
+               (s22 * s1y - s12 * s2y) / (s11 * s22 - s12 * s12) END AS b1,
+             CASE WHEN s11 * s22 - s12 * s12 <> 0.0 THEN
+               (s11 * s2y - s12 * s1y) / (s11 * s22 - s12 * s12) END AS b2
+      FROM cent),
+    fin AS (
+      SELECT lang, n, dx1, dx2, dy, b1, b2,
+             CASE WHEN syyc <> 0.0 THEN
+               (b1 * s1y + b2 * s2y) / syyc END AS r2raw
+      FROM fit)
+    SELECT lang, n,
+           round((dy - b1 * dx1 - b2 * dx2) / CAST(n AS DOUBLE), 4) AS b0,
+           round(b1, 6) AS b1, round(b2, 6) AS b2,
+           round(r2raw, 6) AS r2,
+           round(CASE WHEN n > 3 THEN
+             1.0 - (1.0 - r2raw) * (CAST(n AS DOUBLE) - 1.0)
+               / (CAST(n AS DOUBLE) - 3.0) END, 6) AS adj_r2
+    FROM fin ORDER BY lang"""
+
+  /** q312: external cluster validation — ARI, NMI, purity, homogeneity /
+    * completeness / V-measure of the q32 language-ID assignment against
+    * the `lang` ground truth (Hubert–Arabie 1985 adjusted Rand;
+    * Rosenberg–Hirschberg 2007 V-measure). THE evaluation step between
+    * any clustering/classification stage (LSH dedup clusters, topic
+    * assignment, lang-ID) and trusting it at corpus scale.
+    *
+    * Scale shape: one corpus-linear scoring pass (q32's marker counts),
+    * one hash aggregation to the classes×classes contingency table
+    * (bounded: 5 langs × 3 predicted classes), then all six metrics are
+    * algebra on that tiny frame — the corpus is touched exactly once
+    * regardless of scale. Pair counts C(n,2) stay exact int64 via the
+    * always-even n*(n-1) DIV 2; the ARI expected-index product crosses
+    * into double before multiplying (the only term that could overflow).
+    *
+    * Cross-engine: contingency cells and marginals are exact ints; the
+    * entropy/MI sums run over <= 15 bounded cells (rounded at 6 — the
+    * only transcendental aggregates, q307's convention); single-cluster
+    * degenerates (H=0, denominator 0) yield NULL on both engines.
+    */
+  private def q312(s: SparkSession, d: String): DataFrame = {
+    val pred = langPred(s, d).select(col("lang"), col("lang_pred"))
+    val cells = pred.groupBy(col("lang"), col("lang_pred"))
+      .agg(count(lit(1)).cast("long").as("m"))
+    val aM = cells.groupBy(col("lang")).agg(sum(col("m")).as("a"))
+      .withColumn("jk", pmod(col("a"), lit(1L)))
+    val bM = cells.groupBy(col("lang_pred")).agg(sum(col("m")).as("b"))
+      .withColumn("jk", pmod(col("b"), lit(1L)))
+    val tot = cells.groupBy(pmod(col("m"), lit(1L)).as("jk"))
+      .agg(sum(col("m")).as("nn"),
+        sum(expr("m * (m - 1) DIV 2")).as("sumcomb"))
+    val aS = aM.groupBy(col("jk"))
+      .agg(sum(expr("a * (a - 1) DIV 2")).as("suma"))
+    val bS = bM.groupBy(col("jk"))
+      .agg(sum(expr("b * (b - 1) DIV 2")).as("sumb"))
+    val totNn = tot.select(col("jk"), col("nn"))
+    val info = cells
+      .join(broadcast(aM.select(col("lang"), col("a"))), Seq("lang"))
+      .join(broadcast(bM.select(col("lang_pred"), col("b"))),
+        Seq("lang_pred"))
+      .withColumn("jk", pmod(col("m"), lit(1L)))
+      .join(broadcast(totNn), Seq("jk"))
+      .groupBy(col("jk"))
+      .agg(
+        sum((col("m").cast("double") / col("nn"))
+          * log(col("m").cast("double") * col("nn")
+            / (col("a").cast("double") * col("b")))).as("mi"))
+    val ha = aM.join(broadcast(totNn), Seq("jk"))
+      .groupBy(col("jk"))
+      .agg((-sum((col("a").cast("double") / col("nn"))
+        * log(col("a").cast("double") / col("nn")))).as("h_true"))
+    val hb = bM.join(broadcast(totNn), Seq("jk"))
+      .groupBy(col("jk"))
+      .agg((-sum((col("b").cast("double") / col("nn"))
+        * log(col("b").cast("double") / col("nn")))).as("h_pred"))
+    val pur = cells.groupBy(col("lang_pred"))
+      .agg(max(col("m")).as("mx"))
+      .groupBy(pmod(col("mx"), lit(1L)).as("jk"))
+      .agg(sum(col("mx")).as("purnum"))
+    tot.join(broadcast(aS), Seq("jk")).join(broadcast(bS), Seq("jk"))
+      .join(broadcast(info), Seq("jk")).join(broadcast(ha), Seq("jk"))
+      .join(broadcast(hb), Seq("jk")).join(broadcast(pur), Seq("jk"))
+      .withColumn("combn", expr("nn * (nn - 1) DIV 2"))
+      .withColumn("expidx", when(col("combn") =!= 0L,
+        col("suma").cast("double") * col("sumb") / col("combn")))
+      .withColumn("maxidx",
+        (col("suma").cast("double") + col("sumb")) / lit(2.0))
+      .select(
+        col("nn").as("n_docs"),
+        round(when(col("maxidx") - col("expidx") =!= 0.0,
+          (col("sumcomb").cast("double") - col("expidx"))
+            / (col("maxidx") - col("expidx"))), 6).as("ari"),
+        round(when(col("h_true") * col("h_pred") > 0.0,
+          col("mi") / sqrt(col("h_true") * col("h_pred"))), 6).as("nmi"),
+        round(col("purnum").cast("double") / col("nn"), 6).as("purity"),
+        round(when(col("h_true") =!= 0.0, col("mi") / col("h_true")), 6)
+          .as("homogeneity"),
+        round(when(col("h_pred") =!= 0.0, col("mi") / col("h_pred")), 6)
+          .as("completeness"),
+        round(when(col("h_true") + col("h_pred") =!= 0.0,
+          lit(2.0) * col("mi") / (col("h_true") + col("h_pred"))), 6)
+          .as("v_measure"))
+  }
+
+  private val o312 = """
+    WITH pred AS (
+      SELECT lang,
+        CASE WHEN s_en >= s_db AND s_en >= s_etl THEN 'en'
+             WHEN s_db >= s_etl THEN 'db' ELSE 'etl' END AS lang_pred
+      FROM (
+        SELECT lang,
+          CAST((length(t2) - length(replace(t2, ' the ', ''))) / 5 AS INT)
+            + CAST((length(t2) - length(replace(t2, ' a ', ''))) / 3 AS INT)
+            + CAST((length(t2) - length(replace(t2, ' is ', ''))) / 4 AS INT)
+            AS s_en,
+          CAST((length(t2) - length(replace(t2, ' table ', ''))) / 7 AS INT)
+            + CAST((length(t2) - length(replace(t2, ' query ', ''))) / 7
+              AS INT)
+            + CAST((length(t2) - length(replace(t2, ' join ', ''))) / 6
+              AS INT) AS s_db,
+          CAST((length(t2) - length(replace(t2, ' batch ', ''))) / 7 AS INT)
+            + CAST((length(t2) - length(replace(t2, ' stream ', ''))) / 8
+              AS INT)
+            + CAST((length(t2) - length(replace(t2, ' window ', ''))) / 8
+              AS INT) AS s_etl
+        FROM (SELECT lang, ' ' || text || ' ' AS t2 FROM documents))),
+    cells AS (
+      SELECT lang, lang_pred, CAST(count(*) AS BIGINT) AS m
+      FROM pred GROUP BY lang, lang_pred),
+    am AS (SELECT lang, CAST(sum(m) AS BIGINT) AS a
+           FROM cells GROUP BY lang),
+    bm AS (SELECT lang_pred, CAST(sum(m) AS BIGINT) AS b
+           FROM cells GROUP BY lang_pred),
+    tot AS (SELECT CAST(sum(m) AS BIGINT) AS nn,
+                   CAST(sum(m * (m - 1) // 2) AS BIGINT) AS sumcomb
+            FROM cells),
+    asum AS (SELECT CAST(sum(a * (a - 1) // 2) AS BIGINT) AS suma FROM am),
+    bsum AS (SELECT CAST(sum(b * (b - 1) // 2) AS BIGINT) AS sumb FROM bm),
+    info AS (
+      SELECT sum((CAST(m AS DOUBLE) / nn)
+                 * ln(CAST(m AS DOUBLE) * nn
+                      / (CAST(a AS DOUBLE) * b))) AS mi
+      FROM cells
+      JOIN am USING (lang) JOIN bm USING (lang_pred), tot),
+    hha AS (SELECT -sum((CAST(a AS DOUBLE) / nn)
+                        * ln(CAST(a AS DOUBLE) / nn)) AS h_true
+            FROM am, tot),
+    hhb AS (SELECT -sum((CAST(b AS DOUBLE) / nn)
+                        * ln(CAST(b AS DOUBLE) / nn)) AS h_pred
+            FROM bm, tot),
+    pur AS (SELECT CAST(sum(mx) AS BIGINT) AS purnum
+            FROM (SELECT lang_pred, max(m) AS mx
+                  FROM cells GROUP BY lang_pred)),
+    fin AS (
+      SELECT nn, sumcomb, suma, sumb, mi, h_true, h_pred, purnum,
+             nn * (nn - 1) // 2 AS combn,
+             CASE WHEN nn * (nn - 1) // 2 <> 0 THEN
+               CAST(suma AS DOUBLE) * sumb / (nn * (nn - 1) // 2) END
+               AS expidx,
+             (CAST(suma AS DOUBLE) + sumb) / 2.0 AS maxidx
+      FROM tot, asum, bsum, info, hha, hhb, pur)
+    SELECT nn AS n_docs,
+           round(CASE WHEN maxidx - expidx <> 0.0 THEN
+             (CAST(sumcomb AS DOUBLE) - expidx) / (maxidx - expidx) END, 6)
+             AS ari,
+           round(CASE WHEN h_true * h_pred > 0.0 THEN
+             mi / sqrt(h_true * h_pred) END, 6) AS nmi,
+           round(CAST(purnum AS DOUBLE) / nn, 6) AS purity,
+           round(CASE WHEN h_true <> 0.0 THEN mi / h_true END, 6)
+             AS homogeneity,
+           round(CASE WHEN h_pred <> 0.0 THEN mi / h_pred END, 6)
+             AS completeness,
+           round(CASE WHEN h_true + h_pred <> 0.0 THEN
+             2.0 * mi / (h_true + h_pred) END, 6) AS v_measure
+    FROM fin"""
+
+  /** q316: multinomial Naive Bayes language classifier, trained AND
+    * applied in pure relational algebra — add-one-smoothed per-class
+    * word log-probabilities from a deterministic 80% train split
+    * (doc_id % 5 ≠ 0), argmax scoring on the held-out 20%, per-class +
+    * overall accuracy. The CCNet/fastText-style quality-classifier
+    * pattern at its core: train a linear text model as two aggregations,
+    * score the corpus as one join, no ML runtime anywhere.
+    *
+    * Exactness design: every log-probability is SNAPPED to an exact
+    * integer (round(ln(p)·1e6) as int64) before scoring, so the per-doc
+    * score Σ m_w·li + prior_li is an exact int64 sum — order-free,
+    * overflow-checked by ANSI, and the argmax (ties broken by MIN class)
+    * pairs bit-for-bit with DuckDB. The only cross-engine float exposure
+    * is ln() per (word, class) CELL (vocab-bounded), where an ulp
+    * difference would need to land within 1e-9 of a rounding boundary
+    * to matter.
+    *
+    * Scale shape: the model is a vocab×classes frame (bounded,
+    * broadcast); scoring is test-tokens ⋈ model (one corpus-linear pass,
+    * ×|classes| fanout through an equi-joined bounded class frame — no
+    * cross join); argmax-per-doc is the max-then-filter decomposition,
+    * never a window.
+    */
+  private def q316(s: SparkSession, d: String): DataFrame = {
+    val docs = documents(s, d).select(col("doc_id"), col("lang"), col("text"))
+    val train = docs.filter(pmod(col("doc_id"), lit(5L)) =!= 0L)
+    val test = docs.filter(pmod(col("doc_id"), lit(5L)) === 0L)
+    val tfTrain = train
+      .select(col("lang"), explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("lang"), col("w")).agg(count(lit(1)).as("m"))
+      .localCheckpoint(true)
+    val tc = tfTrain.groupBy(col("lang")).agg(sum(col("m")).as("tc"))
+      .withColumn("jk", pmod(col("tc"), lit(1L)))
+    val vocab = tfTrain.groupBy(pmod(col("m"), lit(1L)).as("jk"))
+      .agg(countDistinct(col("w")).as("vn"))
+    val ndocs = train.groupBy(col("lang")).agg(count(lit(1)).as("ndc"))
+    val ntot = train.groupBy(pmod(col("doc_id"), lit(1L)).as("jk"))
+      .agg(count(lit(1)).as("ndt"))
+    val classes = tc
+      .join(broadcast(vocab), Seq("jk"))
+      .join(ndocs, Seq("lang"))
+      .join(broadcast(ntot), Seq("jk"))
+      .select(col("lang").as("cl"),
+        round(log(col("ndc").cast("double") / col("ndt")) * lit(1e6))
+          .cast("long").as("prior_li"),
+        round(log(lit(1.0) / (col("tc") + col("vn")).cast("double"))
+          * lit(1e6)).cast("long").as("def_li"),
+        (col("tc") + col("vn")).as("den"))
+    val condp = tfTrain
+      .join(classes.select(col("cl").as("lang"), col("den")), Seq("lang"))
+      .select(col("lang").as("cl2"), col("w").as("w2"),
+        round(log((col("m") + lit(1L)).cast("double") / col("den"))
+          * lit(1e6)).cast("long").as("li"))
+    val tTok = test
+      .select(col("doc_id"), col("lang"),
+        explode(split(trim(col("text")), "\\s+")).as("w"))
+      .filter(length(col("w")) > 0)
+      .groupBy(col("doc_id"), col("lang"), col("w"))
+      .agg(count(lit(1)).as("mm"))
+      .withColumn("jk", pmod(col("mm"), lit(1L)))
+    val expanded = tTok
+      .join(broadcast(classes
+        .select(col("cl"), col("def_li"))
+        .withColumn("jk", pmod(col("def_li"), lit(1L)))), Seq("jk"))
+      .join(broadcast(condp),
+        col("cl") === col("cl2") && col("w") === col("w2"), "left")
+      .select(col("doc_id"), col("lang"), col("cl"),
+        (col("mm") * coalesce(col("li"), col("def_li"))).as("term"))
+    val scores = expanded
+      .groupBy(col("doc_id"), col("lang"), col("cl"))
+      .agg(sum(col("term")).as("ssum"))
+      .join(broadcast(classes.select(col("cl"), col("prior_li"))), Seq("cl"))
+      .select(col("doc_id"), col("lang"),
+        col("cl"), (col("prior_li") + col("ssum")).as("score"))
+    val dm = scores.groupBy(col("doc_id")).agg(max(col("score")).as("ms"))
+    val pred = scores.join(dm, Seq("doc_id"))
+      .filter(col("score") === col("ms"))
+      .groupBy(col("doc_id"), col("lang")).agg(min(col("cl")).as("cl_pred"))
+    val perLang = pred.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("lang") === col("cl_pred"), 1L).otherwise(0L))
+          .cast("long").as("n_correct"))
+    perLang
+      .union(pred.groupBy(pmod(length(col("lang")), lit(1)).as("g"))
+        .agg(count(lit(1)).as("n_test"),
+          sum(when(col("lang") === col("cl_pred"), 1L).otherwise(0L))
+            .cast("long").as("n_correct"))
+        .select(lit("zz_all").as("lang"), col("n_test"), col("n_correct")))
+      .select(col("lang"), col("n_test"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n_test"), 6)
+          .as("accuracy"))
+      .orderBy(col("lang"))
+  }
+
+  private val o316 = """
+    WITH train AS MATERIALIZED (
+      SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 <> 0),
+    test AS MATERIALIZED (
+      SELECT doc_id, lang, text FROM documents WHERE doc_id % 5 = 0),
+    tf AS MATERIALIZED (
+      SELECT lang, w, CAST(count(*) AS BIGINT) AS m
+      FROM (SELECT lang,
+              unnest(string_split_regex(trim(text), '\s+')) AS w
+            FROM train)
+      WHERE length(w) > 0 GROUP BY lang, w),
+    tc AS (SELECT lang, CAST(sum(m) AS BIGINT) AS tc FROM tf GROUP BY lang),
+    vocab AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS vn FROM tf),
+    nd AS (SELECT lang, CAST(count(*) AS BIGINT) AS ndc
+           FROM train GROUP BY lang),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS ndt FROM train),
+    classes AS MATERIALIZED (
+      SELECT tc.lang AS cl,
+             CAST(round(ln(CAST(ndc AS DOUBLE) / ndt) * 1e6) AS BIGINT)
+               AS prior_li,
+             CAST(round(ln(1.0 / CAST(tc + vn AS DOUBLE)) * 1e6) AS BIGINT)
+               AS def_li,
+             tc + vn AS den
+      FROM tc JOIN nd ON nd.lang = tc.lang, vocab, nt),
+    condp AS MATERIALIZED (
+      SELECT tf.lang AS cl, w,
+             CAST(round(ln(CAST(m + 1 AS DOUBLE) / den) * 1e6) AS BIGINT)
+               AS li
+      FROM tf JOIN classes ON classes.cl = tf.lang),
+    ttok AS MATERIALIZED (
+      SELECT doc_id, lang, w, CAST(count(*) AS BIGINT) AS mm
+      FROM (SELECT doc_id, lang,
+              unnest(string_split_regex(trim(text), '\s+')) AS w
+            FROM test)
+      WHERE length(w) > 0 GROUP BY doc_id, lang, w),
+    scores AS MATERIALIZED (
+      SELECT t.doc_id, t.lang, c.cl,
+             CAST(c.prior_li
+               + sum(t.mm * COALESCE(p.li, c.def_li)) AS BIGINT) AS score
+      FROM ttok t
+      CROSS JOIN classes c
+      LEFT JOIN condp p ON p.cl = c.cl AND p.w = t.w
+      GROUP BY t.doc_id, t.lang, c.cl, c.prior_li),
+    dm AS (SELECT doc_id, max(score) AS ms FROM scores GROUP BY doc_id),
+    pred AS MATERIALIZED (
+      SELECT s.doc_id, s.lang, min(s.cl) AS cl_pred
+      FROM scores s JOIN dm ON dm.doc_id = s.doc_id AND s.score = dm.ms
+      GROUP BY s.doc_id, s.lang),
+    ev AS (
+      SELECT lang, CAST(count(*) AS BIGINT) AS n_test,
+             CAST(sum(CASE WHEN lang = cl_pred THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_correct
+      FROM pred GROUP BY lang
+      UNION ALL
+      -- HAVING: an empty test split must drop this row like Spark's
+      -- grouped aggregate does, not emit ('zz_all', 0, 0, NULL)
+      SELECT 'zz_all' AS lang, CAST(count(*) AS BIGINT) AS n_test,
+             CAST(sum(CASE WHEN lang = cl_pred THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_correct
+      FROM pred HAVING count(*) > 0)
+    SELECT lang, n_test, n_correct,
+           round(CAST(n_correct AS DOUBLE) / n_test, 6) AS accuracy
+    FROM ev ORDER BY lang"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q316_naive_bayes", q316, Some(o316)),
+    QueryDef("q311_ols_regression", q311, Some(o311)),
+    QueryDef("q312_cluster_agreement", q312, Some(o312)),
     QueryDef("q220_calibration_ece", q220, Some(o220)),
     QueryDef("q235_token_runs", q235, Some(o235)),
     QueryDef("q214_gazetteer_ner", q214, Some(o214)),

@@ -489,4 +489,65 @@ class InvariantSpec extends SparkTestBase {
       assert(r.isNullAt(r.fieldIndex("z_trend")), r.toString)
     }
   }
+
+  test("q311 OLS degenerate constant predictor: det=0, fit NULL, rows kept") {
+    withTempDir { dir =>
+      import spark.implicits._
+      // every doc has exactly 2 tokens -> x1 constant -> s11 = s12 = 0 ->
+      // det = 0: the singular normal system must yield NULL slopes/R² on
+      // both engines (Spark ANSI would otherwise still be fine — the /det
+      // is double — but the NULL contract is what the oracle CASE returns)
+      Seq((1L, "a bb", "en", "web", 4L), (2L, "cc d", "en", "web", 4L),
+          (3L, "ee fff", "en", "web", 6L), (4L, "g hh", "en", "web", 4L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      val rows = SparkEntry.queries("q311_ols_regression")(spark, dir)
+        .collect()
+      assert(rows.length == 1, rows.mkString("; "))
+      val r = rows.head
+      assert(r.getAs[Long]("n") == 4L, r.toString)
+      Seq("b0", "b1", "b2", "r2", "adj_r2").foreach(c =>
+        assert(r.isNullAt(r.fieldIndex(c)), s"$c: $r"))
+    }
+  }
+
+  test("q312 single-cluster degenerate: H=0 metrics NULL, purity 1") {
+    withTempDir { dir =>
+      import spark.implicits._
+      // one true class, one predicted class (no q32 markers -> everything
+      // argmaxes to 'en'): both entropies 0 and max-expected ARI denom 0 —
+      // every ratio metric NULL on both engines, purity exactly 1
+      Seq((1L, "xx yy", "en", "web", 5L), (2L, "zz ww", "en", "web", 5L),
+          (3L, "vv uu", "en", "web", 5L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      val rows = SparkEntry.queries("q312_cluster_agreement")(spark, dir)
+        .collect()
+      assert(rows.length == 1, rows.mkString("; "))
+      val r = rows.head
+      assert(r.getAs[Long]("n_docs") == 3L, r.toString)
+      assert(r.getAs[Double]("purity") == 1.0, r.toString)
+      Seq("ari", "nmi", "homogeneity", "completeness", "v_measure")
+        .foreach(c => assert(r.isNullAt(r.fieldIndex(c)), s"$c: $r"))
+    }
+  }
+
+  test("q314 Delta degenerate identical profiles: sd=0, delta NULL") {
+    withTempDir { dir =>
+      import spark.implicits._
+      // two sources with IDENTICAL texts -> every marker rate equal ->
+      // sd = 0 -> z NULL everywhere -> the pair row survives with
+      // n_markers = 0 and NULL delta on both engines (AVG's null-skip)
+      Seq((1L, "aa bb cc", "en", "s1", 8L), (2L, "aa bb cc", "en", "s2", 8L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      val rows = SparkEntry.queries("q314_burrows_delta")(spark, dir)
+        .collect()
+      assert(rows.length == 1, rows.mkString("; "))
+      val r = rows.head
+      assert(r.getAs[String]("source_a") == "s1", r.toString)
+      assert(r.getAs[Long]("n_markers") == 0L, r.toString)
+      assert(r.isNullAt(r.fieldIndex("delta")), r.toString)
+    }
+  }
 }
