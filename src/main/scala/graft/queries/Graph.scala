@@ -553,7 +553,17 @@ object Graph {
     */
   private val LpaRounds = 2
 
-  private def q315(s: SparkSession, d: String): DataFrame = {
+  /** Shared support-graph + synchronous-LPA run for q315 (per-round
+    * census) and q320 (modularity of the final assignment): returns
+    * (both-direction edge list, vertex set, label frames for rounds
+    * 0..[[LpaRounds]]). Every frame localCheckpoint-truncated.
+    */
+  /** The support-≥[[TriangleSupport]] co-purchase graph shared by
+    * q315/q320/q321: both-direction edge list + vertex set, both
+    * localCheckpoint-truncated.
+    */
+  private def supportGraph(s: SparkSession, d: String)
+      : (DataFrame, DataFrame) = {
     val op = lineitem(s, d)
       .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
       .distinct()
@@ -568,21 +578,21 @@ object Graph {
       .localCheckpoint(true)
     val verts = edges.select(col("a").as("v")).distinct()
       .localCheckpoint(true)
+    (edges, verts)
+  }
+
+  private def lpaRun(s: SparkSession, d: String)
+      : (DataFrame, DataFrame, Seq[DataFrame]) = {
+    val (edges, verts) = supportGraph(s, d)
     val seeds = part(s, d)
       .select(col("p_partkey").as("v"), col("p_brand").as("lab"))
       .filter(pmod(col("v"), lit(10L)) === 0L)
       .join(verts, Seq("v"))
       .localCheckpoint(true)
-    def census(r: Int, labels: DataFrame): DataFrame =
-      labels.groupBy(col("lab")).agg(count(lit(1)).as("n_nodes"))
-        .select(lit(r).as("round"), col("lab"), col("n_nodes"))
-        .union(verts.join(labels, Seq("v"), "left_anti")
-          .agg(count(lit(1)).as("n_nodes"))
-          .select(lit(r).as("round"), lit("zz_unlabeled").as("lab"),
-            col("n_nodes")))
     var labels = seeds
-    var out = census(0, labels)
-    for (r <- 1 to LpaRounds) {
+    val rounds = Seq.newBuilder[DataFrame]
+    rounds += labels
+    for (_ <- 1 to LpaRounds) {
       val cnt = edges
         .join(labels.select(col("v").as("b"), col("lab")), Seq("b"))
         .groupBy(col("a").as("v"), col("lab"))
@@ -594,16 +604,31 @@ object Graph {
       labels = seeds
         .union(picked.join(seeds.select(col("v")), Seq("v"), "left_anti"))
         .localCheckpoint(true)
-      out = out.union(census(r, labels))
+      rounds += labels
     }
-    out.orderBy(col("round"), col("lab"))
+    (edges, verts, rounds.result())
   }
 
-  /** Unrolled synchronous LPA oracle; every round frame is referenced
-    * by the next round AND its census row, so `AS MATERIALIZED`
+  private def q315(s: SparkSession, d: String): DataFrame = {
+    val (_, verts, rounds) = lpaRun(s, d)
+    def census(r: Int, labels: DataFrame): DataFrame =
+      labels.groupBy(col("lab")).agg(count(lit(1)).as("n_nodes"))
+        .select(lit(r).as("round"), col("lab"), col("n_nodes"))
+        .union(verts.join(labels, Seq("v"), "left_anti")
+          .agg(count(lit(1)).as("n_nodes"))
+          .select(lit(r).as("round"), lit("zz_unlabeled").as("lab"),
+            col("n_nodes")))
+    rounds.zipWithIndex
+      .map { case (labels, r) => census(r, labels) }
+      .reduce(_.union(_))
+      .orderBy(col("round"), col("lab"))
+  }
+
+  /** Shared unrolled-LPA CTE prefix for o315/o320; every round frame is
+    * referenced by the next round AND its readout, so `AS MATERIALIZED`
     * everywhere (the q310 CTE-inlining lesson).
     */
-  private def o315: String = {
+  private def lpaCtes: String = {
     val rounds = (1 to LpaRounds).map { r =>
       s"""c$r AS (SELECT e.a AS v, l.lab, count(*) AS cnt
               FROM edges e JOIN l${r - 1} l ON l.v = e.b GROUP BY 1, 2),
@@ -617,15 +642,7 @@ object Graph {
               SELECT v, lab FROM p$r
               WHERE v NOT IN (SELECT v FROM seeds))"""
     }.mkString(",\n       ")
-    val rows = (0 to LpaRounds).map { r =>
-      s"""SELECT $r AS round, lab, CAST(count(*) AS BIGINT) AS n_nodes
-          FROM l$r GROUP BY lab
-          UNION ALL
-          SELECT $r AS round, 'zz_unlabeled' AS lab,
-                 CAST(count(*) AS BIGINT) AS n_nodes
-          FROM verts WHERE v NOT IN (SELECT v FROM l$r)"""
-    }.mkString("\n       UNION ALL\n       ")
-    s"""WITH op AS MATERIALIZED (
+    s"""op AS MATERIALIZED (
          SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
        e0 AS MATERIALIZED (
          SELECT x.p AS a, y.p AS b
@@ -640,14 +657,229 @@ object Graph {
            WHERE p_partkey % 10 = 0) sp
          JOIN verts USING (v)),
        l0 AS MATERIALIZED (SELECT v, lab FROM seeds),
-       $rounds
+       $rounds"""
+  }
+
+  private def o315: String = {
+    val rows = (0 to LpaRounds).map { r =>
+      s"""SELECT $r AS round, lab, CAST(count(*) AS BIGINT) AS n_nodes
+          FROM l$r GROUP BY lab
+          UNION ALL
+          SELECT $r AS round, 'zz_unlabeled' AS lab,
+                 CAST(count(*) AS BIGINT) AS n_nodes
+          FROM verts WHERE v NOT IN (SELECT v FROM l$r)"""
+    }.mkString("\n       UNION ALL\n       ")
+    s"""WITH $lpaCtes
        $rows
        ORDER BY round, lab"""
   }
 
+  /** q320: Newman modularity of the q315 label-propagation assignment
+    * (Newman & Girvan 2004) — Q = Σ_c [in_c/2m − (d_c/2m)²] over the
+    * final LPA communities, each unlabeled vertex its own singleton
+    * (rolled up into one report row: singletons contribute no within
+    * edges, only the −(d/2m)² null-model mass). The acceptance gate for
+    * ANY community assignment: LPA labels are only worth propagating
+    * into the catalog if Q clears the null model, and per-community
+    * q_contrib shows which brands form real co-purchase blocks.
+    *
+    * Exactness: within-community edge counts, degree sums, and the
+    * singleton Σdeg² are exact int64; every contribution is a fixed
+    * IEEE dag on those ints (squares and ratios, no transcendentals);
+    * the total-Q fold crosses ≤ |brands|+2 rounded-at-6 terms.
+    *
+    * Scale shape: two vertex-key equi-joins tag edge endpoints with
+    * communities, then one hash aggregation each for within-counts and
+    * degree mass — all corpus-linear in edges; the report frame is
+    * label-bounded.
+    */
+  private def q320(s: SparkSession, d: String): DataFrame = {
+    val (edges, verts, rounds) = lpaRun(s, d)
+    val labels = rounds.last
+    val comm = verts.join(labels, Seq("v"), "left")
+      .select(col("v"),
+        coalesce(col("lab"), concat(lit("u"), col("v"))).as("c"))
+      .localCheckpoint(true)
+    val deg = edges.groupBy(col("a").as("v")).agg(count(lit(1)).as("deg"))
+    val m2 = edges.groupBy(pmod(col("a"), lit(1L)).as("jk"))
+      .agg(count(lit(1)).as("m2"))
+    val within = edges
+      .join(comm.select(col("v").as("a"), col("c").as("ca")), Seq("a"))
+      .join(comm.select(col("v").as("b"), col("c").as("cb")), Seq("b"))
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("c")).agg(count(lit(1)).as("in2"))
+    val cs = comm.join(deg, Seq("v"))
+      .groupBy(col("c"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("dsum"),
+        sum(col("deg") * col("deg")).as("dsum2"))
+      .join(within, Seq("c"), "left")
+      .withColumn("in2", coalesce(col("in2"), lit(0L)))
+      .withColumn("jk", pmod(col("n_nodes"), lit(1L)))
+      .join(broadcast(m2), Seq("jk"))
+      .localCheckpoint(true)
+    val named = cs.filter(!col("c").startsWith("u"))
+      .select(col("c").as("community"), col("n_nodes"),
+        expr("in2 DIV 2").as("in_edges"), col("dsum").as("deg_sum"),
+        round(col("in2").cast("double") / col("m2")
+          - col("dsum").cast("double") * col("dsum")
+            / (col("m2").cast("double") * col("m2")), 6).as("q_contrib"))
+    val sing = cs.filter(col("c").startsWith("u"))
+      .groupBy(col("jk"))
+      .agg(sum(col("n_nodes")).as("n_nodes"), sum(col("dsum")).as("dsum"),
+        sum(col("dsum2")).as("dsum2"), max(col("m2")).as("m2x"))
+      .select(lit("zz_singletons").as("community"), col("n_nodes"),
+        lit(0L).as("in_edges"), col("dsum").as("deg_sum"),
+        round(-(col("dsum2").cast("double")
+          / (col("m2x").cast("double") * col("m2x"))), 6).as("q_contrib"))
+    val total = named.select(col("n_nodes"), col("in_edges"),
+        col("deg_sum"), col("q_contrib"))
+      .union(sing.select(col("n_nodes"), col("in_edges"), col("deg_sum"),
+        col("q_contrib")))
+      .groupBy(pmod(col("n_nodes"), lit(1L)).as("jk"))
+      .agg(sum(col("n_nodes")).as("n_nodes"),
+        sum(col("in_edges")).as("in_edges"),
+        sum(col("deg_sum")).as("deg_sum"),
+        round(sum(col("q_contrib")), 6).as("q_contrib"))
+      .select(lit("zz_total").as("community"), col("n_nodes"),
+        col("in_edges"), col("deg_sum"), col("q_contrib"))
+    named.union(sing).union(total).orderBy(col("community"))
+  }
+
+  private def o320: String =
+    s"""WITH $lpaCtes,
+       comm AS MATERIALIZED (
+         SELECT verts.v, COALESCE(l.lab, 'u' || CAST(verts.v AS VARCHAR))
+           AS c
+         FROM verts LEFT JOIN l$LpaRounds l ON l.v = verts.v),
+       deg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS deg
+               FROM edges GROUP BY a),
+       mm AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM edges),
+       within AS (
+         SELECT ca.c, CAST(count(*) AS BIGINT) AS in2
+         FROM edges e
+         JOIN comm ca ON ca.v = e.a
+         JOIN comm cb ON cb.v = e.b
+         WHERE ca.c = cb.c GROUP BY ca.c),
+       cs AS MATERIALIZED (
+         SELECT g.c, g.n_nodes, g.dsum, g.dsum2,
+                COALESCE(w.in2, 0) AS in2, mm.m2
+         FROM (SELECT c, CAST(count(*) AS BIGINT) AS n_nodes,
+                      CAST(sum(deg) AS BIGINT) AS dsum,
+                      CAST(sum(deg * deg) AS BIGINT) AS dsum2
+               FROM comm JOIN deg USING (v) GROUP BY c) g
+         LEFT JOIN within w ON w.c = g.c, mm),
+       named AS (
+         SELECT c AS community, n_nodes, in2 // 2 AS in_edges,
+                dsum AS deg_sum,
+                round(CAST(in2 AS DOUBLE) / m2
+                  - CAST(dsum AS DOUBLE) * CAST(dsum AS DOUBLE)
+                    / (CAST(m2 AS DOUBLE) * m2), 6) AS q_contrib
+         FROM cs WHERE c NOT LIKE 'u%'),
+       sing AS (
+         SELECT 'zz_singletons' AS community,
+                CAST(sum(n_nodes) AS BIGINT) AS n_nodes,
+                CAST(0 AS BIGINT) AS in_edges,
+                CAST(sum(dsum) AS BIGINT) AS deg_sum,
+                round(-(CAST(sum(dsum2) AS DOUBLE)
+                  / (CAST(max(m2) AS DOUBLE) * max(m2))), 6) AS q_contrib
+         FROM cs WHERE c LIKE 'u%'
+         -- HAVING: zero singletons must drop the row like Spark's
+         -- grouped aggregate does, not emit NULL sums
+         HAVING count(*) > 0),
+       allrows AS (SELECT * FROM named UNION ALL SELECT * FROM sing)
+       SELECT * FROM allrows
+       UNION ALL
+       SELECT 'zz_total' AS community,
+              CAST(sum(n_nodes) AS BIGINT) AS n_nodes,
+              CAST(sum(in_edges) AS BIGINT) AS in_edges,
+              CAST(sum(deg_sum) AS BIGINT) AS deg_sum,
+              round(sum(q_contrib), 6) AS q_contrib
+       FROM allrows HAVING count(*) > 0
+       ORDER BY community"""
+
+  /** q321: degree assortativity of the co-purchase support graph
+    * (Newman 2002) — the Pearson correlation of endpoint degrees over
+    * the edge list: positive r means hubs wire to hubs (a dense rich
+    * club that co-purchase recommendations over-concentrate on),
+    * negative means hub-periphery. One number that says which failure
+    * mode a graph-driven recommender is exposed to.
+    *
+    * Exactness: all five moment sums (Σjk, Σj, Σj² over the
+    * both-direction edge list, which makes j/k symmetric) are exact
+    * int64; r is a fixed IEEE dag, NULL on the regular-graph degenerate
+    * (zero degree variance) in both engines.
+    *
+    * Scale shape: degree frame by one hash agg, two vertex-key
+    * equi-joins to tag endpoints, one global moment aggregation —
+    * corpus-linear in edges, output is a single row.
+    */
+  private def q321(s: SparkSession, d: String): DataFrame = {
+    val (edges, verts) = supportGraph(s, d)
+    val deg = edges.groupBy(col("a").as("v")).agg(count(lit(1)).as("deg"))
+    val tagged = edges
+      .join(deg.select(col("v").as("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("v").as("b"), col("deg").as("db")), Seq("b"))
+    val nv = verts.groupBy(pmod(col("v"), lit(1L)).as("jk"))
+      .agg(count(lit(1)).as("n_nodes"))
+    tagged
+      .groupBy(pmod(col("da"), lit(1L)).as("jk"))
+      .agg(count(lit(1)).as("m2"),
+        sum(col("da") * col("db")).as("sjk"),
+        sum(col("da")).as("sj"),
+        sum(col("da") * col("da")).as("sj2"))
+      .join(broadcast(nv), Seq("jk"))
+      .select(col("n_nodes"), expr("m2 DIV 2").as("n_edges"),
+        round(col("sj").cast("double") / col("n_nodes"), 4).as("avg_deg"),
+        round(when(col("sj2").cast("double") / col("m2")
+            - (col("sj").cast("double") / col("m2"))
+              * (col("sj").cast("double") / col("m2")) =!= 0.0,
+          (col("sjk").cast("double") / col("m2")
+            - (col("sj").cast("double") / col("m2"))
+              * (col("sj").cast("double") / col("m2")))
+            / (col("sj2").cast("double") / col("m2")
+              - (col("sj").cast("double") / col("m2"))
+                * (col("sj").cast("double") / col("m2")))), 6)
+          .as("r_assort"))
+  }
+
+  private def o321: String =
+    s"""WITH op AS MATERIALIZED (
+         SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       e0 AS MATERIALIZED (
+         SELECT x.p AS a, y.p AS b
+         FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+         GROUP BY 1, 2 HAVING count(*) >= $TriangleSupport),
+       edges AS MATERIALIZED (
+         SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+       verts AS MATERIALIZED (SELECT DISTINCT a AS v FROM edges),
+       deg AS (SELECT a AS v, CAST(count(*) AS BIGINT) AS deg
+               FROM edges GROUP BY a),
+       nv AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM verts),
+       mom AS (
+         SELECT CAST(count(*) AS BIGINT) AS m2,
+                CAST(sum(da.deg * db.deg) AS BIGINT) AS sjk,
+                CAST(sum(da.deg) AS BIGINT) AS sj,
+                CAST(sum(da.deg * da.deg) AS BIGINT) AS sj2
+         FROM edges e
+         JOIN deg da ON da.v = e.a
+         JOIN deg db ON db.v = e.b)
+       SELECT n_nodes, m2 // 2 AS n_edges,
+              round(CAST(sj AS DOUBLE) / n_nodes, 4) AS avg_deg,
+              round(CASE WHEN CAST(sj2 AS DOUBLE) / m2
+                  - (CAST(sj AS DOUBLE) / m2) * (CAST(sj AS DOUBLE) / m2)
+                  <> 0.0 THEN
+                (CAST(sjk AS DOUBLE) / m2
+                  - (CAST(sj AS DOUBLE) / m2) * (CAST(sj AS DOUBLE) / m2))
+                / (CAST(sj2 AS DOUBLE) / m2
+                  - (CAST(sj AS DOUBLE) / m2)
+                    * (CAST(sj AS DOUBLE) / m2)) END, 6) AS r_assort
+       FROM mom, nv"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q313_hits_scores", q313, Some(o313)),
     QueryDef("q315_label_propagation", q315, Some(o315)),
+    QueryDef("q320_lpa_modularity", q320, Some(o320)),
+    QueryDef("q321_assortativity", q321, Some(o321)),
     QueryDef("q310_kcore_peel", q310, Some(o310)),
     QueryDef("q136_triangle_count", q136, Some(o136)),
     QueryDef("q137_copurchase_similarity", q137, Some(o137)),
