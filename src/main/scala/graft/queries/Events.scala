@@ -4096,12 +4096,12 @@ object Events {
     * day-grain frame (the spec-sanctioned q152 shape), never over raw
     * events.
     */
-  private val SprtP0 = 0.02
-  private val SprtP1 = 0.04
-  private val SprtLa = math.round(math.log(SprtP1 / SprtP0) * 1e6)
-  private val SprtLb =
+  private[graft] val SprtP0 = 0.02
+  private[graft] val SprtP1 = 0.04
+  private[graft] val SprtLa = math.round(math.log(SprtP1 / SprtP0) * 1e6)
+  private[graft] val SprtLb =
     math.round(math.log((1.0 - SprtP1) / (1.0 - SprtP0)) * 1e6)
-  private val SprtUp = math.round(math.log(19.0) * 1e6)
+  private[graft] val SprtUp = math.round(math.log(19.0) * 1e6)
 
   private def q318(s: SparkSession, d: String): DataFrame = {
     val dayUs = 86400000000L
