@@ -27,6 +27,7 @@ import graft.ner.Ner
   * through the Column API:
   *
   *   - `jaro_winkler(s1, s2)` — [[graft.functions.JaroWinklerExpression]]
+  *   - `damerau_levenshtein(s1, s2)` — [[graft.functions.DamerauLevenshteinExpression]]
   *   - `minhash_signature(text)` — [[graft.functions.MinHashSignatureExpression]]
   *   - `simhash(text)` — [[graft.functions.SimHashExpression]]
   *   - `rolling_hash(text)` — [[graft.functions.RollingHashExpression]]
@@ -96,6 +97,11 @@ object GraftExtensions {
     "jaro_winkler" -> (classOf[JaroWinklerExpression].getName,
       (cs: Seq[Expression]) => {
         arity("jaro_winkler", cs, 2); JaroWinklerExpression(cs(0), cs(1))
+      }),
+    "damerau_levenshtein" -> (classOf[DamerauLevenshteinExpression].getName,
+      (cs: Seq[Expression]) => {
+        arity("damerau_levenshtein", cs, 2)
+        DamerauLevenshteinExpression(cs(0), cs(1))
       }),
     "minhash_signature" -> (classOf[MinHashSignatureExpression].getName,
       (cs: Seq[Expression]) => {

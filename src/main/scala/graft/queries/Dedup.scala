@@ -1886,6 +1886,59 @@ object Dedup {
        FROM pairs
        ORDER BY name_a, name_b"""
 
+  /** q322: Damerau–Levenshtein transposition-aware re-scoring of the ED-Join
+    * candidates — the typo-model refinement of q181's plain-Levenshtein
+    * verification: adjacent-character swaps are the dominant human typo
+    * class (Damerau '64), and plain Levenshtein charges them 2 edits. Each
+    * verified pair gets the FULL (unrestricted, Lowrance–Wagner '75)
+    * Damerau–Levenshtein distance from the native codegen'd
+    * [[graft.functions.DamerauLevenshteinExpression]] (Spark has
+    * `levenshtein` built in but no transposition-aware variant — the gap
+    * the expression fills), the transposition gain `dist − dl` (>0 exactly
+    * on the swap-explained pairs), and a DL-first partner rank.
+    *
+    * Oracle: DuckDB's BUILT-IN `damerau_levenshtein` over the same pairs —
+    * like q281, the kernel's variant choice (full DL, probed
+    * DL("CA","ABC")=2, NOT the restricted OSA's 3) is hash-verified against
+    * an independent implementation rather than a re-derivation.
+    *
+    * Scale shape: inherited unchanged from q181/q281 — vocabulary
+    * aggregation is the only corpus-scale stage, candidates are lossless
+    * rare-prefix-gram pairs, DL is O(len²) per candidate inside
+    * whole-stage codegen, and the rank window partitions by name_a
+    * (vocabulary-cardinality, not bounded) over the candidate frame.
+    */
+  private def q322(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (names, verified) = edNamePairs(s, d)
+    val scored = verified.select(col("name_a"), col("name_b"), col("dist"),
+      graft.functions.DamerauLevenshteinExpression
+        .damerauLevenshtein(col("name_a"), col("name_b")).as("dl"))
+    val out = scored
+      .withColumn("transposition_gain", (col("dist") - col("dl")).cast("int"))
+      .withColumn("dl_rank", rank().over(
+        Window.partitionBy(col("name_a"))
+          .orderBy(col("dl").asc, col("name_b").asc)).cast("int"))
+      .orderBy(col("name_a"), col("name_b"))
+    Cached.scopedTo(out, names)
+  }
+
+  private def o322: String =
+    s"""WITH n AS (SELECT DISTINCT p_name AS name FROM part),
+       pairs AS (
+         SELECT a.name AS name_a, b.name AS name_b,
+                CAST(levenshtein(a.name, b.name) AS INT) AS dist,
+                CAST(damerau_levenshtein(a.name, b.name) AS INT) AS dl
+         FROM n a JOIN n b ON a.name < b.name
+         WHERE levenshtein(a.name, b.name) <= $EdK
+           AND abs(length(a.name) - length(b.name)) <= $EdK)
+       SELECT name_a, name_b, dist, dl,
+              CAST(dist - dl AS INT) AS transposition_gain,
+              CAST(rank() OVER (PARTITION BY name_a
+                                ORDER BY dl, name_b) AS INT) AS dl_rank
+       FROM pairs
+       ORDER BY name_a, name_b"""
+
   /** q275: segment-dedup survivor shift — q274's acceptance audit applied to
     * the SEGMENT-grain pass (q141's CCNet paragraph dedup), where removal is
     * far heavier than whole-document dedup and the demographic question is
@@ -2098,6 +2151,7 @@ object Dedup {
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q181_editdist_join", q181, Some(o181)),
     QueryDef("q281_jaro_winkler_rank", q281, Some(o281)),
+    QueryDef("q322_damerau_levenshtein_rank", q322, Some(o322)),
     QueryDef("q218_er_golden_record", q218, Some(o218)),
     QueryDef("q231_containment", q231, Some(o231)),
     QueryDef("q236_source_minhash_merge", q236, Some(o236)),

@@ -728,6 +728,121 @@ object Events {
     * derives from integer counts by identical arithmetic, sqrt is
     * IEEE-exact (unlike ln/exp), so round(z, 6) is safe.
     */
+  /** Replicate count for q326 — fixed, so permutation work is a constant
+    * ×(B+1) expansion of the user frame at any corpus size. */
+  private val PermB = 64
+
+  /** q326: derandomized permutation test of the A/B conversion difference —
+    * the assumption-free significance readout beside q187's normal-theory z
+    * (exact under the sharp null with NO variance model, valid at any n)
+    * and the inferential twin of q257's derandomized bootstrap: replicate
+    * b re-assigns every user by the md5(user:b) coin, the null
+    * distribution is the [[PermB]] re-assigned conversion differences, and
+    * p = (1 + #{|diff_b| ≥ |diff_obs|}) / (B+1) (the add-one
+    * Phipson–Smyth estimator — never exactly zero, unbiased under the
+    * null). md5-derandomization makes the "random" permutations
+    * deterministic, auditable, and ORACLE-CHECKABLE — the same stance as
+    * q257/q187/q105.
+    *
+    * Cross-engine: all counts exact int64; each replicate's diff is the
+    * identical two-division IEEE dag of exact ints, so the |diff_b| ≥
+    * |diff_obs| comparisons are bit-deterministic (no transcendentals
+    * anywhere); p is one exact-int division rounded at 6. Scale shape: one
+    * corpus-linear user rollup, a constant ×(B+1) explode, one hash
+    * aggregation to the (B+1)-row replicate frame — everything after is
+    * frame-bounded. No windows.
+    */
+  private def q326(s: SparkSession, d: String): DataFrame = {
+    val users = events(s, d)
+      .groupBy(col("user_id"))
+      .agg(max(when(col("event_type") === "purchase" && col("value") > 150,
+        1).otherwise(0)).as("converted"))
+    val reps = users
+      .select(col("user_id"), col("converted"),
+        explode(sequence(lit(0), lit(PermB))).as("b"))
+      .withColumn("coin", when(col("b") === 0,
+        substring(md5(col("user_id").cast("string")), 1, 1))
+        .otherwise(substring(md5(concat(col("user_id").cast("string"),
+          lit(":"), col("b").cast("string"))), 1, 1)))
+      .withColumn("arm", when(col("coin") < "8", "A").otherwise("B"))
+      .groupBy(col("b"))
+      .agg(sum(when(col("arm") === "A", 1L).otherwise(0L)).cast("long")
+          .as("n_a"),
+        sum(when(col("arm") === "B", 1L).otherwise(0L)).cast("long")
+          .as("n_b"),
+        sum(when(col("arm") === "A", col("converted")).otherwise(0L))
+          .cast("long").as("conv_a"),
+        sum(when(col("arm") === "B", col("converted")).otherwise(0L))
+          .cast("long").as("conv_b"))
+      .withColumn("diff", when(col("n_a") > 0 && col("n_b") > 0,
+        col("conv_a").cast("double") / col("n_a").cast("double")
+          - col("conv_b").cast("double") / col("n_b").cast("double")))
+    val obs = reps.filter(col("b") === 0)
+      .select(abs(col("diff")).as("adiff_obs"),
+        pmod(col("n_a"), lit(1L)).as("jk"))
+    val flagged = reps.withColumn("jk", pmod(col("n_a"), lit(1L)))
+      .join(broadcast(obs), Seq("jk"))
+      .withColumn("exceeds", when(col("b") === 0, lit(null).cast("int"))
+        .otherwise((abs(col("diff")) >= col("adiff_obs")).cast("int")))
+    val p = flagged.filter(col("b") >= 1)
+      .agg(sum(col("exceeds")).cast("long").as("n_exceed"))
+      .select(col("n_exceed"),
+        round((lit(1L) + col("n_exceed")).cast("double")
+          / lit((PermB + 1).toDouble), 6).as("p_perm"),
+        pmod(col("n_exceed"), lit(1L)).as("jk"))
+    flagged.join(broadcast(p), Seq("jk"))
+      .select(col("b"), col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+        round(col("diff"), 8).as("diff"), col("exceeds"),
+        col("n_exceed"), col("p_perm"))
+      .orderBy(col("b"))
+  }
+
+  private val o326 = s"""
+    WITH users AS MATERIALIZED (
+      SELECT user_id,
+             max(CASE WHEN event_type = 'purchase' AND value > 150
+                 THEN 1 ELSE 0 END) AS converted
+      FROM events GROUP BY user_id),
+    reps AS MATERIALIZED (
+      SELECT b,
+             CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b,
+             CAST(sum(CASE WHEN arm = 'A' THEN converted ELSE 0 END)
+               AS BIGINT) AS conv_a,
+             CAST(sum(CASE WHEN arm = 'B' THEN converted ELSE 0 END)
+               AS BIGINT) AS conv_b
+      FROM (
+        SELECT converted, b,
+               CASE WHEN (CASE WHEN b = 0
+                   THEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1)
+                   ELSE substr(md5(CAST(user_id AS VARCHAR) || ':'
+                     || CAST(b AS VARCHAR)), 1, 1) END) < '8'
+                 THEN 'A' ELSE 'B' END AS arm
+        FROM (SELECT user_id, converted,
+                unnest(generate_series(0, $PermB)) AS b
+              FROM users))
+      GROUP BY b),
+    diffs AS MATERIALIZED (
+      SELECT *, CASE WHEN n_a > 0 AND n_b > 0 THEN
+               CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                 - CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) END AS diff
+      FROM reps),
+    obs AS (SELECT abs(diff) AS adiff_obs FROM diffs WHERE b = 0),
+    flagged AS MATERIALIZED (
+      SELECT d.*, CASE WHEN d.b = 0 THEN NULL
+               ELSE CAST(abs(d.diff) >= o.adiff_obs AS INT) END AS exceeds
+      FROM diffs d, obs o),
+    p AS (
+      SELECT CAST(sum(exceeds) AS BIGINT) AS n_exceed,
+             round(CAST(1 + sum(exceeds) AS DOUBLE)
+               / ${(PermB + 1).toDouble}, 6) AS p_perm
+      FROM flagged WHERE b >= 1)
+    SELECT f.b, f.n_a, f.n_b, f.conv_a, f.conv_b,
+           round(f.diff, 8) AS diff, f.exceeds, p.n_exceed, p.p_perm
+    FROM flagged f, p ORDER BY f.b"""
+
   private def q187(s: SparkSession, d: String): DataFrame = {
     val users = events(s, d)
       .groupBy(col("user_id"))
@@ -1841,6 +1956,149 @@ object Events {
     SELECT s.age_w, s.n_surviving, tot.n_users,
            round(s.n_surviving / CAST(tot.n_users AS DOUBLE), 6) AS survival
     FROM surv s, tot ORDER BY s.age_w"""
+
+  /** q325: log-rank test comparing the two md5 arms' survival curves — the
+    * SIGNIFICANCE companion to q240's Kaplan–Meier-style curve (Mantel '66;
+    * Peto '72): q240 draws retention, the log-rank test says whether two
+    * cohorts' retention actually differs, conditioning on the risk set at
+    * each event time — the censoring-correct way (a mean-lifetime t-test
+    * is biased the moment follow-up windows differ). Users split by the
+    * q187 md5 coin; a user "dies" at their observed lifetime week unless
+    * their last event falls in the corpus's final week (administratively
+    * CENSORED — still at risk through their window, but never an event).
+    * Per death-week j: at-risk N_aj, deaths O_aj, hypergeometric
+    * E_Aj = O_j·N_Aj/N_j and variance V_j; Z = (ΣO_A − ΣE_A)/√ΣV.
+    *
+    * Cross-engine: risk/death counts exact int64 (integer week buckets,
+    * the q240 recipe); E/V are fixed division dags of exact ints rounded
+    * at 12, and the three sums fold in week order on the bounded
+    * death-week frame (the q300 sorted-fold recipe); single-at-risk weeks
+    * contribute V = 0 via an explicit n_j > 1 guard and an all-censored
+    * corpus yields NULL z on both engines (ΣV = 0 guard). Scale shape:
+    * one corpus-linear user rollup, a ≤lifetime-weeks bounded explode
+    * (q240's), then everything lives on the week frame.
+    */
+  private def q325(s: SparkSession, d: String): DataFrame = {
+    val weekUs = 7L * 86400 * 1000000
+    val base = events(s, d)
+      .groupBy(col("user_id"))
+      .agg(expr(s"min(ts DIV 1000) DIV $weekUs").as("first_w"),
+        expr(s"max(ts DIV 1000) DIV $weekUs").as("last_w"))
+      .withColumn("lifetime_w", col("last_w") - col("first_w"))
+      .withColumn("arm",
+        when(substring(md5(col("user_id").cast("string")), 1, 1) < "8", "A")
+          .otherwise("B"))
+    val gm = base.agg(max(col("last_w")).as("gmax_w"))
+      .withColumn("jk", pmod(col("gmax_w"), lit(1L)))
+    val tagged = base.withColumn("jk", pmod(col("last_w"), lit(1L)))
+      .join(broadcast(gm), Seq("jk"))
+      .withColumn("died", (col("last_w") < col("gmax_w")).cast("int"))
+    val risk = tagged
+      .select(col("arm"), explode(sequence(lit(0L), col("lifetime_w")))
+        .as("age_w"))
+      .groupBy(col("age_w"))
+      .agg(sum(when(col("arm") === "A", 1L).otherwise(0L)).cast("long")
+          .as("n_a"),
+        sum(when(col("arm") === "B", 1L).otherwise(0L)).cast("long")
+          .as("n_b"))
+    val deaths = tagged.filter(col("died") === 1)
+      .groupBy(col("lifetime_w").as("age_w"))
+      .agg(sum(when(col("arm") === "A", 1L).otherwise(0L)).cast("long")
+          .as("o_a"),
+        sum(when(col("arm") === "B", 1L).otherwise(0L)).cast("long")
+          .as("o_b"))
+    val weeks = deaths.join(risk, Seq("age_w"))
+      .withColumn("n_j", col("n_a") + col("n_b"))
+      .withColumn("o_j", col("o_a") + col("o_b"))
+      .withColumn("e_a", round(
+        col("o_j").cast("double") * col("n_a") / col("n_j"), 12))
+      .withColumn("v", when(col("n_j") > 1, round(
+        (col("o_j").cast("double") * col("n_a") / col("n_j"))
+          * (lit(1.0) - col("n_a").cast("double") / col("n_j"))
+          * (col("n_j") - col("o_j")) / (col("n_j") - lit(1)), 12))
+        .otherwise(lit(0.0)))
+    val totals = weeks.agg(
+      sum(col("o_a")).cast("long").as("so_a"),
+      expr("""aggregate(array_sort(collect_list(struct(age_w, e_a))),
+             cast(0.0 as double), (a, x) -> a + x.e_a)""").as("se_a"),
+      expr("""aggregate(array_sort(collect_list(struct(age_w, v))),
+             cast(0.0 as double), (a, x) -> a + x.v)""").as("sv"))
+      .withColumn("z_raw", when(col("sv") > 0,
+        (col("so_a").cast("double") - col("se_a")) / sqrt(col("sv"))))
+      .select(col("so_a"), round(col("se_a"), 6).as("sum_e_a"),
+        round(col("sv"), 6).as("sum_v"),
+        round(col("z_raw"), 6).as("z"),
+        round(col("z_raw") * col("z_raw"), 6).as("chi2"),
+        pmod(col("so_a"), lit(1L)).as("jk"))
+    weeks.withColumn("jk", pmod(col("o_j"), lit(1L)))
+      .join(broadcast(totals), Seq("jk"))
+      .select(col("age_w"), col("n_a"), col("n_b"), col("o_a"), col("o_b"),
+        round(col("e_a"), 8).as("e_a"), round(col("v"), 8).as("v"),
+        col("so_a").as("sum_o_a"), col("sum_e_a"), col("sum_v"),
+        col("z"), col("chi2"))
+      .orderBy(col("age_w"))
+  }
+
+  private val o325 = """
+    WITH base AS MATERIALIZED (
+      SELECT user_id,
+             min(epoch_us(ts)) // 604800000000 AS first_w,
+             max(epoch_us(ts)) // 604800000000 AS last_w
+      FROM events GROUP BY user_id),
+    armed AS (
+      SELECT user_id, first_w, last_w, last_w - first_w AS lifetime_w,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS arm,
+             CASE WHEN last_w < (SELECT max(last_w) FROM base)
+                  THEN 1 ELSE 0 END AS died
+      FROM base),
+    risk AS (
+      SELECT age_w,
+             CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_a,
+             CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_b
+      FROM (SELECT arm, unnest(generate_series(0, lifetime_w)) AS age_w
+            FROM armed)
+      GROUP BY age_w),
+    deaths AS (
+      SELECT lifetime_w AS age_w,
+             CAST(sum(CASE WHEN arm = 'A' THEN 1 ELSE 0 END) AS BIGINT)
+               AS o_a,
+             CAST(sum(CASE WHEN arm = 'B' THEN 1 ELSE 0 END) AS BIGINT)
+               AS o_b
+      FROM armed WHERE died = 1 GROUP BY lifetime_w),
+    weeks AS (
+      SELECT d.age_w, r.n_a, r.n_b, d.o_a, d.o_b,
+             r.n_a + r.n_b AS n_j, d.o_a + d.o_b AS o_j
+      FROM deaths d JOIN risk r USING (age_w)),
+    ev AS MATERIALIZED (
+      SELECT *,
+             round(CAST(o_j AS DOUBLE) * n_a / n_j, 12) AS e_a,
+             CASE WHEN n_j > 1 THEN round(
+               (CAST(o_j AS DOUBLE) * n_a / n_j)
+                 * (1.0 - CAST(n_a AS DOUBLE) / n_j)
+                 * (n_j - o_j) / (n_j - 1), 12)
+             ELSE 0.0 END AS v
+      FROM weeks),
+    tot AS (
+      SELECT CAST(sum(o_a) AS BIGINT) AS so_a,
+             list_sum(list(e_a ORDER BY age_w)) AS se_a,
+             list_sum(list(v ORDER BY age_w)) AS sv
+      FROM ev),
+    fin AS (
+      SELECT so_a, round(se_a, 6) AS sum_e_a, round(sv, 6) AS sum_v,
+             round(CASE WHEN sv > 0
+               THEN (CAST(so_a AS DOUBLE) - se_a) / sqrt(sv) END, 6) AS z,
+             round(CASE WHEN sv > 0
+               THEN ((CAST(so_a AS DOUBLE) - se_a) / sqrt(sv))
+                  * ((CAST(so_a AS DOUBLE) - se_a) / sqrt(sv)) END, 6)
+               AS chi2
+      FROM tot)
+    SELECT ev.age_w, ev.n_a, ev.n_b, ev.o_a, ev.o_b,
+           round(ev.e_a, 8) AS e_a, round(ev.v, 8) AS v,
+           fin.so_a AS sum_o_a, fin.sum_e_a, fin.sum_v, fin.z, fin.chi2
+    FROM ev, fin ORDER BY ev.age_w"""
 
   /** Panel size for q246: the Theil–Sen estimator is O(n²) pairs per key,
     * so the trend is fit on each type's first $TsPanel events (a FIXED
@@ -4273,6 +4531,7 @@ object Events {
     QueryDef("q260_roc_auc", q260, Some(o260)),
     QueryDef("q256_cusum_changepoint", q256, Some(o256)),
     QueryDef("q257_bootstrap_ci", q257, Some(o257)),
+    QueryDef("q326_permutation_test", q326, Some(o326)),
     QueryDef("q258_weekly_decomposition", q258, Some(o258)),
     QueryDef("q249_cuped", q249, Some(o249)),
     QueryDef("q250_robust_means", q250, Some(o250)),
@@ -4282,6 +4541,7 @@ object Events {
     QueryDef("q248_woe_binning", q248, Some(o248)),
     QueryDef("q239_ewma_smoothing", q239, Some(o239)),
     QueryDef("q240_survival_curve", q240, Some(o240)),
+    QueryDef("q325_logrank_test", q325, Some(o325)),
     QueryDef("q237_dau_wau_stickiness", q237, Some(o237)),
     QueryDef("q238_watermark_audit", q238, Some(o238)),
     QueryDef("q232_seasonal_anomaly", q232, Some(o232)),

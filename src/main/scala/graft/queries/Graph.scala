@@ -875,7 +875,209 @@ object Graph {
                     * (CAST(sj AS DOUBLE) / m2)) END, 6) AS r_assort
        FROM mom, nv"""
 
+  private val AnfK = 16
+  private val AnfRounds = 3
+  // 52-bit md5-prefix hash space: (k-1)·2^52 fits int64 with 3 decimal
+  // digits to spare, so the KMV estimate can be an EXACT integer division
+  private val AnfNum: Long = (AnfK - 1).toLong * (1L << 52)
+
+  /** q323: approximate neighborhood function + effective diameter via
+    * per-vertex KMV sketch propagation — the ANF/HyperANF design (Palmer
+    * et al. KDD'02; Boldi–Rosa–Vigna WWW'11) with q280's oracle-checkable
+    * KMV sketch in place of HyperLogLog: sketch_t(v) = k smallest 52-bit
+    * md5 hashes over the t-hop ball around v, advanced each round by
+    * merging each vertex's sketch with its neighbors' and re-topping at k.
+    * N(t) = Σ_v |ball(v,t)| estimates how much of the graph each
+    * additional hop reaches; the effective diameter (smallest t covering
+    * ≥90% of N(R)) is THE one-number connectivity readout — and computing
+    * it exactly needs all-pairs BFS, which no 100 TB graph affords.
+    *
+    * Exactness design: md5 is identical in both engines, so the sketches
+    * are deterministic sets; the per-vertex estimate is `cnt` when the
+    * sketch is unsaturated (exact by KMV semantics) else the EXACT integer
+    * division (k−1)·2^52 // h_k — N(t) is then an exact int64 sum with no
+    * floating-point anywhere. The t≤1 balls are exactly |V| and
+    * |V|+|directed edges|, reported beside the estimates as the built-in
+    * accuracy audit; coverage ratios divide exact longs once, rounded 6.
+    *
+    * Scale shape: each round is one edge⋈sketch equi-join (≤k rows per
+    * vertex, shuffle volume E·k) + a distinct + a per-vertex top-k window
+    * (partition key = vertex id, unbounded cardinality — parallelism grows
+    * with the graph); rounds are localCheckpoint-truncated. Work per round
+    * is E·k — HyperANF's shape exactly, with k trading accuracy for
+    * bandwidth. Oracle: the identical unrolled propagation with
+    * AS MATERIALIZED round CTEs (the q310 inlining lesson).
+    */
+  private def q323(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val (edges, verts) = supportGraph(s, d)
+    def topk(df: DataFrame): DataFrame = df
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("v")).orderBy(col("h"))))
+      .filter(col("rn") <= AnfK).drop("rn")
+    var cur = verts.select(col("v"),
+      conv(substring(md5(col("v").cast("string")), 1, 13), 16, 10)
+        .cast("long").as("h"))
+      .localCheckpoint(true)
+    val rounds = Seq.newBuilder[(Int, DataFrame)]
+    rounds += 0 -> cur
+    for (t <- 1 to AnfRounds) {
+      val prop = edges.join(cur.select(col("v").as("b"), col("h")), Seq("b"))
+        .select(col("a").as("v"), col("h"))
+      cur = topk(cur.union(prop).distinct()).localCheckpoint(true)
+      rounds += t -> cur
+    }
+    val nf = rounds.result().map { case (t, df) =>
+      df.groupBy(col("v"))
+        .agg(count(lit(1)).as("cnt"), max(col("h")).as("hk"))
+        .select(lit(t).as("t"),
+          when(col("cnt") < AnfK, col("cnt"))
+            .otherwise(expr(s"$AnfNum div greatest(hk, cast(1 as bigint))"))
+            .cast("long").as("est"))
+        .groupBy(col("t"))
+        .agg(count(lit(1)).cast("long").as("n_verts"),
+          sum(col("est")).cast("long").as("nf_est"))
+    }.reduce(_ union _)
+    val sizes = verts.agg(count(lit(1)).as("nv"))
+      .withColumn("jk", pmod(col("nv"), lit(1L)))
+      .join(edges.agg(count(lit(1)).as("ne"))
+        .withColumn("jk", pmod(col("ne"), lit(1L))), Seq("jk"))
+    val last = nf.filter(col("t") === AnfRounds)
+      .select(col("nf_est").as("nf_last"),
+        pmod(col("t").cast("long"), lit(1L)).as("jk"))
+    nf.withColumn("jk", pmod(col("t").cast("long"), lit(1L)))
+      .join(broadcast(sizes), Seq("jk"))
+      .join(broadcast(last), Seq("jk"))
+      .select(col("t"), col("n_verts"), col("nf_est"),
+        when(col("t") === 0, col("nv"))
+          .when(col("t") === 1, col("nv") + col("ne"))
+          .cast("long").as("exact_nf"),
+        round(col("nf_est").cast("double") / col("nf_last").cast("double"), 6)
+          .as("coverage"),
+        (col("nf_est") * 10 >= col("nf_last") * 9).cast("int").as("reached90"))
+      .orderBy(col("t"))
+  }
+
+  private def o323: String = {
+    val rounds = (1 to AnfRounds).map { r =>
+      s"""s$r AS MATERIALIZED (
+            SELECT v, h FROM (
+              SELECT v, h, row_number() OVER (PARTITION BY v ORDER BY h) AS rn
+              FROM (SELECT DISTINCT v, h FROM (
+                SELECT e.a AS v, s.h FROM edges e JOIN s${r - 1} s ON s.v = e.b
+                UNION SELECT v, h FROM s${r - 1}) u) w) z
+            WHERE rn <= $AnfK)"""
+    }.mkString(",\n       ")
+    val nfRows = (0 to AnfRounds).map { r =>
+      s"""SELECT $r AS t, CAST(count(*) AS BIGINT) AS n_verts,
+            CAST(sum(est) AS BIGINT) AS nf_est
+          FROM (SELECT v,
+                  CASE WHEN count(*) < $AnfK THEN count(*)
+                       ELSE $AnfNum // greatest(max(h), 1) END AS est
+                FROM s$r GROUP BY v) p$r"""
+    }.mkString("\n       UNION ALL\n       ")
+    s"""WITH op AS MATERIALIZED (
+         SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       e0 AS MATERIALIZED (
+         SELECT x.p AS a, y.p AS b
+         FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+         GROUP BY 1, 2 HAVING count(*) >= $TriangleSupport),
+       edges AS MATERIALIZED (
+         SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+       s0 AS MATERIALIZED (
+         SELECT DISTINCT a AS v,
+                CAST('0x' || substr(md5(CAST(a AS VARCHAR)), 1, 13) AS BIGINT)
+                  AS h
+         FROM edges),
+       $rounds,
+       nf AS MATERIALIZED (${nfRows.replace("\n", "\n       ")}),
+       sizes AS (SELECT (SELECT CAST(count(DISTINCT a) AS BIGINT)
+                         FROM edges) AS nv,
+                        (SELECT CAST(count(*) AS BIGINT) FROM edges) AS ne),
+       lastr AS (SELECT nf_est AS nf_last FROM nf WHERE t = $AnfRounds)
+       SELECT t, n_verts, nf_est,
+              CASE WHEN t = 0 THEN nv
+                   WHEN t = 1 THEN nv + ne END AS exact_nf,
+              round(CAST(nf_est AS DOUBLE) / CAST(nf_last AS DOUBLE), 6)
+                AS coverage,
+              CAST(nf_est * 10 >= nf_last * 9 AS INT) AS reached90
+       FROM nf, sizes, lastr
+       ORDER BY t"""
+  }
+
+  private val RichClubKs = Seq(2, 4, 8, 16)
+
+  /** q327: rich-club coefficient curve — do the co-purchase graph's hubs
+    * preferentially wire to EACH OTHER (Zhou–Mondragón '04)? φ(k) =
+    * density of the subgraph induced by vertices of degree > k, read at a
+    * fixed degree-threshold grid; a rising φ(k) means catalog staples form
+    * a dense core (one broadcast/caching tier serves the hot set), a flat
+    * one means hub traffic is dispersed. Complements q321's one-number
+    * assortativity with the curve over the hub hierarchy.
+    *
+    * Cross-engine: degrees, induced-edge counts, and vertex counts are
+    * exact int64; φ(k) is ONE division of exact ints (directed-edge count
+    * over n_k(n_k−1), both double-counted so the 2s cancel), rounded at 6;
+    * the n_k ≤ 1 degenerate yields NULL on both engines. Scale shape: one
+    * degree aggregation, two vertex-key equi-joins tagging each edge with
+    * its endpoint degrees, then a constant ×|grid| conditional rollup —
+    * corpus-linear at fixed grid, no windows.
+    */
+  private def q327(s: SparkSession, d: String): DataFrame = {
+    val (edges, _) = supportGraph(s, d)
+    val deg = edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+    val tagged = edges
+      .join(deg.select(col("a"), col("deg").as("da")), Seq("a"))
+      .join(deg.select(col("a").as("b"), col("deg").as("db")), Seq("b"))
+    val kArr = array(RichClubKs.map(lit(_)): _*)
+    val eK = tagged.select(col("da"), col("db"), explode(kArr).as("k"))
+      .groupBy(col("k"))
+      .agg(sum(when(col("da") > col("k") && col("db") > col("k"), 1L)
+        .otherwise(0L)).cast("long").as("e2"))
+    val nK = deg.select(col("deg"), explode(kArr).as("k"))
+      .groupBy(col("k"))
+      .agg(sum(when(col("deg") > col("k"), 1L).otherwise(0L)).cast("long")
+        .as("n_k"))
+    nK.join(eK, Seq("k"))
+      .select(col("k"), col("n_k"), expr("e2 div 2").cast("long").as("e_k"),
+        when(col("n_k") > 1, round(col("e2").cast("double")
+          / (col("n_k") * (col("n_k") - 1)).cast("double"), 6)).as("phi"))
+      .orderBy(col("k"))
+  }
+
+  private def o327: String =
+    s"""WITH op AS MATERIALIZED (
+         SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       e0 AS MATERIALIZED (
+         SELECT x.p AS a, y.p AS b
+         FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+         GROUP BY 1, 2 HAVING count(*) >= $TriangleSupport),
+       edges AS MATERIALIZED (
+         SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+       deg AS MATERIALIZED (
+         SELECT a, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY a),
+       ks AS (SELECT unnest([${RichClubKs.mkString(", ")}]) AS k),
+       tagged AS (
+         SELECT e.a, e.b, x.deg AS da, y.deg AS db
+         FROM edges e JOIN deg x ON x.a = e.a JOIN deg y ON y.a = e.b),
+       ek AS (
+         SELECT k, CAST(sum(CASE WHEN da > k AND db > k THEN 1 ELSE 0 END)
+                  AS BIGINT) AS e2
+         FROM tagged, ks GROUP BY k),
+       nk AS (
+         SELECT k, CAST(sum(CASE WHEN deg > k THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_k
+         FROM deg, ks GROUP BY k)
+       SELECT nk.k, nk.n_k, ek.e2 // 2 AS e_k,
+              CASE WHEN nk.n_k > 1 THEN
+                round(CAST(ek.e2 AS DOUBLE)
+                  / CAST(nk.n_k * (nk.n_k - 1) AS DOUBLE), 6) END AS phi
+       FROM nk JOIN ek USING (k)
+       ORDER BY nk.k"""
+
   val defs: Seq[QueryDef] = Seq(
+    QueryDef("q323_anf_effective_diameter", q323, Some(o323)),
+    QueryDef("q327_rich_club", q327, Some(o327)),
     QueryDef("q313_hits_scores", q313, Some(o313)),
     QueryDef("q315_label_propagation", q315, Some(o315)),
     QueryDef("q320_lpa_modularity", q320, Some(o320)),

@@ -863,6 +863,138 @@ object TextOps {
            round(share_after - share_before, 6) AS share_shift
     FROM shares ORDER BY lang, source"""
 
+  private val BhAlpha = "0.05"
+  private val BhPassChars = 200L
+
+  /** q324: Benjamini–Hochberg FDR control over the per-slice quality-screen
+    * test family — the multiple-testing discipline every slice-metric scan
+    * needs: testing ~|lang×source| slices at α=0.05 each expects false
+    * alarms by volume alone, and BH (Benjamini–Hochberg '95) is the
+    * standard step-up correction that bounds the FALSE DISCOVERY RATE of
+    * the flagged set. Family: each (lang, source) cell's short-document
+    * rate (n_chars ≥ 200 pass flag) vs the rest of the corpus, pooled
+    * two-proportion z (the q187 statistic per slice); p-values via the
+    * Abramowitz–Stegun 7.1.26 erf polynomial (max err 1.5e-7 — a DEFINED
+    * statistic both engines compute identically); then p_(i) ≤ i·α/m
+    * step-up with the largest satisfying rank accepted.
+    *
+    * Cross-engine: counts exact int64; the z dag is division/sqrt only
+    * (correctly-rounded IEEE, identical), rounded at 12; the single
+    * transcendental (exp(−x²)) is rounded at 9 immediately (the CLAUDE.md
+    * transcendental stance); BH ranks/criticals are integer arithmetic and
+    * one double product each. Degenerate slices (se = 0: pooled rate 0 or
+    * 1, or an empty complement) carry NULL through both engines and sit
+    * outside the tested family. Scale shape: one corpus-linear aggregation
+    * to the bounded (lang, source) grain; the rank/count/kstar windows run
+    * over that AGGREGATED frame (the spec-safe shape), never the corpus.
+    */
+  private def q324(s: SparkSession, d: String): DataFrame = {
+    val cells = documents(s, d)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("n_chars") >= BhPassChars, 1L).otherwise(0L))
+          .cast("long").as("x"))
+    val tot = cells.agg(sum(col("n")).cast("long").as("nn"),
+        sum(col("x")).cast("long").as("xx"))
+      .withColumn("jk", pmod(col("nn"), lit(1L)))
+    val zc = cells.withColumn("jk", pmod(col("n"), lit(1L)))
+      .join(broadcast(tot), Seq("jk"))
+      .withColumn("n2", col("nn") - col("n"))
+      .withColumn("x2", col("xx") - col("x"))
+      .withColumn("pp", col("xx").cast("double") / col("nn").cast("double"))
+      .withColumn("se", when(col("n2") > 0,
+        sqrt(col("pp") * (lit(1.0) - col("pp"))
+          * (lit(1.0) / col("n").cast("double")
+            + lit(1.0) / col("n2").cast("double")))))
+      .withColumn("z", when(col("se").isNotNull && col("se") =!= 0.0,
+        round((col("x").cast("double") / col("n").cast("double")
+          - col("x2").cast("double") / col("n2").cast("double"))
+          / col("se"), 12)))
+      .withColumn("za", round(abs(col("z")), 12))
+      .withColumn("xq", col("za") / lit(1.4142135623730951))
+      .withColumn("tq", lit(1.0) / (lit(1.0) + lit(0.3275911) * col("xq")))
+      .withColumn("p", round(
+        (((((lit(1.061405429) * col("tq") - lit(1.453152027)) * col("tq")
+          + lit(1.421413741)) * col("tq") - lit(0.284496736)) * col("tq")
+          + lit(0.254829592)) * col("tq")) * exp(-col("xq") * col("xq")), 9))
+    val w = Window.partitionBy()
+    val tested = zc.filter(col("p").isNotNull)
+      .withColumn("p_rank", row_number().over(
+        Window.orderBy(col("p"), col("lang"), col("source"))))
+      .withColumn("m", count(lit(1)).over(w))
+      .withColumn("crit", round(lit(BhAlpha.toDouble) * col("p_rank")
+        / col("m"), 9))
+      .withColumn("kstar", coalesce(
+        max(when(col("p") <= col("crit"), col("p_rank"))).over(w), lit(0)))
+    val testedOut = tested.select(col("lang"), col("source"), col("n"),
+      col("x"), round(col("x").cast("double") / col("n").cast("double"), 6)
+        .as("pass_rate"),
+      round(col("z"), 6).as("z"), col("p"),
+      col("p_rank").cast("int").as("p_rank"), col("crit"),
+      (col("p_rank") <= col("kstar")).cast("int").as("reject"))
+    val degenerate = zc.filter(col("p").isNull)
+      .select(col("lang"), col("source"), col("n"), col("x"),
+        round(col("x").cast("double") / col("n").cast("double"), 6)
+          .as("pass_rate"),
+        lit(null).cast("double").as("z"), lit(null).cast("double").as("p"),
+        lit(null).cast("int").as("p_rank"),
+        lit(null).cast("double").as("crit"), lit(null).cast("int").as("reject"))
+    testedOut.union(degenerate).orderBy(col("lang"), col("source"))
+  }
+
+  private def o324: String =
+    s"""WITH cells AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS n,
+             CAST(sum(CASE WHEN n_chars >= $BhPassChars THEN 1 ELSE 0 END)
+               AS BIGINT) AS x
+      FROM documents GROUP BY lang, source),
+    tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn,
+                   CAST(sum(x) AS BIGINT) AS xx FROM cells),
+    zc AS (
+      SELECT lang, source, n, x, nn - n AS n2, xx - x AS x2,
+             CAST(xx AS DOUBLE) / CAST(nn AS DOUBLE) AS pp
+      FROM cells, tot),
+    s1 AS (
+      SELECT *, CASE WHEN n2 > 0 THEN
+               sqrt(pp * (1.0 - pp)
+                 * (1.0 / CAST(n AS DOUBLE) + 1.0 / CAST(n2 AS DOUBLE))) END
+               AS se
+      FROM zc),
+    s2 AS (
+      SELECT *, CASE WHEN se IS NOT NULL AND se <> 0 THEN
+               round((CAST(x AS DOUBLE) / CAST(n AS DOUBLE)
+                 - CAST(x2 AS DOUBLE) / CAST(n2 AS DOUBLE)) / se, 12) END AS z
+      FROM s1),
+    s3 AS (
+      SELECT *, round(abs(z), 12) / 1.4142135623730951 AS xq FROM s2),
+    s4 AS (
+      SELECT *, 1.0 / (1.0 + 0.3275911 * xq) AS tq FROM s3),
+    s5 AS (
+      SELECT *, round(
+        (((((1.061405429 * tq - 1.453152027) * tq
+          + 1.421413741) * tq - 0.284496736) * tq
+          + 0.254829592) * tq) * exp(-(xq * xq)), 9) AS p
+      FROM s4),
+    tested AS (
+      SELECT *, row_number() OVER (ORDER BY p, lang, source) AS p_rank,
+             count(*) OVER () AS m
+      FROM s5 WHERE p IS NOT NULL),
+    bh AS (
+      SELECT *, round($BhAlpha * p_rank / m, 9) AS crit FROM tested),
+    ks AS (SELECT coalesce(max(CASE WHEN p <= crit THEN p_rank END), 0)
+             AS kstar FROM bh)
+    SELECT lang, source, n, x,
+           round(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pass_rate,
+           round(z, 6) AS z, p, CAST(p_rank AS INT) AS p_rank, crit,
+           CAST(p_rank <= kstar AS INT) AS reject
+    FROM bh, ks
+    UNION ALL
+    SELECT lang, source, n, x,
+           round(CAST(x AS DOUBLE) / CAST(n AS DOUBLE), 6) AS pass_rate,
+           NULL, NULL, NULL, NULL, NULL
+    FROM s5 WHERE p IS NULL
+    ORDER BY lang, source"""
+
   /** q300: mutual information between the corpus's two categorical
     * dimensions (lang x source) — the one-number association audit behind
     * q124's per-source KL: MI = Σ p(l,s)·ln(p(l,s)/(p(l)p(s))), 0 iff the
@@ -1818,6 +1950,7 @@ object TextOps {
     QueryDef("q185_confusion_matrix", q185, Some(o185)),
     QueryDef("q155_boilerplate", q155, Some(o155)),
     QueryDef("q124_lang_mix_kl", q124, Some(klSql("documents"))),
+    QueryDef("q324_bh_fdr_screen", q324, Some(o324)),
     QueryDef("q82_canonical_select", q82, Some(o82)),
     QueryDef("q30_text_stats", q30, Some(o30)),
     QueryDef("q31_token_count", q31, Some(o31)),

@@ -50,6 +50,7 @@ class GraftExtensionsSpec extends SparkTestBase {
       val viaSql = s2.sql("""
         SELECT doc_id,
                jaro_winkler(text, rtext) AS jw,
+               damerau_levenshtein(substr(text, 1, 12), substr(rtext, 1, 12)) AS dl,
                minhash_signature(text) AS mh,
                simhash(text) AS sh,
                rolling_hash(text) AS rh,
@@ -59,6 +60,9 @@ class GraftExtensionsSpec extends SparkTestBase {
       val viaCol = docs.select(col("doc_id"),
           graft.functions.JaroWinklerExpression
             .jaroWinkler(col("text"), col("rtext")).as("jw"),
+          graft.functions.DamerauLevenshteinExpression.damerauLevenshtein(
+            substring(col("text"), 1, 12), substring(col("rtext"), 1, 12))
+            .as("dl"),
           graft.functions.MinHashSignatureExpression
             .minhashSignature(col("text")).as("mh"),
           graft.functions.SimHashExpression.simhash(col("text")).as("sh"),
