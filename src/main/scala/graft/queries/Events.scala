@@ -789,7 +789,10 @@ object Events {
       .select(col("n_exceed"),
         round((lit(1L) + col("n_exceed")).cast("double")
           / lit((PermB + 1).toDouble), 6).as("p_perm"),
-        pmod(col("n_exceed"), lit(1L)).as("jk"))
+        // n_exceed is NULL on the all-degenerate corpus (every replicate's
+        // diff NULL) — the broadcast-back key must not be (q300's coalesce
+        // stance), or the join drops rows DuckDB's cross join keeps
+        pmod(coalesce(col("n_exceed"), lit(0L)), lit(1L)).as("jk"))
     flagged.join(broadcast(p), Seq("jk"))
       .select(col("b"), col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
         round(col("diff"), 8).as("diff"), col("exceeds"),
@@ -2099,6 +2102,179 @@ object Events {
            round(ev.e_a, 8) AS e_a, round(ev.v, 8) AS v,
            fin.so_a AS sum_o_a, fin.sum_e_a, fin.sum_v, fin.z, fin.chi2
     FROM ev, fin ORDER BY ev.age_w"""
+
+  /** q329: Cronbach's alpha over the per-user event-type engagement items —
+    * the internal-consistency reliability coefficient (Cronbach '51): do
+    * the event-type counts measure ONE underlying engagement trait (α near
+    * 1: types co-vary across users — a composite "activity score" is
+    * meaningful) or unrelated behaviors (α near 0)? The metric-design
+    * gate before anyone ships a summed engagement index.
+    *
+    * Exactness design: with population variances, α = k/(k−1)·(1 −
+    * Σᵢvarᵢ/var_tot) and every variance shares the same n² denominator —
+    * so the ratio reduces to Σᵢ(n·Σx²ᵢ −(Σxᵢ)²) / (n·Σt² −(Σt)²), a ratio
+    * of EXACT int64 numerators: one double division + two exact
+    * multiplications, bit-stable with no rounding argument. Zero-count
+    * user-item cells contribute nothing to either moment, so the sparse
+    * (user, type) rollup IS the dense-matrix computation. Constant total
+    * scores (var_tot = 0) and a single item (k = 1) yield NULL α on both
+    * engines. Scale shape: one corpus-linear (user, type) aggregation,
+    * then everything on the |types|-bounded item frame.
+    */
+  private def q329(s: SparkSession, d: String): DataFrame = {
+    val cell = events(s, d)
+      .groupBy(col("user_id"), col("event_type"))
+      .agg(count(lit(1)).as("x"))
+    val nUsers = cell.select(col("user_id")).distinct()
+      .agg(count(lit(1)).as("n"))
+      .withColumn("jk", pmod(col("n"), lit(1L)))
+    val items = cell.groupBy(col("event_type"))
+      .agg(sum(col("x")).cast("long").as("sx"),
+        sum(col("x") * col("x")).cast("long").as("sxx"))
+      .withColumn("jk", pmod(col("sx"), lit(1L)))
+      .join(broadcast(nUsers), Seq("jk"))
+      .withColumn("var_num", col("n") * col("sxx") - col("sx") * col("sx"))
+    val totals = cell.groupBy(col("user_id"))
+      .agg(sum(col("x")).as("t"))
+      .agg(sum(col("t")).cast("long").as("st"),
+        sum(col("t") * col("t")).cast("long").as("stt"),
+        count(lit(1)).cast("long").as("n"))
+      .select((col("n") * col("stt") - col("st") * col("st")).as("tot_num"),
+        pmod(col("n"), lit(1L)).as("jk"))
+    val alpha = items
+      .groupBy(col("jk"))
+      .agg(count(lit(1)).cast("long").as("k"),
+        sum(col("var_num")).cast("long").as("sum_num"))
+      .join(broadcast(totals), Seq("jk"))
+      .withColumn("alpha", when(col("k") > 1 && col("tot_num") > 0,
+        round((col("k").cast("double") / (col("k") - 1).cast("double"))
+          * (lit(1.0) - col("sum_num").cast("double")
+            / col("tot_num").cast("double")), 6)))
+    items.join(broadcast(alpha.select(col("jk"), col("k"), col("tot_num"),
+        col("alpha"))), Seq("jk"))
+      .select(col("event_type"), col("n").cast("long").as("n_users"),
+        col("sx").as("sum_x"),
+        round(col("sx").cast("double") / col("n").cast("double"), 6)
+          .as("mean_x"),
+        col("var_num"), col("k"), col("tot_num"), col("alpha"))
+      .orderBy(col("event_type"))
+  }
+
+  private val o329 = """
+    WITH cell AS MATERIALIZED (
+      SELECT user_id, event_type, CAST(count(*) AS BIGINT) AS x
+      FROM events GROUP BY user_id, event_type),
+    nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM cell),
+    items AS MATERIALIZED (
+      SELECT event_type, CAST(sum(x) AS BIGINT) AS sx,
+             CAST(sum(x * x) AS BIGINT) AS sxx,
+             nu.n, nu.n * CAST(sum(x * x) AS BIGINT)
+               - CAST(sum(x) AS BIGINT) * CAST(sum(x) AS BIGINT) AS var_num
+      FROM cell, nu GROUP BY event_type, nu.n),
+    tots AS (
+      SELECT CAST(count(*) AS BIGINT) * CAST(sum(t * t) AS BIGINT)
+               - CAST(sum(t) AS BIGINT) * CAST(sum(t) AS BIGINT) AS tot_num
+      FROM (SELECT user_id, CAST(sum(x) AS BIGINT) AS t
+            FROM cell GROUP BY user_id)),
+    al AS (
+      SELECT CAST(count(*) AS BIGINT) AS k,
+             CAST(sum(var_num) AS BIGINT) AS sum_num,
+             tot_num,
+             CASE WHEN count(*) > 1 AND tot_num > 0 THEN
+               round((CAST(count(*) AS DOUBLE)
+                   / CAST(count(*) - 1 AS DOUBLE))
+                 * (1.0 - CAST(sum(var_num) AS DOUBLE)
+                   / CAST(tot_num AS DOUBLE)), 6) END AS alpha
+      FROM items, tots GROUP BY tot_num)
+    SELECT i.event_type, i.n AS n_users, i.sx AS sum_x,
+           round(CAST(i.sx AS DOUBLE) / CAST(i.n AS DOUBLE), 6) AS mean_x,
+           i.var_num, al.k, al.tot_num, al.alpha
+    FROM items i, al ORDER BY i.event_type"""
+
+  /** q330: Nelson–Aalen cumulative hazard per arm — the nonparametric
+    * hazard-accumulation view of the q240/q325 survival tier (Nelson '72;
+    * Aalen '78): Ĥ_a(t) = Σ_{j≤t} O_aj/N_aj over the arm's death weeks,
+    * preferred over −ln(KM) at small risk sets and the standard input to
+    * proportional-hazards eyeballing (parallel curves ⇒ proportional).
+    * Same md5 arms and administrative censoring as q325.
+    *
+    * Cross-engine: risk/death counts exact int64; each week's hazard
+    * increment is ONE division of exact ints rounded at 12; the cumulative
+    * sum is an ascending-week window frame over the AGGREGATED (arm, week)
+    * frame — both engines fold the identical rounded doubles in the
+    * identical (frame-defined) order, so no summation-order question.
+    * Scale: q325's shapes — one user rollup, bounded explode, everything
+    * after on the (arm, week) frame; the window partitions by arm over
+    * that aggregated frame (spec-safe shape).
+    */
+  private def q330(s: SparkSession, d: String): DataFrame = {
+    val weekUs = 7L * 86400 * 1000000
+    val base = events(s, d)
+      .groupBy(col("user_id"))
+      .agg(expr(s"min(ts DIV 1000) DIV $weekUs").as("first_w"),
+        expr(s"max(ts DIV 1000) DIV $weekUs").as("last_w"))
+      .withColumn("lifetime_w", col("last_w") - col("first_w"))
+      .withColumn("arm",
+        when(substring(md5(col("user_id").cast("string")), 1, 1) < "8", "A")
+          .otherwise("B"))
+    val gm = base.agg(max(col("last_w")).as("gmax_w"))
+      .withColumn("jk", pmod(col("gmax_w"), lit(1L)))
+    val tagged = base.withColumn("jk", pmod(col("last_w"), lit(1L)))
+      .join(broadcast(gm), Seq("jk"))
+      .withColumn("died", (col("last_w") < col("gmax_w")).cast("int"))
+    val risk = tagged
+      .select(col("arm"), explode(sequence(lit(0L), col("lifetime_w")))
+        .as("age_w"))
+      .groupBy(col("arm"), col("age_w"))
+      .agg(count(lit(1)).cast("long").as("n_risk"))
+    val deaths = tagged.filter(col("died") === 1)
+      .groupBy(col("arm"), col("lifetime_w").as("age_w"))
+      .agg(count(lit(1)).cast("long").as("deaths"))
+    val wk = deaths.join(risk, Seq("arm", "age_w"))
+      .withColumn("hazard", round(
+        col("deaths").cast("double") / col("n_risk").cast("double"), 12))
+    wk.withColumn("cum_hazard", round(
+        sum(col("hazard")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy(col("arm")).orderBy(col("age_w"))
+          .rowsBetween(org.apache.spark.sql.expressions.Window
+            .unboundedPreceding, 0)), 6))
+      .select(col("arm"), col("age_w"), col("n_risk"), col("deaths"),
+        round(col("hazard"), 8).as("hazard"), col("cum_hazard"))
+      .orderBy(col("arm"), col("age_w"))
+  }
+
+  private val o330 = """
+    WITH base AS MATERIALIZED (
+      SELECT user_id,
+             min(epoch_us(ts)) // 604800000000 AS first_w,
+             max(epoch_us(ts)) // 604800000000 AS last_w
+      FROM events GROUP BY user_id),
+    armed AS (
+      SELECT last_w - first_w AS lifetime_w,
+             CASE WHEN substr(md5(CAST(user_id AS VARCHAR)), 1, 1) < '8'
+                  THEN 'A' ELSE 'B' END AS arm,
+             CASE WHEN last_w < (SELECT max(last_w) FROM base)
+                  THEN 1 ELSE 0 END AS died
+      FROM base),
+    risk AS (
+      SELECT arm, age_w, CAST(count(*) AS BIGINT) AS n_risk
+      FROM (SELECT arm, unnest(generate_series(0, lifetime_w)) AS age_w
+            FROM armed)
+      GROUP BY arm, age_w),
+    deaths AS (
+      SELECT arm, lifetime_w AS age_w, CAST(count(*) AS BIGINT) AS deaths
+      FROM armed WHERE died = 1 GROUP BY arm, lifetime_w),
+    wk AS (
+      SELECT d.arm, d.age_w, r.n_risk, d.deaths,
+             round(CAST(d.deaths AS DOUBLE) / CAST(r.n_risk AS DOUBLE), 12)
+               AS hazard
+      FROM deaths d JOIN risk r USING (arm, age_w))
+    SELECT arm, age_w, n_risk, deaths,
+           round(hazard, 8) AS hazard,
+           round(sum(hazard) OVER (PARTITION BY arm ORDER BY age_w
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6)
+             AS cum_hazard
+    FROM wk ORDER BY arm, age_w"""
 
   /** Panel size for q246: the Theil–Sen estimator is O(n²) pairs per key,
     * so the trend is fit on each type's first $TsPanel events (a FIXED
@@ -4542,6 +4718,8 @@ object Events {
     QueryDef("q239_ewma_smoothing", q239, Some(o239)),
     QueryDef("q240_survival_curve", q240, Some(o240)),
     QueryDef("q325_logrank_test", q325, Some(o325)),
+    QueryDef("q329_cronbach_alpha", q329, Some(o329)),
+    QueryDef("q330_nelson_aalen", q330, Some(o330)),
     QueryDef("q237_dau_wau_stickiness", q237, Some(o237)),
     QueryDef("q238_watermark_audit", q238, Some(o238)),
     QueryDef("q232_seasonal_anomaly", q232, Some(o232)),

@@ -974,7 +974,8 @@ object Graph {
           FROM (SELECT v,
                   CASE WHEN count(*) < $AnfK THEN count(*)
                        ELSE $AnfNum // greatest(max(h), 1) END AS est
-                FROM s$r GROUP BY v) p$r"""
+                FROM s$r GROUP BY v) p$r
+          HAVING count(*) > 0"""
     }.mkString("\n       UNION ALL\n       ")
     s"""WITH op AS MATERIALIZED (
          SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
@@ -1075,9 +1076,92 @@ object Graph {
        FROM nk JOIN ek USING (k)
        ORDER BY nk.k"""
 
+  private val RaMiddleCap = 32
+  private val RaTopK = 20
+
+  /** q328: resource-allocation link prediction over the co-purchase graph —
+    * "which parts SHOULD be co-purchased but aren't yet": for each
+    * non-adjacent pair sharing common neighbors, the RA index
+    * Σ_{z∈N(a)∩N(b)} 1/deg(z) (Zhou–Lü–Zhang '09 — the top performer of
+    * the common-neighbor family in their benchmark, and unlike
+    * Adamic–Adar's 1/ln(deg) it is EXACTLY computable: each middle
+    * contributes the exact integer 10^12 // deg(z), so pair scores are
+    * exact int64 sums — no transcendental, no fold-order question). The
+    * recommendation-candidate miner beside q137's same-incidence Jaccard.
+    *
+    * Scale shape: middles are degree-capped at [[RaMiddleCap]] before
+    * pairing (q137's stop-item cut — a hub middle contributes C(deg,2)
+    * wedges and ~zero per-pair weight 1/deg, so the cap drops the
+    * quadratic cost exactly where the signal vanishes; dropped-middle
+    * count surfaced in every row, not swallowed). Wedge fanout is then
+    * ≤ C(cap,2) per middle; existing edges leave via one anti-join on the
+    * pair key; the readout is a global TakeOrdered top-[[RaTopK]], never a
+    * window.
+    */
+  private def q328(s: SparkSession, d: String): DataFrame = {
+    val (edges, _) = supportGraph(s, d)
+    val deg = edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
+    val nDropped = deg.filter(col("deg") > RaMiddleCap)
+      .agg(count(lit(1)).cast("long").as("n_middles_dropped"))
+      .withColumn("jk", pmod(col("n_middles_dropped"), lit(1L)))
+    val nbr = edges
+      .join(deg.filter(col("deg") <= RaMiddleCap), Seq("a"))
+      .select(col("a").as("z"), col("b").as("x"),
+        expr("cast(1000000000000 as bigint) div deg").as("w"))
+    val pairs = nbr.as("p")
+      .join(nbr.as("q"),
+        col("p.z") === col("q.z") && col("p.x") < col("q.x"))
+      .groupBy(col("p.x").as("a"), col("q.x").as("b"))
+      .agg(count(lit(1)).cast("long").as("n_common"),
+        sum(col("p.w")).cast("long").as("score_num"))
+      .join(edges, Seq("a", "b"), "left_anti")
+    pairs
+      .withColumn("jk", pmod(col("n_common"), lit(1L)))
+      .join(broadcast(nDropped), Seq("jk"))
+      .select(col("a"), col("b"), col("n_common"),
+        round(col("score_num").cast("double") / lit(1e12), 6).as("ra_score"),
+        col("n_middles_dropped"))
+      .orderBy(col("ra_score").desc, col("a"), col("b"))
+      .limit(RaTopK)
+  }
+
+  private def o328: String =
+    s"""WITH op AS MATERIALIZED (
+         SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+       e0 AS MATERIALIZED (
+         SELECT x.p AS a, y.p AS b
+         FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
+         GROUP BY 1, 2 HAVING count(*) >= $TriangleSupport),
+       edges AS MATERIALIZED (
+         SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
+       deg AS MATERIALIZED (
+         SELECT a, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY a),
+       dropped AS (SELECT CAST(count(*) AS BIGINT) AS n_middles_dropped
+                   FROM deg WHERE deg > $RaMiddleCap),
+       nbr AS (
+         SELECT e.a AS z, e.b AS x, 1000000000000 // d.deg AS w
+         FROM edges e JOIN deg d ON d.a = e.a
+         WHERE d.deg <= $RaMiddleCap),
+       pairs AS (
+         SELECT p.x AS a, q.x AS b,
+                CAST(count(*) AS BIGINT) AS n_common,
+                CAST(sum(p.w) AS BIGINT) AS score_num
+         FROM nbr p JOIN nbr q ON p.z = q.z AND p.x < q.x
+         GROUP BY p.x, q.x),
+       cand AS (
+         SELECT pr.* FROM pairs pr
+         WHERE NOT EXISTS (SELECT 1 FROM edges e
+                           WHERE e.a = pr.a AND e.b = pr.b))
+       SELECT a, b, n_common,
+              round(CAST(score_num AS DOUBLE) / 1e12, 6) AS ra_score,
+              n_middles_dropped
+       FROM cand, dropped
+       ORDER BY ra_score DESC, a, b LIMIT $RaTopK"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q323_anf_effective_diameter", q323, Some(o323)),
     QueryDef("q327_rich_club", q327, Some(o327)),
+    QueryDef("q328_ra_link_prediction", q328, Some(o328)),
     QueryDef("q313_hits_scores", q313, Some(o313)),
     QueryDef("q315_label_propagation", q315, Some(o315)),
     QueryDef("q320_lpa_modularity", q320, Some(o320)),

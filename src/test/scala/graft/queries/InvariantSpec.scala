@@ -550,4 +550,131 @@ class InvariantSpec extends SparkTestBase {
       assert(r.isNullAt(r.fieldIndex("delta")), r.toString)
     }
   }
+
+  test("q324 BH degenerate all-pass corpus: pooled rate 1, se=0, z NULL") {
+    withTempDir { dir =>
+      import spark.implicits._
+      // every doc passes the 200-char screen in every cell -> pp = 1 ->
+      // se = sqrt(0) = 0 -> the whole family is degenerate: z/p/rank/
+      // reject all NULL on both engines (DuckDB 0/0 NULL, Spark guarded),
+      // rows kept
+      Seq((1L, "x", "en", "web", 250L), (2L, "y", "en", "web", 300L),
+          (3L, "z", "fr", "web", 400L))
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+        .write.parquet(s"$dir/documents.parquet")
+      val rows = SparkEntry.queries("q324_bh_fdr_screen")(spark, dir)
+        .collect()
+      assert(rows.length == 2, rows.mkString("; "))
+      rows.foreach { r =>
+        assert(r.getAs[Double]("pass_rate") == 1.0, r.toString)
+        Seq("z", "p", "p_rank", "crit", "reject")
+          .foreach(c => assert(r.isNullAt(r.fieldIndex(c)), s"$c: $r"))
+      }
+    }
+  }
+
+  test("q325 log-rank degenerates: one-arm corpus sv=0 -> z NULL; " +
+      "all-censored corpus -> empty") {
+    withTempDir { dir =>
+      import spark.implicits._
+      val t0 = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
+      val t9 = java.sql.Timestamp.valueOf("2024-03-05 00:00:00")
+      // md5("1") and md5("2") both start >= '8' -> both users arm B ->
+      // n_a = 0 at the one death week -> V = O·0·(1-0)·... = 0 exactly ->
+      // ΣV = 0 -> z/chi2 NULL on both engines (the sv>0 guard), the
+      // death-week row itself survives with e_a = v = 0
+      Seq((1L, t0, 1L, "view", 1.0, "{}"),
+          (2L, t0, 2L, "view", 1.0, "{}"),
+          (3L, t9, 2L, "view", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/events.parquet")
+      val rows = SparkEntry.queries("q325_logrank_test")(spark, dir)
+        .collect()
+      assert(rows.length == 1, rows.mkString("; "))
+      val r = rows.head
+      assert(r.getAs[Long]("o_a") == 0L && r.getAs[Long]("o_b") == 1L,
+        r.toString)
+      assert(r.getAs[Double]("e_a") == 0.0 && r.getAs[Double]("v") == 0.0,
+        r.toString)
+      assert(r.isNullAt(r.fieldIndex("z")), r.toString)
+      assert(r.isNullAt(r.fieldIndex("chi2")), r.toString)
+    }
+    withTempDir { dir =>
+      import spark.implicits._
+      // every user's last event sits in the corpus's final week -> all
+      // administratively censored -> no death weeks -> empty result on
+      // both engines (the oracle's ev frame is empty, the cross join
+      // propagates zero rows)
+      val t0 = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
+      Seq((1L, t0, 1L, "view", 1.0, "{}"), (2L, t0, 2L, "view", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/events.parquet")
+      assert(SparkEntry.queries("q325_logrank_test")(spark, dir)
+        .collect().isEmpty)
+    }
+  }
+
+  test("q326 permutation degenerate single user: one arm empty in every " +
+      "replicate, p NULL") {
+    withTempDir { dir =>
+      import spark.implicits._
+      val t0 = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
+      Seq((1L, t0, 1L, "purchase", 200.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/events.parquet")
+      // a single user leaves one arm empty under EVERY coin -> diff NULL
+      // for every replicate including b=0 -> exceeds NULL -> n_exceed and
+      // p_perm NULL on both engines (sum-of-NULLs, 1+NULL)
+      val rows = SparkEntry.queries("q326_permutation_test")(spark, dir)
+        .collect()
+      assert(rows.length == 65, s"got ${rows.length}")
+      rows.foreach { r =>
+        assert(r.isNullAt(r.fieldIndex("diff")), r.toString)
+        assert(r.isNullAt(r.fieldIndex("p_perm")), r.toString)
+      }
+    }
+  }
+
+  test("q329 alpha degenerate single-item constant corpus: k=1 and " +
+      "tot_num=0, alpha NULL") {
+    withTempDir { dir =>
+      import spark.implicits._
+      val t0 = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
+      // one event type AND every user total identical: k = 1 and
+      // tot_num = n·Σt² − (Σt)² = 0 — both degenerate legs at once;
+      // alpha NULL on both engines (DuckDB half verified by hand), the
+      // item row survives with exact moments
+      Seq((1L, t0, 1L, "view", 1.0, "{}"), (2L, t0, 2L, "view", 1.0, "{}"),
+          (3L, t0, 3L, "view", 1.0, "{}"))
+        .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/events.parquet")
+      val rows = SparkEntry.queries("q329_cronbach_alpha")(spark, dir)
+        .collect()
+      assert(rows.length == 1, rows.mkString("; "))
+      val r = rows.head
+      assert(r.getAs[Long]("k") == 1L && r.getAs[Long]("tot_num") == 0L,
+        r.toString)
+      assert(r.getAs[Long]("var_num") == 0L, r.toString)
+      assert(r.isNullAt(r.fieldIndex("alpha")), r.toString)
+      // all-censored twin: the same corpus has no deaths -> Nelson-Aalen
+      // returns empty on both engines
+      assert(SparkEntry.queries("q330_nelson_aalen")(spark, dir)
+        .collect().isEmpty)
+    }
+  }
+
+  test("q323 ANF degenerate edgeless graph: empty result, no throw") {
+    withTempDir { dir =>
+      import spark.implicits._
+      // three single-line orders -> no co-purchase pair reaches support 2
+      // -> the support graph is EMPTY -> every sketch frame is empty and
+      // the neighborhood function has no rows; the operator must return
+      // empty rather than throw on the empty localCheckpoint/topk chain
+      Seq((1L, 10L), (2L, 11L), (3L, 12L))
+        .toDF("l_orderkey", "l_partkey")
+        .write.parquet(s"$dir/lineitem.parquet")
+      assert(SparkEntry.queries("q323_anf_effective_diameter")(spark, dir)
+        .collect().isEmpty)
+    }
+  }
 }
