@@ -34,9 +34,20 @@ object Rel {
       .groupBy(col("l_returnflag"), col("l_linestatus"))
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
-        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
-          .as("sum_disc_price"),
+        // r12 sf1-parity lesson: at sf1 these sums reach ~4e10, where a
+        // double keeps only ~5 trustworthy decimals — engine summation
+        // order flipped the 4th decimal of the sf0.1-proven round(.,4).
+        // Prices are exact 2-decimal (products exact 4-decimal) values, so
+        // sum EXACT integer cents / 1e-4-units instead: per-row snap is one
+        // identical IEEE multiply+round on both engines, the sum is exact
+        // int64 at any corpus size, and the single display division is
+        // deterministic. (l_quantity is integer-valued: its double sum is
+        // exact to 2^53 and needs no snap.)
+        round(sum(expr("cast(round(l_extendedprice * 100) as bigint)"))
+          / lit(100.0), 2).as("sum_base_price"),
+        round(sum(expr(
+          "cast(round(l_extendedprice * (1.0 - l_discount) * 10000) as bigint)"))
+          / lit(10000.0), 4).as("sum_disc_price"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         round(avg(col("l_extendedprice")), 4).as("avg_price"),
         round(avg(col("l_discount")), 6).as("avg_disc"),
@@ -46,8 +57,10 @@ object Rel {
   private val o01 = """
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS sum_disc_price,
+           round(CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT))
+             AS BIGINT) / 100.0, 2) AS sum_base_price,
+           round(CAST(sum(CAST(round(l_extendedprice * (1.0 - l_discount)
+             * 10000) AS BIGINT)) AS BIGINT) / 10000.0, 4) AS sum_disc_price,
            round(avg(l_quantity), 4) AS avg_qty,
            round(avg(l_extendedprice), 4) AS avg_price,
            round(avg(l_discount), 6) AS avg_disc,
@@ -69,7 +82,13 @@ object Rel {
         round(col("l_extendedprice") * (lit(1.0) - col("l_discount")), 4)
           .as("revenue"),
         col("l_returnflag"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // r12 sf1-parity lesson: (l_orderkey, l_linenumber) is NOT unique in
+      // the driver testdata (118k duplicate pairs at sf0.1) — the old
+      // two-column sort was a partial order that survived small SFs by
+      // physical-layout luck and flipped a tie at sf1. Ordering by every
+      // output column makes identical rows interchangeable = total.
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("revenue"),
+        col("l_returnflag"))
 
   private val o02 = """
     SELECT l_orderkey, l_linenumber,
@@ -78,7 +97,7 @@ object Rel {
     FROM lineitem
     WHERE l_shipdate >= TIMESTAMP '1996-01-01'
       AND l_shipdate < TIMESTAMP '1997-01-01' AND l_quantity < 10
-    ORDER BY l_orderkey, l_linenumber"""
+    ORDER BY l_orderkey, l_linenumber, revenue, l_returnflag"""
 
   /** Fact-to-dimension equi inner join (shuffled hash/SMJ at scale). */
   private def q03(s: SparkSession, d: String): DataFrame =
@@ -393,7 +412,11 @@ object Rel {
         round(abs(col("l_tax") - 0.04), 6).as("tax_dev"),
         (col("l_partkey") % 7).as("pk_mod"),
         round(col("l_extendedprice") * col("l_extendedprice"), 4).as("price_sq"))
-      .orderBy(col("l_orderkey"))
+      // q02's r12 sf1-parity lesson applies here too: l_orderkey repeats
+      // within l_linenumber = 1, so the sort needs every output column to
+      // be total (identical rows then interchangeable)
+      .orderBy(col("l_orderkey"), col("sqrt_price"), col("disc_pct_ceil"),
+        col("qty_floor"), col("tax_dev"), col("pk_mod"), col("price_sq"))
 
   private val o20 = """
     SELECT l_orderkey, round(sqrt(l_extendedprice), 6) AS sqrt_price,
@@ -402,7 +425,9 @@ object Rel {
            round(abs(l_tax - 0.04), 6) AS tax_dev,
            l_partkey % 7 AS pk_mod,
            round(l_extendedprice * l_extendedprice, 4) AS price_sq
-    FROM lineitem WHERE l_linenumber = 1 ORDER BY l_orderkey"""
+    FROM lineitem WHERE l_linenumber = 1
+    ORDER BY l_orderkey, sqrt_price, disc_pct_ceil, qty_floor, tax_dev,
+             pk_mod, price_sq"""
 
   /** Array scalar built-ins over the embedding column. */
   private def q21(s: SparkSession, d: String): DataFrame =
