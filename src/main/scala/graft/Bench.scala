@@ -44,6 +44,28 @@ object Bench {
     * sees). */
   private val CalibrationQuery = "q01_pricing_summary"
 
+  /** Whole-artifact window quarantine (r13, r12 VERDICT #6): per-query
+    * degraded flags fire individually, but a window where MANY fresh-JVM
+    * drift reruns land ABOVE their in-suite times is a machine that
+    * deteriorated DURING the run — the artifact's raw total is not
+    * cross-round comparable even though each per-query flag looks local.
+    * Rule: contended when MORE THAN [[WindowContendedK]] material drift
+    * reruns (in-suite ≥ 1 s) exceed their in-suite time by > 1.3×.
+    * BENCH_r12's driver window (5 of 10 reruns above 1.3× — q157
+    * 7.3→13.3 s, q204 7.2→10.2 s, q165, q320, q206) retro-triggers this
+    * rule; the spec pins those exact pairs. Cross-round tooling
+    * (`tools/compare_bench.py`) refuses the raw total when the flag is
+    * set.
+    */
+  val WindowContendedK = 3
+
+  /** Pure rule over (insuite, fresh-JVM rerun) pairs — factored out so the
+    * spec can apply it retroactively to a committed artifact's drift map. */
+  def windowContended(pairs: Seq[(Double, Double)]): Boolean =
+    pairs.count { case (insuite, rerun) =>
+      insuite >= 1.0 && rerun > 1.3 * insuite
+    } > WindowContendedK
+
   def main(args: Array[String]): Unit = {
     val (flags, names) = args.partition(_.startsWith("--"))
     if (names.isEmpty && flags.isEmpty) orchestrate()
@@ -144,6 +166,15 @@ object Bench {
       s"[bench] DEGRADED machine windows detected " +
         s"(probe > 2x median, in-suite > 2x rerun, or canary band): " +
         degraded.mkString(", "))
+    // Whole-artifact quarantine (r13): many reruns ABOVE in-suite = the
+    // machine deteriorated mid-run; stamp the artifact itself so
+    // cross-round tooling refuses the raw total.
+    val contended = windowContended(driftResults.map { case (n, r) =>
+      (qmap.getOrElse(n, -1.0), r.queries.toMap.getOrElse(n, -1.0))
+    })
+    if (contended) System.err.println(
+      s"[bench] WINDOW CONTENDED: > $WindowContendedK drift reruns " +
+        "exceed in-suite by >1.3x — raw total not cross-round comparable")
 
     val qs = queries.map { case (k, v) => "\"" + k + f"""":$v%.3f""" }
       .mkString("{", ",", "}")
@@ -155,12 +186,12 @@ object Bench {
     // ~200 queries) must come FIRST and the machine-read summary must be the
     // compact LAST line — three rounds of BENCH_r*.json "parsed": null came
     // from a single long line whose front (with "value") fell off the capture.
-    val detail = f"""{"metric":"detail","queries":$qs,"failed":${arr(failed)},"flaky":${arr(flaky)},"drift":$drift,"calibration":$calib,"degraded":${arr(degraded)},"shards":${shards.size},"wall":$wall%.1f,"sf":"$sfDir"}"""
+    val detail = f"""{"metric":"detail","queries":$qs,"failed":${arr(failed)},"flaky":${arr(flaky)},"drift":$drift,"calibration":$calib,"degraded":${arr(degraded)},"window_contended":$contended,"shards":${shards.size},"wall":$wall%.1f,"sf":"$sfDir"}"""
     println(detail)
     val detailPath =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_DETAIL", "/tmp/graft_bench_detail.json")
     writeFile(detailPath, detail + "\n")
-    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${queries.size},"failed":${failed.size},"flaky":${flaky.size},"sf":"$sfDir"}""")
+    println(f"""{"metric":"total","value":$total%.3f,"unit":"sec","n":${queries.size},"failed":${failed.size},"flaky":${flaky.size},"window_contended":$contended,"sf":"$sfDir"}""")
   }
 
   private final case class ChildResult(

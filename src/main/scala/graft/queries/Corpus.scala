@@ -1895,8 +1895,19 @@ object Corpus {
     * curve and q155's boilerplate fraction). The regression runs on the
     * RANKED HISTOGRAM (vocabulary-bounded, top-200 per source), never the
     * corpus; ranks are tie-broken by term so the fitted frame is
-    * identical cross-engine, and the ln-transformed regression aggregates
-    * are compared ROUNDED (q85 proves regr_slope/regr_r2 parity).
+    * identical cross-engine. Cross-engine (r13, hardened with q304): each
+    * ln is SNAPPED to int64 micro-units (`round(ln·1e6)`, the q316
+    * stance) and slope/r² come from explicit Σx/Σy/Σxy/Σx²/Σy² folds —
+    * never engine-internal `regr_slope`/`regr_r2` moment merges, whose
+    * fold order and unrounded per-element lns differ across engines (the
+    * knife-edge that made q304 the r12 driver-red). The per-row products
+    * and 200-term sums fit int64, but the moment COMBINATIONS (n·Σy²,
+    * (Σy)², Σx·Σy) pass 2⁶³ once corpus frequencies reach ~1e13, so those
+    * run in DECIMAL(38,0) (Spark) ↔ HUGEINT (DuckDB, automatic on
+    * sum(BIGINT)) — exact integers both sides, then one final double
+    * division per statistic, rounded at 4. regr_r2's var(y)=0 edge
+    * (constant ln f) is pinned explicitly: r² = 1 when denx≠0 ∧ deny=0,
+    * NULL when denx=0 — the PostgreSQL semantics both engines implement.
     */
   private def q243(s: SparkSession, d: String): DataFrame = {
     val tf = parallelize(s, documents(s, d))
@@ -1905,12 +1916,36 @@ object Corpus {
       .groupBy(col("source"), col("w")).agg(count(lit(1)).as("f"))
     val wr = Window.partitionBy(col("source"))
       .orderBy(col("f").desc, col("w"))
+    val dec = (c: Column) => c.cast("decimal(38,0)")
     tf.withColumn("rank", row_number().over(wr))
       .filter(col("rank") <= 200)
+      .select(col("source"),
+        round(log(col("rank").cast("double")) * lit(1e6))
+          .cast("long").as("lx"),
+        round(log(col("f").cast("double")) * lit(1e6))
+          .cast("long").as("ly"))
       .groupBy(col("source"))
-      .agg(count(lit(1)).as("n_terms"),
-        round(expr("regr_slope(ln(f), ln(rank))"), 4).as("zipf_slope"),
-        round(expr("regr_r2(ln(f), ln(rank))"), 4).as("r2"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("lx")).cast("long").as("sx"),
+        sum(col("ly")).cast("long").as("sy"),
+        sum(col("lx") * col("ly")).cast("long").as("sxy"),
+        sum(col("lx") * col("lx")).cast("long").as("sxx"),
+        sum(col("ly") * col("ly")).cast("long").as("syy"))
+      .withColumn("num",
+        dec(col("n")) * dec(col("sxy")) - dec(col("sx")) * dec(col("sy")))
+      .withColumn("denx",
+        dec(col("n")) * dec(col("sxx")) - dec(col("sx")) * dec(col("sx")))
+      .withColumn("deny",
+        dec(col("n")) * dec(col("syy")) - dec(col("sy")) * dec(col("sy")))
+      .select(col("source"), col("n").as("n_terms"),
+        when(col("denx") =!= 0,
+          round(col("num").cast("double") / col("denx").cast("double"), 4))
+          .as("zipf_slope"),
+        when(col("denx") =!= 0 && col("deny") =!= 0,
+          round((col("num").cast("double") * col("num").cast("double"))
+            / (col("denx").cast("double") * col("deny").cast("double")), 4))
+          .when(col("denx") =!= 0 && col("deny") === 0, lit(1.0))
+          .as("r2"))
       .orderBy(col("source"))
   }
 
@@ -1926,12 +1961,29 @@ object Corpus {
       SELECT source, f,
              row_number() OVER (PARTITION BY source
                ORDER BY f DESC, w) AS rank
-      FROM tf)
-    SELECT source, count(*) AS n_terms,
-           round(regr_slope(ln(f), ln(rank)), 4) AS zipf_slope,
-           round(regr_r2(ln(f), ln(rank)), 4) AS r2
-    FROM ranked WHERE rank <= 200
-    GROUP BY source ORDER BY source"""
+      FROM tf),
+    pts AS (
+      SELECT source,
+             CAST(round(ln(CAST(rank AS DOUBLE)) * 1e6) AS BIGINT) AS lx,
+             CAST(round(ln(CAST(f AS DOUBLE)) * 1e6) AS BIGINT) AS ly
+      FROM ranked WHERE rank <= 200),
+    mo AS (
+      SELECT source, CAST(count(*) AS BIGINT) AS n,
+             sum(lx) AS sx, sum(ly) AS sy, sum(lx * ly) AS sxy,
+             sum(lx * lx) AS sxx, sum(ly * ly) AS syy
+      FROM pts GROUP BY source)
+    SELECT source, n AS n_terms,
+           CASE WHEN n * sxx - sx * sx <> 0 THEN
+             round(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / CAST(n * sxx - sx * sx AS DOUBLE), 4) END AS zipf_slope,
+           CASE WHEN n * sxx - sx * sx <> 0 AND n * syy - sy * sy <> 0 THEN
+             round((CAST(n * sxy - sx * sy AS DOUBLE)
+                  * CAST(n * sxy - sx * sy AS DOUBLE))
+                 / (CAST(n * sxx - sx * sx AS DOUBLE)
+                  * CAST(n * syy - sy * sy AS DOUBLE)), 4)
+           WHEN n * sxx - sx * sx <> 0 AND n * syy - sy * sy = 0 THEN 1.0
+           END AS r2
+    FROM mo ORDER BY source"""
 
   /** q254: per-document n-gram novelty — the inverse of the dedup tier's
     * question: not "which documents repeat each other" (q38/q142) but

@@ -171,17 +171,18 @@ object Dedup {
 
   /** o38 body without the final ORDER BY, reusable as a subquery (q97). */
   private def o38Body: String =
-    s"""WITH cand AS (
+    s"""WITH cand AS MATERIALIZED (
          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          FROM ($oBands) x JOIN ($oBands) y
            ON x.band_pos = y.band_pos AND x.bkey = y.bkey
           AND x.doc_id < y.doc_id),
-       sh AS (
+       sh AS MATERIALIZED (
          SELECT DISTINCT doc_id,
                 unnest(list_transform(range(1, length(text) - ${ShingleLen - 2}),
                   i -> substr(text, i, $ShingleLen))) AS sh
          FROM documents),
-       sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       sz AS MATERIALIZED (
+         SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
        inter AS (
          SELECT doc_a, doc_b, count(*) AS ni
          FROM cand
@@ -217,15 +218,28 @@ object Dedup {
     * md5 hex digit 14; 60 bits keep the BIGINT sign clear so the
     * fingerprint assembles as a plain sum of `1::BIGINT << k` terms.
     */
-  private val oSimhash64Expr = """
-    CAST(list_sum(list_transform(range(0, 60), k ->
-      CASE WHEN 2 * len(list_filter(list_transform(
-                 string_split_regex(trim(text), '\s+'), w -> md5(w)),
-             h -> (((strpos('0123456789abcdef',
-                      substr(h, (k // 4) + 1, 1)) - 1) >> (3 - (k % 4))) & 1)
-                  = 1))
-             > len(string_split_regex(trim(text), '\s+'))
-      THEN (1::BIGINT << k) ELSE 0::BIGINT END)) AS BIGINT)"""
+  /** o102's 60-bit SimHash at the WORD grain (r13 sf1 oracle-budget fix):
+    * the r12 per-doc list expression re-tokenized and re-md5'd the whole
+    * document once PER BIT (60× — 162M md5 calls at sf1, the >100 s
+    * timeout); this computes md5 once per word occurrence, then the
+    * majority vote per (doc, bit) as one integer aggregation. Bit
+    * semantics identical: hex digit k//4 of the md5, bit 3-(k%4) within
+    * the nibble, majority = strictly more than half of ALL occurrences
+    * (duplicates counted, same multiset). */
+  private val oSimhash64Ctes = """
+    words AS MATERIALIZED (
+      SELECT doc_id, md5(w) AS h
+      FROM (SELECT doc_id,
+              unnest(string_split_regex(trim(text), '\s+')) AS w
+            FROM documents)),
+    votes AS MATERIALIZED (
+      SELECT doc_id, k,
+             CAST(sum(((strpos('0123456789abcdef',
+                    substr(h, CAST(k // 4 AS INT) + 1, 1)) - 1)
+                  >> (3 - (k % 4))) & 1) AS BIGINT) AS ones,
+             CAST(count(*) AS BIGINT) AS n
+      FROM words, (SELECT unnest(range(0, 60)) AS k) ks
+      GROUP BY doc_id, k)"""
 
   /** q39: SimHash near-dup groups — fingerprints shared by >1 document. */
   private def q39(s: SparkSession, d: String): DataFrame =
@@ -380,8 +394,8 @@ object Dedup {
 
   private def o97: String =
     s"""WITH RECURSIVE
-       pairs AS ($o38Body),
-       edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       pairs AS MATERIALIZED ($o38Body),
+       edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
                  UNION ALL
                  SELECT doc_b, doc_a FROM pairs),
        nodes AS (SELECT DISTINCT src AS doc FROM edges),
@@ -443,8 +457,13 @@ object Dedup {
   }
 
   private def o102: String =
-    s"""WITH fp AS (SELECT doc_id, $oSimhash64Expr AS fp FROM documents),
-       bands AS (
+    s"""WITH $oSimhash64Ctes,
+       fp AS MATERIALIZED (
+         SELECT doc_id,
+                CAST(sum(CASE WHEN 2 * ones > n THEN (1::BIGINT << k)
+                          ELSE 0::BIGINT END) AS BIGINT) AS fp
+         FROM votes GROUP BY doc_id),
+       bands AS MATERIALIZED (
          SELECT doc_id, band_pos,
                 CASE band_pos WHEN 0 THEN (fp >> 40) & 1048575
                               WHEN 1 THEN (fp >> 20) & 1048575
@@ -523,18 +542,18 @@ object Dedup {
   }
 
   private def o211: String =
-    s"""WITH b AS ($oBands),
+    s"""WITH b AS MATERIALIZED ($oBands),
        cand AS (
          SELECT DISTINCT t.doc_id AS train_doc, e.doc_id AS eval_doc
          FROM b t JOIN b e
            ON t.band_pos = e.band_pos AND t.bkey = e.bkey
           AND t.doc_id % 10 != 0 AND e.doc_id % 10 = 0),
-       sh AS (
+       sh AS MATERIALIZED (
          SELECT DISTINCT doc_id,
                 unnest(list_transform(range(1, length(text) - ${ShingleLen - 2}),
                   i -> substr(text, i, $ShingleLen))) AS sh
          FROM documents),
-       sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       sz AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
        inter AS (
          SELECT train_doc, eval_doc, count(*) AS ni
          FROM cand
@@ -581,7 +600,7 @@ object Dedup {
   }
 
   private def o104: String =
-    s"""WITH b AS ($oBands),
+    s"""WITH b AS MATERIALIZED ($oBands),
        cand AS (
          SELECT DISTINCT i.doc_id AS doc_id, r.doc_id AS ref_doc
          FROM b i JOIN b r
@@ -679,32 +698,41 @@ object Dedup {
   }
 
   private val o120 = """
-    WITH toks AS (
+    WITH toks AS MATERIALIZED (
       SELECT DISTINCT doc_id, substr(text, i, 15) AS tok
       FROM (SELECT doc_id, text,
                    unnest(range(1, length(text) - 13)) AS i
             FROM documents)),
-    dfreq AS (SELECT tok, count(*) AS c FROM toks GROUP BY tok),
+    dfreq AS MATERIALIZED (
+      SELECT tok, count(*) AS c, row_number() OVER (ORDER BY tok) AS tid
+      FROM toks GROUP BY tok),
+    itoks AS MATERIALIZED (
+      SELECT t.doc_id, f.tid FROM toks t JOIN dfreq f ON t.tok = f.tok),
     ranked AS (
       SELECT t.doc_id, t.tok,
              row_number() OVER (PARTITION BY t.doc_id ORDER BY f.c, t.tok)
                AS rn,
              count(*) OVER (PARTITION BY t.doc_id) AS n
       FROM toks t JOIN dfreq f ON t.tok = f.tok),
-    prefix AS (
+    prefix AS MATERIALIZED (
       SELECT doc_id, n, tok FROM ranked
       WHERE rn <= floor(CAST(0.4 AS DOUBLE) * n) + 1),
-    cand AS (
+    cand AS MATERIALIZED (
       SELECT DISTINCT a.doc_id AS da, b.doc_id AS db, a.n AS na, b.n AS nb
       FROM prefix a JOIN prefix b
         ON a.tok = b.tok AND a.doc_id < b.doc_id
        AND b.n BETWEEN ceil(CAST(0.6 AS DOUBLE) * a.n)
                    AND floor(a.n / CAST(0.6 AS DOUBLE))),
+    -- r13 sf1-budget: the verification intersection counts shared tokens
+    -- through an INTEGER dictionary (tid) instead of 15-char string keys —
+    -- the candidate×token probe stream is the audit's deliberate cost, but
+    -- string hashing tripled it (>200 s -> ~280 s total at sf1's 877k
+    -- candidate pairs; exact, no hash-collision shortcut)
     ov AS (
       SELECT c.da, c.db, c.na, c.nb, count(*) AS overlap
       FROM cand c
-      JOIN toks ta ON ta.doc_id = c.da
-      JOIN toks tb ON tb.doc_id = c.db AND tb.tok = ta.tok
+      JOIN itoks ta ON ta.doc_id = c.da
+      JOIN itoks tb ON tb.doc_id = c.db AND tb.tid = ta.tid
       GROUP BY c.da, c.db, c.na, c.nb)
     SELECT da AS doc_a, db AS doc_b, na, nb, overlap,
            round(overlap / (na + nb - overlap), 6) AS jac
@@ -1176,14 +1204,14 @@ object Dedup {
   }
 
   private def o207: String =
-    s"""WITH b AS ($oBands),
-       cand AS (
+    s"""WITH b AS MATERIALIZED ($oBands),
+       cand AS MATERIALIZED (
          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          FROM b x JOIN b y
            ON x.band_pos = y.band_pos AND x.bkey = y.bkey
           AND x.doc_id < y.doc_id),
-       sig AS ($oSig),
-       est AS (
+       sig AS MATERIALIZED ($oSig),
+       est AS MATERIALIZED (
          SELECT doc_a, doc_b,
                 (${(0 until NumHashes)
                   .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END")
@@ -1191,13 +1219,13 @@ object Dedup {
          FROM cand
          JOIN sig a ON a.doc_id = doc_a
          JOIN sig b ON b.doc_id = doc_b),
-       sh AS (
+       sh AS MATERIALIZED (
          SELECT DISTINCT doc_id,
                 unnest(list_transform(range(1, length(text) - ${ShingleLen - 2}),
                   i -> substr(text, i, $ShingleLen))) AS sh
          FROM documents),
-       sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-       exact AS (
+       sz AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       exact AS MATERIALIZED (
          SELECT doc_a, doc_b, ni / (za.sz + zb.sz - ni) AS exact_jac
          FROM (SELECT doc_a, doc_b, count(*) AS ni
                FROM cand
@@ -1239,14 +1267,14 @@ object Dedup {
        GROUP BY t.tau ORDER BY t.tau"""
 
   private def o143: String =
-    s"""WITH b AS ($oBands),
-       cand AS (
+    s"""WITH b AS MATERIALIZED ($oBands),
+       cand AS MATERIALIZED (
          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          FROM b x JOIN b y
            ON x.band_pos = y.band_pos AND x.bkey = y.bkey
           AND x.doc_id < y.doc_id),
-       sig AS ($oSig),
-       est AS (
+       sig AS MATERIALIZED ($oSig),
+       est AS MATERIALIZED (
          SELECT doc_a, doc_b,
                 (${(0 until NumHashes)
                   .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END")
@@ -1254,13 +1282,13 @@ object Dedup {
          FROM cand
          JOIN sig a ON a.doc_id = doc_a
          JOIN sig b ON b.doc_id = doc_b),
-       sh AS (
+       sh AS MATERIALIZED (
          SELECT DISTINCT doc_id,
                 unnest(list_transform(range(1, length(text) - ${ShingleLen - 2}),
                   i -> substr(text, i, $ShingleLen))) AS sh
          FROM documents),
-       sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-       exact AS (
+       sz AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       exact AS MATERIALIZED (
          SELECT doc_a, doc_b, ni / (za.sz + zb.sz - ni) AS exact_jac
          FROM (SELECT doc_a, doc_b, count(*) AS ni
                FROM cand
@@ -1305,19 +1333,19 @@ object Dedup {
   }
 
   private def o231: String =
-    s"""WITH b AS ($oBands),
-       cand AS (
+    s"""WITH b AS MATERIALIZED ($oBands),
+       cand AS MATERIALIZED (
          SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
          FROM b x JOIN b y
            ON x.band_pos = y.band_pos AND x.bkey = y.bkey
           AND x.doc_id < y.doc_id),
-       sh AS (
+       sh AS MATERIALIZED (
          SELECT DISTINCT doc_id,
                 unnest(list_transform(range(1, length(text) - ${ShingleLen - 2}),
                   i -> substr(text, i, $ShingleLen))) AS sh
          FROM documents),
-       sz AS (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
-       exact AS (
+       sz AS MATERIALIZED (SELECT doc_id, count(*) AS sz FROM sh GROUP BY 1),
+       exact AS MATERIALIZED (
          SELECT doc_a, doc_b, ni / (za.sz + zb.sz - ni) AS exact_jac,
                 ni / za.sz AS cont_a, ni / zb.sz AS cont_b
          FROM (SELECT doc_a, doc_b, count(*) AS ni
@@ -1418,13 +1446,14 @@ object Dedup {
          SELECT a.source AS source_a, b.source AS source_b,
                 ($agree) AS n_agree
          FROM ssig a JOIN ssig b ON a.source < b.source),
-       sh AS (
+       sh AS MATERIALIZED (
          SELECT DISTINCT source, sh
          FROM (SELECT source,
                  unnest(list_transform(range(1, length(text) - ${ShingleLen - 2}),
                    i -> substr(text, i, $ShingleLen))) AS sh
                FROM documents)),
-       sz AS (SELECT source, count(*) AS sz FROM sh GROUP BY source),
+       sz AS MATERIALIZED (
+         SELECT source, count(*) AS sz FROM sh GROUP BY source),
        inter AS (
          SELECT x.source AS source_a, y.source AS source_b, count(*) AS ni
          FROM sh x JOIN sh y ON x.sh = y.sh AND x.source < y.source
@@ -1526,8 +1555,8 @@ object Dedup {
 
   private def o157: String =
     s"""WITH RECURSIVE
-       pairs AS ($o38Body),
-       edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       pairs AS MATERIALIZED ($o38Body),
+       edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
                  UNION ALL
                  SELECT doc_b, doc_a FROM pairs),
        nodes AS (SELECT DISTINCT src AS doc FROM edges),
@@ -1535,8 +1564,8 @@ object Dedup {
          SELECT doc, doc FROM nodes
          UNION
          SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc),
-       cc AS (SELECT doc, min(lab) AS lab FROM reach GROUP BY doc),
-       canon AS (
+       cc AS MATERIALIZED (SELECT doc, min(lab) AS lab FROM reach GROUP BY doc),
+       canon AS MATERIALIZED (
          SELECT cc.lab,
                 arg_max(cc.doc, ${Keys.oKey(Keys.oAsc("d.n_chars", 12),
                   Keys.oDesc("cc.doc", 13))})
@@ -1596,8 +1625,8 @@ object Dedup {
 
   private def o165: String =
     s"""WITH RECURSIVE
-       pairs AS ($o38Body),
-       edges AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       pairs AS MATERIALIZED ($o38Body),
+       edges AS MATERIALIZED (SELECT doc_a AS src, doc_b AS dst FROM pairs
                  UNION ALL
                  SELECT doc_b, doc_a FROM pairs),
        nodes AS (SELECT DISTINCT src AS doc FROM edges),
@@ -1605,8 +1634,8 @@ object Dedup {
          SELECT doc, doc FROM nodes
          UNION
          SELECT e.dst, r.lab FROM reach r JOIN edges e ON e.src = r.doc),
-       cc AS (SELECT doc, min(lab) AS lab FROM reach GROUP BY doc),
-       assigned AS (
+       cc AS MATERIALIZED (SELECT doc, min(lab) AS lab FROM reach GROUP BY doc),
+       assigned AS MATERIALIZED (
          SELECT d.doc_id, coalesce(cc.lab, d.doc_id) AS cluster,
                 CASE WHEN ('0x' || substr(md5(CAST(coalesce(cc.lab, d.doc_id)
                        AS VARCHAR)), 1, 4))::BIGINT % 10 < 8 THEN 'train'

@@ -1392,12 +1392,12 @@ object Events {
              row_number() OVER (PARTITION BY user_id
                ORDER BY epoch_us(ts), event_id) AS rn
       FROM events),
-    r AS (
+    r AS MATERIALIZED (
       SELECT user_id, event_type, event_id, rn,
              min(CASE WHEN event_type = 'purchase' THEN rn END)
                OVER (PARTITION BY user_id) AS prn
       FROM r0),
-    kept AS (
+    kept AS MATERIALIZED (
       SELECT user_id, event_type, rn, prn,
              lag(event_type) OVER (PARTITION BY user_id ORDER BY rn) AS prev,
              max(rn) OVER (PARTITION BY user_id) AS maxrn
@@ -1410,15 +1410,15 @@ object Events {
       FROM kept WHERE rn = maxrn
       UNION ALL
       SELECT 'START', 'CONV' FROM r WHERE rn = 1 AND prn = 1),
-    cnt AS (SELECT cur, nxt, count(*) AS n FROM tr GROUP BY cur, nxt),
+    cnt AS MATERIALIZED (SELECT cur, nxt, count(*) AS n FROM tr GROUP BY cur, nxt),
     tot AS (SELECT cur, CAST(sum(n) AS BIGINT) AS nt FROM cnt GROUP BY cur),
-    base AS (
+    base AS MATERIALIZED (
       SELECT c.cur, c.nxt,
              round(CAST(c.n AS DOUBLE) / CAST(t.nt AS DOUBLE), 6) AS p
       FROM cnt c JOIN tot t USING (cur)),
     vars AS (SELECT DISTINCT cur AS variant FROM base WHERE cur <> 'START'
              UNION ALL SELECT 'base'),
-    trans AS (
+    trans AS MATERIALIZED (
       SELECT v.variant, b.cur,
              CASE WHEN b.nxt = v.variant THEN 'DROP' ELSE b.nxt END AS nxt,
              b.p
@@ -1426,9 +1426,9 @@ object Events {
     v0 AS (SELECT DISTINCT variant, cur AS state, CAST(0.0 AS DOUBLE) AS v
            FROM trans),
     ${oAttribSteps(AttribK)},
-    fin AS (SELECT variant, v FROM v$AttribK WHERE state = 'START'),
-    pb AS (SELECT v AS pb FROM fin WHERE variant = 'base'),
-    re AS (
+    fin AS MATERIALIZED (SELECT variant, v FROM v$AttribK WHERE state = 'START'),
+    pb AS MATERIALIZED (SELECT v AS pb FROM fin WHERE variant = 'base'),
+    re AS MATERIALIZED (
       SELECT f.variant AS channel,
              round(pb.pb, 6) AS p_base,
              round(f.v, 6) AS p_removed,
@@ -1436,7 +1436,7 @@ object Events {
                THEN greatest(0.0, (pb.pb - f.v) / pb.pb) ELSE 0.0 END, 6)
                AS removal_effect
       FROM fin f, pb WHERE f.variant <> 'base'),
-    te AS (SELECT list_sum(list(removal_effect ORDER BY channel)) AS te
+    te AS MATERIALIZED (SELECT list_sum(list(removal_effect ORDER BY channel)) AS te
            FROM re)
     SELECT channel, p_base, p_removed, removal_effect,
            round(CASE WHEN te.te > 0 THEN removal_effect / te.te
@@ -2113,15 +2113,24 @@ object Events {
     * Exactness design: with population variances, α = k/(k−1)·(1 −
     * Σᵢvarᵢ/var_tot) and every variance shares the same n² denominator —
     * so the ratio reduces to Σᵢ(n·Σx²ᵢ −(Σxᵢ)²) / (n·Σt² −(Σt)²), a ratio
-    * of EXACT int64 numerators: one double division + two exact
-    * multiplications, bit-stable with no rounding argument. Zero-count
-    * user-item cells contribute nothing to either moment, so the sparse
-    * (user, type) rollup IS the dense-matrix computation. Constant total
-    * scores (var_tot = 0) and a single item (k = 1) yield NULL α on both
-    * engines. Scale shape: one corpus-linear (user, type) aggregation,
-    * then everything on the |types|-bounded item frame.
+    * of EXACT integer numerators. r13 (ADVICE): those numerators carry
+    * (Σt)² = (total event count)², which passes 2⁶³ near ~3e9 events —
+    * int64 would make Spark 4 ANSI throw right where "any corpus size"
+    * matters — so the moment products run in DECIMAL(38,0) on the Spark
+    * side and native HUGEINT on the DuckDB side (exact to 1.7e38 ≈
+    * (1.3e19 events)²): one double division at the very end, bit-stable
+    * with no rounding argument. `var_num`/`tot_num` are EMITTED as DOUBLE
+    * (a single deterministic nearest-rounding of the identical exact
+    * integer on both engines) so the output schema stays
+    * pandas/hash-comparable. Zero-count user-item cells contribute
+    * nothing to either moment, so the sparse (user, type) rollup IS the
+    * dense-matrix computation. Constant total scores (var_tot = 0) and a
+    * single item (k = 1) yield NULL α on both engines. Scale shape: one
+    * corpus-linear (user, type) aggregation, then everything on the
+    * |types|-bounded item frame.
     */
   private def q329(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
     val cell = events(s, d)
       .groupBy(col("user_id"), col("event_type"))
       .agg(count(lit(1)).as("x"))
@@ -2130,21 +2139,23 @@ object Events {
       .withColumn("jk", pmod(col("n"), lit(1L)))
     val items = cell.groupBy(col("event_type"))
       .agg(sum(col("x")).cast("long").as("sx"),
-        sum(col("x") * col("x")).cast("long").as("sxx"))
+        sum(dec(col("x")) * dec(col("x"))).as("sxx"))
       .withColumn("jk", pmod(col("sx"), lit(1L)))
       .join(broadcast(nUsers), Seq("jk"))
-      .withColumn("var_num", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("var_num",
+        dec(col("n")) * col("sxx") - dec(col("sx")) * dec(col("sx")))
     val totals = cell.groupBy(col("user_id"))
       .agg(sum(col("x")).as("t"))
       .agg(sum(col("t")).cast("long").as("st"),
-        sum(col("t") * col("t")).cast("long").as("stt"),
+        sum(dec(col("t")) * dec(col("t"))).as("stt"),
         count(lit(1)).cast("long").as("n"))
-      .select((col("n") * col("stt") - col("st") * col("st")).as("tot_num"),
+      .select((dec(col("n")) * col("stt") - dec(col("st")) * dec(col("st")))
+          .as("tot_num"),
         pmod(col("n"), lit(1L)).as("jk"))
     val alpha = items
       .groupBy(col("jk"))
       .agg(count(lit(1)).cast("long").as("k"),
-        sum(col("var_num")).cast("long").as("sum_num"))
+        sum(col("var_num")).as("sum_num"))
       .join(broadcast(totals), Seq("jk"))
       .withColumn("alpha", when(col("k") > 1 && col("tot_num") > 0,
         round((col("k").cast("double") / (col("k") - 1).cast("double"))
@@ -2156,7 +2167,8 @@ object Events {
         col("sx").as("sum_x"),
         round(col("sx").cast("double") / col("n").cast("double"), 6)
           .as("mean_x"),
-        col("var_num"), col("k"), col("tot_num"), col("alpha"))
+        col("var_num").cast("double").as("var_num"), col("k"),
+        col("tot_num").cast("double").as("tot_num"), col("alpha"))
       .orderBy(col("event_type"))
   }
 
@@ -2167,18 +2179,21 @@ object Events {
     nu AS (SELECT CAST(count(DISTINCT user_id) AS BIGINT) AS n FROM cell),
     items AS MATERIALIZED (
       SELECT event_type, CAST(sum(x) AS BIGINT) AS sx,
-             CAST(sum(x * x) AS BIGINT) AS sxx,
-             nu.n, nu.n * CAST(sum(x * x) AS BIGINT)
-               - CAST(sum(x) AS BIGINT) * CAST(sum(x) AS BIGINT) AS var_num
+             sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT)) AS sxx,
+             nu.n, nu.n * sum(CAST(x AS HUGEINT) * CAST(x AS HUGEINT))
+               - CAST(sum(x) AS HUGEINT) * CAST(sum(x) AS HUGEINT)
+               AS var_num
       FROM cell, nu GROUP BY event_type, nu.n),
     tots AS (
-      SELECT CAST(count(*) AS BIGINT) * CAST(sum(t * t) AS BIGINT)
-               - CAST(sum(t) AS BIGINT) * CAST(sum(t) AS BIGINT) AS tot_num
+      SELECT CAST(count(*) AS HUGEINT)
+                 * sum(CAST(t AS HUGEINT) * CAST(t AS HUGEINT))
+               - CAST(sum(t) AS HUGEINT) * CAST(sum(t) AS HUGEINT)
+               AS tot_num
       FROM (SELECT user_id, CAST(sum(x) AS BIGINT) AS t
             FROM cell GROUP BY user_id)),
     al AS (
       SELECT CAST(count(*) AS BIGINT) AS k,
-             CAST(sum(var_num) AS BIGINT) AS sum_num,
+             sum(var_num) AS sum_num,
              tot_num,
              CASE WHEN count(*) > 1 AND tot_num > 0 THEN
                round((CAST(count(*) AS DOUBLE)
@@ -2188,7 +2203,8 @@ object Events {
       FROM items, tots GROUP BY tot_num)
     SELECT i.event_type, i.n AS n_users, i.sx AS sum_x,
            round(CAST(i.sx AS DOUBLE) / CAST(i.n AS DOUBLE), 6) AS mean_x,
-           i.var_num, al.k, al.tot_num, al.alpha
+           CAST(i.var_num AS DOUBLE) AS var_num, al.k,
+           CAST(al.tot_num AS DOUBLE) AS tot_num, al.alpha
     FROM items i, al ORDER BY i.event_type"""
 
   /** q330: Nelson–Aalen cumulative hazard per arm — the nonparametric
@@ -4608,8 +4624,11 @@ object Events {
     *
     * Scale shape: the per-user lead() window (unbounded key — q189's
     * sanctioned shape) collapses map-side to the types×types cell frame;
-    * every entropy sum runs over that bounded frame. Transcendental
-    * aggregates over ≤ types² cells, rounded at 6 (the q307 convention).
+    * every entropy sum runs over that bounded frame. r13: every entropy
+    * term is SNAPPED to int64 pico-units (`round(term·1e12)::long`)
+    * before its sum — exact integer folds, no order-sensitive float
+    * aggregate over transcendentals (CatalogSpec discipline); final
+    * display rounding at 6 unchanged.
     */
   private def q319(s: SparkSession, d: String): DataFrame = {
     val w = Window.partitionBy(col("user_id")).orderBy(tsUs, col("event_id"))
@@ -4623,8 +4642,11 @@ object Events {
       .agg(sum(col("n_cur")).as("nn"))
     val hcond = pairs.join(broadcast(totals), Seq("cur"))
       .groupBy(col("cur"))
-      .agg((-sum((col("n").cast("double") / col("n_cur"))
-        * log(col("n").cast("double") / col("n_cur")))).as("hc"))
+      .agg(sum(round((col("n").cast("double") / col("n_cur"))
+        * log(col("n").cast("double") / col("n_cur")) * lit(1e12))
+        .cast("long")).as("hc_n"))
+      .select(col("cur"),
+        (-(col("hc_n").cast("double")) / lit(1e12)).as("hc"))
     val states = totals.join(broadcast(hcond), Seq("cur"))
       .withColumn("jk", pmod(col("n_cur"), lit(1L)))
       .join(broadcast(nn), Seq("jk"))
@@ -4632,10 +4654,13 @@ object Events {
       round(col("n_cur").cast("double") / col("nn"), 6).as("pi"),
       round(col("hc"), 6).as("h_cond"))
     val summary = states.groupBy(col("jk"))
-      .agg(sum((col("n_cur").cast("double") / col("nn")) * col("hc"))
-        .as("hr"),
-        (-sum((col("n_cur").cast("double") / col("nn"))
-          * log(col("n_cur").cast("double") / col("nn")))).as("h0"))
+      .agg(sum(round((col("n_cur").cast("double") / col("nn")) * col("hc")
+          * lit(1e12)).cast("long")).as("hr_n"),
+        sum(round((col("n_cur").cast("double") / col("nn"))
+          * log(col("n_cur").cast("double") / col("nn")) * lit(1e12))
+          .cast("long")).as("h0_n"))
+      .select((col("hr_n").cast("double") / lit(1e12)).as("hr"),
+        (-(col("h0_n").cast("double")) / lit(1e12)).as("h0"))
     perState
       .union(summary.select(lit("zz_order0").as("state"),
         lit(1.0).as("pi"), round(col("h0"), 6).as("h_cond")))
@@ -4660,16 +4685,19 @@ object Events {
     nn AS (SELECT CAST(sum(n_cur) AS BIGINT) AS nn FROM tot),
     hcond AS (
       SELECT cur,
-             -sum((CAST(n AS DOUBLE) / n_cur)
-                  * ln(CAST(n AS DOUBLE) / n_cur)) AS hc
+             -(CAST(sum(CAST(round((CAST(n AS DOUBLE) / n_cur)
+                  * ln(CAST(n AS DOUBLE) / n_cur) * 1e12) AS BIGINT))
+               AS DOUBLE)) / 1e12 AS hc
       FROM pairs JOIN tot USING (cur) GROUP BY cur),
     states AS (
       SELECT cur, n_cur, hc, nn
       FROM tot JOIN hcond USING (cur), nn),
     summary AS (
-      SELECT sum((CAST(n_cur AS DOUBLE) / nn) * hc) AS hr,
-             -sum((CAST(n_cur AS DOUBLE) / nn)
-                  * ln(CAST(n_cur AS DOUBLE) / nn)) AS h0
+      SELECT CAST(sum(CAST(round((CAST(n_cur AS DOUBLE) / nn) * hc * 1e12)
+               AS BIGINT)) AS DOUBLE) / 1e12 AS hr,
+             -(CAST(sum(CAST(round((CAST(n_cur AS DOUBLE) / nn)
+                  * ln(CAST(n_cur AS DOUBLE) / nn) * 1e12) AS BIGINT))
+               AS DOUBLE)) / 1e12 AS h0
       FROM states)
     SELECT cur AS state,
            round(CAST(n_cur AS DOUBLE) / nn, 6) AS pi,

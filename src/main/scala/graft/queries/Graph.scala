@@ -93,21 +93,21 @@ object Graph {
   }
 
   private val o136 = s"""
-    WITH op AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
+    WITH op AS MATERIALIZED (SELECT DISTINCT l_orderkey AS o, l_partkey AS p
                 FROM lineitem),
-    e AS (SELECT x.p AS a, y.p AS b
+    e AS MATERIALIZED (SELECT x.p AS a, y.p AS b
           FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
           GROUP BY x.p, y.p HAVING count(*) >= $TriangleSupport),
-    deg AS (SELECT v, count(*) AS deg
+    deg AS MATERIALIZED (SELECT v, count(*) AS deg
             FROM (SELECT a AS v FROM e UNION ALL SELECT b AS v FROM e)
             GROUP BY v),
-    orient AS (
+    orient AS MATERIALIZED (
       SELECT CASE WHEN (da.deg, a) < (db.deg, b) THEN a ELSE b END AS src,
              CASE WHEN (da.deg, a) < (db.deg, b) THEN b ELSE a END AS dst,
              CASE WHEN (da.deg, a) < (db.deg, b) THEN db.deg ELSE da.deg END
                AS ddeg
       FROM e JOIN deg da ON da.v = a JOIN deg db ON db.v = b),
-    wedges AS (
+    wedges AS MATERIALIZED (
       SELECT e1.dst AS v, e2.dst AS w
       FROM orient e1 JOIN orient e2
         ON e1.src = e2.src AND (e1.ddeg, e1.dst) < (e2.ddeg, e2.dst)),
@@ -157,14 +157,14 @@ object Graph {
   }
 
   private val o137 = s"""
-    WITH inc AS (SELECT DISTINCT o_custkey AS c, l_partkey AS p
+    WITH inc AS MATERIALIZED (SELECT DISTINCT o_custkey AS c, l_partkey AS p
                  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-    pop AS (SELECT p, count(*) AS pop FROM inc GROUP BY p),
-    kept AS (SELECT inc.c, inc.p FROM inc JOIN pop USING (p)
+    pop AS MATERIALIZED (SELECT p, count(*) AS pop FROM inc GROUP BY p),
+    kept AS MATERIALIZED (SELECT inc.c, inc.p FROM inc JOIN pop USING (p)
              WHERE pop <= $CopurchaseCap),
     dropped AS (SELECT count(*) AS n_parts_dropped FROM pop
                 WHERE pop > $CopurchaseCap),
-    sizes AS (SELECT c, count(*) AS sz FROM inc GROUP BY c),
+    sizes AS MATERIALIZED (SELECT c, count(*) AS sz FROM inc GROUP BY c),
     pairs AS (
       SELECT x.c AS c1, y.c AS c2, count(*) AS n_shared
       FROM kept x JOIN kept y ON x.p = y.p AND x.c < y.c
@@ -316,15 +316,15 @@ object Graph {
   }
 
   private def o282: String =
-    s"""WITH RECURSIVE op AS (
+    s"""WITH RECURSIVE op AS MATERIALIZED (
          SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
-       e0 AS (
+       e0 AS MATERIALIZED (
          SELECT x.p AS a, y.p AS b
          FROM op x JOIN op y ON x.o = y.o AND x.p < y.p
          GROUP BY 1, 2 HAVING count(*) >= $TriangleSupport),
-       edges AS (
+       edges AS MATERIALIZED (
          SELECT a, b FROM e0 UNION ALL SELECT b AS a, a AS b FROM e0),
-       deg AS (SELECT a AS v, count(*) AS dg FROM edges GROUP BY a),
+       deg AS MATERIALIZED (SELECT a AS v, count(*) AS dg FROM edges GROUP BY a),
        src AS (
          SELECT arg_max(v, ${Keys.oKey(Keys.oAsc("dg", 9),
             Keys.oDesc("v", 10))}) AS s
@@ -335,7 +335,7 @@ object Graph {
          SELECT e.b, r.dist + 1
          FROM reach r JOIN edges e ON e.a = r.v
          WHERE r.dist < 60),
-       d AS (SELECT v, min(dist) AS dist FROM reach GROUP BY v)
+       d AS MATERIALIZED (SELECT v, min(dist) AS dist FROM reach GROUP BY v)
        SELECT CAST(dist AS INT) AS dist, count(*) AS n_nodes
        FROM d GROUP BY dist
        UNION ALL

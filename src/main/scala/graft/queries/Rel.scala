@@ -721,11 +721,29 @@ object Rel {
       .orderBy(col("price"), col("p_partkey"))
   }
 
+  // r13 (sf1 oracle-budget fix): the dominator set is pruned to the 2-D
+  // skyline CANDIDATES via the running-min recurrence before the
+  // NOT-EXISTS — sound because dominance is transitive on a finite set
+  // (any dominated point is dominated by some skyline point), and the
+  // false-negative check is untouched: a true skyline point has NO
+  // dominator anywhere, so it passes regardless of the pruning. Cost
+  // falls from O(n²) to O(n log n + n·|skyline|).
   private val o183 = """
+    WITH sky0 AS MATERIALIZED (
+      SELECT p_partkey, p_retailprice, p_size,
+             min(p_retailprice) OVER (ORDER BY p_size
+               RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS m_lt,
+             min(p_retailprice) OVER (ORDER BY p_size
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS m_le
+      FROM part),
+    cand AS MATERIALIZED (
+      SELECT p_partkey, p_retailprice, p_size FROM sky0
+      WHERE (m_lt IS NULL OR m_lt > p_retailprice)
+        AND m_le >= p_retailprice)
     SELECT p.p_partkey, p.p_retailprice AS price, p.p_size AS size
     FROM part p
     WHERE NOT EXISTS (
-      SELECT 1 FROM part q
+      SELECT 1 FROM cand q
       WHERE q.p_retailprice <= p.p_retailprice AND q.p_size <= p.p_size
         AND (q.p_retailprice < p.p_retailprice OR q.p_size < p.p_size))
     ORDER BY price, p_partkey"""

@@ -307,8 +307,12 @@ object TextOps {
     * statistic a training-data pipeline tracks when the source blend
     * shifts. Two hash aggregations + one broadcast-sized dimension join
     * (distinct (source, lang) pairs). Shared SQL text runs on both engines;
-    * ln() differs only in final ulps and every transcendental is consumed
-    * inside a ≤6-term rounded aggregate (round 6), per the parity rules.
+    * r13: each p·ln(p) term is SNAPPED to int64 nano-units
+    * (`round(term·1e9)::BIGINT`) before the sum, so the fold is exact
+    * integer arithmetic — ln's last-ulp engine difference survives only
+    * as the ~1e-18-probability half-boundary of the snap itself, not as
+    * an order-sensitive float sum (the q304 r12 lesson, enforced by
+    * CatalogSpec's transcendental discipline).
     */
   private def q124(s: SparkSession, d: String): DataFrame = {
     documents(s, d).createOrReplaceTempView("graft_kl_documents")
@@ -324,11 +328,15 @@ object TextOps {
     tot AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM sl)
     SELECT sl.source,
            CAST(count(*) AS INT) AS n_langs,
-           round(-sum((sl.c / CAST(srct.cs AS DOUBLE))
-                      * ln(sl.c / CAST(srct.cs AS DOUBLE))), 6) AS entropy,
-           round(sum((sl.c / CAST(srct.cs AS DOUBLE))
-                     * ln((sl.c / CAST(srct.cs AS DOUBLE))
-                          / (gl.cg / CAST((SELECT n FROM tot) AS DOUBLE)))),
+           round(-(CAST(sum(CAST(round(
+                     (sl.c / CAST(srct.cs AS DOUBLE))
+                     * ln(sl.c / CAST(srct.cs AS DOUBLE)) * 1e9)
+                   AS BIGINT)) AS DOUBLE) / 1e9), 6) AS entropy,
+           round(CAST(sum(CAST(round(
+                   (sl.c / CAST(srct.cs AS DOUBLE))
+                   * ln((sl.c / CAST(srct.cs AS DOUBLE))
+                        / (gl.cg / CAST((SELECT n FROM tot) AS DOUBLE)))
+                   * 1e9) AS BIGINT)) AS DOUBLE) / 1e9,
                  6) AS kl_vs_global
     FROM sl
     JOIN srct ON sl.source = srct.source
@@ -917,10 +925,19 @@ object TextOps {
         (((((lit(1.061405429) * col("tq") - lit(1.453152027)) * col("tq")
           + lit(1.421413741)) * col("tq") - lit(0.284496736)) * col("tq")
           + lit(0.254829592)) * col("tq")) * exp(-col("xq") * col("xq")), 9))
+    // r13 (ADVICE): the BH step-up rank orders by za DESC, not by p — erfc
+    // is strictly monotone decreasing in za, so the orders are identical,
+    // but za is transcendental-free (rounded division/sqrt of exact ints)
+    // while p carries an exp() whose last-ulp noise at a .5e-9 rounding
+    // boundary could flip p, p_rank, kstar and the whole-query hash. The
+    // one residual transcendental comparison left is `p <= crit` (and p
+    // itself in the output, display-only): a knife-edge only when the
+    // UNROUNDED p sits within ~1e-16 of a .5e-9 half-boundary — accepted
+    // and documented rather than inverted through erfc⁻¹.
     val w = Window.partitionBy()
     val tested = zc.filter(col("p").isNotNull)
       .withColumn("p_rank", row_number().over(
-        Window.orderBy(col("p"), col("lang"), col("source"))))
+        Window.orderBy(col("za").desc, col("lang"), col("source"))))
       .withColumn("m", count(lit(1)).over(w))
       .withColumn("crit", round(lit(BhAlpha.toDouble) * col("p_rank")
         / col("m"), 9))
@@ -976,7 +993,8 @@ object TextOps {
           + 0.254829592) * tq) * exp(-(xq * xq)), 9) AS p
       FROM s4),
     tested AS (
-      SELECT *, row_number() OVER (ORDER BY p, lang, source) AS p_rank,
+      SELECT *, row_number() OVER (ORDER BY round(abs(z), 12) DESC,
+               lang, source) AS p_rank,
              count(*) OVER () AS m
       FROM s5 WHERE p IS NOT NULL),
     bh AS (
@@ -1180,10 +1198,18 @@ object TextOps {
     * explode + min-aggregation at the word grain), both words and docs
     * bucket into 10 deterministic doc-id ranges, and the only windows are
     * prefix sums over the 10-row aggregated frame (Aggregate-beneath safe
-    * shape). Cross-engine: all counts exact int64, bucket = integer DIV;
-    * β is regr_slope over ln of exact ints on the 10-row frame, rounded
-    * at 4 (the q243 recipe — last-ulp ln noise cannot reach the 4th
-    * decimal through a 10-point slope).
+    * shape). Cross-engine (r13, the round-12 driver-red fix): each ln of
+    * an exact int is SNAPPED to int64 micro-units immediately
+    * (`round(ln·1e6)` — the q316 log-prob stance), and β is computed from
+    * explicit Σx/Σy/Σxy/Σx² folds of those int64s — never an
+    * engine-internal `regr_slope` moment merge, whose fold order differs
+    * across engines and whose unrounded per-element lns differ in last
+    * ulps (exactly the "only ROUNDED AGGREGATES of transcendentals are
+    * comparable" convention; the r12 driver corpus exposed it while the
+    * 31-word local corpus degenerates β to 0.0 and cannot). All moment
+    * products are int64-safe by construction: |ln·1e6| ≤ 44e6 (ln 2⁶³),
+    * 10 fixed buckets → n·Σxy ≤ 1.9e17 « 2⁶³. One final double division,
+    * rounded at 4.
     */
   private def q304(s: SparkSession, d: String): DataFrame = {
     val docs = parallelize(s, documents(s, d))
@@ -1212,15 +1238,22 @@ object TextOps {
       .withColumn("cum_docs", sum(col("docs_b")).over(o).cast("long"))
       .withColumn("cum_tokens", sum(col("toks_b")).over(o).cast("long"))
       .withColumn("cum_vocab", sum(col("new_vocab")).over(o).cast("long"))
-    val beta = c.agg(round(expr(
-      """regr_slope(
-           CASE WHEN cum_vocab > 0 AND cum_tokens > 0
-                THEN ln(CAST(cum_vocab AS DOUBLE)) END,
-           CASE WHEN cum_vocab > 0 AND cum_tokens > 0
-                THEN ln(CAST(cum_tokens AS DOUBLE)) END)"""), 4)
-      .as("heaps_beta"))
-      .withColumn("jk", pmod(coalesce(round(col("heaps_beta")).cast("long"),
-        lit(0L)), lit(1L)))
+    val beta = c.filter(col("cum_vocab") > 0 && col("cum_tokens") > 0)
+      .select(
+        round(log(col("cum_tokens").cast("double")) * lit(1e6))
+          .cast("long").as("lx"),
+        round(log(col("cum_vocab").cast("double")) * lit(1e6))
+          .cast("long").as("ly"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        sum(col("lx")).cast("long").as("sx"),
+        sum(col("ly")).cast("long").as("sy"),
+        sum(col("lx") * col("ly")).cast("long").as("sxy"),
+        sum(col("lx") * col("lx")).cast("long").as("sxx"))
+      .withColumn("den", col("n") * col("sxx") - col("sx") * col("sx"))
+      .withColumn("num", col("n") * col("sxy") - col("sx") * col("sy"))
+      .withColumn("heaps_beta", when(col("den") =!= 0L,
+        round(col("num").cast("double") / col("den").cast("double"), 4)))
+      .withColumn("jk", pmod(coalesce(col("n"), lit(0L)), lit(1L)))
     c.withColumn("jk", pmod(col("bucket"), lit(1L)))
       .join(broadcast(beta), Seq("jk"))
       .select(col("bucket"), col("docs_b"), col("toks_b"), col("new_vocab"),
@@ -1258,12 +1291,22 @@ object TextOps {
           FROM f
           WINDOW o AS (ORDER BY bucket
                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-    b AS (SELECT round(regr_slope(
-            CASE WHEN cum_vocab > 0 AND cum_tokens > 0
-                 THEN ln(CAST(cum_vocab AS DOUBLE)) END,
-            CASE WHEN cum_vocab > 0 AND cum_tokens > 0
-                 THEN ln(CAST(cum_tokens AS DOUBLE)) END), 4) AS heaps_beta
-          FROM c)
+    pts AS (SELECT
+              CAST(round(ln(CAST(cum_tokens AS DOUBLE)) * 1e6) AS BIGINT)
+                AS lx,
+              CAST(round(ln(CAST(cum_vocab AS DOUBLE)) * 1e6) AS BIGINT)
+                AS ly
+            FROM c WHERE cum_vocab > 0 AND cum_tokens > 0),
+    mo AS (SELECT CAST(count(*) AS BIGINT) AS n,
+                  CAST(sum(lx) AS BIGINT) AS sx,
+                  CAST(sum(ly) AS BIGINT) AS sy,
+                  CAST(sum(lx * ly) AS BIGINT) AS sxy,
+                  CAST(sum(lx * lx) AS BIGINT) AS sxx
+           FROM pts),
+    b AS (SELECT CASE WHEN n * sxx - sx * sx <> 0 THEN
+            round(CAST(n * sxy - sx * sy AS DOUBLE)
+                / CAST(n * sxx - sx * sx AS DOUBLE), 4) END AS heaps_beta
+          FROM mo)
     SELECT bucket, docs_b, toks_b, new_vocab,
            cum_docs, cum_tokens, cum_vocab, heaps_beta
     FROM c, b ORDER BY bucket"""
@@ -1436,14 +1479,20 @@ object TextOps {
     * ln2 · (1 − Σ_common p), so JSD = core/2 + ln2·((1−Σp)+(1−Σq))/2 —
     * the inner equi-join at the WORD grain (shuffle partitioned by w) is
     * the only pairwise structure, and a word's fan-out is bounded by
-    * (sources choose 2), a schema dimension. Cross-engine: p, q are exact
-    * int ratios (identical doubles); the ln terms are consumed only
-    * inside the final per-pair ROUNDED aggregate (round 6) per the
-    * transcendental parity rule; arguments are strictly positive by
-    * construction (counts ≥ 1), so neither engine's ln(0) hazard is
-    * reachable.
+    * (sources choose 2), a schema dimension. Cross-engine (r13,
+    * CatalogSpec's transcendental discipline): p, q are exact int ratios
+    * (identical doubles); each pair's ln TERM is SNAPPED to int64
+    * pico-units (`round(term·1e12)::long`) so the corpus-vocabulary-sized
+    * sum folds exact integers in any order — Σ|term| ≤ 2·ln2 keeps the
+    * snapped sum far inside int64 at any vocabulary size; the mass terms
+    * ca/cb are EXACT int count sums divided once at the end (not float
+    * sums of per-word ratios); ln2 is the correctly-rounded double
+    * LITERAL on both sides, not an engine ln() call. Arguments are
+    * strictly positive by construction (counts ≥ 1), so neither engine's
+    * ln(0) hazard is reachable.
     */
   private def q307(s: SparkSession, d: String): DataFrame = {
+    val ln2 = lit(0.6931471805599453)
     val tf = parallelize(s, documents(s, d))
       .select(col("source"), explode(wsTokens).as("w"))
       .filter(length(col("w")) > 0)
@@ -1451,21 +1500,30 @@ object TextOps {
     val st = tf.groupBy(col("source"))
       .agg(sum(col("m")).cast("long").as("nt"))
     val p = tf.join(broadcast(st), Seq("source"))
-      .select(col("source"), col("w"),
-        (col("m").cast("double") / col("nt")).as("pr"))
-    val a = p.select(col("source").as("sa"), col("w"), col("pr").as("pa"))
-    val b = p.select(col("source").as("sb"), col("w"), col("pr").as("pb"))
+      .select(col("source"), col("w"), col("m"), col("nt"))
+    val a = p.select(col("source").as("sa"), col("w"), col("m").as("ma"),
+      col("nt").as("nta"))
+    val b = p.select(col("source").as("sb"), col("w"), col("m").as("mb"),
+      col("nt").as("ntb"))
     a.join(b, Seq("w")).filter(col("sa") < col("sb"))
-      .groupBy(col("sa").as("source_a"), col("sb").as("source_b"))
-      .agg(count(lit(1)).as("n_common"),
-        sum(col("pa") * log(lit(2.0) * col("pa") / (col("pa") + col("pb")))
+      .withColumn("pa", col("ma").cast("double") / col("nta"))
+      .withColumn("pb", col("mb").cast("double") / col("ntb"))
+      .withColumn("t", round(
+        (col("pa") * log(lit(2.0) * col("pa") / (col("pa") + col("pb")))
           + col("pb")
             * log(lit(2.0) * col("pb") / (col("pa") + col("pb"))))
-          .as("core"),
-        sum(col("pa")).as("ca"), sum(col("pb")).as("cb"))
+          * lit(1e12)).cast("long"))
+      .groupBy(col("sa").as("source_a"), col("sb").as("source_b"))
+      .agg(count(lit(1)).as("n_common"),
+        sum(col("t")).cast("long").as("core_n"),
+        sum(col("ma")).cast("long").as("sma"),
+        sum(col("mb")).cast("long").as("smb"),
+        max(col("nta")).as("nta"), max(col("ntb")).as("ntb"))
       .select(col("source_a"), col("source_b"), col("n_common"),
-        round(lit(0.5) * col("core") + lit(0.5) * log(lit(2.0))
-          * ((lit(1.0) - col("ca")) + (lit(1.0) - col("cb"))), 6)
+        round(lit(0.5) * (col("core_n").cast("double") / lit(1e12))
+          + lit(0.5) * ln2
+          * ((lit(1.0) - col("sma").cast("double") / col("nta"))
+            + (lit(1.0) - col("smb").cast("double") / col("ntb"))), 6)
           .as("jsd"))
       .orderBy(col("source_a"), col("source_b"))
   }
@@ -1479,19 +1537,30 @@ object TextOps {
       WHERE length(w) > 0 GROUP BY source, w),
     st AS (SELECT source, CAST(sum(m) AS BIGINT) AS nt
            FROM tf GROUP BY source),
-    p AS (SELECT tf.source, w, CAST(m AS DOUBLE) / nt AS pr
+    p AS (SELECT tf.source, w, m, nt
           FROM tf JOIN st ON st.source = tf.source),
-    pairs AS (
+    wpair AS (
       SELECT a.source AS source_a, b.source AS source_b,
+             a.m AS ma, b.m AS mb, a.nt AS nta, b.nt AS ntb,
+             CAST(a.m AS DOUBLE) / a.nt AS pa,
+             CAST(b.m AS DOUBLE) / b.nt AS pb
+      FROM p a JOIN p b ON a.w = b.w AND a.source < b.source),
+    pairs AS (
+      SELECT source_a, source_b,
              CAST(count(*) AS BIGINT) AS n_common,
-             sum(a.pr * ln(2.0 * a.pr / (a.pr + b.pr))
-                 + b.pr * ln(2.0 * b.pr / (a.pr + b.pr))) AS core,
-             sum(a.pr) AS ca, sum(b.pr) AS cb
-      FROM p a JOIN p b ON a.w = b.w AND a.source < b.source
-      GROUP BY 1, 2)
+             CAST(sum(CAST(round(
+               (pa * ln(2.0 * pa / (pa + pb))
+                + pb * ln(2.0 * pb / (pa + pb))) * 1e12)
+               AS BIGINT)) AS BIGINT) AS core_n,
+             CAST(sum(ma) AS BIGINT) AS sma,
+             CAST(sum(mb) AS BIGINT) AS smb,
+             max(nta) AS nta, max(ntb) AS ntb
+      FROM wpair GROUP BY 1, 2)
     SELECT source_a, source_b, n_common,
-           round(0.5 * core
-                 + 0.5 * ln(2.0) * ((1.0 - ca) + (1.0 - cb)), 6) AS jsd
+           round(0.5 * (CAST(core_n AS DOUBLE) / 1e12)
+                 + 0.5 * 0.6931471805599453
+                 * ((1.0 - CAST(sma AS DOUBLE) / nta)
+                    + (1.0 - CAST(smb AS DOUBLE) / ntb)), 6) AS jsd
     FROM pairs ORDER BY source_a, source_b"""
 
   /** q311: per-language multiple OLS regression with diagnostics — the
@@ -1639,9 +1708,12 @@ object TextOps {
     * into double before multiplying (the only term that could overflow).
     *
     * Cross-engine: contingency cells and marginals are exact ints; the
-    * entropy/MI sums run over <= 15 bounded cells (rounded at 6 — the
-    * only transcendental aggregates, q307's convention); single-cluster
-    * degenerates (H=0, denominator 0) yield NULL on both engines.
+    * entropy/MI terms are SNAPPED to int64 pico-units
+    * (`round(term·1e12)::long`, r13 transcendental discipline) so the
+    * three sums fold exact integers — ln ulp noise survives only as the
+    * snap's own half-boundary, and the downstream ratio dag runs on
+    * identical doubles; single-cluster degenerates (H=0, denominator 0)
+    * yield NULL on both engines.
     */
   private def q312(s: SparkSession, d: String): DataFrame = {
     val pred = langPred(s, d).select(col("lang"), col("lang_pred"))
@@ -1666,18 +1738,25 @@ object TextOps {
       .withColumn("jk", pmod(col("m"), lit(1L)))
       .join(broadcast(totNn), Seq("jk"))
       .groupBy(col("jk"))
-      .agg(
-        sum((col("m").cast("double") / col("nn"))
+      .agg(sum(round((col("m").cast("double") / col("nn"))
           * log(col("m").cast("double") * col("nn")
-            / (col("a").cast("double") * col("b")))).as("mi"))
+            / (col("a").cast("double") * col("b"))) * lit(1e12))
+          .cast("long")).as("mi_n"))
+      .select(col("jk"), (col("mi_n").cast("double") / lit(1e12)).as("mi"))
     val ha = aM.join(broadcast(totNn), Seq("jk"))
       .groupBy(col("jk"))
-      .agg((-sum((col("a").cast("double") / col("nn"))
-        * log(col("a").cast("double") / col("nn")))).as("h_true"))
+      .agg(sum(round((col("a").cast("double") / col("nn"))
+        * log(col("a").cast("double") / col("nn")) * lit(1e12))
+        .cast("long")).as("ht_n"))
+      .select(col("jk"),
+        (-(col("ht_n").cast("double")) / lit(1e12)).as("h_true"))
     val hb = bM.join(broadcast(totNn), Seq("jk"))
       .groupBy(col("jk"))
-      .agg((-sum((col("b").cast("double") / col("nn"))
-        * log(col("b").cast("double") / col("nn")))).as("h_pred"))
+      .agg(sum(round((col("b").cast("double") / col("nn"))
+        * log(col("b").cast("double") / col("nn")) * lit(1e12))
+        .cast("long")).as("hp_n"))
+      .select(col("jk"),
+        (-(col("hp_n").cast("double")) / lit(1e12)).as("h_pred"))
     val pur = cells.groupBy(col("lang_pred"))
       .agg(max(col("m")).as("mx"))
       .groupBy(pmod(col("mx"), lit(1L)).as("jk"))
@@ -1742,16 +1821,19 @@ object TextOps {
     asum AS (SELECT CAST(sum(a * (a - 1) // 2) AS BIGINT) AS suma FROM am),
     bsum AS (SELECT CAST(sum(b * (b - 1) // 2) AS BIGINT) AS sumb FROM bm),
     info AS (
-      SELECT sum((CAST(m AS DOUBLE) / nn)
+      SELECT CAST(sum(CAST(round((CAST(m AS DOUBLE) / nn)
                  * ln(CAST(m AS DOUBLE) * nn
-                      / (CAST(a AS DOUBLE) * b))) AS mi
+                      / (CAST(a AS DOUBLE) * b)) * 1e12) AS BIGINT))
+               AS DOUBLE) / 1e12 AS mi
       FROM cells
       JOIN am USING (lang) JOIN bm USING (lang_pred), tot),
-    hha AS (SELECT -sum((CAST(a AS DOUBLE) / nn)
-                        * ln(CAST(a AS DOUBLE) / nn)) AS h_true
+    hha AS (SELECT -(CAST(sum(CAST(round((CAST(a AS DOUBLE) / nn)
+                        * ln(CAST(a AS DOUBLE) / nn) * 1e12) AS BIGINT))
+                      AS DOUBLE)) / 1e12 AS h_true
             FROM am, tot),
-    hhb AS (SELECT -sum((CAST(b AS DOUBLE) / nn)
-                        * ln(CAST(b AS DOUBLE) / nn)) AS h_pred
+    hhb AS (SELECT -(CAST(sum(CAST(round((CAST(b AS DOUBLE) / nn)
+                        * ln(CAST(b AS DOUBLE) / nn) * 1e12) AS BIGINT))
+                      AS DOUBLE)) / 1e12 AS h_pred
             FROM bm, tot),
     pur AS (SELECT CAST(sum(mx) AS BIGINT) AS purnum
             FROM (SELECT lang_pred, max(m) AS mx

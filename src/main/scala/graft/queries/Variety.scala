@@ -1,6 +1,6 @@
 package graft.queries
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -71,26 +71,43 @@ object Variety {
     FROM part ORDER BY p_partkey"""
 
   /** q57: transcendental math under aggregation — ln/exp/log10 per element
-    * differ between libm and the JVM by ulps, so only rounded aggregates are
-    * cross-engine stable (relative error ~1e-16 per term stays ~1e-10
-    * absolute in the sums, far inside the rounding margin).
+    * differ between libm and the JVM by ulps, and the engines' float-sum
+    * fold orders differ, so raw `sum(ln(x))` is a knife-edge that WIDENS
+    * with row count (the q304 r12 driver-red class). r13: each element is
+    * SNAPPED to int64 micro-units (`round(f(x)·1e6)` — the q316 stance),
+    * the sum folds exact int64 (order-free), and one final double division
+    * restores the scale. Cross-engine-exact at ANY row count (int64 sum
+    * overflows only past ~8e17 rows at these magnitudes), not merely
+    * inside a rounding margin.
     */
-  private def q57(s: SparkSession, d: String): DataFrame =
+  private def q57(s: SparkSession, d: String): DataFrame = {
+    def snapSum(c: Column): Column =
+      sum(round(c * lit(1e6)).cast("long")).cast("double")
     lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
-        round(sum(log(col("l_extendedprice"))), 4).as("sum_ln_price"),
-        round(avg(exp(col("l_discount"))), 6).as("avg_exp_disc"),
-        round(sum(log10(col("l_quantity"))), 4).as("sum_log10_qty"),
-        round(sum(pow(col("l_discount"), 2)), 6).as("sum_disc_sq"))
+        round(snapSum(log(col("l_extendedprice"))) / lit(1e6), 4)
+          .as("sum_ln_price"),
+        round(snapSum(exp(col("l_discount")))
+          / count(lit(1)).cast("double") / lit(1e6), 6).as("avg_exp_disc"),
+        round(snapSum(log10(col("l_quantity"))) / lit(1e6), 4)
+          .as("sum_log10_qty"),
+        round(snapSum(pow(col("l_discount"), 2)) / lit(1e6), 6)
+          .as("sum_disc_sq"))
       .orderBy(col("l_returnflag"))
+  }
 
   private val o57 = """
     SELECT l_returnflag,
-           round(sum(ln(l_extendedprice)), 4) AS sum_ln_price,
-           round(avg(exp(l_discount)), 6) AS avg_exp_disc,
-           round(sum(log10(l_quantity)), 4) AS sum_log10_qty,
-           round(sum(pow(l_discount, 2)), 6) AS sum_disc_sq
+           round(CAST(sum(CAST(round(ln(l_extendedprice) * 1e6) AS BIGINT))
+               AS DOUBLE) / 1e6, 4) AS sum_ln_price,
+           round(CAST(sum(CAST(round(exp(l_discount) * 1e6) AS BIGINT))
+               AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6, 6)
+             AS avg_exp_disc,
+           round(CAST(sum(CAST(round(log10(l_quantity) * 1e6) AS BIGINT))
+               AS DOUBLE) / 1e6, 4) AS sum_log10_qty,
+           round(CAST(sum(CAST(round(pow(l_discount, 2) * 1e6) AS BIGINT))
+               AS DOUBLE) / 1e6, 6) AS sum_disc_sq
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
   /** q59: arbitrary GROUPING SETS (the general form rollup/cube specialize). */

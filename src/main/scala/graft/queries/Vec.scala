@@ -2190,18 +2190,18 @@ object Vec {
     * residual-slice space over (vec_id, m). */
   private def oSubLloydCtes(iters: Int): String = (1 to iters).map { k =>
     s"""
-    sd$k AS (
+    sd$k AS MATERIALIZED (
       SELECT x.vec_id, x.m, s.scid,
              list_sum(list_transform(range(1, ${PqSub + 1}),
                i -> (x.rs[i] - s.cv[i]) * (x.rs[i] - s.cv[i]))) AS d2
       FROM sx x JOIN scb${k - 1} s ON s.m = x.m),
-    sa$k AS (
+    sa$k AS MATERIALIZED (
       SELECT vec_id, m, scid FROM (
         SELECT vec_id, m, scid,
                row_number() OVER (PARTITION BY vec_id, m
                  ORDER BY d2, scid) AS rn
         FROM sd$k) WHERE rn = 1),
-    scb$k AS (
+    scb$k AS MATERIALIZED (
       SELECT m, scid, list(round(mv, 6) ORDER BY i) AS cv FROM (
         SELECT a.m, a.scid, x.i, avg(x.v) AS mv
         FROM sa$k a JOIN sx2 x ON x.vec_id = a.vec_id AND x.m = a.m
@@ -2219,48 +2219,48 @@ object Vec {
           i -> ($a[i] - $b[i]) * ($a[i] - $b[i]))), 6)"""
     val kPrime = RefineMult * RecallK
     s"""
-    WITH cb AS (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
+    WITH cb AS MATERIALIZED (SELECT vec_id AS cid, CAST(embedding AS DOUBLE[]) AS cv
                 FROM embeddings WHERE vec_id < $NCells),
-    ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    ev AS MATERIALIZED (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
     dists AS (
       SELECT e.vec_id, c.cid,
              list_sum(list_transform(range(1, ${Dim + 1}),
                i -> (e.v[i] - c.cv[i]) * (e.v[i] - c.cv[i]))) AS d2
       FROM ev e CROSS JOIN cb c),
-    assign AS (
+    assign AS MATERIALIZED (
       SELECT vec_id, cid FROM (
         SELECT vec_id, cid,
                row_number() OVER (PARTITION BY vec_id ORDER BY d2, cid) AS rn
         FROM dists) WHERE rn = 1),
-    res AS (
+    res AS MATERIALIZED (
       SELECT a.vec_id, a.cid,
              list_transform(range(1, ${Dim + 1}),
                i -> e.v[i] - c.cv[i]) AS r
       FROM assign a JOIN ev e ON e.vec_id = a.vec_id
       JOIN cb c ON c.cid = a.cid),
-    ms AS (SELECT unnest(range(0, $PqM)) AS m),
+    ms AS MATERIALIZED (SELECT unnest(range(0, $PqM)) AS m),
     scb0 AS (
       SELECT m.m, vec_id - $NCells AS scid,
              list_transform(range(1, ${PqSub + 1}),
                i -> r[m.m * $PqSub + i]) AS cv
       FROM res CROSS JOIN ms m
       WHERE vec_id >= $NCells AND vec_id < ${NCells + pqK}),
-    sx AS (
+    sx AS MATERIALIZED (
       SELECT r.vec_id, m.m,
              list_transform(range(1, ${PqSub + 1}),
                i -> r.r[m.m * $PqSub + i]) AS rs
       FROM res r CROSS JOIN ms m),
-    sx2 AS (SELECT vec_id, m, generate_subscripts(rs, 1) AS i,
+    sx2 AS MATERIALIZED (SELECT vec_id, m, generate_subscripts(rs, 1) AS i,
                    unnest(rs) AS v
             FROM sx),
     ${oSubLloydCtes(SubIters)},
-    scbt AS (
+    scbt AS MATERIALIZED (
       SELECT m, row_number() OVER (PARTITION BY m ORDER BY scid) - 1 AS scid,
              cv
       FROM scb$SubIters),
-    q AS (SELECT vec_id AS qid, v AS qv FROM ev
+    q AS MATERIALIZED (SELECT vec_id AS qid, v AS qv FROM ev
           WHERE vec_id >= $NCells AND vec_id < ${NCells + RecallQ}),
-    qcells AS (
+    qcells AS MATERIALIZED (
       SELECT qid, cid, qr FROM (
         SELECT q.qid, c.cid,
                row_number() OVER (PARTITION BY q.qid ORDER BY
@@ -2270,12 +2270,12 @@ object Vec {
                list_transform(range(1, ${Dim + 1}), i -> q.qv[i] - c.cv[i])
                  AS qr
         FROM q CROSS JOIN cb c) WHERE cell_rank <= $AdcProbe),
-    allsc AS (
+    allsc AS MATERIALIZED (
       SELECT q.qid, r.vec_id, r.cid, r.r,
              ${oD2("e.v", "q.qv")} AS true_d2
       FROM res r JOIN ev e ON e.vec_id = r.vec_id CROSS JOIN q
       WHERE r.vec_id <> q.qid),
-    candrows AS (
+    candrows AS MATERIALIZED (
       SELECT a.qid, a.vec_id, a.r, a.true_d2, qc.qr
       FROM allsc a JOIN qcells qc ON qc.qid = a.qid AND qc.cid = a.cid),
     sub AS (
@@ -2290,7 +2290,7 @@ object Vec {
                row_number() OVER (PARTITION BY qid, vec_id, m
                  ORDER BY d2, scid) AS rn
         FROM sub) WHERE rn = 1),
-    cand AS (
+    cand AS MATERIALIZED (
       SELECT c.qid, c.vec_id, any_value(c.true_d2) AS true_d2,
              round(list_sum(list(
                list_sum(list_transform(range(1, ${PqSub + 1}),
@@ -2309,7 +2309,7 @@ object Vec {
       SELECT qid, vec_id FROM (
         SELECT qid, vec_id, row_number() OVER (PARTITION BY qid
           ORDER BY true_d2, vec_id) AS rn FROM cand) WHERE rn <= $RecallK),
-    adc_ranked AS (
+    adc_ranked AS MATERIALIZED (
       SELECT qid, vec_id, true_d2, row_number() OVER (PARTITION BY qid
         ORDER BY est_d2, vec_id) AS rn FROM cand),
     adc_top AS (SELECT qid, vec_id FROM adc_ranked WHERE rn <= $RecallK),
@@ -2319,16 +2319,16 @@ object Vec {
           ORDER BY true_d2, vec_id) AS rn2
         FROM adc_ranked WHERE rn <= $kPrime) WHERE rn2 <= $RecallK),
     pops AS (SELECT cid, count(*) AS pop FROM assign GROUP BY cid),
-    tot AS (SELECT count(*) AS n FROM embeddings),
+    tot AS MATERIALIZED (SELECT count(*) AS n FROM embeddings),
     scan AS (
       SELECT qc.qid, sum(p.pop) / any_value(tot.n) AS frac
       FROM qcells qc JOIN pops p USING (cid) CROSS JOIN tot
       GROUP BY qc.qid),
-    methods AS (
+    methods AS MATERIALIZED (
       SELECT 'cand_ceiling' AS method, qid, vec_id FROM ceil_top
       UNION ALL SELECT 'adc', qid, vec_id FROM adc_top
       UNION ALL SELECT 'adc_refine', qid, vec_id FROM refine_top),
-    ov AS (
+    ov AS MATERIALIZED (
       SELECT mm.method, q.qid, coalesce(o.n, 0) AS n_overlap
       FROM q CROSS JOIN (SELECT DISTINCT method FROM methods) mm
       LEFT JOIN (
@@ -2939,8 +2939,12 @@ object Vec {
     * gain vs the ideal ordering). This is the offline eval loop every
     * retrieval deployment runs against a qrels set; labels stand in for
     * qrels. Ranks come from the ROUNDED cosine with vec_id tie-break (the
-    * q41 parity recipe), so rankings are bit-identical cross-engine; the
-    * log2-discounted sums are transcendental and compared rounded.
+    * q41 parity recipe), so rankings are bit-identical cross-engine; r13:
+    * each log2 discount term is SNAPPED to int64 pico-units
+    * (`round(1e12/log2(r+1))::long`) so both the DCG sum and the
+    * ideal-DCG fold are exact integer arithmetic, and nDCG is one double
+    * division of two exact int64s (the 1e12 scale cancels) — CatalogSpec
+    * transcendental discipline.
     *
     * Scale shape: panel×corpus brute-force scoring (the eval set is fixed
     * and small — eval cost does not grow with panel quality), one window
@@ -2966,13 +2970,15 @@ object Vec {
       .agg(sum(col("rel")).cast("long").as("n_rel"),
         min(when(col("rel") === 1, col("rank"))).as("first_rel_rank"),
         sum(when(col("rel") === 1 && col("rank") <= 10,
-          lit(1.0) / log2(col("rank") + 1)).otherwise(0.0)).as("dcg"))
-      .withColumn("idcg", expr(
-        """aggregate(sequence(1L, least(10L, greatest(1L, n_rel))), 0.0D,
-           (acc, i) -> acc + 1.0 / log2(i + 1))"""))
+          round(lit(1e12) / log2(col("rank") + 1)).cast("long"))
+          .otherwise(0L)).cast("long").as("dcg_n"))
+      .withColumn("idcg_n", expr(
+        """aggregate(sequence(1L, least(10L, greatest(1L, n_rel))), 0L,
+           (acc, i) -> acc + CAST(round(1e12 / log2(i + 1)) AS BIGINT))"""))
       .select(col("qid"), col("n_rel"), col("first_rel_rank"),
         round(lit(1.0) / col("first_rel_rank"), 6).as("mrr_contrib"),
-        round(col("dcg") / col("idcg"), 6).as("ndcg10"))
+        round(col("dcg_n").cast("double") / col("idcg_n").cast("double"), 6)
+          .as("ndcg10"))
       .orderBy(col("qid"))
   }
 
@@ -2997,14 +3003,16 @@ object Vec {
              CAST(sum(CASE WHEN label = qlab THEN 1 ELSE 0 END) AS BIGINT)
                AS n_rel,
              min(CASE WHEN label = qlab THEN rank END) AS first_rel_rank,
-             sum(CASE WHEN label = qlab AND rank <= 10
-                 THEN 1.0 / log2(rank + 1) ELSE 0.0 END) AS dcg
+             CAST(sum(CASE WHEN label = qlab AND rank <= 10
+                 THEN CAST(round(1e12 / log2(rank + 1)) AS BIGINT)
+                 ELSE 0 END) AS BIGINT) AS dcg_n
       FROM ranked GROUP BY qid)
     SELECT qid, n_rel, CAST(first_rel_rank AS INT) AS first_rel_rank,
            round(1.0 / first_rel_rank, 6) AS mrr_contrib,
-           round(dcg / list_sum(list_transform(
+           round(CAST(dcg_n AS DOUBLE) / CAST(list_sum(list_transform(
              range(1, least(10, greatest(1, n_rel)) + 1),
-             i -> 1.0 / log2(i + 1))), 6) AS ndcg10
+             i -> CAST(round(1e12 / log2(i + 1)) AS BIGINT)))
+             AS DOUBLE), 6) AS ndcg10
     FROM aggd ORDER BY qid"""
 
   /** q241: reciprocal (mutual) k-NN pairs — the alignment criterion

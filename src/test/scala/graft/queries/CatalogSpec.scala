@@ -159,6 +159,72 @@ class CatalogSpec extends SparkTestBase {
     assert(flagged(wide).isEmpty, "4096-way bucket wrongly flagged")
   }
 
+  test("NO order-sensitive aggregate folds an UNROUNDED transcendental") {
+    // r13, closing the q304 class structurally the way r11 closed the
+    // window class: an engine-internal float aggregate (sum/avg/stddev/
+    // covar/corr/regr_* over doubles) whose input tree contains an
+    // unrounded ln/log/exp/pow differs across engines twice over — each
+    // per-element transcendental differs in last ulps (Java Math vs libm)
+    // AND the two engines' moment folds run in different orders — so a
+    // final round() is a knife-edge, not a guarantee (CLAUDE.md: "only
+    // ROUNDED AGGREGATES of transcendentals are comparable"; q304 was the
+    // r12 driver-red proof). Snapped inputs (round(...) inside the
+    // aggregate, or int64 micro-units) pass; exact-integer/decimal
+    // aggregates are skipped by type. Catalog-wide so the class cannot
+    // recur silently. Analyzed plan (pre-optimizer), no execution.
+    val allowlisted = Set(
+      // q111 is rows-only at the driver BY DESIGN (quantile sketch, no
+      // DuckDB twin) — its internal percentile fold is not oracle-compared
+      "q111_quantile_sketch")
+    val violations = Seq.newBuilder[String]
+    for ((q, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)
+        if !allowlisted.contains(q)) {
+      TranscendentalDiscipline
+        .violations(fn(spark, sf()).queryExecution.analyzed)
+        .foreach(v => violations += s"$q: $v")
+    }
+    assert(violations.result().isEmpty,
+      "order-sensitive aggregates folding unrounded transcendentals — " +
+        "snap each ln/exp to int64 micro-units (the q316 recipe) or " +
+        "round it inside the aggregate, and fold moments explicitly " +
+        "(the q304/q243 r13 recipe):\n" +
+        violations.result().mkString("\n"))
+  }
+
+  test("the transcendental-discipline walk catches a planted " +
+      "regr_slope(ln(x), y) and passes the snapped forms") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.queries.Tables.documents(spark, sf())
+    def flagged(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      TranscendentalDiscipline.violations(df.queryExecution.analyzed)
+    // the exact q304 r12 shape: engine-internal moment merge over raw lns
+    val trap = docs.agg(expr(
+      "regr_slope(ln(CAST(n_chars AS DOUBLE)), CAST(doc_id AS DOUBLE))")
+      .as("b"))
+    assert(flagged(trap).nonEmpty, "planted regr_slope(ln) not flagged")
+    // plain sum of raw lns — the same class through the simplest door
+    val sumTrap = docs.agg(sum(log(col("n_chars").cast("double"))).as("s"))
+    assert(flagged(sumTrap).nonEmpty, "planted sum(ln) not flagged")
+    // ...even when a final round() hides it outside the aggregate
+    val roundedOutside = docs.agg(
+      round(sum(log(col("n_chars").cast("double"))), 4).as("s"))
+    assert(flagged(roundedOutside).nonEmpty,
+      "round() OUTSIDE the aggregate wrongly accepted")
+    // the q316 stance: snap to int64 micro-units -> integer fold, exempt
+    val snapped = docs.agg(sum(
+      round(log(col("n_chars").cast("double")) * lit(1e6)).cast("long"))
+      .as("s"))
+    assert(flagged(snapped).isEmpty, "int64-snapped ln wrongly flagged")
+    // the round-at-9-inside stance (q324's p): rounded before the fold
+    val roundedInside = docs.agg(sum(
+      round(exp(-col("n_chars").cast("double")), 9)).as("s"))
+    assert(flagged(roundedInside).isEmpty,
+      "round() INSIDE the aggregate wrongly flagged")
+    // transcendental-free float aggregates stay out of scope
+    val plain = docs.agg(sum(col("n_chars").cast("double")).as("s"))
+    assert(flagged(plain).isEmpty, "plain double sum wrongly flagged")
+  }
+
   test("join-heavy plans survive a scale-representative broadcast threshold") {
     // At local SFs every join auto-broadcasts (pruned size estimates sit
     // under the 10 MB default), so the sf0.001 no-BNLJ pin alone audits
@@ -448,6 +514,66 @@ class CatalogSpec extends SparkTestBase {
   * 4096 md5-prefix buckets) is the documented scale-safe decomposition,
   * not a violation.
   */
+/** Structural transcendental-into-aggregate analyzer (r13). A violation is
+  * an ORDER-SENSITIVE float aggregate (sum/avg, the variance/stddev
+  * family, covar/corr, regr_*) at least one of whose float-typed inputs
+  * contains a transcendental (ln/log/exp/pow/trig — NOT sqrt, which IEEE
+  * 754 requires correctly rounded) with no Round/BRound between the
+  * aggregate input and the transcendental. The walk stops descending at a
+  * Round/BRound (everything beneath is snapped — the q316/q324 stances)
+  * and skips non-float aggregate inputs entirely (integer/decimal folds
+  * are exact, so `round(ln·1e6)::long` sums are exempt by type). Runs on
+  * the ANALYZED plan: regr_* and covar are still visible there (the optimizer
+  * rewrites them into lower-level moments), and Rounds have not been
+  * constant-folded.
+  */
+private[queries] object TranscendentalDiscipline {
+  import org.apache.spark.sql.catalyst.expressions.Expression
+  import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression
+  import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+  import org.apache.spark.sql.types.{DoubleType, FloatType}
+
+  private val OrderSensitive: Set[String] = Set(
+    "sum", "avg", "mean", "stddev", "stddev_pop", "stddev_samp",
+    "variance", "var_pop", "var_samp", "skewness", "kurtosis",
+    "covar_pop", "covar_samp", "corr")
+
+  private val Transcendental: Set[String] = Set(
+    "Log", "Log10", "Log2", "Log1p", "Logarithm", "Exp", "Expm1", "Pow",
+    "Sin", "Cos", "Tan", "Asin", "Acos", "Atan", "Atan2", "Sinh", "Cosh",
+    "Tanh", "Cbrt")
+
+  private val Snap: Set[String] = Set("Round", "BRound")
+
+  private def unroundedTranscendentals(e: Expression): Seq[String] = {
+    val cls = e.getClass.getSimpleName
+    if (Snap.contains(cls)) Seq.empty // rounded beneath: snapped
+    else {
+      val here = if (Transcendental.contains(cls)) Seq(e.sql) else Seq.empty
+      here ++ e.children.flatMap(unroundedTranscendentals)
+    }
+  }
+
+  def violations(plan: LogicalPlan): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    plan.foreach { node =>
+      node.expressions.foreach(_.foreach {
+        case ae: AggregateExpression =>
+          val fn = ae.aggregateFunction
+          val name = fn.prettyName.toLowerCase
+          if (OrderSensitive.contains(name) || name.startsWith("regr_")) {
+            for (in <- fn.children
+                if in.dataType == DoubleType || in.dataType == FloatType;
+                t <- unroundedTranscendentals(in))
+              out += s"$name(...) folds unrounded $t"
+          }
+        case _ =>
+      })
+    }
+    out.result().distinct
+  }
+}
+
 private[queries] object WindowDiscipline {
   import org.apache.spark.sql.catalyst.expressions.{Alias, Attribute, CaseWhen, Cast, Expression, ExprId, Literal, Pmod, Remainder}
   import org.apache.spark.sql.catalyst.expressions.aggregate.AggregateExpression

@@ -614,6 +614,66 @@ class InvariantSpec extends SparkTestBase {
     }
   }
 
+  test("q325/q330 two-arm populated fixture matches hand-pinned DuckDB " +
+      "values (nonempty hypergeometric/hazard path)") {
+    // r13 ADVICE #1: on every driver corpus all users are administratively
+    // censored, so q325/q330 return 0 rows on both engines and the
+    // CORRECTNESS hash-match (0=0) never exercises the E/V/z arithmetic or
+    // the cumulative-hazard window. This fixture populates BOTH md5 arms
+    // (A: users 6,9,11; B: users 1,2,3,4) with three distinct death weeks
+    // (2,3,5) and one censored anchor per arm (lifetime 10 = global max).
+    // Expected values are the DuckDB oracle outputs for the identical
+    // rows, computed offline with o325/o330 and pinned here verbatim —
+    // the cross-engine check for the nonempty path that the driver's
+    // corpus cannot reach.
+    withTempDir { dir =>
+      import spark.implicits._
+      // Saturday noon anchor: 2.5 days past the Thursday-00:00 UTC epoch
+      // week boundary, so a JVM-timezone shift of hours cannot move any
+      // event across a week boundary; +L*7d preserves the offset exactly.
+      val t0 = java.sql.Timestamp.valueOf("2024-01-06 12:00:00")
+      def plus(weeks: Int) =
+        new java.sql.Timestamp(t0.getTime + weeks * 7L * 86400 * 1000)
+      val life = Seq(1L -> 2, 2L -> 3, 3L -> 5, 4L -> 10,
+        6L -> 2, 9L -> 5, 11L -> 10)
+      val rows = life.zipWithIndex.flatMap { case ((u, l), i) =>
+        Seq((2L * i + 1, t0, u, "view", 1.0, "{}"),
+          (2L * i + 2, plus(l), u, "view", 1.0, "{}"))
+      }
+      rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+        .write.parquet(s"$dir/events.parquet")
+
+      val lr = SparkEntry.queries("q325_logrank_test")(spark, dir)
+        .collect().map(r => (r.getAs[Long]("age_w"), r.getAs[Long]("n_a"),
+          r.getAs[Long]("n_b"), r.getAs[Long]("o_a"), r.getAs[Long]("o_b"),
+          r.getAs[Double]("e_a"), r.getAs[Double]("v"),
+          r.getAs[Long]("sum_o_a"), r.getAs[Double]("sum_e_a"),
+          r.getAs[Double]("sum_v"), r.getAs[Double]("z"),
+          r.getAs[Double]("chi2"))).toSeq
+      val lrExpected = Seq( // DuckDB o325 on the identical fixture
+        (2L, 3L, 4L, 1L, 1L, 0.85714286, 0.40816327,
+          2L, 2.257143, 0.981497, -0.259555, 0.067369),
+        (3L, 2L, 3L, 0L, 1L, 0.4, 0.24,
+          2L, 2.257143, 0.981497, -0.259555, 0.067369),
+        (5L, 2L, 2L, 1L, 1L, 1.0, 0.33333333,
+          2L, 2.257143, 0.981497, -0.259555, 0.067369))
+      assert(lr == lrExpected, s"q325 got:\n${lr.mkString("\n")}")
+
+      val na = SparkEntry.queries("q330_nelson_aalen")(spark, dir)
+        .collect().map(r => (r.getAs[String]("arm"),
+          r.getAs[Long]("age_w"), r.getAs[Long]("n_risk"),
+          r.getAs[Long]("deaths"), r.getAs[Double]("hazard"),
+          r.getAs[Double]("cum_hazard"))).toSeq
+      val naExpected = Seq( // DuckDB o330 on the identical fixture
+        ("A", 2L, 3L, 1L, 0.33333333, 0.333333),
+        ("A", 5L, 2L, 1L, 0.5, 0.833333),
+        ("B", 2L, 4L, 1L, 0.25, 0.25),
+        ("B", 3L, 3L, 1L, 0.33333333, 0.583333),
+        ("B", 5L, 2L, 1L, 0.5, 1.083333))
+      assert(na == naExpected, s"q330 got:\n${na.mkString("\n")}")
+    }
+  }
+
   test("q326 permutation degenerate single user: one arm empty in every " +
       "replicate, p NULL") {
     withTempDir { dir =>
@@ -652,9 +712,11 @@ class InvariantSpec extends SparkTestBase {
         .collect()
       assert(rows.length == 1, rows.mkString("; "))
       val r = rows.head
-      assert(r.getAs[Long]("k") == 1L && r.getAs[Long]("tot_num") == 0L,
+      // var_num/tot_num are DOUBLE since r13 (exact DECIMAL(38,0)/HUGEINT
+      // internally, cast once for the comparable output schema)
+      assert(r.getAs[Long]("k") == 1L && r.getAs[Double]("tot_num") == 0.0,
         r.toString)
-      assert(r.getAs[Long]("var_num") == 0L, r.toString)
+      assert(r.getAs[Double]("var_num") == 0.0, r.toString)
       assert(r.isNullAt(r.fieldIndex("alpha")), r.toString)
       // all-censored twin: the same corpus has no deaths -> Nelson-Aalen
       // returns empty on both engines

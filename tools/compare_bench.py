@@ -84,6 +84,18 @@ def calib_probes(text: str, excluded: set) -> list:
     return probes
 
 
+def window_contended(text: str) -> bool:
+    """True when the artifact is stamped window_contended (r13 Bench), or —
+    for artifacts predating the stamp — when the r13 rule applied
+    retroactively to its drift map trips: more than 3 material reruns
+    (insuite >= 1 s) above 1.3x their in-suite time."""
+    m = re.search(r'"window_contended":(true|false)', text)
+    if m:
+        return m.group(1) == "true"
+    pairs = drift_of(text).values()
+    return sum(1 for i, r in pairs if i >= 1.0 and r > 1.3 * i) > 3
+
+
 def main() -> None:
     args = [a for a in sys.argv[1:] if not a.startswith("--")]
     thresh = 1.5
@@ -117,8 +129,16 @@ def main() -> None:
     if dega or degb:
         print(f"degraded children excluded: A={sorted(dega)} B={sorted(degb)}")
     med = statistics.median(ratios.values())
-    print(f"median raw ratio: {med:.3f}x  "
-          f"median normalized: {med / norm:.3f}x")
+    wca, wcb = window_contended(ta), window_contended(tb)
+    if wca or wcb:
+        # r13 whole-artifact quarantine: a contended window's raw total is
+        # not cross-round comparable — print only the normalized figure.
+        sides = " and ".join(s for s, w in (("A", wca), ("B", wcb)) if w)
+        print(f"WINDOW CONTENDED ({sides}): raw totals REFUSED — "
+              f"median normalized only: {med / norm:.3f}x")
+    else:
+        print(f"median raw ratio: {med:.3f}x  "
+              f"median normalized: {med / norm:.3f}x")
 
     flagged = [(q, ratios[q] / norm) for q in sorted(ratios)
                if ratios[q] / norm > thresh or ratios[q] / norm < 1 / thresh]
