@@ -1223,6 +1223,164 @@ object Vec {
       GROUP BY e.qid) o ON o.qid = q.qid
     ORDER BY query_id"""
 
+  /** q331: binary (sign) quantization recall audit — the 1-bit-per-dim
+    * compression end of the quantization ladder (int8 q106 → PQ q135 →
+    * binary): each vector collapses to a 64-bit SIGN WORD (bit i = v[i] >
+    * 0), candidate ranking is Hamming distance via one XOR + popcount, and
+    * the audit measures recall@$RecallK of Hamming top-k against the exact
+    * cosine top-k plus the cosine quality drop. This is the memory-scale
+    * path modern retrieval stacks actually ship (binary embeddings: 32×
+    * smaller than f32, SIMD-popcount candidate scan, exact re-rank on the
+    * survivors) — at 100 TB of embeddings the sign words fit where the
+    * floats never will, and the measured recall says what the exact
+    * re-rank tier must make up.
+    *
+    * Cross-engine exactness: the sign word is integer arithmetic over
+    * exact float comparisons (v[i] > 0 — raw stored values, no epsilon);
+    * Hamming = bit_count(xor) exact int; both rankings are (score,
+    * vec_id)-total-ordered; the cosine quality columns snap each rounded
+    * cosine to int64 micro-units before the k-row sums (the r13
+    * transcendental discipline — sqrt is IEEE-exact but the sums stay
+    * order-free integers). Scale shape: ground truth is the same bounded
+    * Q×corpus panel as q176; the Hamming ranking rides GroupedTopK
+    * partial aggregation (score = −hamming), map-side k-bounded, no
+    * window over the corpus.
+    */
+  private def q331(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    // two 32-bit sign words (dims 1-32 / 33-64): DuckDB's checked << cannot
+    // place bit 63 in a BIGINT, and the Hamming distance only needs the bit
+    // PATTERN, which two halves carry identically on both engines
+    def signWord(off: Int): Column = expr(
+      s"""aggregate(sequence(0, 31), 0L,
+          (acc, i) -> acc + CASE WHEN element_at(v, CAST(i + $off AS INT))
+                              > CAST(0 AS DOUBLE)
+                         THEN shiftleft(1L, CAST(i AS INT))
+                         ELSE 0L END)""")
+    val e = parallelize(s, embeddings(s, d))
+      .select(col("vec_id"), toD(col("embedding")).as("v"))
+      .withColumn("wlo", signWord(1))
+      .withColumn("whi", signWord(33))
+    val q = e.filter(col("vec_id") >= NCells &&
+        col("vec_id") < NCells + RecallQ)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("wlo").as("qlo"), col("whi").as("qhi"),
+        pmod(col("vec_id"), lit(1)).as("jk"))
+    val scored = e.withColumn("jk", pmod(col("vec_id"), lit(1)))
+      .join(broadcast(q), Seq("jk"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("v"), col("qv")), 6).as("cs"),
+        expr("bit_count(wlo ^ qlo) + bit_count(whi ^ qhi)")
+          .cast("long").as("ham"))
+    def topk(df: DataFrame, score: Column): DataFrame = {
+      val tk = new graft.functions.GroupedTopK.TopK(RecallK).toColumn
+      df.select(col("qid"), score.as("s"), col("vec_id"))
+        .as[(Long, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues(t => graft.functions.GroupedTopK.Entry(t._2, t._3))
+        .agg(tk.name("top"))
+        .toDF("qid", "top")
+        .select(col("qid"), explode(col("top")).as("e"))
+        .select(col("qid"), col("e.key").as("vec_id"))
+    }
+    val snap = (c: Column) => round(c * lit(1e6)).cast("long")
+    val exact = topk(scored, col("cs"))
+      .join(scored, Seq("qid", "vec_id"))
+      .groupBy(col("qid"))
+      .agg(sum(snap(col("cs"))).cast("long").as("cs_exact_n"))
+    val binary = topk(scored, -col("ham").cast("double"))
+      .join(scored, Seq("qid", "vec_id"))
+      .groupBy(col("qid"))
+      .agg(sum(snap(col("cs"))).cast("long").as("cs_binary_n"),
+        max(col("ham")).as("ham_k"))
+    val overlap = topk(scored, col("cs"))
+      .join(topk(scored, -col("ham").cast("double")),
+        Seq("qid", "vec_id"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_overlap"))
+    q.select(col("qid").as("query_id"))
+      .join(overlap.withColumnRenamed("qid", "query_id"),
+        Seq("query_id"), "left")
+      .join(exact.withColumnRenamed("qid", "query_id"), Seq("query_id"))
+      .join(binary.withColumnRenamed("qid", "query_id"), Seq("query_id"))
+      .select(col("query_id"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("n_overlap"), lit(0L))
+          / lit(RecallK.toDouble), 2).as("recall"),
+        col("ham_k"),
+        round(col("cs_exact_n").cast("double") / lit(RecallK.toDouble)
+          / lit(1e6), 6).as("cs_exact"),
+        round(col("cs_binary_n").cast("double") / lit(RecallK.toDouble)
+          / lit(1e6), 6).as("cs_binary"))
+      .orderBy(col("query_id"))
+  }
+
+  private def o331: String = s"""
+    WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings),
+    w AS MATERIALIZED (
+      SELECT vec_id, v,
+             CAST(list_sum(list_transform(range(0, 32),
+               i -> CASE WHEN v[CAST(i + 1 AS INT)] > 0
+                    THEN (1::BIGINT << CAST(i AS INT))
+                    ELSE 0::BIGINT END)) AS BIGINT) AS wlo,
+             CAST(list_sum(list_transform(range(0, 32),
+               i -> CASE WHEN v[CAST(i + 33 AS INT)] > 0
+                    THEN (1::BIGINT << CAST(i AS INT))
+                    ELSE 0::BIGINT END)) AS BIGINT) AS whi
+      FROM ev),
+    q AS (SELECT vec_id AS qid, v AS qv, wlo AS qlo, whi AS qhi FROM w
+          WHERE vec_id >= $NCells AND vec_id < ${NCells + RecallQ}),
+    scored AS MATERIALIZED (
+      SELECT q.qid, w.vec_id,
+             round(
+               list_sum(list_transform(range(1, ${Dim + 1}),
+                 i -> w.v[i] * q.qv[i]))
+               / (sqrt(list_sum(list_transform(range(1, ${Dim + 1}),
+                    i -> w.v[i] * w.v[i])))
+                  * sqrt(list_sum(list_transform(range(1, ${Dim + 1}),
+                      i -> q.qv[i] * q.qv[i])))), 6) AS cs,
+             CAST(bit_count(xor(w.wlo, q.qlo))
+                + bit_count(xor(w.whi, q.qhi)) AS BIGINT) AS ham
+      FROM w CROSS JOIN q WHERE w.vec_id <> q.qid),
+    exact AS (
+      SELECT qid, vec_id, cs FROM (
+        SELECT qid, vec_id, cs,
+               row_number() OVER (PARTITION BY qid ORDER BY cs DESC, vec_id)
+                 AS rn
+        FROM scored) WHERE rn <= $RecallK),
+    bin AS (
+      SELECT qid, vec_id, cs, ham FROM (
+        SELECT qid, vec_id, cs, ham,
+               row_number() OVER (PARTITION BY qid ORDER BY ham, vec_id)
+                 AS rn
+        FROM scored) WHERE rn <= $RecallK),
+    exs AS (SELECT qid,
+                   CAST(sum(CAST(round(cs * 1e6) AS BIGINT)) AS BIGINT)
+                     AS cs_exact_n
+            FROM exact GROUP BY qid),
+    bns AS (SELECT qid,
+                   CAST(sum(CAST(round(cs * 1e6) AS BIGINT)) AS BIGINT)
+                     AS cs_binary_n,
+                   max(ham) AS ham_k
+            FROM bin GROUP BY qid),
+    ov AS (SELECT e.qid, CAST(count(*) AS BIGINT) AS n_overlap
+           FROM exact e JOIN bin b ON b.qid = e.qid AND b.vec_id = e.vec_id
+           GROUP BY e.qid)
+    SELECT q.qid AS query_id,
+           CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+           round(coalesce(ov.n_overlap, 0) / $RecallK.0, 2) AS recall,
+           bns.ham_k,
+           round(CAST(exs.cs_exact_n AS DOUBLE) / $RecallK.0 / 1e6, 6)
+             AS cs_exact,
+           round(CAST(bns.cs_binary_n AS DOUBLE) / $RecallK.0 / 1e6, 6)
+             AS cs_binary
+    FROM q
+    LEFT JOIN ov ON ov.qid = q.qid
+    JOIN exs ON exs.qid = q.qid
+    JOIN bns ON bns.qid = q.qid
+    ORDER BY query_id"""
+
   /** nprobe ladder the audit sweeps — powers of two up to half the
     * codebook, the range an operator actually tunes over.
     */
@@ -3654,5 +3812,6 @@ object Vec {
     QueryDef("q42_ann_lsh_bucket", q42, Some(o42)),
     QueryDef("q43_ivf_assign", q43, Some(o43)),
     QueryDef("q44_embedding_stats", q44, Some(o44)),
-    QueryDef("q47_embedding_near_dup", q47, Some(o47)))
+    QueryDef("q47_embedding_near_dup", q47, Some(o47)),
+    QueryDef("q331_binary_quant_recall", q331, Some(o331)))
 }
