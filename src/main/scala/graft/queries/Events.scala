@@ -2292,6 +2292,226 @@ object Events {
              AS cum_hazard
     FROM wk ORDER BY arm, age_w"""
 
+  /** q333: Gini concentration of user activity — per event type and
+    * overall, how unevenly the event volume concentrates over users (the
+    * Lorenz/Gini readout every traffic-shape dashboard carries: G near 0 =
+    * uniform engagement, near 1 = a whale-dominated type whose metrics one
+    * power user can move). Uses the exact grouped-data identity
+    * G = 2·Σⱼ j·x₍ⱼ₎ / (n·Σx) − (n+1)/n, with the rank sum folded PER
+    * DISTINCT ACTIVITY VALUE: a run of w users at value c starting at
+    * rank s contributes c·(w·s + w(w−1)/2).
+    *
+    * Scale shape (the q152 value-grain discipline): users NEVER get
+    * globally ranked — one corpus-linear (type, user) rollup, then a
+    * second rollup to the (type, activity-value) frame whose size is the
+    * VALUE DOMAIN, not the user count; the rank-cumulative window runs
+    * over that aggregated frame (Aggregate-beneath, spec-safe). Exactness:
+    * counts and rank sums are exact integers — the run contribution
+    * multiplies into DECIMAL(38,0) ↔ HUGEINT (c·n² passes 2⁶³ near 1e9
+    * users, the q329 stance) — and Gini is a fixed dag of two divisions
+    * on identical doubles, rounded at 6.
+    */
+  private def q333(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    def gini(cnt: DataFrame): DataFrame = {
+      val g = cnt.groupBy(col("scope"), col("c"))
+        .agg(count(lit(1)).as("w"))
+      val win = Window.partitionBy(col("scope")).orderBy(col("c"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      g.withColumn("wprev", coalesce(sum(col("w")).over(win), lit(0L)))
+        .withColumn("mrun",
+          dec(col("c")) * (dec(col("w")) * (dec(col("wprev")) + lit(1))
+            + dec(expr("(w * (w - 1)) DIV 2"))))
+        .groupBy(col("scope"))
+        .agg(sum(col("mrun")).as("m"),
+          sum(col("c") * col("w")).cast("long").as("t"),
+          sum(col("w")).cast("long").as("n"),
+          max(col("c")).cast("long").as("cmax"))
+        .select(col("scope"),
+          col("n").as("n_users"), col("t").as("n_events"),
+          round(lit(2.0) * col("m").cast("double")
+            / (col("n").cast("double") * col("t").cast("double"))
+            - (col("n") + lit(1)).cast("double") / col("n").cast("double"),
+            6).as("gini"),
+          round(col("cmax").cast("double") / col("t").cast("double"), 6)
+            .as("top_share"))
+    }
+    val perType = events(s, d)
+      .groupBy(col("event_type").as("scope"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+    val overall = events(s, d)
+      .groupBy(lit("zz_all").as("scope"), col("user_id"))
+      .agg(count(lit(1)).as("c"))
+    gini(perType).union(gini(overall)).orderBy(col("scope"))
+  }
+
+  private val o333 = """
+    WITH pt AS (
+      SELECT event_type AS scope, user_id, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY event_type, user_id
+      UNION ALL
+      SELECT 'zz_all' AS scope, user_id, CAST(count(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id),
+    g AS (SELECT scope, c, CAST(count(*) AS BIGINT) AS w
+          FROM pt GROUP BY scope, c),
+    runs AS (
+      SELECT scope, c, w,
+             coalesce(sum(w) OVER (PARTITION BY scope ORDER BY c
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+               AS wprev
+      FROM g),
+    mo AS (
+      SELECT scope,
+             sum(CAST(c AS HUGEINT)
+                 * (CAST(w AS HUGEINT) * (CAST(wprev AS HUGEINT) + 1)
+                    + CAST((w * (w - 1)) // 2 AS HUGEINT))) AS m,
+             CAST(sum(c * w) AS BIGINT) AS t,
+             CAST(sum(w) AS BIGINT) AS n,
+             CAST(max(c) AS BIGINT) AS cmax
+      FROM runs GROUP BY scope)
+    SELECT scope, n AS n_users, t AS n_events,
+           round(2.0 * CAST(m AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * CAST(t AS DOUBLE))
+                 - CAST(n + 1 AS DOUBLE) / CAST(n AS DOUBLE), 6) AS gini,
+           round(CAST(cmax AS DOUBLE) / CAST(t AS DOUBLE), 6) AS top_share
+    FROM mo ORDER BY scope"""
+
+  /** q334: weekly seasonality profile — per event type, the hour-of-week
+    * histogram's peak cell and a χ² statistic against the uniform profile
+    * (the "does this metric breathe with the week?" screen that decides
+    * whether q232's seasonal-anomaly deseasonalization applies to a type
+    * at all: χ²/n near 0 = flat traffic, large = strong weekly rhythm
+    * that would otherwise masquerade as drift).
+    *
+    * Exactness: cell counts exact int64; χ² against uniform reduces
+    * algebraically to (168·Σo² − n²)/n — an exact-integer numerator (in
+    * DECIMAL(38,0) ↔ HUGEINT, since 168·n² passes 2⁶³ near 2.3e8 events
+    * per type) over one double division; the peak cell is a Keys-composite
+    * argmax (largest count, then earliest hour — tie-free cross-engine).
+    * Scale shape: one corpus-linear rollup to the ≤ types×168 cell frame,
+    * everything after on that bounded frame; no window anywhere.
+    */
+  private def q334(s: SparkSession, d: String): DataFrame = {
+    val dec = (c: Column) => c.cast("decimal(38,0)")
+    val cells = events(s, d)
+      .withColumn("how", expr("((ts DIV 1000) DIV 3600000000) % 168"))
+      .groupBy(col("event_type"), col("how"))
+      .agg(count(lit(1)).as("o"))
+    val peakKey = Keys.key(Keys.asc("o", 12), Keys.desc("how", 3))
+    cells.groupBy(col("event_type"))
+      .agg(sum(col("o")).cast("long").as("n"),
+        count(lit(1)).as("n_cells"),
+        expr(s"max_by(how, $peakKey)").cast("long").as("peak_how"),
+        max(col("o")).cast("long").as("peak_o"),
+        sum(dec(col("o")) * dec(col("o"))).as("so2"))
+      .select(col("event_type"), col("n").as("n_events"), col("n_cells"),
+        col("peak_how"),
+        round(col("peak_o").cast("double") / col("n").cast("double"), 6)
+          .as("peak_share"),
+        round((lit(168).cast("decimal(38,0)") * col("so2")
+            - dec(col("n")) * dec(col("n"))).cast("double")
+          / col("n").cast("double"), 6).as("chi2_uniform"))
+      .orderBy(col("event_type"))
+  }
+
+  private val o334 = s"""
+    WITH cells AS (
+      SELECT event_type, (epoch_us(ts) // 3600000000) % 168 AS how,
+             CAST(count(*) AS BIGINT) AS o
+      FROM events GROUP BY 1, 2)
+    SELECT event_type, CAST(sum(o) AS BIGINT) AS n_events,
+           CAST(count(*) AS BIGINT) AS n_cells,
+           CAST(arg_max(how, ${Keys.oKey(Keys.oAsc("o", 12),
+             Keys.oDesc("how", 3))}) AS BIGINT) AS peak_how,
+           round(CAST(max(o) AS DOUBLE) / CAST(sum(o) AS DOUBLE), 6)
+             AS peak_share,
+           round(CAST(168 * sum(CAST(o AS HUGEINT) * CAST(o AS HUGEINT))
+                 - CAST(sum(o) AS HUGEINT) * CAST(sum(o) AS HUGEINT)
+                 AS DOUBLE) / CAST(sum(o) AS DOUBLE), 6) AS chi2_uniform
+    FROM cells GROUP BY event_type ORDER BY event_type"""
+
+  /** q337: first-touch vs last-touch attribution — the two bookend
+    * heuristics every marketing stack runs BESIDE q206's Markov removal
+    * effects: for each converting user, credit the channel (event type) of
+    * the chronologically FIRST touchpoint before the first purchase, and
+    * of the LAST touchpoint before it; the per-channel share gap between
+    * the two is the standard "upper-funnel vs closer" readout (a channel
+    * with high first-touch and low last-touch share opens journeys it
+    * never closes — exactly the disagreement q206's removal effect
+    * adjudicates).
+    *
+    * Cross-engine: both touch picks are Keys-composite argmaxes over
+    * exact integer (µs, event_id) — first = max of (desc ts, desc id),
+    * last = max of (asc ts, asc id) — tie-free and bit-identical; shares
+    * are one double division of exact counts. Scale shape: one purchase
+    * rollup, one equi-join on the natural user key, two user-grain
+    * argmax rollups collapsing map-side, then everything on the bounded
+    * channel frame (the only window runs over that aggregated frame).
+    */
+  private def q337(s: SparkSession, d: String): DataFrame = {
+    val conv = events(s, d).filter(col("event_type") === "purchase")
+      .groupBy(col("user_id")).agg(min(tsUs).as("conv_t"))
+    val touches = events(s, d)
+      .join(conv, Seq("user_id"))
+      .withColumn("tus", tsUs)
+      .filter(col("tus") < col("conv_t") &&
+        col("event_type") =!= "purchase")
+      .select(col("user_id"), col("event_type"), col("tus"),
+        col("event_id"))
+    val firstKey = Keys.key(Keys.desc("tus", 16), Keys.desc("event_id", 13))
+    val lastKey = Keys.key(Keys.asc("tus", 16), Keys.asc("event_id", 13))
+    val ft = touches.groupBy(col("user_id"))
+      .agg(expr(s"max_by(event_type, $firstKey)").as("channel"))
+      .groupBy(col("channel")).agg(count(lit(1)).as("n_first"))
+    val lt = touches.groupBy(col("user_id"))
+      .agg(expr(s"max_by(event_type, $lastKey)").as("channel"))
+      .groupBy(col("channel")).agg(count(lit(1)).as("n_last"))
+    val w = Window.partitionBy()
+    ft.join(lt, Seq("channel"), "full_outer")
+      .withColumn("n_first", coalesce(col("n_first"), lit(0L)))
+      .withColumn("n_last", coalesce(col("n_last"), lit(0L)))
+      .withColumn("tot", sum(col("n_first")).over(w))
+      .select(col("channel"), col("n_first"), col("n_last"),
+        round(col("n_first").cast("double") / col("tot").cast("double"), 6)
+          .as("share_first"),
+        round(col("n_last").cast("double") / col("tot").cast("double"), 6)
+          .as("share_last"))
+      .orderBy(col("channel"))
+  }
+
+  private val o337 = s"""
+    WITH conv AS (
+      SELECT user_id, min(epoch_us(ts)) AS conv_t
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id),
+    touches AS (
+      SELECT e.user_id, e.event_type, epoch_us(e.ts) AS tus, e.event_id
+      FROM events e JOIN conv c ON c.user_id = e.user_id
+      WHERE epoch_us(e.ts) < c.conv_t AND e.event_type <> 'purchase'),
+    ft AS (
+      SELECT channel, CAST(count(*) AS BIGINT) AS n_first
+      FROM (SELECT user_id,
+              arg_max(event_type, ${Keys.oKey(Keys.oDesc("tus", 16),
+                Keys.oDesc("event_id", 13))}) AS channel
+            FROM touches GROUP BY user_id)
+      GROUP BY channel),
+    lt AS (
+      SELECT channel, CAST(count(*) AS BIGINT) AS n_last
+      FROM (SELECT user_id,
+              arg_max(event_type, ${Keys.oKey(Keys.oAsc("tus", 16),
+                Keys.oAsc("event_id", 13))}) AS channel
+            FROM touches GROUP BY user_id)
+      GROUP BY channel),
+    j AS (
+      SELECT coalesce(ft.channel, lt.channel) AS channel,
+             coalesce(n_first, 0) AS n_first, coalesce(n_last, 0) AS n_last
+      FROM ft FULL OUTER JOIN lt ON lt.channel = ft.channel)
+    SELECT channel, n_first, n_last,
+           round(CAST(n_first AS DOUBLE)
+                 / CAST(sum(n_first) OVER () AS DOUBLE), 6) AS share_first,
+           round(CAST(n_last AS DOUBLE)
+                 / CAST(sum(n_first) OVER () AS DOUBLE), 6) AS share_last
+    FROM j ORDER BY channel"""
+
   /** Panel size for q246: the Theil–Sen estimator is O(n²) pairs per key,
     * so the trend is fit on each type's first $TsPanel events (a FIXED
     * panel — at 100 TB the panel is a deterministic per-key sample, and
@@ -4748,6 +4968,9 @@ object Events {
     QueryDef("q325_logrank_test", q325, Some(o325)),
     QueryDef("q329_cronbach_alpha", q329, Some(o329)),
     QueryDef("q330_nelson_aalen", q330, Some(o330)),
+    QueryDef("q333_gini_activity", q333, Some(o333)),
+    QueryDef("q334_weekly_seasonality", q334, Some(o334)),
+    QueryDef("q337_touch_attribution", q337, Some(o337)),
     QueryDef("q237_dau_wau_stickiness", q237, Some(o237)),
     QueryDef("q238_watermark_audit", q238, Some(o238)),
     QueryDef("q232_seasonal_anomaly", q232, Some(o232)),

@@ -721,6 +721,79 @@ object Rel {
       .orderBy(col("price"), col("p_partkey"))
   }
 
+  /** q336: RFM segmentation — the classic customer-value grid (recency /
+    * frequency / monetary quartiles) computed the scale-safe way: one
+    * corpus-linear rollup to the CUSTOMER grain (days since last order,
+    * order count, lifetime spend in exact cents), three ntile(4) scores
+    * over that AGGREGATED frame (spec-safe Aggregate-beneath shape — the
+    * window input is one row per customer, not per order), then the
+    * 4×4×4 segment census with per-segment averages. The marketing-tier
+    * twin of q248's WoE binning: which cells hold the whales, which hold
+    * the churn risk.
+    *
+    * Cross-engine: recency is an exact day difference of DATE casts;
+    * spend sums exact integer cents (the q01 stance — round(price·100)
+    * is one identical IEEE multiply+round per row); every ntile orders by
+    * (metric, custkey) — total, so bucket boundaries are bit-identical
+    * (Spark and DuckDB share the ntile earlier-buckets-get-extras
+    * definition); segment averages are one double division of exact ints.
+    */
+  private def q336(s: SparkSession, d: String): DataFrame = {
+    val cust = orders(s, d)
+      .groupBy(col("o_custkey"))
+      .agg(max(to_date(col("o_orderdate"))).as("last_d"),
+        count(lit(1)).as("f"),
+        sum(round(col("o_totalprice") * 100).cast("long")).cast("long")
+          .as("m_cents"))
+    val gm = cust.agg(max(col("last_d")).as("gmax"))
+      .withColumn("jk", pmod(year(col("gmax")).cast("long"), lit(1L)))
+    val scored = cust
+      .withColumn("jk", pmod(col("f"), lit(1L)))
+      .join(broadcast(gm), Seq("jk"))
+      .withColumn("r_days", datediff(col("gmax"), col("last_d")))
+      .withColumn("r_score", ntile(4).over(
+        Window.orderBy(col("r_days").desc, col("o_custkey"))))
+      .withColumn("f_score", ntile(4).over(
+        Window.orderBy(col("f"), col("o_custkey"))))
+      .withColumn("m_score", ntile(4).over(
+        Window.orderBy(col("m_cents"), col("o_custkey"))))
+    scored.groupBy(col("r_score"), col("f_score"), col("m_score"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("f")).cast("long").as("n_orders"),
+        sum(col("m_cents")).cast("long").as("cents"))
+      .select(col("r_score").cast("int").as("r_score"),
+        col("f_score").cast("int").as("f_score"),
+        col("m_score").cast("int").as("m_score"),
+        col("n_customers"), col("n_orders"),
+        round(col("cents").cast("double") / lit(100.0)
+          / col("n_customers").cast("double"), 4).as("avg_spend"))
+      .orderBy(col("r_score"), col("f_score"), col("m_score"))
+  }
+
+  private val o336 = """
+    WITH cust AS (
+      SELECT o_custkey, max(CAST(o_orderdate AS DATE)) AS last_d,
+             CAST(count(*) AS BIGINT) AS f,
+             CAST(sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+               AS m_cents
+      FROM orders GROUP BY o_custkey),
+    gm AS (SELECT max(last_d) AS gmax FROM cust),
+    scored AS (
+      SELECT o_custkey, f, m_cents,
+             gmax - last_d AS r_days,
+             ntile(4) OVER (ORDER BY gmax - last_d DESC, o_custkey)
+               AS r_score,
+             ntile(4) OVER (ORDER BY f, o_custkey) AS f_score,
+             ntile(4) OVER (ORDER BY m_cents, o_custkey) AS m_score
+      FROM cust, gm)
+    SELECT CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+           CAST(m_score AS INT) AS m_score,
+           CAST(count(*) AS BIGINT) AS n_customers,
+           CAST(sum(f) AS BIGINT) AS n_orders,
+           round(CAST(sum(m_cents) AS DOUBLE) / 100.0
+                 / CAST(count(*) AS DOUBLE), 4) AS avg_spend
+    FROM scored GROUP BY 1, 2, 3 ORDER BY 1, 2, 3"""
+
   // r13 (sf1 oracle-budget fix): the dominator set is pruned to the 2-D
   // skyline CANDIDATES via the running-min recurrence before the
   // NOT-EXISTS — sound because dominance is transitive on a finite set
@@ -1210,6 +1283,7 @@ object Rel {
     QueryDef("q195_gini", q195, Some(o195)),
     QueryDef("q193_pareto_concentration", q193, Some(o193)),
     QueryDef("q183_skyline", q183, Some(o183)),
+    QueryDef("q336_rfm_segments", q336, Some(o336)),
     QueryDef("q168_cascade_delete_audit", q168, Some(o168)),
     QueryDef("q122_snapshot_diff", q122, Some(o122)),
     QueryDef("q98_upsert_merge", q98, Some(o98)),

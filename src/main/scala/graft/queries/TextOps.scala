@@ -2020,6 +2020,97 @@ object TextOps {
            round(CAST(n_correct AS DOUBLE) / n_test, 6) AS accuracy
     FROM ev ORDER BY lang"""
 
+  /** Window width for q335's moving-average TTR — the Covington–McFall
+    * MATTR grain; 20 tokens keeps most corpus documents measurable. */
+  private val MattrW = 20
+
+  /** q335: MATTR lexical diversity per (lang, source) — the
+    * length-invariant type-token ratio (Covington & McFall 2010): plain
+    * TTR = vocab/tokens collapses as documents grow (Herdan's law, the
+    * q304 curve), so corpus dashboards compare MATTR instead — the mean
+    * TTR over every sliding $MattrW-token window, which a document's
+    * length cannot deflate. Low MATTR = repetitive/template text (the
+    * lexical cousin of q93's repetition screen); the plain TTR column sits
+    * beside it to show exactly the length artifact MATTR removes.
+    *
+    * Exactness: each window's distinct count is an exact int from an
+    * in-row fold; MATTR = Σdistinct / (W·Σwindows) — exact int sums, ONE
+    * double division (no per-window float mean), rounded 6; plain TTR =
+    * two exact counts divided once. Cells whose documents are all shorter
+    * than W carry NULL MATTR on both engines (the ANSI /0 guard). Scale
+    * shape: the window scan is an IN-ROW O(n·W) fold (corpus-linear, no
+    * explode, no shuffle); the only exchanges are the two (lang, source)
+    * rollups.
+    */
+  private def q335(s: SparkSession, d: String): DataFrame = {
+    val docs = parallelize(s, documents(s, d))
+      .withColumn("ws", expr(
+        "filter(split(trim(text), '\\\\s+'), w -> length(w) > 0)"))
+    val mw = docs
+      .withColumn("nw", greatest(size(col("ws")) - lit(MattrW - 1), lit(0))
+        .cast("long"))
+      .withColumn("sd", when(col("nw") > 0, expr(
+        s"""aggregate(sequence(1, size(ws) - ${MattrW - 1}), 0L,
+            (acc, p) -> acc + size(array_distinct(
+              slice(ws, CAST(p AS INT), $MattrW))))"""))
+        .otherwise(lit(0L)))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("nw") > 0, 1L).otherwise(0L)).cast("long")
+          .as("n_measured"),
+        sum(col("nw")).cast("long").as("n_windows"),
+        sum(col("sd")).cast("long").as("sum_distinct"))
+    val tt = docs.select(col("lang"), col("source"),
+        explode(col("ws")).as("w"))
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).cast("long").as("n_tokens"),
+        countDistinct(col("w")).cast("long").as("vocab"))
+    mw.join(tt, Seq("lang", "source"))
+      .select(col("lang"), col("source"), col("n_docs"), col("n_measured"),
+        col("n_windows"),
+        when(col("n_windows") > 0,
+          round(col("sum_distinct").cast("double")
+            / (lit(MattrW.toDouble) * col("n_windows").cast("double")), 6))
+          .as("mattr"),
+        round(col("vocab").cast("double") / col("n_tokens").cast("double"),
+          6).as("ttr"))
+      .orderBy(col("lang"), col("source"))
+  }
+
+  private def o335: String = s"""
+    WITH d AS (
+      SELECT lang, source,
+             list_filter(string_split_regex(trim(text), '\\s+'),
+               w -> length(w) > 0) AS ws
+      FROM documents),
+    mw AS (
+      SELECT lang, source,
+             CAST(count(*) AS BIGINT) AS n_docs,
+             CAST(sum(CASE WHEN len(ws) >= $MattrW THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_measured,
+             CAST(sum(greatest(len(ws) - ${MattrW - 1}, 0)) AS BIGINT)
+               AS n_windows,
+             CAST(sum(CASE WHEN len(ws) >= $MattrW THEN
+               list_sum(list_transform(range(1, len(ws) - ${MattrW - 2}),
+                 p -> len(list_distinct(
+                   list_slice(ws, p, p + ${MattrW - 1})))))
+               ELSE 0 END) AS BIGINT) AS sum_distinct
+      FROM d GROUP BY lang, source),
+    tt AS (
+      SELECT lang, source, CAST(count(*) AS BIGINT) AS n_tokens,
+             CAST(count(DISTINCT w) AS BIGINT) AS vocab
+      FROM (SELECT lang, source, unnest(ws) AS w FROM d)
+      GROUP BY lang, source)
+    SELECT mw.lang, mw.source, n_docs, n_measured, n_windows,
+           CASE WHEN n_windows > 0 THEN
+             round(CAST(sum_distinct AS DOUBLE)
+                   / ($MattrW.0 * CAST(n_windows AS DOUBLE)), 6) END
+             AS mattr,
+           round(CAST(vocab AS DOUBLE) / CAST(n_tokens AS DOUBLE), 6)
+             AS ttr
+    FROM mw JOIN tt ON tt.lang = mw.lang AND tt.source = mw.source
+    ORDER BY mw.lang, mw.source"""
+
   val defs: Seq[QueryDef] = Seq(
     QueryDef("q316_naive_bayes", q316, Some(o316)),
     QueryDef("q311_ols_regression", q311, Some(o311)),
@@ -2049,5 +2140,6 @@ object TextOps {
     QueryDef("q304_heaps_law", q304, Some(o304)),
     QueryDef("q305_readability", q305, Some(o305)),
     QueryDef("q306_species_richness", q306, Some(o306)),
-    QueryDef("q307_js_divergence", q307, Some(o307)))
+    QueryDef("q307_js_divergence", q307, Some(o307)),
+    QueryDef("q335_mattr_diversity", q335, Some(o335)))
 }

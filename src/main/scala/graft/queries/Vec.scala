@@ -1381,6 +1381,136 @@ object Vec {
     JOIN bns ON bns.qid = q.qid
     ORDER BY query_id"""
 
+  /** Shortlist multiplier for q332: the binary stage keeps 4k Hamming
+    * candidates for an exact re-rank to k — the ratio production binary
+    * stacks tune (bigger = more recall recovered, more float fetches). */
+  private val BinRerankMult = 4
+
+  /** q332: binary shortlist + exact re-rank — the TWO-STAGE retrieval
+    * q331 motivates: stage 1 scans sign words by Hamming (XOR+popcount,
+    * the only thing that touches the full corpus), keeps the top
+    * $BinRerankMult·k; stage 2 fetches those ${BinRerankMult}·k float
+    * vectors and re-ranks by exact cosine. recall@k of the re-ranked
+    * answer vs the exact top-k measures how much of q331's raw binary
+    * recall loss one cheap re-rank recovers — the number that decides the
+    * shortlist width in a deployed binary-embedding store (at 100 TB the
+    * floats live cold; stage 2 reads 4k rows per query, not the corpus).
+    *
+    * Cross-engine: both stages are (exact int | rounded-cosine,
+    * vec_id)-total-ordered; the recall join is exact ids. Scale shape:
+    * stage 1 rides GroupedTopK partial aggregation (k-bounded map-side),
+    * stage 2 is a 4k-row re-rank per panel query — bounded work after the
+    * one corpus-linear pass.
+    */
+  private def q332(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    def signWord(off: Int): Column = expr(
+      s"""aggregate(sequence(0, 31), 0L,
+          (acc, i) -> acc + CASE WHEN element_at(v, CAST(i + $off AS INT))
+                              > CAST(0 AS DOUBLE)
+                         THEN shiftleft(1L, CAST(i AS INT))
+                         ELSE 0L END)""")
+    val e = parallelize(s, embeddings(s, d))
+      .select(col("vec_id"), toD(col("embedding")).as("v"))
+      .withColumn("wlo", signWord(1))
+      .withColumn("whi", signWord(33))
+    val q = e.filter(col("vec_id") >= NCells &&
+        col("vec_id") < NCells + RecallQ)
+      .select(col("vec_id").as("qid"), col("v").as("qv"),
+        col("wlo").as("qlo"), col("whi").as("qhi"),
+        pmod(col("vec_id"), lit(1)).as("jk"))
+    val scored = e.withColumn("jk", pmod(col("vec_id"), lit(1)))
+      .join(broadcast(q), Seq("jk"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        round(cosine(col("v"), col("qv")), 6).as("cs"),
+        expr("bit_count(wlo ^ qlo) + bit_count(whi ^ qhi)")
+          .cast("long").as("ham"))
+    def topk(df: DataFrame, score: Column, k: Int): DataFrame = {
+      val tk = new graft.functions.GroupedTopK.TopK(k).toColumn
+      df.select(col("qid"), score.as("s"), col("vec_id"))
+        .as[(Long, Double, Long)]
+        .groupByKey(_._1)
+        .mapValues(t => graft.functions.GroupedTopK.Entry(t._2, t._3))
+        .agg(tk.name("top"))
+        .toDF("qid", "top")
+        .select(col("qid"), explode(col("top")).as("e"))
+        .select(col("qid"), col("e.key").as("vec_id"))
+    }
+    val truth = topk(scored, col("cs"), RecallK)
+    val shortlist = topk(scored, -col("ham").cast("double"),
+      BinRerankMult * RecallK)
+    val reranked = topk(shortlist.join(scored, Seq("qid", "vec_id")),
+      col("cs"), RecallK)
+    val overlap = truth.join(reranked, Seq("qid", "vec_id"), "left_semi")
+      .groupBy(col("qid")).agg(count(lit(1)).as("n_overlap"))
+    q.select(col("qid").as("query_id"))
+      .join(overlap.withColumnRenamed("qid", "query_id"),
+        Seq("query_id"), "left")
+      .select(col("query_id"),
+        lit(BinRerankMult * RecallK).cast("long").as("shortlist_k"),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        round(coalesce(col("n_overlap"), lit(0L))
+          / lit(RecallK.toDouble), 2).as("recall_rerank"))
+      .orderBy(col("query_id"))
+  }
+
+  private def o332: String = s"""
+    WITH ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+                FROM embeddings),
+    w AS MATERIALIZED (
+      SELECT vec_id, v,
+             CAST(list_sum(list_transform(range(0, 32),
+               i -> CASE WHEN v[CAST(i + 1 AS INT)] > 0
+                    THEN (1::BIGINT << CAST(i AS INT))
+                    ELSE 0::BIGINT END)) AS BIGINT) AS wlo,
+             CAST(list_sum(list_transform(range(0, 32),
+               i -> CASE WHEN v[CAST(i + 33 AS INT)] > 0
+                    THEN (1::BIGINT << CAST(i AS INT))
+                    ELSE 0::BIGINT END)) AS BIGINT) AS whi
+      FROM ev),
+    q AS (SELECT vec_id AS qid, v AS qv, wlo AS qlo, whi AS qhi FROM w
+          WHERE vec_id >= $NCells AND vec_id < ${NCells + RecallQ}),
+    scored AS MATERIALIZED (
+      SELECT q.qid, w.vec_id,
+             round(
+               list_sum(list_transform(range(1, ${Dim + 1}),
+                 i -> w.v[i] * q.qv[i]))
+               / (sqrt(list_sum(list_transform(range(1, ${Dim + 1}),
+                    i -> w.v[i] * w.v[i])))
+                  * sqrt(list_sum(list_transform(range(1, ${Dim + 1}),
+                      i -> q.qv[i] * q.qv[i])))), 6) AS cs,
+             CAST(bit_count(xor(w.wlo, q.qlo))
+                + bit_count(xor(w.whi, q.qhi)) AS BIGINT) AS ham
+      FROM w CROSS JOIN q WHERE w.vec_id <> q.qid),
+    truth AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY cs DESC, vec_id)
+                 AS rn
+        FROM scored) WHERE rn <= $RecallK),
+    shortlist AS (
+      SELECT qid, vec_id, cs FROM (
+        SELECT qid, vec_id, cs,
+               row_number() OVER (PARTITION BY qid ORDER BY ham, vec_id)
+                 AS rn
+        FROM scored) WHERE rn <= ${BinRerankMult * RecallK}),
+    rer AS (
+      SELECT qid, vec_id FROM (
+        SELECT qid, vec_id,
+               row_number() OVER (PARTITION BY qid ORDER BY cs DESC, vec_id)
+                 AS rn
+        FROM shortlist) WHERE rn <= $RecallK),
+    ov AS (SELECT t.qid, CAST(count(*) AS BIGINT) AS n_overlap
+           FROM truth t JOIN rer r ON r.qid = t.qid AND r.vec_id = t.vec_id
+           GROUP BY t.qid)
+    SELECT q.qid AS query_id,
+           CAST(${BinRerankMult * RecallK} AS BIGINT) AS shortlist_k,
+           CAST(coalesce(ov.n_overlap, 0) AS BIGINT) AS n_overlap,
+           round(coalesce(ov.n_overlap, 0) / $RecallK.0, 2) AS recall_rerank
+    FROM q LEFT JOIN ov ON ov.qid = q.qid
+    ORDER BY query_id"""
+
   /** nprobe ladder the audit sweeps — powers of two up to half the
     * codebook, the range an operator actually tunes over.
     */
@@ -3813,5 +3943,6 @@ object Vec {
     QueryDef("q43_ivf_assign", q43, Some(o43)),
     QueryDef("q44_embedding_stats", q44, Some(o44)),
     QueryDef("q47_embedding_near_dup", q47, Some(o47)),
-    QueryDef("q331_binary_quant_recall", q331, Some(o331)))
+    QueryDef("q331_binary_quant_recall", q331, Some(o331)),
+    QueryDef("q332_binary_rerank", q332, Some(o332)))
 }
