@@ -32,7 +32,8 @@ import pyarrow.parquet as pq
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 FAMILY = ("q243_zipf_slope,q300_lang_source_mi,q301_yule_k,q303_good_turing,"
           "q304_heaps_law,q305_readability,q306_species_richness,"
-          "q307_js_divergence,q314_burrows_delta,q316_naive_bayes")
+          "q307_js_divergence,q314_burrows_delta,q316_naive_bayes,"
+          "q335_mattr_diversity")
 
 HEAPS_DUCK = """
 WITH d AS (
