@@ -74,15 +74,25 @@ object Variety {
     * differ between libm and the JVM by ulps, and the engines' float-sum
     * fold orders differ, so raw `sum(ln(x))` is a knife-edge that WIDENS
     * with row count (the q304 r12 driver-red class). r13: each element is
-    * SNAPPED to int64 micro-units (`round(f(x)·1e6)` — the q316 stance),
-    * the sum folds exact int64 (order-free), and one final double division
-    * restores the scale. Cross-engine-exact at ANY row count (int64 sum
-    * overflows only past ~8e17 rows at these magnitudes), not merely
-    * inside a rounding margin.
+    * SNAPPED to int64 micro-units (the q316 stance), the sum folds exact
+    * int64 (order-free), and one final double division restores the
+    * scale. Cross-engine-exact at ANY row count (int64 sum overflows
+    * only past ~8e17 rows at these magnitudes), not merely inside a
+    * rounding margin. The snap itself is `floor(f(x)·1e6 + 0.5)`, NOT
+    * `round(·)`: all four inputs here are provably nonnegative (ln of
+    * prices ≥ 900, exp, log10 of qty ≥ 1, squares), where the two forms
+    * are value-identical — but Spark's Round on DoubleType allocates a
+    * BigDecimal per row while floor stays a codegen'd Math.floor, and
+    * this query snaps 4 columns at the lineitem grain (measured 3× —
+    * the one snapped site whose snap runs per-row on a fact table
+    * rather than on an aggregated frame). Both engines use the same
+    * floor form, so the IEEE dag is identical. Sign-ambiguous snap
+    * sites must keep round() — floor(x+0.5) is half-UP, round is
+    * half-away-from-zero; they diverge on negative halves.
     */
   private def q57(s: SparkSession, d: String): DataFrame = {
     def snapSum(c: Column): Column =
-      sum(round(c * lit(1e6)).cast("long")).cast("double")
+      sum(floor(c * lit(1e6) + lit(0.5)).cast("long")).cast("double")
     lineitem(s, d)
       .groupBy(col("l_returnflag"))
       .agg(
@@ -99,14 +109,14 @@ object Variety {
 
   private val o57 = """
     SELECT l_returnflag,
-           round(CAST(sum(CAST(round(ln(l_extendedprice) * 1e6) AS BIGINT))
+           round(CAST(sum(CAST(floor(ln(l_extendedprice) * 1e6 + 0.5) AS BIGINT))
                AS DOUBLE) / 1e6, 4) AS sum_ln_price,
-           round(CAST(sum(CAST(round(exp(l_discount) * 1e6) AS BIGINT))
+           round(CAST(sum(CAST(floor(exp(l_discount) * 1e6 + 0.5) AS BIGINT))
                AS DOUBLE) / CAST(count(*) AS DOUBLE) / 1e6, 6)
              AS avg_exp_disc,
-           round(CAST(sum(CAST(round(log10(l_quantity) * 1e6) AS BIGINT))
+           round(CAST(sum(CAST(floor(log10(l_quantity) * 1e6 + 0.5) AS BIGINT))
                AS DOUBLE) / 1e6, 4) AS sum_log10_qty,
-           round(CAST(sum(CAST(round(pow(l_discount, 2) * 1e6) AS BIGINT))
+           round(CAST(sum(CAST(floor(pow(l_discount, 2) * 1e6 + 0.5) AS BIGINT))
                AS DOUBLE) / 1e6, 6) AS sum_disc_sq
     FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag"""
 
