@@ -38,6 +38,8 @@ import graft.ner.Ner
   *     [[graft.functions.LshSignatureExpression]]
   *   - `distinct_shingles(text)` — [[graft.functions.DistinctShinglesExpression]]
   *   - `dot_f32(vec, vec)` — [[graft.functions.DotProductExpression]]
+  *   - `l2sq(vec, vec)` — [[graft.functions.L2SqExpression]]
+  *   - `sign_signature(vec)` — [[graft.functions.SignSignatureExpression]]
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
@@ -139,6 +141,14 @@ object GraftExtensions {
     "dot_f32" -> (classOf[DotProductExpression].getName,
       (cs: Seq[Expression]) => {
         arity("dot_f32", cs, 2); DotProductExpression(cs(0), cs(1))
+      }),
+    "l2sq" -> (classOf[L2SqExpression].getName,
+      (cs: Seq[Expression]) => {
+        arity("l2sq", cs, 2); L2SqExpression(cs(0), cs(1))
+      }),
+    "sign_signature" -> (classOf[SignSignatureExpression].getName,
+      (cs: Seq[Expression]) => {
+        arity("sign_signature", cs, 1); SignSignatureExpression(cs(0))
       })
   )
 }

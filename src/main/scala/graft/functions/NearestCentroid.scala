@@ -107,9 +107,14 @@ object NearestCentroidExpression {
 
   /** Left-to-right sum of squared differences; null on length mismatch or
     * any null element (zip_with pads the shorter side with NULL and a NULL
-    * term nulls the interpreted sum).
+    * term nulls the interpreted sum). Shared with [[L2SqExpression]], the
+    * pairwise form of the same fold. Public (not private[functions]): the
+    * generated whole-stage code calls it through the companion's static
+    * forwarder, which scalac only emits for public members — a qualified-
+    * private here makes every l2sq call site silently fall back to
+    * interpreted eval (janino "method not declared" compile error).
     */
-  private def sumSq(a: ArrayData, b: ArrayData): java.lang.Double = {
+  def sumSq(a: ArrayData, b: ArrayData): java.lang.Double = {
     val n = a.numElements()
     if (b.numElements() != n) return null
     var s = 0.0

@@ -1319,55 +1319,87 @@ object Events {
       // any corpus scale this frame is |variants| x |S|^2)
       .coalesce(1)
       .localCheckpoint()
-    val v0 = trans.select(col("variant"), col("cur").as("state"))
-      .distinct().withColumn("v", lit(0.0))
-    // one value-iteration step: v'(variant, s) = sum over transitions of
-    // p * value(nxt), folded in (nxt, p) order — identical to the oracle's
-    // list_sum(list(... ORDER BY nxt, p))
-    def step(v: DataFrame): DataFrame = trans
-      .join(broadcast(v.select(col("variant"), col("state").as("nxt"),
-        col("v").as("vn"))), Seq("variant", "nxt"), "left")
-      .withColumn("value",
-        when(col("nxt") === "CONV", lit(1.0))
-          .when(col("nxt") === "DROP", lit(0.0))
-          .otherwise(coalesce(col("vn"), lit(0.0))))
-      .select(col("variant"), col("cur"), col("nxt"), col("p"),
-        (col("p") * col("value")).as("contrib"))
-      .groupBy(col("variant"), col("cur").as("state"))
-      .agg(expr("""aggregate(array_sort(collect_list(struct(nxt, p, contrib))),
-        cast(0.0 as double), (a, x) -> a + x.contrib)""").as("v"))
-    val vK = (1 to AttribK).foldLeft(v0)((v, _) => step(v))
-    // the START-state vector feeds three consumers (base prob, removal
-    // rows, share total) — checkpoint so the 16-step chain runs ONCE, not
-    // once per consumer
-    val fin = vK.filter(col("state") === "START")
-      .withColumn("jk", pmod(length(col("variant")), lit(1)))
-      .coalesce(1)
-      .localCheckpoint()
-    val pBase = fin.filter(col("variant") === "base")
-      .select(col("jk"), col("v").as("pb"))
-    val re = fin.filter(col("variant") =!= "base")
-      .join(broadcast(pBase), Seq("jk"))
-      .select(col("variant").as("channel"),
+    // ---- r14: the 16-step value iteration as ONE-ROW array folds ----
+    // The r13 form ran each step as a broadcast-join + shuffle aggregation
+    // over the ~150-row matrix: 16 sequential tiny jobs whose cost was
+    // pure orchestration (guide §1.2 step 1 — the matrix is CONSTANT-SIZE
+    // at any corpus scale, |variants| x |S|^2, so iterating it through
+    // cluster machinery buys nothing). Here the matrix is collected into
+    // ONE row (array of transition structs, sorted once) and all AttribK
+    // steps chain as nested higher-order-function projections over that
+    // row — zero exchanges, zero broadcasts, one job after the corpus
+    // pass. Fold-order parity: the r13 step folded each group's terms in
+    // array_sort(struct(nxt, p, contrib)) order; `t` is sorted ONCE by
+    // (variant, cur, nxt, p) and `filter` preserves element order, so the
+    // per-(variant, cur) fold adds the same doubles in the same order
+    // ((nxt, p) determines the group order — nxt repeats only as DROP,
+    // whose contribs are all 0.0 and sort by p exactly like the struct's
+    // (nxt, p, contrib) key). A missing next-state lookup folds over an
+    // empty array to the 0.0 init — the r13 left-join-miss coalesce(0.0).
+    val one = trans.agg(array_sort(collect_list(struct(
+      col("variant"), col("cur"), col("nxt"), col("p")))).as("t"))
+    def fld(x: Column, f: String): Column = x.getField(f)
+    val statesCol = array_sort(array_distinct(transform(col("t"),
+      x => struct(fld(x, "variant").as("variant"),
+        fld(x, "cur").as("state")))))
+    val v0 = transform(col("states"), st =>
+      struct(fld(st, "variant").as("variant"),
+        fld(st, "state").as("state"), lit(0.0).as("v")))
+    def step(prev: Column): Column = transform(col("states"), st =>
+      struct(fld(st, "variant").as("variant"),
+        fld(st, "state").as("state"),
+        aggregate(
+          filter(col("t"), x =>
+            fld(x, "variant") === fld(st, "variant") &&
+              fld(x, "cur") === fld(st, "state")),
+          lit(0.0),
+          (acc, x) => acc + fld(x, "p") * (
+            when(fld(x, "nxt") === "CONV", lit(1.0))
+              .when(fld(x, "nxt") === "DROP", lit(0.0))
+              .otherwise(aggregate(
+                filter(prev, e =>
+                  fld(e, "variant") === fld(x, "variant") &&
+                    fld(e, "state") === fld(x, "nxt")),
+                lit(0.0), (a2, e) => a2 + fld(e, "v")))))
+          .as("v")))
+    // The K steps ride ONE outer `aggregate(sequence(1, K), v0, step)`:
+    // the accumulator is a BOUND VALUE in the HOF evaluator, so each step
+    // evaluates once and the chain is linear. (Chaining step(step(...))
+    // as nested column expressions instead is exponential: an expression
+    // referenced inside a lambda is RE-EVALUATED per outer element, so
+    // depth-K nesting re-evaluates the whole prefix per state per
+    // transition — the first cut of this rewrite ran minutes at sf0.001.)
+    val vK = aggregate(sequence(lit(1), lit(AttribK)), v0,
+      (acc, _) => step(acc))
+    // START-state values; pb/te lookups are order-preserving folds over
+    // the variant-sorted array — te adds the ROUNDED removal effects in
+    // channel order, exactly the r13 array_sort(struct(channel,
+    // removal_effect)) fold (channel is unique, so the first key decides)
+    val svCol = filter(col("vk"), e => fld(e, "state") === "START")
+    val pbCol = aggregate(
+      filter(col("sv"), e => fld(e, "variant") === "base"),
+      lit(0.0), (a, e) => a + fld(e, "v"))
+    val chansCol = array_sort(
+      filter(col("sv"), e => fld(e, "variant") =!= "base"))
+    def reOf(e: Column, pb: Column): Column = round(
+      when(pb > 0, greatest(lit(0.0), (pb - fld(e, "v")) / pb))
+        .otherwise(lit(0.0)), 6)
+    val teCol = aggregate(col("chans"), lit(0.0),
+      (a, e) => a + reOf(e, col("pb")))
+    one
+      .withColumn("states", statesCol)
+      .withColumn("vk", vK)
+      .withColumn("sv", svCol)
+      .withColumn("pb", pbCol)
+      .withColumn("chans", chansCol)
+      .withColumn("te", teCol)
+      .select(explode(col("chans")).as("e"), col("pb"), col("te"))
+      .select(fld(col("e"), "variant").as("channel"),
         round(col("pb"), 6).as("p_base"),
-        round(col("v"), 6).as("p_removed"),
-        round(when(col("pb") > 0,
-            greatest(lit(0.0), (col("pb") - col("v")) / col("pb")))
-          .otherwise(lit(0.0)), 6).as("removal_effect"))
-    val reTot = re
-      .agg(expr("""aggregate(array_sort(collect_list(struct(channel,
-        removal_effect))), cast(0.0 as double),
-        (a, x) -> a + x.removal_effect)""").as("te"))
-      // jk must derive from a COLUMN: a when(col, lit).otherwise(lit) with
-      // literal branches constant-folds and the literal=literal key plans
-      // as BroadcastNestedLoopJoin (the CLAUDE.md trap, caught by
-      // CatalogSpec)
-      .withColumn("jk", pmod(length(col("te").cast("string")), lit(1)))
-    re.withColumn("jk", pmod(length(col("channel")), lit(1)))
-      .join(broadcast(reTot), Seq("jk"))
-      .select(col("channel"), col("p_base"), col("p_removed"),
-        col("removal_effect"),
-        round(when(col("te") > 0, col("removal_effect") / col("te"))
+        round(fld(col("e"), "v"), 6).as("p_removed"),
+        reOf(col("e"), col("pb")).as("removal_effect"),
+        round(when(col("te") > 0,
+            reOf(col("e"), col("pb")) / col("te"))
           .otherwise(lit(0.0)), 6).as("attribution"))
       .orderBy(col("channel"))
   }

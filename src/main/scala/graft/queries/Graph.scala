@@ -43,16 +43,41 @@ object Graph {
     */
   private val TriangleSupport = 2
 
-  private def q136(s: SparkSession, d: String): DataFrame = {
-    val op = lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val e = op.as("x")
-      .join(op.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
+  /** Per-basket co-occurrence pairs (a < b): one row per (basket, pair).
+    * r14 shape — the r13 form was `distinct` + self-join on the basket
+    * key + pair rollup, i.e. THREE exchanges of the incidence table (one
+    * for distinct, one per join side; the join sides shared one exchange)
+    * plus a hash-join build. Grouping each basket once and expanding its
+    * sorted distinct item set in-row (bounded fanout: C(basket width, 2),
+    * ≤ C(13,2) in TPC-H-shaped data — the same bound the self-join had)
+    * needs ONE exchange before the pair rollup and no join at all
+    * (guide §2.4, remove shuffles outright). Same pair multiset as the
+    * self-join: collect_set == the distinct, (i < j over the sorted set)
+    * == the `x.p < y.p` predicate — identical counts, so every support
+    * filter downstream sees identical ints. Callers pass the RAW
+    * incidence frame (no pre-distinct needed).
+    */
+  private def basketPairs(inc: DataFrame): DataFrame = inc
+    .groupBy(col("o")).agg(sort_array(collect_set(col("p"))).as("ps"))
+    .select(explode(expr(
+      """flatten(transform(ps, (x, i) ->
+         transform(slice(ps, i + 2, size(ps)),
+           y -> named_struct('a', x, 'b', y))))""")).as("e"))
+    .select(col("e.a").as("a"), col("e.b").as("b"))
+
+  /** The support-thresholded co-purchase edge list (a < b) shared by the
+    * whole graph tier: per-basket pairs rolled up, kept at support ≥
+    * `minSupport`. */
+  private def supportPairs(s: SparkSession, d: String,
+      minSupport: Int): DataFrame =
+    basketPairs(lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")))
+      .groupBy(col("a"), col("b"))
       .agg(count(lit(1)).as("support"))
-      .filter(col("support") >= TriangleSupport)
-      .select(col("a"), col("b"))
+      .filter(col("support") >= minSupport)
+
+  private def q136(s: SparkSession, d: String): DataFrame = {
+    val e = supportPairs(s, d, TriangleSupport).select(col("a"), col("b"))
     val deg = e.select(col("a").as("v"))
       .union(e.select(col("b").as("v")))
       .groupBy(col("v")).agg(count(lit(1)).as("deg"))
@@ -140,6 +165,11 @@ object Graph {
       .agg(count(lit(1)).as("n_parts_dropped"))
       .withColumn("jk", pmod(col("n_parts_dropped"), lit(1)))
     val sizes = inc.groupBy(col("c")).agg(count(lit(1)).as("sz"))
+    // kept as the posting-list SELF-JOIN, not the basketPairs in-row
+    // expansion: measured r14 (same-composition batches), the HOF
+    // expansion at this grain (cap 40 → up to C(40,2) = 780 interpreted
+    // struct allocations per part) ran ~1s SLOWER than the hash join it
+    // replaced — the in-row form only wins at basket grain (≤ C(13,2))
     kept.as("x")
       .join(kept.as("y"), col("x.p") === col("y.p") && col("x.c") < col("y.c"))
       .groupBy(col("x.c").as("c1"), col("y.c").as("c2"))
@@ -202,9 +232,8 @@ object Graph {
       .agg(count(lit(1)).as("n_baskets"))
       .withColumn("jk", pmod(col("n_baskets"), lit(1)))
     val isup = inc.groupBy(col("p")).agg(count(lit(1)).as("s_item"))
-    val psup = inc.as("x")
-      .join(inc.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .groupBy(col("x.p").as("p1"), col("y.p").as("p2"))
+    val psup = basketPairs(inc)
+      .groupBy(col("a").as("p1"), col("b").as("p2"))
       .agg(count(lit(1)).as("supp"))
       .filter(col("supp") >= RuleMinSupp)
     val rules = psup.select(col("p1").as("ante"), col("p2").as("cons"),
@@ -270,15 +299,7 @@ object Graph {
     * frontier algorithm.
     */
   private def q282(s: SparkSession, d: String): DataFrame = {
-    val op = lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val e0 = op.as("x")
-      .join(op.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
-      .agg(count(lit(1)).as("support"))
-      .filter(col("support") >= TriangleSupport)
-      .select(col("a"), col("b"))
+    val e0 = supportPairs(s, d, TriangleSupport).select(col("a"), col("b"))
     val edges = e0
       .union(e0.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint(true)
@@ -368,15 +389,7 @@ object Graph {
   private val KCoreRounds = 5
 
   private def q310(s: SparkSession, d: String): DataFrame = {
-    val op = lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val e0 = op.as("x")
-      .join(op.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
-      .agg(count(lit(1)).as("support"))
-      .filter(col("support") >= TriangleSupport)
-      .select(col("a"), col("b"))
+    val e0 = supportPairs(s, d, TriangleSupport).select(col("a"), col("b"))
     val edges = e0
       .union(e0.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint(true)
@@ -564,15 +577,7 @@ object Graph {
     */
   private def supportGraph(s: SparkSession, d: String)
       : (DataFrame, DataFrame) = {
-    val op = lineitem(s, d)
-      .select(col("l_orderkey").as("o"), col("l_partkey").as("p"))
-      .distinct()
-    val e0 = op.as("x")
-      .join(op.as("y"), col("x.o") === col("y.o") && col("x.p") < col("y.p"))
-      .groupBy(col("x.p").as("a"), col("y.p").as("b"))
-      .agg(count(lit(1)).as("support"))
-      .filter(col("support") >= TriangleSupport)
-      .select(col("a"), col("b"))
+    val e0 = supportPairs(s, d, TriangleSupport).select(col("a"), col("b"))
     val edges = e0
       .union(e0.select(col("b").as("a"), col("a").as("b")))
       .localCheckpoint(true)
