@@ -2818,29 +2818,61 @@ object Corpus {
         Seq("db"))
       .select(col("da"), col("db"),
         expr("(100000 * inter) DIV (sza + szb - inter)").as("pen"))
-    val pairs = half
-      .union(half.select(col("db").as("da"), col("da").as("db"),
-        col("pen")))
-      .localCheckpoint(true)
-    var sel = cand
-      .orderBy(col("rel_li").desc, col("doc_id")).limit(1)
-      .select(col("doc_id"), col("rel_li"),
-        col("rel_li").as("mmr_li"), lit(1).as("sel_rank"))
-    for (r <- 2 to MmrK) {
-      val pens = pairs
-        .join(sel.select(col("doc_id").as("db")), Seq("db"))
-        .groupBy(col("da").as("doc_id")).agg(max(col("pen")).as("p"))
-      val pick = cand
-        .join(sel.select(col("doc_id")), Seq("doc_id"), "left_anti")
-        .join(pens, Seq("doc_id"), "left")
-        .select(col("doc_id"), col("rel_li"),
-          (col("rel_li") - coalesce(col("p"), lit(0L))).as("mmr_li"))
-        .orderBy(col("mmr_li").desc, col("doc_id")).limit(1)
-        .select(col("doc_id"), col("rel_li"), col("mmr_li"),
-          lit(r).as("sel_rank"))
-      sel = sel.union(pick)
+    // ---- r14: the K greedy rounds as ONE-ROW array folds (q206's
+    // recipe) ---- the r13 form ran each round as an anti-join + penalty
+    // rollup + top-1 sort over the ≤20-row pool — ~5 tiny jobs per round
+    // of pure orchestration on a frame whose size is POOL-bounded at any
+    // corpus scale. Both pool frames collapse to one row (both pair
+    // directions emitted in the same collect pass, so the old
+    // union+checkpoint goes too) and the K rounds chain inside one outer
+    // aggregate whose accumulator is the selection array — a bound value,
+    // so evaluation is linear (the q206 nesting lesson). Every quantity
+    // is exact int64; the argmax is array_max over (mmr_li, -doc_id),
+    // whose lexicographic max IS the r13 ORDER BY mmr_li DESC, doc_id
+    // ASC top-1 (doc_id unique per pool); the penalty fold's
+    // greatest-of-0 init IS the left-join-miss coalesce(0).
+    val candRow = cand
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("rel_li"))))
+        .as("cands"))
+      .withColumn("jk", pmod(size(col("cands")), lit(1)))
+    val pairRow = half
+      .agg(array_sort(flatten(collect_list(array(
+        struct(col("da"), col("db"), col("pen")),
+        struct(col("db").as("da"), col("da").as("db"), col("pen"))))))
+        .as("prs"))
+      .withColumn("jk", pmod(size(col("prs")), lit(1)))
+    val one = candRow.join(broadcast(pairRow), Seq("jk"))
+    def fld(x: Column, f: String): Column = x.getField(f)
+    val accType =
+      "array<struct<doc_id:bigint,rel_li:bigint,mmr_li:bigint,sel_rank:int>>"
+    def round1(acc: Column): Column = {
+      val remaining = filter(col("cands"), c =>
+        !exists(acc, e => fld(e, "doc_id") === fld(c, "doc_id")))
+      // mmr = rel − max penalty vs the already-selected set (0 if none)
+      def mmrOf(c: Column): Column = fld(c, "rel_li") - aggregate(
+        filter(col("prs"), p =>
+          fld(p, "da") === fld(c, "doc_id") &&
+            exists(acc, e => fld(e, "doc_id") === fld(p, "db"))),
+        lit(0L), (m, p) => greatest(m, fld(p, "pen")))
+      // (mmr, -doc_id, rel) lexicographic max = argmax by mmr DESC then
+      // doc_id ASC; rel rides along (never consulted — doc_id is unique)
+      val best = array_max(transform(remaining, c =>
+        struct(mmrOf(c).as("m"), (-fld(c, "doc_id")).as("nd"),
+          fld(c, "rel_li").as("rel"))))
+      when(best.isNotNull,
+        concat(acc, array(struct(
+          (-fld(best, "nd")).as("doc_id"),
+          fld(best, "rel").as("rel_li"),
+          fld(best, "m").as("mmr_li"),
+          (size(acc) + 1).as("sel_rank")))))
+        .otherwise(acc)
     }
-    sel.orderBy(col("sel_rank"))
+    val selArr = aggregate(sequence(lit(1), lit(MmrK)),
+      expr(s"cast(array() as $accType)"), (acc, _) => round1(acc))
+    one.select(explode(selArr).as("e"))
+      .select(col("e.doc_id").as("doc_id"), col("e.rel_li").as("rel_li"),
+        col("e.mmr_li").as("mmr_li"), col("e.sel_rank").as("sel_rank"))
+      .orderBy(col("sel_rank"))
   }
 
   /** Unrolled greedy oracle; cumulative selection frames are referenced

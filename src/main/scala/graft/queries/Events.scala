@@ -3099,8 +3099,13 @@ object Events {
       .when(u < 0.9810118431238462, 3L)
       .when(u < 0.9963401531726563, 4L)
       .otherwise(5L)
-    val repMeans = events(s, d)
-      .select(col("event_type"), col("event_id"), col("value"))
+    // parallelize: the $BootReps-fold expansion and its two md5+conv per
+    // expanded row all sit in the SCAN stage (before any exchange), and a
+    // single-row-group parquet file plans as ONE partition — unspread,
+    // the whole resample universe ran on one core (profiled 4.0 s serial
+    // at sf0.1/32 cores; the q221/Tables.parallelize lesson)
+    val repMeans = parallelize(s, events(s, d)
+      .select(col("event_type"), col("event_id"), col("value")))
       .withColumn("jk", pmod(col("event_id"), lit(1L)))
       .join(broadcast(repFrame), Seq("jk"))
       .withColumn("w", wgt)

@@ -2035,11 +2035,6 @@ object Vec {
       .persist() // consumed by truth, two prefix rankers, and the shortlist
     val truth = tops.filter(col("tier") === 0 && col("pos") < RecallK)
       .select(col("qid"), col("vec_id"))
-    val byMethod = Seq(
-      ("cand_ceiling", tops.filter(col("tier") === 1 && col("pos") < RecallK)
-        .select(col("qid"), col("vec_id"))),
-      ("adc", tops.filter(col("tier") === 2 && col("pos") < RecallK)
-        .select(col("qid"), col("vec_id"))))
     // the +R stage: fetch the ADC top-k' exact vectors BY ID from the
     // persisted index (broadcast the k' x Q id list into the fetch join —
     // O(k' * Q) output rows), re-rank by exact distance
@@ -2073,23 +2068,38 @@ object Vec {
       .withColumn("jk", pmod(col("scanned"), lit(1)))
       .join(broadcast(tot), Seq("jk"))
       .select(col("qid"), (col("scanned") / col("n_total")).as("frac"))
+    // ---- r14: ONE audit pass for all three methods. The r13 form ran a
+    // separate audit() pipeline per method (3× the truth semi-join +
+    // per-qid rollup + scan join + global agg, unioned) — but the method
+    // frames differ only in WHICH tops rows they keep, so a method tag
+    // column lets one pipeline produce the same three rows (guide §2.4:
+    // operations keyed the same way share one pass). Per (method, qid)
+    // the overlap counts and scan fractions are the identical inputs, so
+    // every aggregate is value-identical.
+    val methods = tops.filter(col("tier") === 1 && col("pos") < RecallK)
+      .select(lit("cand_ceiling").as("method"), col("qid"), col("vec_id"))
+      .unionAll(tops.filter(col("tier") === 2 && col("pos") < RecallK)
+        .select(lit("adc").as("method"), col("qid"), col("vec_id")))
+      .unionAll(refined.select(lit("adc_refine").as("method"), col("qid"),
+        col("vec_id")))
+    val counts = methods.join(truth, Seq("qid", "vec_id"), "left_semi")
+      .groupBy(col("method"), col("qid"))
+      .agg(count(lit(1)).as("n_overlap"))
     val universe = q0.select(col("qid"))
-    def audit(method: String, top: DataFrame): DataFrame = universe
-      .join(top.join(truth, Seq("qid", "vec_id"), "left_semi")
-          .groupBy(col("qid")).agg(count(lit(1)).as("n_overlap")),
-        Seq("qid"), "left")
+      .withColumn("method", explode(array(lit("adc"), lit("adc_refine"),
+        lit("cand_ceiling"))))
+    val out = universe
+      .join(counts, Seq("method", "qid"), "left")
       .join(scan, Seq("qid"))
+      .groupBy(col("method"))
       .agg(
         round(sum(coalesce(col("n_overlap"), lit(0L)))
           / lit((RecallQ * RecallK).toDouble), 4).as("avg_recall"),
         round(min(coalesce(col("n_overlap"), lit(0L))
           / lit(RecallK.toDouble)), 2).as("min_recall"),
         round(avg(col("frac")), 4).as("avg_scanned_frac"))
-      .select(lit(method).as("method"), col("avg_recall"),
-        col("min_recall"), col("avg_scanned_frac"))
-    val out = (byMethod :+ ("adc_refine", refined))
-      .map { case (m, t) => audit(m, t) }
-      .reduce(_ unionAll _)
+      .select(col("method"), col("avg_recall"), col("min_recall"),
+        col("avg_scanned_frac"))
       .orderBy(col("method"))
     Cached.scopedTo(out, withRes, tops)
   }
@@ -2395,11 +2405,6 @@ object Vec {
       .persist()
     val truth = tops.filter(col("tier") === 0 && col("pos") < RecallK)
       .select(col("qid"), col("vec_id"))
-    val byMethod = Seq(
-      ("cand_ceiling", tops.filter(col("tier") === 1 && col("pos") < RecallK)
-        .select(col("qid"), col("vec_id"))),
-      ("adc", tops.filter(col("tier") === 2 && col("pos") < RecallK)
-        .select(col("qid"), col("vec_id"))))
     val shortlist = tops.filter(col("tier") === 2)
       .select(col("qid"), col("vec_id"))
     val refetched = withRes.select(col("vec_id"), col("v"))
@@ -2428,23 +2433,38 @@ object Vec {
       .withColumn("jk", pmod(col("scanned"), lit(1)))
       .join(broadcast(tot), Seq("jk"))
       .select(col("qid"), (col("scanned") / col("n_total")).as("frac"))
+    // ---- r14: ONE audit pass for all three methods. The r13 form ran a
+    // separate audit() pipeline per method (3× the truth semi-join +
+    // per-qid rollup + scan join + global agg, unioned) — but the method
+    // frames differ only in WHICH tops rows they keep, so a method tag
+    // column lets one pipeline produce the same three rows (guide §2.4:
+    // operations keyed the same way share one pass). Per (method, qid)
+    // the overlap counts and scan fractions are the identical inputs, so
+    // every aggregate is value-identical.
+    val methods = tops.filter(col("tier") === 1 && col("pos") < RecallK)
+      .select(lit("cand_ceiling").as("method"), col("qid"), col("vec_id"))
+      .unionAll(tops.filter(col("tier") === 2 && col("pos") < RecallK)
+        .select(lit("adc").as("method"), col("qid"), col("vec_id")))
+      .unionAll(refined.select(lit("adc_refine").as("method"), col("qid"),
+        col("vec_id")))
+    val counts = methods.join(truth, Seq("qid", "vec_id"), "left_semi")
+      .groupBy(col("method"), col("qid"))
+      .agg(count(lit(1)).as("n_overlap"))
     val universe = q0.select(col("qid"))
-    def audit(method: String, top: DataFrame): DataFrame = universe
-      .join(top.join(truth, Seq("qid", "vec_id"), "left_semi")
-          .groupBy(col("qid")).agg(count(lit(1)).as("n_overlap")),
-        Seq("qid"), "left")
+      .withColumn("method", explode(array(lit("adc"), lit("adc_refine"),
+        lit("cand_ceiling"))))
+    val out = universe
+      .join(counts, Seq("method", "qid"), "left")
       .join(scan, Seq("qid"))
+      .groupBy(col("method"))
       .agg(
         round(sum(coalesce(col("n_overlap"), lit(0L)))
           / lit((RecallQ * RecallK).toDouble), 4).as("avg_recall"),
         round(min(coalesce(col("n_overlap"), lit(0L))
           / lit(RecallK.toDouble)), 2).as("min_recall"),
         round(avg(col("frac")), 4).as("avg_scanned_frac"))
-      .select(lit(method).as("method"), col("avg_recall"),
-        col("min_recall"), col("avg_scanned_frac"))
-    val out = (byMethod :+ ("adc_refine", refined))
-      .map { case (m, t) => audit(m, t) }
-      .reduce(_ unionAll _)
+      .select(col("method"), col("avg_recall"), col("min_recall"),
+        col("avg_scanned_frac"))
       .orderBy(col("method"))
     Cached.scopedTo(out, withRes, tops)
   }
@@ -2927,42 +2947,71 @@ object Vec {
     * parity recipe), so neighbor selection and both means are bit-stable
     * cross-engine; the margin re-rounds at 6.
     */
-  /** The q217/q241-shared candidate frame: panel×corpus cosine pairs with
-    * forward (per anchor) and backward (per candidate) neighbor ranks. */
-  private def bitextPairsNN(s: SparkSession, d: String): DataFrame = {
+  /** The q217/q241-shared candidate frame: panel×corpus cosine pairs.
+    * r14: the forward/backward neighbor RANK windows that used to ride
+    * this frame (two full sorts + shuffles of the whole pair frame) are
+    * replaced at the consumers by [[bitextTopK]] — a GroupedTopK partial
+    * aggregation that is k-bounded map-side, so the exchange carries
+    * O(k·groups) rows and nothing is ever fully sorted (the q149
+    * recipe). Row selection is identical: TopK's total order
+    * (score DESC, key ASC) IS the windows' (cs DESC, bid/aid ASC), and
+    * rank = position in the k-array. */
+  private def bitextPairs(s: SparkSession, d: String): DataFrame = {
     val e = parallelize(s, embeddings(s, d))
     val a = e.filter(col("label") % 2 === 0 && col("vec_id") < BitextPanel)
       .select(col("vec_id").as("aid"), toD(col("embedding")).as("av"),
         pmod(col("vec_id"), lit(1)).as("jk"))
-    val pairs = e.filter(col("label") % 2 === 1)
+    e.filter(col("label") % 2 === 1)
       .withColumn("jk", pmod(col("vec_id"), lit(1)))
       .join(broadcast(a), Seq("jk"))
       .select(col("aid"), col("vec_id").as("bid"),
         round(cosine(toD(col("embedding")), col("av")), 6).as("cs"))
+  }
+
+  /** Top-[[BitextK]] rows of `pairs` per `grp`, ranked by
+    * (cs DESC, `other` ASC): (grp, other, cs, rk) with rk 1-based. */
+  private def bitextTopK(s: SparkSession, pairs: DataFrame, grp: String,
+      other: String): DataFrame = {
+    import s.implicits._
+    val tk = new graft.functions.GroupedTopK.TopK(BitextK).toColumn
+    pairs.select(col(grp), col("cs"), col(other))
+      .as[(Long, Double, Long)]
+      .groupByKey(_._1)
+      .mapValues(t => graft.functions.GroupedTopK.Entry(t._2, t._3))
+      .agg(tk.name("top"))
+      .toDF(grp, "top")
+      .select(col(grp), posexplode(col("top")).as(Seq("pos", "e")))
+      .select(col(grp), col("e.key").as(other), col("e.score").as("cs"),
+        (col("pos") + 1).as("rk"))
+  }
+
+  private def q217(s: SparkSession, d: String): DataFrame = {
+    val pairs = bitextPairs(s, d)
+    // neighborhood means keep the r13 rank-window form: an r14 attempt to
+    // ride GroupedTopK here measured SLOWER (the typed-aggregation path
+    // pays per-row encoder conversion that outweighs the window sort at
+    // this frame size; q241 keeps TopK because its output IS the k rows)
     val wf = Window.partitionBy(col("aid"))
       .orderBy(col("cs").desc, col("bid"))
     val wb = Window.partitionBy(col("bid"))
       .orderBy(col("cs").desc, col("aid"))
-    pairs
-      .withColumn("rf", row_number().over(wf))
-      .withColumn("rb", row_number().over(wb))
-  }
-
-  private def q217(s: SparkSession, d: String): DataFrame = {
-    val nn = bitextPairsNN(s, d)
-    val pairs = nn.select(col("aid"), col("bid"), col("cs"))
-    val fwd = nn.filter(col("rf") <= BitextK)
+    val fwd = pairs.withColumn("rf", row_number().over(wf))
+      .filter(col("rf") <= BitextK)
       .groupBy(col("aid")).agg(avg(col("cs")).as("fa"))
-    val bwd = nn.filter(col("rb") <= BitextK)
+    val bwd = pairs.withColumn("rb", row_number().over(wb))
+      .filter(col("rb") <= BitextK)
       .groupBy(col("bid")).agg(avg(col("cs")).as("fb"))
-    val wm = Window.partitionBy(col("aid"))
-      .orderBy(col("margin").desc, col("bid"))
+    // per-anchor argmax by (margin DESC, bid ASC) as one max_by over the
+    // unique (margin, -bid) key — replaces the margin rank window + rm=1
+    // filter (a full sort of the pair frame) with a hash aggregation
     pairs.join(fwd, Seq("aid")).join(bwd, Seq("bid"))
       .withColumn("margin",
         round(col("cs") / ((col("fa") + col("fb")) / 2.0), 6))
-      .withColumn("rm", row_number().over(wm))
-      .filter(col("rm") === 1)
-      .select(col("aid"), col("bid"), col("cs"), col("margin"))
+      .groupBy(col("aid"))
+      .agg(expr("max_by(struct(bid, cs, margin), struct(margin, -bid))")
+        .as("best"))
+      .select(col("aid"), col("best.bid").as("bid"), col("best.cs").as("cs"),
+        col("best.margin").as("margin"))
       .orderBy(col("aid"))
   }
 
@@ -3063,26 +3112,25 @@ object Vec {
         round(cosine(col("bv"), col("av")), 6).as("cs"),
         explode(filter(probesArr, p => p >= col("cell_rank")))
           .as("nprobe"))
+    // neighbor means keep the rank-window form (see q217's note — a
+    // GroupedTopK variant measured slower here); only the per-anchor
+    // margin argmax drops its window for a max_by hash aggregation
     val wf = Window.partitionBy(col("nprobe"), col("aid"))
       .orderBy(col("cs").desc, col("bid"))
     val wb = Window.partitionBy(col("nprobe"), col("bid"))
       .orderBy(col("cs").desc, col("aid"))
-    val nn = pairs
-      .withColumn("rf", row_number().over(wf))
-      .withColumn("rb", row_number().over(wb))
-    val fwd = nn.filter(col("rf") <= BitextK)
+    val fwd = pairs.withColumn("rf", row_number().over(wf))
+      .filter(col("rf") <= BitextK)
       .groupBy(col("nprobe"), col("aid")).agg(avg(col("cs")).as("fa"))
-    val bwd = nn.filter(col("rb") <= BitextK)
+    val bwd = pairs.withColumn("rb", row_number().over(wb))
+      .filter(col("rb") <= BitextK)
       .groupBy(col("nprobe"), col("bid")).agg(avg(col("cs")).as("fb"))
-    val wm = Window.partitionBy(col("nprobe"), col("aid"))
-      .orderBy(col("margin").desc, col("bid"))
     val annPick = pairs.join(fwd, Seq("nprobe", "aid"))
       .join(bwd, Seq("nprobe", "bid"))
       .withColumn("margin",
         round(col("cs") / ((col("fa") + col("fb")) / 2.0), 6))
-      .withColumn("rm", row_number().over(wm))
-      .filter(col("rm") === 1)
-      .select(col("nprobe"), col("aid"), col("bid").as("ann_bid"))
+      .groupBy(col("nprobe"), col("aid"))
+      .agg(expr("max_by(bid, struct(margin, -bid))").as("ann_bid"))
     val brute = q217(s, d).select(col("aid"), col("bid").as("brute_bid"))
     val candN = pairs.groupBy(col("nprobe"), col("aid"))
       .agg(count(lit(1)).as("ncand"))
@@ -3283,13 +3331,21 @@ object Vec {
     * RNN-based dedup tightening). Pure filter over the shared rank frame
     * — no additional shuffle beyond q217's two rank windows.
     */
-  private def q241(s: SparkSession, d: String): DataFrame =
-    bitextPairsNN(s, d)
-      .filter(col("rf") <= BitextK && col("rb") <= BitextK)
+  private def q241(s: SparkSession, d: String): DataFrame = {
+    // mutual top-K = inner join of the two k-bounded top-K frames; the
+    // positions in each TopK array ARE the r13 window ranks (same total
+    // order), so rank columns survive the rewrite unchanged
+    val pairs = bitextPairs(s, d)
+    val tf = bitextTopK(s, pairs, "aid", "bid")
       .select(col("aid"), col("bid"), col("cs"),
-        col("rf").cast("int").as("rank_fwd"),
-        col("rb").cast("int").as("rank_bwd"))
+        col("rk").cast("int").as("rank_fwd"))
+    val tb = bitextTopK(s, pairs, "bid", "aid")
+      .select(col("aid"), col("bid"), col("rk").cast("int").as("rank_bwd"))
+    tf.join(tb, Seq("aid", "bid"))
+      .select(col("aid"), col("bid"), col("cs"), col("rank_fwd"),
+        col("rank_bwd"))
       .orderBy(col("aid"), col("bid"))
+  }
 
   private val o241 = s"""
     WITH $oBitextNN
