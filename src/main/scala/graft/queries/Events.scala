@@ -2351,9 +2351,18 @@ object Events {
       val win = Window.partitionBy(col("scope")).orderBy(col("c"))
         .rowsBetween(Window.unboundedPreceding, -1)
       g.withColumn("wprev", coalesce(sum(col("w")).over(win), lit(0L)))
+        // w(w-1)/2 formed IN the wide type (ADVICE r13 #1): the r13 form
+        // computed w*(w-1) in int64 first, which overflows (ANSI throw)
+        // once a single activity-value run passes ~3.04e9 users —
+        // contradicting the documented "exact past 2^63" stance. Halving
+        // the even factor BEFORE the decimal product keeps every
+        // intermediate an exact decimal(38,0) integer; value-identical
+        // wherever the old form didn't overflow.
         .withColumn("mrun",
           dec(col("c")) * (dec(col("w")) * (dec(col("wprev")) + lit(1))
-            + dec(expr("(w * (w - 1)) DIV 2"))))
+            + when(pmod(col("w"), lit(2)) === 0,
+                dec(expr("w DIV 2")) * (dec(col("w")) - lit(1)))
+              .otherwise(dec(col("w")) * dec(expr("(w - 1) DIV 2")))))
         .groupBy(col("scope"))
         .agg(sum(col("mrun")).as("m"),
           sum(col("c") * col("w")).cast("long").as("t"),
@@ -2396,7 +2405,7 @@ object Events {
       SELECT scope,
              sum(CAST(c AS HUGEINT)
                  * (CAST(w AS HUGEINT) * (CAST(wprev AS HUGEINT) + 1)
-                    + CAST((w * (w - 1)) // 2 AS HUGEINT))) AS m,
+                    + (CAST(w AS HUGEINT) * (w - 1)) // 2)) AS m,
              CAST(sum(c * w) AS BIGINT) AS t,
              CAST(sum(w) AS BIGINT) AS n,
              CAST(max(c) AS BIGINT) AS cmax

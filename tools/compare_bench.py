@@ -84,16 +84,28 @@ def calib_probes(text: str, excluded: set) -> list:
     return probes
 
 
+# Retroactive window-contention rule constants — pinned to the Scala rule
+# (Bench.WindowContendedK / Bench.windowContended, src/main/scala/graft/
+# Bench.scala). If the Scala rule is retuned these MUST move with it, or
+# old un-stamped artifacts will classify differently in the two
+# implementations (r13 ADVICE #3).
+WINDOW_CONTENDED_K = 3        # = Bench.WindowContendedK
+WINDOW_MATERIAL_INSUITE = 1.0  # seconds; = the insuite >= 1.0 guard
+WINDOW_RERUN_RATIO = 1.3       # = the rerun > 1.3x threshold
+
+
 def window_contended(text: str) -> bool:
     """True when the artifact is stamped window_contended (r13 Bench), or —
     for artifacts predating the stamp — when the r13 rule applied
-    retroactively to its drift map trips: more than 3 material reruns
-    (insuite >= 1 s) above 1.3x their in-suite time."""
+    retroactively to its drift map trips: more than WINDOW_CONTENDED_K
+    material reruns above WINDOW_RERUN_RATIO x their in-suite time."""
     m = re.search(r'"window_contended":(true|false)', text)
     if m:
         return m.group(1) == "true"
     pairs = drift_of(text).values()
-    return sum(1 for i, r in pairs if i >= 1.0 and r > 1.3 * i) > 3
+    return sum(1 for i, r in pairs
+               if i >= WINDOW_MATERIAL_INSUITE
+               and r > WINDOW_RERUN_RATIO * i) > WINDOW_CONTENDED_K
 
 
 def main() -> None:
