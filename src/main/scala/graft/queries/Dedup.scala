@@ -372,14 +372,20 @@ object Dedup {
       // near-clique diameter argument below holds for TYPICAL thresholded
       // graphs but is not a guarantee, and at 100 TB the cap must bound
       // ROUNDS, not the reachable diameter (2^20 diameter under jumping).
-      val jumped = next.as("a")
+      // r15: the convergence count rides the checkpoint's own
+      // materialization job (accumulator over a boolean flag column) —
+      // one job per round instead of checkpoint + count (r14 VERDICT
+      // "next round" #4; the flag column is dropped by the select below)
+      val jumpedRaw = next.as("a")
         .join(next.select(col("doc").as("jd"), col("lab").as("jlab")).as("b"),
           col("a.lab") === col("b.jd"), "left")
         .select(col("a.doc").as("doc"),
           least(col("a.lab"), coalesce(col("jlab"), col("a.lab"))).as("lab"),
           col("a.own_lab").as("own_lab"))
-        .localCheckpoint(true)
-      changed = jumped.filter(col("lab") < col("own_lab")).count()
+        .withColumn("chg", col("lab") < col("own_lab"))
+      val (jumped, nChanged) = org.apache.spark.sql.GraftShims
+        .localCheckpointAndCount(jumpedRaw, Some("chg"))
+      changed = nChanged
       labels = jumped.select(col("doc"), col("lab"))
       iter += 1
     }
@@ -1801,12 +1807,16 @@ object Dedup {
           labels.select(col("name").as("lab"), col("lab").as("lab_j")),
           Seq("lab"))
         .select(col("name"), col("lab_j").as("lab"), lit(false).as("own"))
-      val next = labels.withColumn("own", lit(true)).union(prop).union(jump)
+      // r15: convergence count fused into the checkpoint job (the q97
+      // recipe — one job per round, r14 VERDICT "next round" #1)
+      val nextRaw = labels.withColumn("own", lit(true)).union(prop).union(jump)
         .groupBy(col("name"))
         .agg(min(col("lab")).as("lab"),
           min(when(col("own"), col("lab"))).as("own_lab"))
-        .localCheckpoint(true)
-      changed = next.filter(col("lab") < col("own_lab")).count()
+        .withColumn("chg", col("lab") < col("own_lab"))
+      val (next, nChanged) = org.apache.spark.sql.GraftShims
+        .localCheckpointAndCount(nextRaw, Some("chg"))
+      changed = nChanged
       labels = next.select(col("name"), col("lab"))
       iter += 1
     }

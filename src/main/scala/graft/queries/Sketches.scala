@@ -232,15 +232,10 @@ object Sketches {
     * the aggregator's total (score DESC, key ASC) order.
     */
   private def q149(s: SparkSession, d: String): DataFrame = {
-    import s.implicits._
-    val ds = parallelize(s, orders(s, d))
-      .select(col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
-      .as[(String, Double, Long)]
-    val tk = new graft.functions.GroupedTopK.TopK(3).toColumn
-    ds.groupByKey(_._1)
-      .mapValues(t => graft.functions.GroupedTopK.Entry(t._2, t._3))
-      .agg(tk.name("top"))
-      .toDF("o_orderpriority", "top")
+    parallelize(s, orders(s, d))
+      .groupBy(col("o_orderpriority"))
+      .agg(graft.functions.NativeTopK.topkEntries(
+        col("o_totalprice"), col("o_orderkey"), 3).as("top"))
       .select(col("o_orderpriority"), posexplode(col("top")))
       .select(col("o_orderpriority"),
         (col("pos") + 1).cast("int").as("rnk"),
