@@ -40,8 +40,11 @@ object NativeTopK {
 
   /** Mutable k-bounded buffer: parallel (scores, keys) arrays sorted by
     * (score DESC, key ASC); scores are [[graft.queries.Keys.normalizeScore]]
-    * normalized on entry (the GroupedTopK -0.0 rule). */
-  final class Buf(val k: Int) {
+    * normalized on entry (the GroupedTopK -0.0 rule). With `dedup` set,
+    * an (score, key)-identical entry is dropped instead of kept twice —
+    * SET semantics for sketch-style top-k (q323's KMV rounds), replacing
+    * an upstream `.distinct()` exchange. */
+  final class Buf(val k: Int, val dedup: Boolean = false) {
     var n: Int = 0
     val scores = new Array[Double](k)
     val keys = new Array[Long](k)
@@ -60,6 +63,11 @@ object NativeTopK {
         if (beats(score, key, scores(mid), keys(mid))) hi = mid
         else lo = mid + 1
       }
+      // equal entries sit immediately BEFORE the insertion point (they do
+      // not beat each other), so a set-semantics duplicate check is O(1)
+      if (dedup && lo > 0 && keys(lo - 1) == key &&
+        java.lang.Double.doubleToRawLongBits(scores(lo - 1)) ==
+          java.lang.Double.doubleToRawLongBits(score)) return
       val shift = math.min(n, k - 1) - lo // entries past k-1 fall off
       if (shift > 0) {
         System.arraycopy(scores, lo, scores, lo + 1, shift)
@@ -83,24 +91,35 @@ object NativeTopK {
   def mergeBufs(a: Buf, b: Buf): Buf = {
     if (b.n == 0) return a
     if (a.n == 0) return b
-    val out = new Buf(a.k)
+    val out = new Buf(a.k, a.dedup || b.dedup)
     var i = 0
     var j = 0
     var n = 0
     while (n < a.k && (i < a.n || j < b.n)) {
       val takeA = j >= b.n ||
         (i < a.n && beats(a.scores(i), a.keys(i), b.scores(j), b.keys(j)))
-      if (takeA) { out.scores(n) = a.scores(i); out.keys(n) = a.keys(i); i += 1 }
-      else { out.scores(n) = b.scores(j); out.keys(n) = b.keys(j); j += 1 }
-      n += 1
+      val (s, ky) =
+        if (takeA) { i += 1; (a.scores(i - 1), a.keys(i - 1)) }
+        else { j += 1; (b.scores(j - 1), b.keys(j - 1)) }
+      // set semantics: a duplicate of the last emitted entry is skipped
+      // (duplicates are adjacent in the merged order)
+      val dup = out.dedup && n > 0 && out.keys(n - 1) == ky &&
+        java.lang.Double.doubleToRawLongBits(out.scores(n - 1)) ==
+          java.lang.Double.doubleToRawLongBits(s)
+      if (!dup) {
+        out.scores(n) = s
+        out.keys(n) = ky
+        n += 1
+      }
     }
     out.n = n
     out
   }
 
   def serializeBuf(b: Buf): Array[Byte] = {
-    val bb = ByteBuffer.allocate(8 + 16 * b.n)
+    val bb = ByteBuffer.allocate(9 + 16 * b.n)
     bb.putInt(b.k)
+    bb.put(if (b.dedup) 1.toByte else 0.toByte)
     bb.putInt(b.n)
     var i = 0
     while (i < b.n) { bb.putDouble(b.scores(i)); bb.putLong(b.keys(i)); i += 1 }
@@ -110,8 +129,9 @@ object NativeTopK {
   def deserializeBuf(bytes: Array[Byte]): Buf = {
     val bb = ByteBuffer.wrap(bytes)
     val k = bb.getInt()
+    val dedup = bb.get() == 1.toByte
     val n = bb.getInt()
-    val buf = new Buf(k)
+    val buf = new Buf(k, dedup)
     buf.n = n
     var i = 0
     while (i < n) { buf.scores(i) = bb.getDouble(); buf.keys(i) = bb.getLong(); i += 1 }
@@ -124,6 +144,9 @@ object NativeTopK {
     def key: Expression
     def k: Int
 
+    /** SET semantics: drop (score, key)-identical duplicates (q323). */
+    def dedup: Boolean = false
+
     override def children: Seq[Expression] = Seq(score, key)
     override def checkInputDataTypes(): TypeCheckResult =
       (score.dataType, key.dataType) match {
@@ -132,7 +155,7 @@ object NativeTopK {
           s"topk requires (DOUBLE score, BIGINT key), got ${s.sql}, ${ky.sql}")
       }
 
-    override def createAggregationBuffer(): Buf = new Buf(k)
+    override def createAggregationBuffer(): Buf = new Buf(k, dedup)
 
     override def update(buffer: Buf, input: InternalRow): Buf = {
       val s = score.eval(input)
@@ -155,6 +178,7 @@ object NativeTopK {
       score: Expression,
       key: Expression,
       k: Int,
+      override val dedup: Boolean = false,
       mutableAggBufferOffset: Int = 0,
       inputAggBufferOffset: Int = 0)
       extends BaseTopKAggregate {
@@ -231,6 +255,13 @@ object NativeTopK {
     * (`element position` == the replaced window's row_number - 1). */
   def topkEntries(score: Column, key: Column, k: Int): Column =
     co(TopKEntriesAggregate(ex(score), ex(key), k).toAggregateExpression())
+
+  /** Column API: set-semantics top-k — (score, key)-identical duplicates
+    * count once, replacing an upstream `.distinct()` exchange (q323's KMV
+    * sketch rounds). */
+  def topkEntriesDistinct(score: Column, key: Column, k: Int): Column =
+    co(TopKEntriesAggregate(ex(score), ex(key), k, dedup = true)
+      .toAggregateExpression())
 
   /** Column API: mean of the top-k scores under the same order — drop-in
     * for `avg(score)` over a rank-window `row_number <= k` filter. */

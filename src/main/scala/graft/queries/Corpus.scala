@@ -1237,10 +1237,15 @@ object Corpus {
     probes.as("x")
       .join(ranked.as("y"),
         col("x.lang") === col("y.lang") && col("x.rn2") === col("y.rn"))
+      // r15: |A∩B| via the count-only native kernel, |A∪B| by
+      // inclusion–exclusion over the already-distinct wsets (exact:
+      // |A∪B| = |A|+|B|−|A∩B|) — neither set-operation array is built
+      .withColumn("ovl", graft.functions.IntersectCountExpression
+        .intersectCount(col("x.wset"), col("y.wset")))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        round(size(array_intersect(col("x.wset"), col("y.wset")))
-          .cast("double") /
-          size(array_union(col("x.wset"), col("y.wset"))), 6).as("jaccard"))
+        round(col("ovl").cast("double") /
+          (size(col("x.wset")) + size(col("y.wset")) - col("ovl")), 6)
+          .as("jaccard"))
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(20)
   }

@@ -922,31 +922,41 @@ object Graph {
     * AS MATERIALIZED round CTEs (the q310 inlining lesson).
     */
   private def q323(s: SparkSession, d: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val (edges, verts) = supportGraph(s, d)
-    def topk(df: DataFrame): DataFrame = df
-      .withColumn("rn", row_number().over(
-        Window.partitionBy(col("v")).orderBy(col("h"))))
-      .filter(col("rn") <= AnfK).drop("rn")
-    var cur = verts.select(col("v"),
+    // r15: each round's distinct + per-vertex top-k rank window (two
+    // exchanges + a sort of the E·k propagation frame) is ONE k-bounded
+    // set-semantics aggregation: NativeTopK with dedup drops duplicate
+    // (v, h) arrivals inside the k-buffer, and (score = -h, key = h)
+    // makes position order == h ascending, exactly the window's
+    // `ORDER BY h` prefix (h < 2^52, exact as a double; (v, h) pairs are
+    // distinct after dedup, so there are no ties to break). The sketch
+    // lives as ONE array row per vertex: the per-round neighborhood
+    // estimate reads cnt = size(top) and h_k = last element directly,
+    // with no re-aggregation pass.
+    def sketchRound(df: DataFrame): DataFrame = df
+      .groupBy(col("v"))
+      .agg(graft.functions.NativeTopK.topkEntriesDistinct(
+        (-col("h")).cast("double"), col("h"), AnfK).as("top"))
+    var curAgg = sketchRound(verts.select(col("v"),
       conv(substring(md5(col("v").cast("string")), 1, 13), 16, 10)
-        .cast("long").as("h"))
+        .cast("long").as("h")))
       .localCheckpoint(true)
     val rounds = Seq.newBuilder[(Int, DataFrame)]
-    rounds += 0 -> cur
+    rounds += 0 -> curAgg
     for (t <- 1 to AnfRounds) {
+      val cur = curAgg.select(col("v"), explode(col("top")).as("e"))
+        .select(col("v"), col("e.key").as("h"))
       val prop = edges.join(cur.select(col("v").as("b"), col("h")), Seq("b"))
         .select(col("a").as("v"), col("h"))
-      cur = topk(cur.union(prop).distinct()).localCheckpoint(true)
-      rounds += t -> cur
+      curAgg = sketchRound(cur.union(prop)).localCheckpoint(true)
+      rounds += t -> curAgg
     }
     val nf = rounds.result().map { case (t, df) =>
-      df.groupBy(col("v"))
-        .agg(count(lit(1)).as("cnt"), max(col("h")).as("hk"))
-        .select(lit(t).as("t"),
-          when(col("cnt") < AnfK, col("cnt"))
-            .otherwise(expr(s"$AnfNum div greatest(hk, cast(1 as bigint))"))
-            .cast("long").as("est"))
+      df.select(lit(t).as("t"),
+        when(size(col("top")) < AnfK, size(col("top")).cast("long"))
+          .otherwise(expr(s"$AnfNum div greatest(" +
+            "element_at(top, size(top)).key, cast(1 as bigint))"))
+          .cast("long").as("est"))
         .groupBy(col("t"))
         .agg(count(lit(1)).cast("long").as("n_verts"),
           sum(col("est")).cast("long").as("nf_est"))

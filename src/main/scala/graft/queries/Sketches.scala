@@ -184,10 +184,56 @@ object Sketches {
     * interpolate between them), so bucketing can't flip on an ulp.
     */
   private def q127(s: SparkSession, d: String): DataFrame = {
-    val cuts = parallelize(s, lineitem(s, d))
-      .agg(expr(
-        "percentile(l_extendedprice, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))")
-        .as("cuts"),
+    import org.apache.spark.sql.expressions.Window
+    // r15 (r14 VERDICT "next round" #5): the built-in `percentile` buffers
+    // every (value, count) pair into ONE final merge task — the single
+    // giant task the plan used to carry. The exact cut points now come
+    // from distinct-VALUE-grain cumulative counts (2-decimal prices: the
+    // value vocabulary is bounded by the price domain, not the row count;
+    // the rank window runs over the aggregate, the q152-safe shape) and
+    // reproduce Percentile.getPercentile bit-for-bit:
+    //   position = p * (n-1);  lower = floor, higher = ceil;
+    //   cut = (higher-position)*v[lower] + (position-lower)*v[higher],
+    // with the same lower==higher and v[lower]==v[higher] shortcuts
+    // (k/10.0 is the correctly-rounded double == the 0.k literal).
+    val vc = parallelize(s, lineitem(s, d))
+      .groupBy(col("l_extendedprice").as("p"))
+      .agg(count(lit(1)).as("c"))
+    val cum = vc
+      .withColumn("cumul", sum(col("c")).over(Window.orderBy(col("p"))))
+      .select(col("p"), (col("cumul") - col("c")).as("lo_idx"),
+        (col("cumul") - 1).as("hi_idx"))
+    val tot = vc.agg(sum(col("c")).as("n"))
+      .withColumn("jk", pmod(col("n"), lit(1)))
+    val cutRows = cum
+      .withColumn("jk", pmod(col("lo_idx"), lit(1)) * lit(0))
+      .join(broadcast(tot), Seq("jk"))
+      .withColumn("k", explode(array((1 to 9).map(lit): _*)))
+      .withColumn("pos",
+        col("k").cast("double") / lit(10.0) * (col("n") - 1).cast("double"))
+      .withColumn("lower", floor(col("pos")))
+      .withColumn("higher", ceil(col("pos")))
+      .filter(col("lower").between(col("lo_idx"), col("hi_idx")) ||
+        col("higher").between(col("lo_idx"), col("hi_idx")))
+      .groupBy(col("k"))
+      .agg(
+        min(when(col("lower").between(col("lo_idx"), col("hi_idx")),
+          col("p"))).as("lowerKey"),
+        min(when(col("higher").between(col("lo_idx"), col("hi_idx")),
+          col("p"))).as("higherKey"),
+        max(col("pos")).as("pos"),
+        max(col("lower")).as("lower"),
+        max(col("higher")).as("higher"))
+      .select(col("k"),
+        when(col("higher") === col("lower"), col("lowerKey"))
+          .when(col("higherKey") === col("lowerKey"), col("lowerKey"))
+          .otherwise(
+            (col("higher").cast("double") - col("pos")) * col("lowerKey") +
+              (col("pos") - col("lower").cast("double")) * col("higherKey"))
+          .as("cut"))
+    val cuts = cutRows
+      .agg(transform(array_sort(collect_list(struct(col("k"), col("cut")))),
+        x => x.getField("cut")).as("cuts"),
         pmod(count(lit(1)), lit(1)).as("jk")) // column-derived broadcast key
     lineitem(s, d)
       .select(col("l_extendedprice").as("p"),

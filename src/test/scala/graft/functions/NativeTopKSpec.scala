@@ -88,6 +88,34 @@ class NativeTopKSpec extends AnyFunSuite {
     }
   }
 
+  test("dedup buffer keeps set semantics under inserts and merges") {
+    // reference: distinct entries, sorted by (score DESC, key ASC), take k
+    def reference(xs: Seq[Entry], k: Int): Seq[Entry] =
+      xs.distinct.sortBy(e => (-e.score, e.key)).take(k)
+    val xs = (0 until 120).map { i =>
+      val h = (i * 7L) % 23L // many exact duplicates
+      // pre-normalized score (h=0 would be -0.0; the buffer normalizes it)
+      Entry(if (h == 0L) 0.0 else -h.toDouble, h)
+    }
+    for (k <- Seq(1, 5, 23, 40)) {
+      val b = new Buf(k, dedup = true)
+      xs.foreach(e => b.insert(e.score, e.key))
+      assert(bits(entriesOf(b)) == bits(reference(xs, k)), s"insert k=$k")
+      for (cut <- Seq(1, 37, 80)) {
+        val (p, q) = xs.splitAt(cut)
+        val bp = new Buf(k, dedup = true)
+        p.foreach(e => bp.insert(e.score, e.key))
+        val bq = new Buf(k, dedup = true)
+        q.foreach(e => bq.insert(e.score, e.key))
+        val m = NativeTopK.mergeBufs(bp, bq)
+        assert(bits(entriesOf(m)) == bits(reference(xs, k)), s"merge k=$k cut=$cut")
+      }
+      // dedup survives a serialize round trip
+      val r = NativeTopK.deserializeBuf(NativeTopK.serializeBuf(b))
+      assert(r.dedup && bits(entriesOf(r)) == bits(entriesOf(b)))
+    }
+  }
+
   test("buffer bounded by k, sorted, -0.0 normalized on entry") {
     val b = new Buf(3)
     Seq(Entry(-0.0d, 9L), Entry(0.0d, 1L), Entry(2.0d, 5L), Entry(2.0d, 4L))
