@@ -144,26 +144,29 @@ object Dedup {
     // a tiny fraction of the corpus, so the explode cost tracks candidates,
     // not corpus size. The oracle explodes all docs — same result, since
     // only candidate docs' shingles are ever consumed.
+    // r15: the intersection runs IN-ROW over each doc's distinct-shingle
+    // ARRAY via the count-only native kernel (q120's own measured stance:
+    // the exploded shingle-grain join re-shuffles candidates × set-size
+    // rows and lost 2× there) — the pair frame attaches two arrays by doc
+    // id and never shuffles a shingle row; |A∪B| is inclusion–exclusion
+    // over the same counts the exploded join produced.
     val candDocs = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b").as("doc_id"))).distinct()
     val sh = parallelize(s, documents(s, d))
       .join(candDocs, Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
-        explode(graft.functions.DistinctShinglesExpression
-          .distinctShingles(col("text"))).as("sh")).persist()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = cands
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"),
-        col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("ni"))
-    val out = inter
-      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
-      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+        graft.functions.DistinctShinglesExpression
+          .distinctShingles(col("text")).as("shs")).persist()
+    val out = cands
+      .join(sh.select(col("doc_id").as("doc_a"), col("shs").as("sha")),
+        Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shs").as("shb")),
+        Seq("doc_b"))
+      .withColumn("ni", graft.functions.IntersectCountExpression
+        .intersectCount(col("sha"), col("shb")).cast("long"))
       .select(col("doc_a"), col("doc_b"),
-        round(col("ni") / (col("za.sz") + col("zb.sz") - col("ni")), 6)
-          .as("jaccard"))
+        round(col("ni") / (size(col("sha")) + size(col("shb")) - col("ni")),
+          6).as("jaccard"))
       .filter(col("jaccard") >= 0.25)
       .orderBy(col("doc_a"), col("doc_b"))
     Cached.scopedTo(out, b, sh)
@@ -520,24 +523,24 @@ object Dedup {
       .distinct()
     val candDocs = cands.select(col("train_doc").as("doc_id"))
       .union(cands.select(col("eval_doc").as("doc_id"))).distinct()
+    // r15: in-row count-only intersection over per-doc shingle arrays —
+    // q38's rewrite; ni = 0 pairs yield jaccard 0 and fall to the tau
+    // filter exactly as the old inner intersection join dropped them
     val sh = parallelize(s, documents(s, d))
       .join(candDocs, Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
-        explode(graft.functions.DistinctShinglesExpression
-          .distinctShingles(col("text"))).as("sh")).persist()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
-    val inter = cands
-      .join(sh.as("sa"), col("train_doc") === col("sa.doc_id"))
-      .join(sh.as("sb"),
-        col("eval_doc") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-      .groupBy(col("train_doc"), col("eval_doc"))
-      .agg(count(lit(1)).as("ni"))
-    val out = inter
-      .join(sizes.as("za"), col("train_doc") === col("za.doc_id"))
-      .join(sizes.as("zb"), col("eval_doc") === col("zb.doc_id"))
+        graft.functions.DistinctShinglesExpression
+          .distinctShingles(col("text")).as("shs")).persist()
+    val out = cands
+      .join(sh.select(col("doc_id").as("train_doc"), col("shs").as("sha")),
+        Seq("train_doc"))
+      .join(sh.select(col("doc_id").as("eval_doc"), col("shs").as("shb")),
+        Seq("eval_doc"))
+      .withColumn("ni", graft.functions.IntersectCountExpression
+        .intersectCount(col("sha"), col("shb")).cast("long"))
       .select(col("train_doc"), col("eval_doc"),
-        round(col("ni") / (col("za.sz") + col("zb.sz") - col("ni")), 6)
-          .as("jaccard"))
+        round(col("ni") / (size(col("sha")) + size(col("shb")) - col("ni")),
+          6).as("jaccard"))
       .filter(col("jaccard") >= FuzzyDecontamTau)
       .groupBy(col("train_doc"))
       .agg(count(lit(1)).as("n_eval_dups"),
@@ -1130,25 +1133,25 @@ object Dedup {
         (matches / lit(NumHashes.toDouble)).as("est_jac"))
     val candDocs = cands.select(col("doc_a").as("doc_id"))
       .union(cands.select(col("doc_b").as("doc_id"))).distinct()
+    // r15: in-row count-only intersection over per-doc shingle arrays —
+    // same rewrite (and scale argument) as q38's verification
     val sh = parallelize(s, documents(s, d))
       .join(candDocs, Seq("doc_id"), "left_semi")
       .select(col("doc_id"),
-        explode(graft.functions.DistinctShinglesExpression
-          .distinctShingles(col("text"))).as("sh")).persist()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("sz"))
+        graft.functions.DistinctShinglesExpression
+          .distinctShingles(col("text")).as("shs")).persist()
     val exact = cands
-      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
-      .join(sh.as("sb"),
-        col("doc_b") === col("sb.doc_id") && col("sa.sh") === col("sb.sh"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("ni"))
-      .join(sizes.as("za"), col("doc_a") === col("za.doc_id"))
-      .join(sizes.as("zb"), col("doc_b") === col("zb.doc_id"))
+      .join(sh.select(col("doc_id").as("doc_a"), col("shs").as("sha")),
+        Seq("doc_a"))
+      .join(sh.select(col("doc_id").as("doc_b"), col("shs").as("shb")),
+        Seq("doc_b"))
+      .withColumn("ni", graft.functions.IntersectCountExpression
+        .intersectCount(col("sha"), col("shb")).cast("long"))
       .select(col("doc_a"), col("doc_b"),
-        (col("ni") / (col("za.sz") + col("zb.sz") - col("ni")))
+        (col("ni") / (size(col("sha")) + size(col("shb")) - col("ni")))
           .as("exact_jac"),
-        (col("ni") / col("za.sz")).as("cont_a"),
-        (col("ni") / col("zb.sz")).as("cont_b"))
+        (col("ni") / size(col("sha"))).as("cont_a"),
+        (col("ni") / size(col("shb"))).as("cont_b"))
     val pairs = est.join(exact, Seq("doc_a", "doc_b"), "left")
       .select(col("doc_a"), col("doc_b"), col("est_jac"),
         coalesce(col("exact_jac"), lit(0.0)).as("exact_jac"),
